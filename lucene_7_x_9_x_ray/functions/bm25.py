@@ -1,0 +1,102 @@
+"""BM25 scoring kernels, float32-faithful to the Lucene 8.x reference.
+
+Behavioral reference (re-implemented, not ported):
+- idf = (float) log(1 + (docCount - docFreq + 0.5) / (docFreq + 0.5))
+  [BM25Similarity.java:74-76 in solr-8.4.0/lucene/core]
+- avgdl = (float)(sumTotalTermFreq / (double) docCount)  [:88-90]
+- 256-entry LENGTH_TABLE of byte4ToInt decoded norms     [:119-126]
+- per-term cache[i] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl))
+  computed per (collection stats, term) scorer            [:196-206]
+- score(freq, norm) = weight - weight / (1 + freq * normInverse), with
+  weight = boost * idf — NOT the algebraically-equal freq/(freq+norm) form;
+  the rewrite guarantees monotonicity in float32          [:252-264]
+- parameter validation k1 finite >= 0, b in [0,1]         [:50-58]
+
+Every arithmetic step here is performed in numpy float32 in the same
+operation order, so scores are bit-comparable to the Java floats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .smallfloat import BYTE4_DECODE_TABLE
+
+__all__ = ["BM25", "BM25TermWeight", "LENGTH_TABLE"]
+
+# float32 decode of the 256 norm bytes (doc lengths)
+LENGTH_TABLE = BYTE4_DECODE_TABLE.astype(np.float32)
+
+
+@dataclass(frozen=True)
+class BM25TermWeight:
+    """Per-(term, collection) scoring state: weight + 256-entry norm cache."""
+
+    weight: np.float32
+    cache: np.ndarray  # float32[256]: 1 / (k1 * ((1-b) + b*len/avgdl))
+
+    def score(self, freqs, norm_bytes) -> np.ndarray:
+        """Vectorized float32 score for parallel freq/norm arrays."""
+        freqs = np.asarray(freqs)
+        f32 = freqs.astype(np.float32, copy=False)
+        norm_inverse = self.cache[np.asarray(norm_bytes, dtype=np.uint8)]
+        one = np.float32(1.0)
+        return self.weight - self.weight / (one + f32 * norm_inverse)
+
+    def score_scalar(self, freq: float, norm_byte: int) -> float:
+        return float(self.score(np.array([freq]), np.array([norm_byte]))[0])
+
+    def max_score(self, imp_freqs, imp_norms) -> float:
+        """Max score over competitive (freq, norm) impact pairs.
+
+        Mirrors MaxScoreCache.computeMaxScore (MaxScoreCache.java:62-68):
+        max over score(freq, norm) of the stored pareto pairs.
+        """
+        if len(imp_freqs) == 0:
+            return 0.0
+        return float(self.score(imp_freqs, imp_norms).max())
+
+
+class BM25:
+    """BM25 similarity with the 8.x defaults k1=1.2, b=0.75."""
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        if not np.isfinite(k1) or k1 < 0:
+            raise ValueError(f"illegal k1 value: {k1}, must be a non-negative finite value")
+        if np.isnan(b) or b < 0 or b > 1:
+            raise ValueError(f"illegal b value: {b}, must be between 0 and 1")
+        self.k1 = np.float32(k1)
+        self.b = np.float32(b)
+
+    @staticmethod
+    def idf(doc_freq, doc_count) -> np.float32:
+        """(float) log(1 + (N - n + 0.5) / (n + 0.5)), inner math in float64."""
+        df = np.float64(doc_freq)
+        n = np.float64(doc_count)
+        return np.float32(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+
+    @staticmethod
+    def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        return np.float32(np.float64(sum_total_term_freq) / np.float64(doc_count))
+
+    def norm_cache(self, avgdl: np.float32) -> np.ndarray:
+        """cache[i] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl))."""
+        one = np.float32(1.0)
+        # float32 op order: b * len -> / avgdl -> + (1-b) -> * k1 -> 1/x.
+        # k1=0 yields +inf entries — correct: score then saturates to weight.
+        with np.errstate(divide="ignore"):
+            return one / (self.k1 * ((one - self.b) + self.b * LENGTH_TABLE / np.float32(avgdl)))
+
+    def term_weight(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+    ) -> BM25TermWeight:
+        idf = self.idf(doc_freq, doc_count)
+        weight = np.float32(boost) * idf
+        cache = self.norm_cache(self.avgdl(sum_total_term_freq, doc_count))
+        return BM25TermWeight(weight=weight, cache=cache)

@@ -1,0 +1,139 @@
+"""Analyzer conformance vectors (FIXTURES.md F3, shape of
+TestStandardAnalyzer — solr-8.4.0/lucene/core/src/test/.../standard/
+TestStandardAnalyzer.java:41-330)."""
+
+import numpy as np
+
+from lucene_7_x_9_x_ray.functions.analysis import (
+    ENGLISH_STOP_WORDS,
+    MAX_TOKEN_LENGTH,
+    SimpleAnalyzer,
+    StandardAnalyzer,
+    get_analyzer,
+)
+
+
+STD = StandardAnalyzer()
+
+
+def toks(text, an=STD):
+    return an.tokens(text)
+
+
+def test_ascii_words_and_lowercase():
+    assert toks("Hello World FOO") == ["hello", "world", "foo"]
+
+
+def test_numbers_kept():
+    assert toks("B2B 2B sales 2000") == ["b2b", "2b", "sales", "2000"]
+
+
+def test_apostrophe_midletter():
+    assert toks("can't O'Neil's") == ["can't", "o'neil's"]
+
+
+def test_decimal_number_one_token():
+    assert toks("pi is 3.14 and 1,000 units") == ["pi", "is", "3.14", "and", "1,000", "units"]
+
+
+def test_dotted_compound_stays_joined():
+    # UAX#29 MidNumLet: letter.letter does not break
+    assert toks("john.doe@example.com") == ["john.doe", "example.com"]
+
+
+def test_punctuation_splits():
+    assert toks("foo-bar, baz; (qux)!") == ["foo", "bar", "baz", "qux"]
+
+
+def test_underscore_extendnumlet():
+    assert toks("snake_case a_1") == ["snake_case", "a_1"]
+
+
+def test_cjk_ideographs_one_token_each():
+    assert toks("我是中国人") == ["我", "是", "中", "国", "人"]
+
+
+def test_cjk_mixed_with_ascii():
+    assert toks("Lucene是搜索engine") == ["lucene", "是", "搜", "索", "engine"]
+
+
+def test_katakana_run_single_token():
+    assert toks("トヨタ") == ["トヨタ"]
+
+
+def test_hiragana_one_per_char():
+    assert toks("これは") == ["こ", "れ", "は"]
+
+
+def test_hangul_run():
+    assert toks("안녕하세요 world") == ["안녕하세요", "world"]
+
+
+def test_default_stopset_empty():
+    # StandardAnalyzer default keeps "the" (StandardAnalyzer.java:56-58)
+    assert toks("the quick brown") == ["the", "quick", "brown"]
+
+
+def test_english_stop_filter():
+    an = get_analyzer("standard_en")
+    assert an.tokens("the quick brown fox is fast") == ["quick", "brown", "fox", "fast"]
+    assert len(ENGLISH_STOP_WORDS) == 33
+
+
+def test_max_token_length_split():
+    long = "a" * 600
+    out = toks(f"x {long} y")
+    assert out == ["x", "a" * MAX_TOKEN_LENGTH, "a" * MAX_TOKEN_LENGTH, "a" * 90, "y"]
+
+
+def test_empty_and_none_rows():
+    tokens, doc_idx = STD.tokenize_batch(["", "one two", None, "three"])
+    assert list(tokens) == ["one", "two", "three"]
+    assert list(doc_idx) == [1, 1, 3]
+
+
+def test_batch_doc_assignment():
+    texts = ["alpha beta", "", "gamma", "delta epsilon zeta"]
+    tokens, doc_idx = STD.tokenize_batch(texts)
+    assert list(tokens) == ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    assert list(doc_idx) == [0, 0, 2, 3, 3, 3]
+    counts = STD.doc_token_counts(texts)
+    assert list(counts) == [2, 0, 1, 3]
+
+
+def test_batch_matches_single_doc_tokenization():
+    texts = ["Hello can't 3.14", "我是 engineer", "", "B2B-sales!"]
+    tokens, doc_idx = STD.tokenize_batch(texts)
+    for i, t in enumerate(texts):
+        expect = STD.tokens(t)
+        got = list(tokens[doc_idx == i])
+        assert got == expect, (i, got, expect)
+
+
+def test_non_ascii_lowercase_boundaries():
+    # lowercasing can change string length (e.g. İ -> i̇) — doc assignment
+    # must still be correct because boundaries are computed post-lower.
+    texts = ["İstanbul CITY", "Ärger GROSS"]
+    tokens, doc_idx = STD.tokenize_batch(texts)
+    assert list(doc_idx) == [0, 0, 1, 1]
+    assert list(tokens)[2] == "ärger"
+
+
+def test_simple_analyzer_sql_parity():
+    an = SimpleAnalyzer()
+    assert an.tokens("Foo-BAR_baz 12x") == ["foo", "bar", "baz", "12x"]
+    # cross-check with duckdb's regexp_extract_all on a sample
+    import duckdb
+
+    text = "The QUICK-brown fox_2 jumps 3.14 times!"
+    sql = duckdb.sql(
+        "select unnest(regexp_extract_all(lower($1), '[a-z0-9]+')) t", params=[text]
+    ).fetchall()
+    assert [r[0] for r in sql] == an.tokens(text)
+
+
+def test_deterministic_token_order():
+    tokens, doc_idx = STD.tokenize_batch(["b a c", "z y"])
+    # order = document order then position order, not sorted
+    assert list(tokens) == ["b", "a", "c", "z", "y"]
+    assert np.all(np.diff(doc_idx) >= 0)
