@@ -1,0 +1,286 @@
+"""Query tree: the engine's relational surface (SURVEY.md §2.4).
+
+Dataclass query nodes mirroring the reference's query semantics (behavior
+re-created, not ported):
+- TermQuery (TermQuery.java:39), BooleanQuery with MUST/SHOULD/MUST_NOT/
+  FILTER + minimumNumberShouldMatch (BooleanQuery.java, BooleanWeight.java),
+- BoostQuery/ConstantScoreQuery/MatchAllDocsQuery/MatchNoDocsQuery
+  (scoring wrappers, ConstantScoreQuery.java:202, BoostQuery.java:130),
+- multi-term queries that REWRITE against the sorted term dictionary:
+  PrefixQuery (sorted-dict range scan, PrefixQuery.java:110), TermRangeQuery
+  (TermRangeQuery.java:181), WildcardQuery/RegexpQuery (regex filter over
+  the dict, AutomatonQuery equivalent), FuzzyQuery (edit-distance <= 2 scan,
+  FuzzyQuery.java + LevenshteinAutomata.java:34), TermInSetQuery
+  (TermInSetQuery.java:357), SynonymQuery (summed-tf as one term,
+  SynonymQuery.java), DisjunctionMaxQuery (max + tiebreak*sum,
+  DisjunctionMaxQuery.java:30), PhraseQuery (positions, PhraseQuery.java).
+- parse_query = QueryBuilder.createBooleanQuery equivalent
+  (util/QueryBuilder.java:59-114): analyze the text with the SAME analyzer
+  as the index, one TermQuery per token, combined with SHOULD or MUST.
+
+Rewrite model: ``rewrite(query, term_dict)`` expands multi-term queries to
+primitive Term/Boolean trees (constant-score rewrite, MultiTermQuery.java:366
+CONSTANT_SCORE_REWRITE default), so scorers only ever see primitives.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from dataclasses import dataclass, field as _field
+
+import numpy as np
+
+MUST = "MUST"
+SHOULD = "SHOULD"
+MUST_NOT = "MUST_NOT"
+FILTER = "FILTER"
+
+
+class Query:
+    pass
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    occur: str
+    query: Query
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[BooleanClause, ...]
+    min_should_match: int = 0
+
+    @staticmethod
+    def build(clauses: list[tuple[str, Query]], min_should_match: int = 0) -> "BooleanQuery":
+        return BooleanQuery(
+            clauses=tuple(BooleanClause(o, q) for o, q in clauses),
+            min_should_match=min_should_match,
+        )
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    queries: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+# --- multi-term (dict-rewritten) queries -----------------------------------
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # * = any run, ? = one char
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    pattern: str  # anchored full-match regex over terms
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    terms: tuple[str, ...]
+
+
+MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount default
+
+
+class TooManyClauses(Exception):
+    pass
+
+
+def _expand_to_constant_score(matched: list[str]) -> Query:
+    if not matched:
+        return MatchNoDocsQuery()
+    if len(matched) > MAX_CLAUSE_COUNT:
+        raise TooManyClauses(f"{len(matched)} terms > {MAX_CLAUSE_COUNT}")
+    inner = BooleanQuery.build([(SHOULD, TermQuery(t)) for t in matched])
+    return ConstantScoreQuery(inner)
+
+
+def _dict_range(term_dict: np.ndarray, lo: str, hi_exclusive: str | None) -> list[str]:
+    a = int(np.searchsorted(term_dict, lo, side="left"))
+    b = len(term_dict) if hi_exclusive is None else int(
+        np.searchsorted(term_dict, hi_exclusive, side="left")
+    )
+    return [str(t) for t in term_dict[a:b]]
+
+
+def _edit_distance_le(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein <= k (the LevenshteinAutomata-equivalent check)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = max(1, i - k)
+        hi = min(len(b), i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        for j in range(hi + 1, len(b) + 1):
+            cur[j] = k + 1
+        prev = cur
+        if min(prev) > k:
+            return False
+    return prev[len(b)] <= k
+
+
+def rewrite(query: Query, term_dict: np.ndarray) -> Query:
+    """Expand multi-term queries against a sorted term dictionary.
+
+    ``term_dict`` is the (merged) sorted term array; for a multi-segment
+    index pass the union dictionary of the query's candidate segments.
+    """
+    if isinstance(query, PrefixQuery):
+        return _expand_to_constant_score(
+            _dict_range(term_dict, query.prefix, query.prefix + "￿")
+        )
+    if isinstance(query, TermRangeQuery):
+        lo = query.lower if query.lower is not None else ""
+        a = int(np.searchsorted(term_dict, lo, side="left" if query.include_lower else "right"))
+        if query.upper is None:
+            b = len(term_dict)
+        else:
+            b = int(
+                np.searchsorted(
+                    term_dict, query.upper, side="right" if query.include_upper else "left"
+                )
+            )
+        return _expand_to_constant_score([str(t) for t in term_dict[a:b]])
+    if isinstance(query, WildcardQuery):
+        rx = _re.compile(
+            "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in query.pattern
+            )
+        )
+        # constant prefix optimisation: scan only the dict range sharing it
+        pfx = query.pattern.split("*")[0].split("?")[0]
+        cand = _dict_range(term_dict, pfx, pfx + "￿") if pfx else [str(t) for t in term_dict]
+        return _expand_to_constant_score([t for t in cand if rx.fullmatch(t)])
+    if isinstance(query, RegexpQuery):
+        rx = _re.compile(query.pattern)
+        return _expand_to_constant_score([str(t) for t in term_dict if rx.fullmatch(str(t))])
+    if isinstance(query, FuzzyQuery):
+        pfx = query.term[: query.prefix_length]
+        cand = _dict_range(term_dict, pfx, pfx + "￿") if pfx else [str(t) for t in term_dict]
+        matched = [t for t in cand if _edit_distance_le(t, query.term, query.max_edits)]
+        if query.term in matched:  # exact match scores as a TermQuery
+            pass
+        return _expand_to_constant_score(matched)
+    if isinstance(query, TermInSetQuery):
+        present = set(query.terms) & set(map(str, term_dict))
+        return _expand_to_constant_score(sorted(present))
+    if isinstance(query, BooleanQuery):
+        return BooleanQuery(
+            clauses=tuple(
+                BooleanClause(c.occur, rewrite(c.query, term_dict)) for c in query.clauses
+            ),
+            min_should_match=query.min_should_match,
+        )
+    if isinstance(query, (BoostQuery, ConstantScoreQuery)):
+        return type(query)(**{**query.__dict__, "query": rewrite(query.query, term_dict)})
+    if isinstance(query, DisjunctionMaxQuery):
+        return DisjunctionMaxQuery(
+            queries=tuple(rewrite(q, term_dict) for q in query.queries),
+            tie_breaker=query.tie_breaker,
+        )
+    return query
+
+
+def collect_terms(query: Query) -> set[str]:
+    """All scoring/filtering terms referenced by a (rewritten) query."""
+    out: set[str] = set()
+    if isinstance(query, TermQuery):
+        out.add(query.term)
+    elif isinstance(query, PhraseQuery):
+        out.update(query.terms)
+    elif isinstance(query, SynonymQuery):
+        out.update(query.terms)
+    elif isinstance(query, BooleanQuery):
+        for c in query.clauses:
+            out |= collect_terms(c.query)
+    elif isinstance(query, (BoostQuery, ConstantScoreQuery)):
+        out |= collect_terms(query.query)
+    elif isinstance(query, DisjunctionMaxQuery):
+        for q in query.queries:
+            out |= collect_terms(q)
+    return out
+
+
+def parse_query(text: str, analyzer, operator: str = SHOULD, min_should_match: int = 0) -> Query:
+    """QueryBuilder.createBooleanQuery equivalent: analyze -> boolean."""
+    tokens = analyzer.tokens(text)
+    if not tokens:
+        return MatchNoDocsQuery()
+    if len(tokens) == 1:
+        return TermQuery(tokens[0])
+    occur = MUST if operator == MUST else SHOULD
+    return BooleanQuery.build(
+        [(occur, TermQuery(t)) for t in tokens], min_should_match=min_should_match
+    )

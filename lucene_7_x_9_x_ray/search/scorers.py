@@ -1,0 +1,212 @@
+"""Exhaustive vectorized per-segment query evaluation (the oracle + bulk path).
+
+This is the BooleanScorer/bulk-scorer equivalent (SURVEY.md §2.4): decode
+whole posting lists into numpy arrays and evaluate the boolean tree with
+sorted-array set operations (ConjunctionDISI / DisiPriorityQueue /
+ReqExclScorer semantics as intersect / union / setdiff — SURVEY.md §2.5
+"set ops on doc sets"). It scores every match, so it is also the
+CheckHits-style exhaustive oracle the WAND scorer duels against
+(test-framework/.../search/CheckHits.java:595-603 pattern).
+
+Float discipline for rank identity: leaf scores are float32 from the BM25
+kernel; every combining node sums its children in float64 and casts the
+result to float32, matching the reference's double-accumulate-then-float
+(e.g. DisjunctionSumScorer / ConjunctionScorer score()).
+
+Boolean semantics (BooleanWeight / Boolean2ScorerSupplier.java:89-205):
+- candidates = AND(MUST, FILTER), minus OR(MUST_NOT), with
+  #matched SHOULD >= minimumNumberShouldMatch;
+- SHOULD-only queries require >= max(1, msm) matches;
+- score = sum over MUST + matched SHOULD clauses (FILTER contributes 0);
+- MUST_NOT/FILTER-only queries produce constant score 0 matches for
+  FILTER, no matches for a lone MUST_NOT.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.bm25 import BM25
+from ..state.segment import SegmentReader
+from . import queries as Q
+
+__all__ = ["CollectionStats", "eval_query", "term_scores"]
+
+
+class CollectionStats:
+    """Global (cross-segment) collection + term statistics for scoring.
+
+    The reference computes idf/avgdl from the statistics of ALL segments
+    (IndexSearcher.createWeight -> CollectionStatistics/TermStatistics,
+    SURVEY.md §3.2 step 3); per-segment scoring with global stats is what
+    makes scores comparable across partitions.
+    """
+
+    def __init__(self, doc_count: int, sum_total_term_freq: int, term_df: dict, term_ttf: dict):
+        self.doc_count = doc_count
+        self.sum_total_term_freq = sum_total_term_freq
+        self.term_df = term_df
+        self.term_ttf = term_ttf
+
+    def df(self, term: str) -> int:
+        return self.term_df.get(term, 0)
+
+
+def _in_sorted(a: np.ndarray, b_sorted: np.ndarray) -> np.ndarray:
+    """Boolean mask: which elements of a occur in sorted array b."""
+    if len(b_sorted) == 0 or len(a) == 0:
+        return np.zeros(len(a), dtype=bool)
+    idx = np.searchsorted(b_sorted, a)
+    idx = np.minimum(idx, len(b_sorted) - 1)
+    return b_sorted[idx] == a
+
+
+def term_scores(
+    reader: SegmentReader, term: str, stats: CollectionStats, bm25: BM25, boost: float = 1.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """TermQuery leaf: decode postings, score all docs (TermScorer.java:29)."""
+    tp = reader.term_postings(term)
+    if tp is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    docs, freqs = tp.decode()
+    tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost)
+    scores = tw.score(freqs, reader.norms[docs])
+    return docs, scores.astype(np.float32, copy=False)
+
+
+def _empty() -> tuple[np.ndarray, np.ndarray]:
+    return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+
+
+def eval_query(
+    reader: SegmentReader, query: Q.Query, stats: CollectionStats, bm25: BM25
+) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate a (rewritten) query over one segment.
+
+    Returns (local docIDs ascending, float32 scores aligned).
+    """
+    if isinstance(query, Q.TermQuery):
+        return term_scores(reader, query.term, stats, bm25, query.boost)
+
+    if isinstance(query, Q.MatchAllDocsQuery):
+        docs = np.arange(reader.doc_count, dtype=np.int64)
+        return docs, np.full(len(docs), np.float32(query.boost), dtype=np.float32)
+
+    if isinstance(query, Q.MatchNoDocsQuery):
+        return _empty()
+
+    if isinstance(query, Q.BoostQuery):
+        # BoostQuery multiplies the sub-score (BoostQuery.java:130)
+        docs, scores = eval_query(reader, query.query, stats, bm25)
+        return docs, (np.float32(query.boost) * scores).astype(np.float32)
+
+    if isinstance(query, Q.ConstantScoreQuery):
+        docs, _ = eval_query(reader, query.query, stats, bm25)
+        return docs, np.full(len(docs), np.float32(query.boost), dtype=np.float32)
+
+    if isinstance(query, Q.SynonymQuery):
+        # one pseudo-term: summed tf, df = max over members, ttf = sum
+        # (SynonymQuery.java TermStatistics aggregation)
+        all_docs: list[np.ndarray] = []
+        all_freqs: list[np.ndarray] = []
+        for t in query.terms:
+            tp = reader.term_postings(t)
+            if tp is not None:
+                d, f = tp.decode()
+                all_docs.append(d)
+                all_freqs.append(f)
+        if not all_docs:
+            return _empty()
+        docs_cat = np.concatenate(all_docs)
+        freqs_cat = np.concatenate(all_freqs).astype(np.int64)
+        docs, inv = np.unique(docs_cat, return_inverse=True)
+        freqs = np.zeros(len(docs), dtype=np.int64)
+        np.add.at(freqs, inv, freqs_cat)
+        df = max(stats.df(t) for t in query.terms)
+        tw = bm25.term_weight(df, stats.doc_count, stats.sum_total_term_freq, query.boost)
+        return docs, tw.score(freqs, reader.norms[docs]).astype(np.float32, copy=False)
+
+    if isinstance(query, Q.DisjunctionMaxQuery):
+        subs = [eval_query(reader, q, stats, bm25) for q in query.queries]
+        subs = [(d, s) for d, s in subs if len(d)]
+        if not subs:
+            return _empty()
+        docs = np.unique(np.concatenate([d for d, _ in subs]))
+        maxes = np.full(len(docs), -np.inf, dtype=np.float32)
+        sums = np.zeros(len(docs), dtype=np.float64)
+        for d, s in subs:
+            pos = np.searchsorted(docs, d)
+            np.maximum.at(maxes, pos, s)
+            np.add.at(sums, pos, s.astype(np.float64))
+        # max + tieBreaker * (sum of the others) (DisjunctionMaxQuery.java:30)
+        others = sums - maxes.astype(np.float64)
+        out = (maxes.astype(np.float64) + np.float64(query.tie_breaker) * others).astype(np.float32)
+        return docs, out
+
+    if isinstance(query, Q.PhraseQuery):
+        raise NotImplementedError("PhraseQuery requires the positions index (see search/phrase.py)")
+
+    if isinstance(query, Q.BooleanQuery):
+        return _eval_boolean(reader, query, stats, bm25)
+
+    raise TypeError(f"unrewritten or unknown query type: {type(query).__name__}")
+
+
+def _eval_boolean(
+    reader: SegmentReader, query: Q.BooleanQuery, stats: CollectionStats, bm25: BM25
+) -> tuple[np.ndarray, np.ndarray]:
+    musts, shoulds, filters, must_nots = [], [], [], []
+    for c in query.clauses:
+        if c.occur == Q.MUST:
+            musts.append(eval_query(reader, c.query, stats, bm25))
+        elif c.occur == Q.SHOULD:
+            shoulds.append(eval_query(reader, c.query, stats, bm25))
+        elif c.occur == Q.FILTER:
+            filters.append(eval_query(reader, c.query, stats, bm25)[0])
+        elif c.occur == Q.MUST_NOT:
+            must_nots.append(eval_query(reader, c.query, stats, bm25)[0])
+        else:
+            raise ValueError(f"bad occur {c.occur}")
+
+    msm = query.min_should_match
+
+    # candidate doc set
+    if musts or filters:
+        cand = None
+        for d, _ in musts:
+            cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        for d in filters:
+            cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        if msm > 0 and shoulds:
+            cnt = np.zeros(len(cand), dtype=np.int64)
+            for d, _ in shoulds:
+                cnt += _in_sorted(cand, d)
+            cand = cand[cnt >= msm]
+        elif msm > 0 and not shoulds:
+            cand = cand[:0]
+    elif shoulds:
+        need = max(1, msm)
+        all_d = np.concatenate([d for d, _ in shoulds]) if shoulds else np.empty(0, np.int64)
+        if len(all_d) == 0:
+            return _empty()
+        docs_u, counts = np.unique(all_d, return_counts=True)
+        cand = docs_u[counts >= need]
+    else:
+        return _empty()  # MUST_NOT-only matches nothing
+
+    if len(cand) == 0:
+        return _empty()
+
+    for d in must_nots:
+        cand = cand[~_in_sorted(cand, d)]
+    if len(cand) == 0:
+        return _empty()
+
+    # sum scoring clauses (MUST + matched SHOULD) in float64, cast once
+    acc = np.zeros(len(cand), dtype=np.float64)
+    for d, s in musts + shoulds:
+        mask = _in_sorted(cand, d)
+        if mask.any():
+            pos = np.searchsorted(d, cand[mask])
+            acc[mask] += s[pos].astype(np.float64)
+    return cand, acc.astype(np.float32)

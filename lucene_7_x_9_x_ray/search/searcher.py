@@ -1,0 +1,165 @@
+"""Multi-segment IndexSearcher: global stats, rewrite, per-segment score,
+top-k reduce (SURVEY.md §3.2).
+
+Mirrors the reference search lifecycle:
+1. rewrite the query against the term dictionary (multi-term expansion),
+2. collect GLOBAL CollectionStatistics/TermStatistics across all segments
+   (IndexSearcher.createWeight semantics — idf/avgdl are corpus-wide),
+3. score each segment independently (leaf slices),
+4. reduce per-segment top-k by (score desc, global docID asc)
+   (CollectorManager.reduce, TopScoreDocCollector tie-break).
+
+Mode "wand" runs block-max WAND when the query is a pure term disjunction
+(the Boolean2ScorerSupplier.java:192-205 dispatch: SHOULD-only + TOP_SCORES
+-> WANDScorer); everything else runs the exhaustive vectorized scorer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..functions.analysis import get_analyzer
+from ..functions.bm25 import BM25
+from ..state.manifest import IndexManifest
+from ..state.segment import SegmentReader
+from . import queries as Q
+from .scorers import CollectionStats, eval_query
+from .topk import DEFAULT_TOTAL_HITS_THRESHOLD, TopDocs, TopKCollector, merge_topk, topk_from_arrays
+from .wand import wand_topk
+
+__all__ = ["IndexSearcher"]
+
+
+def _as_term_disjunction(query: Q.Query) -> list[tuple[str, float]] | None:
+    """[(term, boost)] if the query is a SHOULD-only term disjunction."""
+    if isinstance(query, Q.TermQuery):
+        return [(query.term, query.boost)]
+    if isinstance(query, Q.BooleanQuery) and query.min_should_match <= 1:
+        out = []
+        for c in query.clauses:
+            q = c.query
+            if c.occur != Q.SHOULD:
+                return None
+            if isinstance(q, Q.TermQuery):
+                out.append((q.term, q.boost))
+            elif isinstance(q, Q.BoostQuery) and isinstance(q.query, Q.TermQuery):
+                out.append((q.query.term, float(q.boost) * q.query.boost))
+            else:
+                return None
+        return out or None
+    return None
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str, bm25: BM25 | None = None):
+        self.manifest = IndexManifest.load(index_dir)
+        self.index_dir = index_dir
+        self.bm25 = bm25 or BM25()
+        self.analyzer = get_analyzer(self.manifest.analyzer)
+        segs = sorted(self.manifest.segments, key=lambda s: s["doc_base"])
+        self.readers = [
+            SegmentReader(os.path.join(index_dir, "segments", s["seg_name"])) for s in segs
+        ]
+        self.doc_count = self.manifest.doc_count
+        self.sum_total_term_freq = self.manifest.sum_total_term_freq
+
+    # -- statistics ---------------------------------------------------------
+
+    def collection_stats(self, terms: set[str]) -> CollectionStats:
+        df: dict[str, int] = {t: 0 for t in terms}
+        ttf: dict[str, int] = {t: 0 for t in terms}
+        for r in self.readers:
+            for t in terms:
+                d, f = r.term_stats(t)
+                df[t] += d
+                ttf[t] += f
+        return CollectionStats(self.doc_count, self.sum_total_term_freq, df, ttf)
+
+    def term_dict_union(self) -> np.ndarray:
+        """Union sorted term dictionary (for multi-term rewrites)."""
+        if len(self.readers) == 1:
+            return self.readers[0].terms
+        return np.unique(np.concatenate([r.terms for r in self.readers]))
+
+    # -- search -------------------------------------------------------------
+
+    def parse(self, text: str, operator: str = Q.SHOULD, min_should_match: int = 0) -> Q.Query:
+        return Q.parse_query(text, self.analyzer, operator, min_should_match)
+
+    def search(
+        self,
+        query: Q.Query | str,
+        k: int = 10,
+        mode: str = "auto",
+        total_hits_threshold: int = DEFAULT_TOTAL_HITS_THRESHOLD,
+    ) -> TopDocs:
+        if isinstance(query, str):
+            query = self.parse(query)
+        query = Q.rewrite(query, self.term_dict_union())
+        stats = self.collection_stats(Q.collect_terms(query))
+
+        # mode "wand" = document-at-a-time block-max WAND (the pruning scale
+        # path, duel-verified rank-identical). "auto"/"exhaustive" = the
+        # vectorized bulk scorer, which numpy makes faster at these segment
+        # sizes (measured in bench.py; see BENCH/BASELINE.md).
+        disj = _as_term_disjunction(query) if mode == "wand" else None
+        if disj is not None:
+            coll = TopKCollector(k, total_hits_threshold)
+            for r in self.readers:
+                wand_topk(
+                    r, disj, k, stats, self.bm25,
+                    total_hits_threshold=total_hits_threshold,
+                    collector=coll,
+                    doc_base=r.doc_base,
+                )
+            return coll.result()
+
+        parts: list[TopDocs] = []
+        for r in self.readers:
+            docs, scores = eval_query(r, query, stats, self.bm25)
+            td = topk_from_arrays(docs + r.doc_base, scores, k)
+            parts.append(td)
+        return merge_topk(parts, k)
+
+    def count(self, query: Q.Query | str) -> int:
+        """Total matching docs (TotalHitCountCollector equivalent)."""
+        if isinstance(query, str):
+            query = self.parse(query)
+        query = Q.rewrite(query, self.term_dict_union())
+        stats = self.collection_stats(Q.collect_terms(query))
+        return sum(len(eval_query(r, query, stats, self.bm25)[0]) for r in self.readers)
+
+    def search_after(
+        self, query: Q.Query | str, k: int, after: tuple[float, int]
+    ) -> TopDocs:
+        """Pagination anchor (IndexSearcher.searchAfter:418-553): top-k among
+        docs ranking strictly after (score, global docID)."""
+        if isinstance(query, str):
+            query = self.parse(query)
+        query = Q.rewrite(query, self.term_dict_union())
+        stats = self.collection_stats(Q.collect_terms(query))
+        a_score, a_doc = np.float32(after[0]), int(after[1])
+        parts = []
+        for r in self.readers:
+            docs, scores = eval_query(r, query, stats, self.bm25)
+            gdocs = docs + r.doc_base
+            keep = (scores < a_score) | ((scores == a_score) & (gdocs > a_doc))
+            parts.append(topk_from_arrays(gdocs[keep], scores[keep], k))
+        return merge_topk(parts, k)
+
+    # -- doc materialization ------------------------------------------------
+
+    def lookup_docs(self, global_doc_ids) -> list[dict]:
+        """Resolve global docIDs to stored fields (docmap rows)."""
+        out = []
+        bases = [r.doc_base for r in self.readers]
+        for gd in global_doc_ids:
+            si = int(np.searchsorted(bases, gd, side="right")) - 1
+            r = self.readers[si]
+            local = int(gd) - r.doc_base
+            row = r.docmap().slice(local, 1).to_pylist()[0]
+            row["doc_id"] = int(gd)
+            out.append(row)
+        return out

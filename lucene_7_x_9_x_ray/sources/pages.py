@@ -1,0 +1,147 @@
+"""Common-Crawl-style page tables: deterministic synthesis + html->text.
+
+Input shape (BASELINE.json input_hint / FIXTURES.md F1):
+    url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
+
+Two deterministic sources, no external data:
+- ``generate_pages``: seeded Zipf-vocabulary corpus (FIXTURES.md F2 "Zipf web
+  corpus": 30k-word vocab, frequency ∝ 1/rank, log-normal doc lengths) —
+  the benchmark-content-source equivalent of the reference's Reuters/enwiki
+  feeds (s84 benchmark/.../feeds/ReutersContentSource.java).
+- ``pages_from_documents``: wrap the driver's documents.parquet rows into
+  the page shape (url/warc_ts/html derived from doc_id; text verbatim).
+
+``extract_text`` is the deterministic HTML->text UDF (DemoHTMLParser.java:42-96
+equivalent): body inner text, tags stripped. The per-row north-rule invariant
+is that extraction reproduces the ``text`` column byte-identically — both
+generators construct html so this holds, and the build stage can verify it.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EPOCH_2025 = 1735689600_000000  # 2025-01-01T00:00:00Z in microseconds
+
+_BODY_RE = re.compile(rb"<body(?:\s[^>]*)?>(.*)</body>", re.DOTALL | re.IGNORECASE)
+_TAG_RE = re.compile(rb"<[^>]+>")
+
+
+def extract_text(html: bytes) -> str:
+    """Deterministic html -> text: body inner text with tags stripped.
+
+    Byte-stable per input (north-rule invariant): same html bytes always
+    produce the same text bytes.
+    """
+    m = _BODY_RE.search(html)
+    content = m.group(1) if m else _TAG_RE.sub(b" ", html)
+    content = _TAG_RE.sub(b" ", content)
+    return content.decode("utf-8", errors="replace")
+
+
+def wrap_html(text: str, title: str) -> bytes:
+    """Inverse-friendly wrapper: extract_text(wrap_html(t, _)) == t."""
+    return (
+        b"<html><head><title>"
+        + title.encode()
+        + b"</title></head><body>"
+        + text.encode()
+        + b"</body></html>"
+    )
+
+
+def _zipf_probs(vocab_size: int) -> np.ndarray:
+    p = 1.0 / np.arange(1, vocab_size + 1, dtype=np.float64)
+    return p / p.sum()
+
+
+def generate_pages(
+    n_rows: int,
+    seed: int = 42,
+    vocab_size: int = 30_000,
+    mean_tokens: float = 400.0,
+    dup_url_frac: float = 0.01,
+    with_html: bool = True,
+) -> pa.Table:
+    """Deterministic Zipf web-page corpus (FIXTURES.md F1/F2)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"t{i:05d}" for i in range(vocab_size)], dtype=object)
+    probs = _zipf_probs(vocab_size)
+
+    # log-normal doc lengths centered near mean_tokens (web-page-like)
+    sigma = 0.6
+    mu = np.log(mean_tokens) - sigma * sigma / 2
+    lengths = np.maximum(1, rng.lognormal(mu, sigma, size=n_rows).astype(np.int64))
+    total = int(lengths.sum())
+    all_tokens = rng.choice(vocab, size=total, p=probs)
+    bounds = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lengths, out=bounds[1:])
+    texts = [" ".join(all_tokens[bounds[i] : bounds[i + 1]]) for i in range(n_rows)]
+
+    idx = np.arange(n_rows)
+    urls = np.array([f"https://site{i % 211}.example/p/{i}" for i in idx], dtype=object)
+    # a dup_url_frac slice of rows reuses the previous row's url with a later
+    # warc_ts (exact-dedup-by-url fixtures)
+    if dup_url_frac > 0 and n_rows > 1:
+        n_dup = int(n_rows * dup_url_frac)
+        dup_rows = rng.choice(np.arange(1, n_rows), size=n_dup, replace=False)
+        for r in dup_rows:
+            urls[r] = urls[r - 1]
+    ts = EPOCH_2025 + idx * 1_000_000
+    langs = np.where(idx % 20 == 19, "de", np.where(idx % 20 == 18, "zh", "en"))
+
+    cols: dict = {
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+    }
+    if with_html:
+        cols["html"] = pa.array(
+            [wrap_html(t, f"T{i}") for i, t in enumerate(texts)], type=pa.binary()
+        )
+    cols["text"] = pa.array(texts, type=pa.string())
+    cols["lang"] = pa.array(langs, type=pa.string())
+    return pa.table(cols)
+
+
+def pages_from_documents(sf_dir: str, with_html: bool = True, repeat: int = 1) -> pa.Table:
+    """Deterministically wrap the driver's documents table into page shape.
+
+    ``repeat`` > 1 tiles the corpus with distinct urls/doc ids (used to grow
+    bench inputs without synthesizing new text).
+    """
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    doc_ids = docs["doc_id"].to_numpy()
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    n = len(doc_ids)
+
+    urls, ts_all, htmls, texts_all, langs_all = [], [], [], [], []
+    for r in range(repeat):
+        base = r * n
+        urls.extend(f"https://docs.example/d/{base + int(i)}" for i in doc_ids)
+        ts_all.extend(EPOCH_2025 + (base + int(i)) * 1_000_000 for i in doc_ids)
+        if with_html:
+            htmls.extend(wrap_html(t, f"T{base + int(i)}") for i, t in zip(doc_ids, texts))
+        texts_all.extend(texts)
+        langs_all.extend(langs)
+
+    cols: dict = {
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array(ts_all, type=pa.timestamp("us")),
+    }
+    if with_html:
+        cols["html"] = pa.array(htmls, type=pa.binary())
+    cols["text"] = pa.array(texts_all, type=pa.string())
+    cols["lang"] = pa.array(langs_all, type=pa.string())
+    return pa.table(cols)
+
+
+def write_pages_parquet(
+    table: pa.Table, path: str, rows_per_row_group: int = 4096
+) -> str:
+    pq.write_table(table, path, row_group_size=rows_per_row_group)
+    return path

@@ -1,0 +1,219 @@
+"""Ray Data index-build stage: partition plan -> per-partition segments.
+
+Topology (SURVEY.md §7.2 stages 1-4):
+
+  plan_partitions (driver, parquet FOOTERS only — no data read)
+    -> ray.data.from_items(partition specs)
+    -> map_batches(build-one-segment task)     # the DWPT-flush equivalent
+    -> tiny stats rows back to the driver
+    -> IndexManifest written last (the segments_N commit)
+
+Design points for 100 TB scale:
+- Partitioning is by parquet row-group ranges with doc_base prefix-sums
+  computed from footers, so global docIDs derive from (file, row) lineage —
+  deterministic under any task scheduling (SURVEY.md §7.5).
+- Each task reads ONLY its row groups with column pruning (url/warc_ts/
+  text/lang; html never leaves the task unless extraction is verified).
+- Resume: a task whose segment dir already holds a matching stats.json
+  returns it without re-reading input (north-rule checkpoint semantics).
+- No shuffle anywhere in the build: term aggregation happens inside each
+  task (the per-thread DWPT hash, DocumentsWriterPerThreadPool.java:182
+  analogue); the only wide op in the system is the optional merge stage.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.analysis import get_analyzer
+from ..sources.pages import extract_text
+from ..state.manifest import IndexManifest, SegmentStats, segment_is_complete
+from ..state.segment import write_segment
+
+
+@dataclass
+class BuildConfig:
+    analyzer: str = "standard"
+    text_col: str = "text"
+    url_col: str = "url"
+    ts_col: str = "warc_ts"
+    lang_col: str = "lang"
+    html_col: str = "html"
+    # derive text from html and check byte-identity vs the text column
+    # (per-row north-rule invariant); off by default for throughput
+    verify_extract: bool = False
+    target_docs_per_segment: int = 100_000
+    chunk_rows: int = 8192
+
+
+def plan_partitions(
+    input_paths: list[str], cfg: BuildConfig
+) -> list[dict]:
+    """Driver-side partition plan from parquet footers (no data IO).
+
+    Splits each file into contiguous row-group ranges of ~target docs; the
+    plan order (sorted file path, then row-group start) fixes doc_base
+    prefix sums and segment names deterministically.
+    """
+    specs: list[dict] = []
+    doc_base = 0
+    seg_i = 0
+    for path in sorted(input_paths):
+        md = pq.ParquetFile(path).metadata
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        start = 0
+        while start < len(rg_rows):
+            rows = 0
+            end = start
+            while end < len(rg_rows) and (rows == 0 or rows + rg_rows[end] <= cfg.target_docs_per_segment):
+                rows += rg_rows[end]
+                end += 1
+            specs.append(
+                {
+                    "seg_name": f"seg_{seg_i:06d}",
+                    "path": path,
+                    "rg_start": start,
+                    "rg_end": end,
+                    "n_rows": rows,
+                    "doc_base": doc_base,
+                }
+            )
+            doc_base += rows
+            seg_i += 1
+            start = end
+    return specs
+
+
+def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> SegmentStats:
+    """Build (or resume) the segment for one partition spec."""
+    seg_dir = os.path.join(segments_dir, spec["seg_name"])
+    done = segment_is_complete(seg_dir, expect=spec)
+    if done is not None:
+        done.resumed = True
+        return done
+
+    t0 = time.perf_counter()
+    pf = pq.ParquetFile(spec["path"])
+    schema_names = set(pf.schema_arrow.names)
+    cols = [c for c in (cfg.url_col, cfg.ts_col, cfg.text_col, cfg.lang_col) if c in schema_names]
+    if cfg.verify_extract and cfg.html_col in schema_names:
+        cols.append(cfg.html_col)
+    table = pf.read_row_groups(list(range(spec["rg_start"], spec["rg_end"])), columns=cols)
+
+    texts = table[cfg.text_col].to_pylist()
+    if cfg.verify_extract and cfg.html_col in table.column_names:
+        htmls = table[cfg.html_col].to_pylist()
+        for i, (h, t) in enumerate(zip(htmls, texts)):
+            ext = extract_text(h)
+            if ext != t:
+                raise ValueError(
+                    f"html->text extraction not byte-identical at row {i} of "
+                    f"{spec['path']} rg[{spec['rg_start']}:{spec['rg_end']}]"
+                )
+    n = len(texts)
+    urls = (
+        table[cfg.url_col].to_pylist()
+        if cfg.url_col in table.column_names
+        else [f"row:{spec['doc_base'] + i}" for i in range(n)]
+    )
+    ts = (
+        table[cfg.ts_col]
+        if cfg.ts_col in table.column_names
+        else pa.array(np.zeros(n, dtype=np.int64), type=pa.timestamp("us"))
+    )
+    langs = (
+        table[cfg.lang_col].to_pylist() if cfg.lang_col in table.column_names else [""] * n
+    )
+
+    analyzer = get_analyzer(cfg.analyzer)
+    stats = write_segment(
+        out_dir=seg_dir,
+        seg_name=spec["seg_name"],
+        texts=texts,
+        urls=urls,
+        warc_ts=ts,
+        langs=langs,
+        analyzer=analyzer,
+        doc_base=spec["doc_base"],
+        lineage_file=spec["path"],
+        rg_start=spec["rg_start"],
+        rg_end=spec["rg_end"],
+        elapsed_sec=time.perf_counter() - t0,
+    )
+    return stats
+
+
+def build_index(
+    input_paths: list[str],
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    concurrency: int | None = None,
+) -> IndexManifest:
+    """Distributed index build: specs Dataset -> segment tasks -> manifest.
+
+    Ray must already be initialised by the caller (driver contract).
+    """
+    import ray.data as rd
+
+    cfg = cfg or BuildConfig()
+    segments_dir = os.path.join(index_dir, "segments")
+    os.makedirs(segments_dir, exist_ok=True)
+    specs = plan_partitions(input_paths, cfg)
+    if not specs:
+        raise ValueError(f"no input rows found in {input_paths}")
+
+    def run_specs(batch: pa.Table) -> pa.Table:
+        out = []
+        for spec in batch.to_pylist():
+            st = build_one_segment(spec, cfg, segments_dir)
+            out.append(st.to_dict())
+        return pa.Table.from_pylist(out)
+
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    stats_rows = (
+        rd.from_items(specs)
+        .map_batches(run_specs, batch_size=1, batch_format="pyarrow", **kwargs)
+        .take_all()
+    )
+    stats_rows.sort(key=lambda r: r["doc_base"])
+
+    manifest = IndexManifest(
+        index_dir=index_dir,
+        analyzer=cfg.analyzer,
+        field=cfg.text_col,
+        doc_count=sum(r["doc_count"] for r in stats_rows),
+        sum_total_term_freq=sum(r["sum_total_term_freq"] for r in stats_rows),
+        segments=stats_rows,
+    )
+    manifest.save()
+    return manifest
+
+
+def build_index_local(
+    input_paths: list[str], index_dir: str, cfg: BuildConfig | None = None
+) -> IndexManifest:
+    """Single-process build (tests / tiny corpora): same plan + artifacts,
+    no Ray session required."""
+    cfg = cfg or BuildConfig()
+    segments_dir = os.path.join(index_dir, "segments")
+    os.makedirs(segments_dir, exist_ok=True)
+    specs = plan_partitions(input_paths, cfg)
+    stats_rows = [build_one_segment(s, cfg, segments_dir).to_dict() for s in specs]
+    manifest = IndexManifest(
+        index_dir=index_dir,
+        analyzer=cfg.analyzer,
+        field=cfg.text_col,
+        doc_count=sum(r["doc_count"] for r in stats_rows),
+        sum_total_term_freq=sum(r["sum_total_term_freq"] for r in stats_rows),
+        segments=stats_rows,
+    )
+    manifest.save()
+    return manifest

@@ -1,0 +1,126 @@
+"""Index manifests: per-partition lineage/metrics + the global commit record.
+
+The reference's durability model is re-created, not ported:
+- per-segment artifacts are written to a temp dir then atomically renamed
+  (the fsync-then-rename discipline of IndexWriter.commit,
+  solr-8.4.0/lucene/core/.../index/IndexWriter.java:3180-3467);
+- the global ``manifest.json`` is written LAST and is the only commit point,
+  playing the role of the ``segments_N`` generation file
+  (index/SegmentInfos.java:119): an index is exactly the set of segments its
+  manifest lists, and a crashed build leaves the previous manifest intact;
+- each segment's ``stats.json`` records input lineage (file + row-group
+  range + content fingerprint) and build metrics, which is what makes builds
+  resumable: a re-run skips any partition whose stats.json matches its spec
+  (north rule: per-partition checkpointed lineage/metrics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+MANIFEST_NAME = "manifest.json"
+STATS_NAME = "stats.json"
+
+
+def atomic_write_json(path: str, obj: Any) -> None:
+    """Write JSON durably: temp file in the same dir + fsync + rename."""
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_json(path: str) -> Any:
+    with open(path) as f:
+        return json.load(f)
+
+
+@dataclass
+class SegmentStats:
+    """Per-partition checkpoint record (written inside the segment dir)."""
+
+    seg_name: str
+    doc_base: int  # global docID of this segment's local doc 0
+    doc_count: int
+    sum_total_term_freq: int  # BM25 avgdl numerator contribution
+    sum_doc_freq: int
+    unique_terms: int
+    lineage_file: str
+    lineage_rg_start: int  # parquet row-group range [start, end)
+    lineage_rg_end: int
+    lineage_fingerprint: str  # content fingerprint of the input slice
+    analyzer: str
+    field: str = "text"
+    elapsed_sec: float = 0.0
+    resumed: bool = False
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SegmentStats":
+        return cls(**{k: d[k] for k in cls.__dataclass_fields__ if k in d})
+
+
+@dataclass
+class IndexManifest:
+    """The commit record: global stats + ordered segment list."""
+
+    index_dir: str
+    analyzer: str
+    field: str
+    doc_count: int
+    sum_total_term_freq: int
+    segments: list[dict] = field(default_factory=list)  # SegmentStats dicts, doc_base ascending
+    merged: bool = False
+    version: int = 1
+
+    @property
+    def avgdl_inputs(self) -> tuple[int, int]:
+        return self.sum_total_term_freq, self.doc_count
+
+    def segment_dirs(self) -> list[str]:
+        return [os.path.join(self.index_dir, "segments", s["seg_name"]) for s in self.segments]
+
+    def save(self) -> None:
+        atomic_write_json(os.path.join(self.index_dir, MANIFEST_NAME), asdict(self))
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IndexManifest":
+        d = load_json(os.path.join(index_dir, MANIFEST_NAME))
+        d["index_dir"] = index_dir  # allow relocated index dirs
+        return cls(**{k: d[k] for k in cls.__dataclass_fields__ if k in d})
+
+
+def segment_is_complete(seg_dir: str, expect: dict | None = None) -> SegmentStats | None:
+    """Return the segment's stats iff it was fully committed (atomic rename
+    happened and stats.json parses) and, when ``expect`` is given, its
+    lineage matches the partition spec. Used for resume-from-checkpoint."""
+    stats_path = os.path.join(seg_dir, STATS_NAME)
+    if not os.path.exists(stats_path):
+        return None
+    try:
+        st = SegmentStats.from_dict(load_json(stats_path))
+    except (json.JSONDecodeError, TypeError, KeyError):
+        return None
+    if expect is not None:
+        if (
+            st.lineage_file != expect["path"]
+            or st.lineage_rg_start != expect["rg_start"]
+            or st.lineage_rg_end != expect["rg_end"]
+            or st.doc_base != expect["doc_base"]
+        ):
+            return None
+    return st

@@ -1,0 +1,369 @@
+"""Segment artifacts: the on-disk mini-index (writer + mmap reader).
+
+A segment is the engine's immutable self-contained partition index — the
+role Lucene's flushed segment plays (postings .doc + term dict .tim/.tip +
+norms .nvd + stored fields, SURVEY.md §1.1) — redesigned for Arrow/numpy:
+
+  terms.parquet   sorted term dictionary: term, doc_freq, total_term_freq,
+                  and the (offset, lengths) of each term's region in
+                  postings.bin. Replaces the block-tree + FST term index
+                  (BlockTreeTermsWriter.java:199-206) with a sorted column
+                  + binary search — the columnar equivalent.
+  postings.bin    per term, contiguous: block metadata (last_docs int32[],
+                  doc_widths u8[], freq_widths u8[], imp_counts u8[],
+                  imp_freqs i32[], imp_norms u8[]) then the packed doc-delta
+                  and freq blocks (functions/codec.py). Memory-mapped by
+                  readers — the MMapDirectory analogue (MMapDirectory.java:95).
+  norms.bin       one uint8 norm byte per local doc (the .nvd analogue,
+                  BM25's doc-length statistic).
+  docmap.parquet  local docID -> (url, warc_ts, lang, length): the stored
+                  fields / docID remap record (MergeState.docMaps analogue).
+  stats.json      per-partition lineage + metrics checkpoint (manifest.py).
+
+Writes go to a temp sibling dir and are atomically renamed into place; a
+segment directory either fully exists or does not.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import codec
+from ..functions.analysis import Analyzer
+from ..functions.smallfloat import int_to_byte4
+from .manifest import STATS_NAME, SegmentStats, atomic_write_json
+
+TERMS_FILE = "terms.parquet"
+POSTINGS_FILE = "postings.bin"
+NORMS_FILE = "norms.bin"
+DOCMAP_FILE = "docmap.parquet"
+
+
+# ---------------------------------------------------------------------------
+# inversion: texts -> (term, local_doc, freq) triples + lengths
+# ---------------------------------------------------------------------------
+
+
+def invert_texts(
+    texts, analyzer: Analyzer, chunk_rows: int = 8192
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Invert a partition of documents.
+
+    Returns (terms: object[], local_docs: int64[], freqs: int64[],
+    doc_lengths: int64[]) where the triples are the nonzero (term, doc)
+    frequency pairs, unsorted. This is the DWPT in-RAM inverted table
+    equivalent (blog/Lucene/Index/倒排表) built with numpy group-by instead
+    of BytesRefHash/ByteBlockPool slices.
+    """
+    n = len(texts)
+    lengths = np.zeros(n, dtype=np.int64)
+    t_parts: list[np.ndarray] = []
+    d_parts: list[np.ndarray] = []
+    f_parts: list[np.ndarray] = []
+    for base in range(0, n, chunk_rows):
+        chunk = texts[base : base + chunk_rows]
+        tokens, doc_idx = analyzer.tokenize_batch(chunk)
+        m = len(chunk)
+        lengths[base : base + m] = np.bincount(doc_idx, minlength=m)
+        if len(tokens) == 0:
+            continue
+        uniq, inv = np.unique(tokens, return_inverse=True)
+        # pair-count via a single flat key: term_code * chunk_docs + doc
+        key = inv.astype(np.int64) * m + doc_idx
+        pair_keys, counts = np.unique(key, return_counts=True)
+        t_parts.append(uniq[pair_keys // m])
+        d_parts.append(pair_keys % m + base)
+        f_parts.append(counts.astype(np.int64))
+    if not t_parts:
+        empty = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), empty, empty, lengths
+    return (
+        np.concatenate(t_parts),
+        np.concatenate(d_parts),
+        np.concatenate(f_parts),
+        lengths,
+    )
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _region_blobs(enc: codec.EncodedPostings) -> tuple[bytes, int, int]:
+    """Pack one term's encoded postings into its postings.bin region."""
+    n_imp = len(enc.imp_norms)
+    region = b"".join(
+        (
+            enc.last_docs,
+            enc.doc_widths,
+            enc.freq_widths,
+            enc.imp_counts,
+            enc.imp_freqs,
+            enc.imp_norms,
+            enc.docs_blob,
+            enc.freqs_blob,
+        )
+    )
+    n_blocks = len(enc.doc_widths)
+    return region, n_blocks, n_imp
+
+
+def write_segment(
+    out_dir: str,
+    seg_name: str,
+    texts,
+    urls,
+    warc_ts,
+    langs,
+    analyzer: Analyzer,
+    doc_base: int,
+    lineage_file: str = "",
+    rg_start: int = 0,
+    rg_end: int = 0,
+    elapsed_sec: float = 0.0,
+) -> SegmentStats:
+    """Build + atomically commit one segment from a partition of pages.
+
+    Local docIDs are row positions within the partition (ascending input
+    order), so global docID = doc_base + local is deterministic lineage, not
+    task arrival order (SURVEY.md §7.5).
+    """
+    n = len(texts)
+    terms, docs, freqs, lengths = invert_texts(texts, analyzer)
+    norms = int_to_byte4(lengths)
+
+    # sort triples by (term, doc): np.unique gives sorted term codes
+    if len(terms):
+        uniq_terms, inv = np.unique(terms, return_inverse=True)
+        order = np.lexsort((docs, inv))
+        docs_s = docs[order]
+        freqs_s = freqs[order]
+        inv_s = inv[order]
+        # term boundaries
+        starts = np.searchsorted(inv_s, np.arange(len(uniq_terms)))
+        ends = np.append(starts[1:], len(inv_s))
+    else:
+        uniq_terms = np.empty(0, dtype=object)
+        starts = ends = np.empty(0, dtype=np.int64)
+        docs_s = freqs_s = np.empty(0, dtype=np.int64)
+
+    offsets = np.zeros(len(uniq_terms), dtype=np.int64)
+    n_blocks_arr = np.zeros(len(uniq_terms), dtype=np.int32)
+    n_imp_arr = np.zeros(len(uniq_terms), dtype=np.int32)
+    len_docs_arr = np.zeros(len(uniq_terms), dtype=np.int64)
+    len_freqs_arr = np.zeros(len(uniq_terms), dtype=np.int64)
+    dfs = (ends - starts).astype(np.int64)
+    ttfs = np.zeros(len(uniq_terms), dtype=np.int64)
+
+    regions: list[bytes] = []
+    pos = 0
+    for ti in range(len(uniq_terms)):
+        s, e = starts[ti], ends[ti]
+        td, tf = docs_s[s:e], freqs_s[s:e]
+        enc = codec.encode_postings(td, tf, norms[td])
+        region, nb, ni = _region_blobs(enc)
+        regions.append(region)
+        offsets[ti] = pos
+        n_blocks_arr[ti] = nb
+        n_imp_arr[ti] = ni
+        len_docs_arr[ti] = len(enc.docs_blob)
+        len_freqs_arr[ti] = len(enc.freqs_blob)
+        ttfs[ti] = enc.total_term_freq
+        pos += len(region)
+
+    tmp = os.path.join(os.path.dirname(out_dir), f".{seg_name}.tmp-{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        with open(os.path.join(tmp, POSTINGS_FILE), "wb") as f:
+            for r in regions:
+                f.write(r)
+            f.flush()
+            os.fsync(f.fileno())
+
+        terms_table = pa.table(
+            {
+                "term": pa.array(uniq_terms, type=pa.string()),
+                "doc_freq": pa.array(dfs),
+                "total_term_freq": pa.array(ttfs),
+                "off": pa.array(offsets),
+                "n_blocks": pa.array(n_blocks_arr),
+                "n_imp": pa.array(n_imp_arr),
+                "len_docs": pa.array(len_docs_arr),
+                "len_freqs": pa.array(len_freqs_arr),
+            }
+        )
+        pq.write_table(terms_table, os.path.join(tmp, TERMS_FILE), row_group_size=65536)
+
+        with open(os.path.join(tmp, NORMS_FILE), "wb") as f:
+            f.write(norms.astype(np.uint8).tobytes())
+
+        docmap = pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array(warc_ts),
+                "lang": pa.array(langs, type=pa.string()),
+                "length": pa.array(lengths),
+            }
+        )
+        pq.write_table(docmap, os.path.join(tmp, DOCMAP_FILE), row_group_size=65536)
+
+        # content fingerprint for lineage: urls + lengths (cheap, order-sensitive)
+        h = hashlib.sha256()
+        for u in urls:
+            h.update(str(u).encode())
+        h.update(lengths.tobytes())
+        stats = SegmentStats(
+            seg_name=seg_name,
+            doc_base=doc_base,
+            doc_count=n,
+            sum_total_term_freq=int(lengths.sum()),
+            sum_doc_freq=int(dfs.sum()),
+            unique_terms=len(uniq_terms),
+            lineage_file=lineage_file,
+            lineage_rg_start=rg_start,
+            lineage_rg_end=rg_end,
+            lineage_fingerprint=h.hexdigest(),
+            analyzer=analyzer.name,
+            elapsed_sec=elapsed_sec,
+        )
+        atomic_write_json(os.path.join(tmp, STATS_NAME), stats.to_dict())
+
+        if os.path.exists(out_dir):  # concurrent rebuild lost the race: keep winner
+            shutil.rmtree(tmp)
+        else:
+            os.rename(tmp, out_dir)
+        return stats
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TermPostings:
+    """Decoded-on-demand view of one term's posting list."""
+
+    doc_freq: int
+    total_term_freq: int
+    last_docs: np.ndarray  # int32 per block
+    doc_widths: np.ndarray  # uint8 per block
+    freq_widths: np.ndarray  # uint8 per block
+    imp_counts: np.ndarray  # uint8 per block
+    imp_freqs: np.ndarray  # int32 concatenated frontiers
+    imp_norms: np.ndarray  # uint8 concatenated frontiers
+    docs_blob: memoryview
+    freqs_blob: memoryview
+
+    def decode(self) -> tuple[np.ndarray, np.ndarray]:
+        docs = codec.decode_docs(self.docs_blob, self.doc_widths, self.doc_freq)
+        freqs = codec.decode_freqs(self.freqs_blob, self.freq_widths, self.doc_freq)
+        return docs, freqs
+
+    def decode_block(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        base = -1 if bi == 0 else int(self.last_docs[bi - 1])
+        docs = codec.decode_docs(
+            self.docs_blob, self.doc_widths, self.doc_freq, bi, bi + 1, base
+        )
+        freqs = codec.decode_freqs(self.freqs_blob, self.freq_widths, self.doc_freq, bi, bi + 1)
+        return docs, freqs
+
+    def impact_slices(self):
+        """Yield per-block (freqs, norms) impact frontiers."""
+        off = 0
+        for c in self.imp_counts:
+            yield self.imp_freqs[off : off + c], self.imp_norms[off : off + c]
+            off += int(c)
+
+
+class SegmentReader:
+    """Open one segment: term dict in RAM, postings/norms memory-mapped.
+
+    The IndexSearcher/SegmentReader + MMapDirectory analogue (SURVEY.md
+    §2.3): construct once per query actor, serve many queries.
+    """
+
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        from .manifest import load_json
+
+        self.stats = SegmentStats.from_dict(load_json(os.path.join(seg_dir, STATS_NAME)))
+        t = pq.read_table(os.path.join(seg_dir, TERMS_FILE), memory_map=True)
+        self.terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
+        self.doc_freqs = t["doc_freq"].to_numpy()
+        self.ttfs = t["total_term_freq"].to_numpy()
+        self._off = t["off"].to_numpy()
+        self._n_blocks = t["n_blocks"].to_numpy()
+        self._n_imp = t["n_imp"].to_numpy()
+        self._len_docs = t["len_docs"].to_numpy()
+        self._len_freqs = t["len_freqs"].to_numpy()
+        self._post = np.memmap(os.path.join(seg_dir, POSTINGS_FILE), dtype=np.uint8, mode="r")
+        self.norms = np.fromfile(os.path.join(seg_dir, NORMS_FILE), dtype=np.uint8)
+        self.doc_count = self.stats.doc_count
+        self.doc_base = self.stats.doc_base
+        self._docmap = None
+
+    def lookup(self, term: str) -> int:
+        """Sorted-dict binary search; -1 if absent (the FST-replacement)."""
+        i = int(np.searchsorted(self.terms, term))
+        if i < len(self.terms) and self.terms[i] == term:
+            return i
+        return -1
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        i = self.lookup(term)
+        if i < 0:
+            return 0, 0
+        return int(self.doc_freqs[i]), int(self.ttfs[i])
+
+    def term_postings(self, term: str) -> TermPostings | None:
+        i = self.lookup(term)
+        if i < 0:
+            return None
+        return self.postings_by_ord(i)
+
+    def postings_by_ord(self, i: int) -> TermPostings:
+        off = int(self._off[i])
+        nb = int(self._n_blocks[i])
+        ni = int(self._n_imp[i])
+        ld = int(self._len_docs[i])
+        lf = int(self._len_freqs[i])
+        mv = memoryview(self._post)
+        p = off
+        last_docs = np.frombuffer(mv[p : p + nb * 4], dtype=np.int32); p += nb * 4
+        doc_widths = np.frombuffer(mv[p : p + nb], dtype=np.uint8); p += nb
+        freq_widths = np.frombuffer(mv[p : p + nb], dtype=np.uint8); p += nb
+        imp_counts = np.frombuffer(mv[p : p + nb], dtype=np.uint8); p += nb
+        imp_freqs = np.frombuffer(mv[p : p + ni * 4], dtype=np.int32); p += ni * 4
+        imp_norms = np.frombuffer(mv[p : p + ni], dtype=np.uint8); p += ni
+        docs_blob = mv[p : p + ld]; p += ld
+        freqs_blob = mv[p : p + lf]
+        return TermPostings(
+            doc_freq=int(self.doc_freqs[i]),
+            total_term_freq=int(self.ttfs[i]),
+            last_docs=last_docs,
+            doc_widths=doc_widths,
+            freq_widths=freq_widths,
+            imp_counts=imp_counts,
+            imp_freqs=imp_freqs,
+            imp_norms=imp_norms,
+            docs_blob=docs_blob,
+            freqs_blob=freqs_blob,
+        )
+
+    def docmap(self) -> pa.Table:
+        if self._docmap is None:
+            self._docmap = pq.read_table(os.path.join(self.seg_dir, DOCMAP_FILE))
+        return self._docmap

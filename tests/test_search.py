@@ -1,0 +1,215 @@
+"""Query-engine correctness: pinned micro-corpus + independent scalar oracle.
+
+- Pinned corpus shaped like TestWANDScorer.testBasics (solr-8.4.0 core test
+  TestWANDScorer.java:65-170): 6 docs over values {A},{A,B},{},{A,B,C},{B},
+  {B,C}; boolean combos MUST/SHOULD/MUST_NOT/FILTER with boosts.
+- The oracle here re-computes BM25 *independently* (explicit float32
+  formula over raw token counts, no engine code) — the CheckHits duel
+  pattern (CheckHits.java:595-603).
+"""
+
+import numpy as np
+import pytest
+
+from lucene_7_x_9_x_ray.functions.analysis import get_analyzer
+from lucene_7_x_9_x_ray.functions.smallfloat import int_to_byte4, byte4_to_int
+from lucene_7_x_9_x_ray.search import queries as Q
+from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+DOCS = ["a", "a b", "", "a b c", "b", "b c"]
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    import pyarrow as pa
+
+    tmp = tmp_path_factory.mktemp("pinned")
+    t = pa.table(
+        {
+            "url": [f"u{i}" for i in range(len(DOCS))],
+            "warc_ts": pa.array(np.arange(len(DOCS)), type=pa.timestamp("us")),
+            "text": DOCS,
+            "lang": ["en"] * len(DOCS),
+        }
+    )
+    p = str(tmp / "pages.parquet")
+    write_pages_parquet(t, p)
+    build_index_local([p], str(tmp / "idx"), BuildConfig())
+    return IndexSearcher(str(tmp / "idx"))
+
+
+def oracle_scores(term: str, boost: float = 1.0) -> dict[int, np.float32]:
+    """Independent float32 BM25 over the raw pinned corpus."""
+    an = get_analyzer("standard")
+    toks = [an.tokens(d) for d in DOCS]
+    n_docs = len(DOCS)
+    sttf = sum(len(t) for t in toks)
+    df = sum(1 for t in toks if term in t)
+    if df == 0:
+        return {}
+    idf = np.float32(np.log(1.0 + (np.float64(n_docs) - df + 0.5) / (df + 0.5)))
+    weight = np.float32(boost) * idf
+    avgdl = np.float32(np.float64(sttf) / np.float64(n_docs))
+    one, k1, b = np.float32(1), np.float32(1.2), np.float32(0.75)
+    out = {}
+    for d, t in enumerate(toks):
+        freq = t.count(term)
+        if freq:
+            dl = np.float32(byte4_to_int(int_to_byte4(np.array([len(t)]))[0]))
+            ninv = one / (k1 * ((one - b) + b * dl / avgdl))
+            out[d] = weight - weight / (one + np.float32(freq) * ninv)
+    return out
+
+
+def combine(*term_maps) -> dict[int, np.float32]:
+    """Sum clause scores in float64, cast float32 (disjunction-sum rule)."""
+    out: dict[int, float] = {}
+    for m in term_maps:
+        for d, s in m.items():
+            out[d] = out.get(d, 0.0) + float(np.float64(s))
+    return {d: np.float32(v) for d, v in out.items()}
+
+
+def ranked(m: dict[int, np.float32]) -> list[tuple[int, float]]:
+    return sorted(((d, float(s)) for d, s in m.items()), key=lambda x: (-x[1], x[0]))
+
+
+def assert_matches(td, expect_map, k=10):
+    exp = ranked(expect_map)[:k]
+    got = list(zip(*td.to_lists())) if len(td.doc_ids) else []
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert np.float32(gs) == np.float32(es), (gd, gs, es)
+
+
+def test_term_query_pinned(idx):
+    assert_matches(idx.search(Q.TermQuery("a")), oracle_scores("a"))
+    assert_matches(idx.search(Q.TermQuery("c")), oracle_scores("c"))
+    assert idx.search(Q.TermQuery("absent")).to_lists() == ([], [])
+
+
+def test_should_disjunction(idx):
+    exp = combine(oracle_scores("a"), oracle_scores("b"))
+    q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery("a")), (Q.SHOULD, Q.TermQuery("b"))])
+    assert_matches(idx.search(q), exp)
+    assert_matches(idx.search(q, mode="wand"), exp)
+
+
+def test_boosted_clause(idx):
+    exp = combine(oracle_scores("a", 2.0), oracle_scores("b"))
+    q = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery("a", boost=2.0)), (Q.SHOULD, Q.TermQuery("b"))]
+    )
+    assert_matches(idx.search(q), exp)
+    assert_matches(idx.search(q, mode="wand"), exp)
+
+
+def test_must_conjunction(idx):
+    both = combine(oracle_scores("a"), oracle_scores("b"))
+    exp = {d: s for d, s in both.items() if d in oracle_scores("a") and d in oracle_scores("b")}
+    q = Q.BooleanQuery.build([(Q.MUST, Q.TermQuery("a")), (Q.MUST, Q.TermQuery("b"))])
+    assert_matches(idx.search(q), exp)
+    assert sorted(exp) == [1, 3]
+
+
+def test_must_not(idx):
+    a = oracle_scores("a")
+    c = oracle_scores("c")
+    exp = {d: s for d, s in a.items() if d not in c}
+    q = Q.BooleanQuery.build([(Q.MUST, Q.TermQuery("a")), (Q.MUST_NOT, Q.TermQuery("c"))])
+    assert_matches(idx.search(q), exp)
+    assert sorted(exp) == [0, 1]
+
+
+def test_filter_scores_zero_contribution(idx):
+    # FILTER restricts matches but contributes no score
+    a = oracle_scores("a")
+    b = oracle_scores("b")
+    exp = {d: s for d, s in a.items() if d in b}
+    q = Q.BooleanQuery.build([(Q.MUST, Q.TermQuery("a")), (Q.FILTER, Q.TermQuery("b"))])
+    assert_matches(idx.search(q), exp)
+
+
+def test_filter_only_constant_zero(idx):
+    q = Q.BooleanQuery.build([(Q.FILTER, Q.TermQuery("b"))])
+    td = idx.search(q, k=10)
+    assert sorted(td.doc_ids.tolist()) == [1, 3, 4, 5]
+    assert all(s == 0.0 for s in td.scores)
+
+
+def test_min_should_match(idx):
+    a, b, c = oracle_scores("a"), oracle_scores("b"), oracle_scores("c")
+    allm = combine(a, b, c)
+    exp = {d: s for d, s in allm.items() if sum(d in m for m in (a, b, c)) >= 2}
+    q = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery("a")), (Q.SHOULD, Q.TermQuery("b")), (Q.SHOULD, Q.TermQuery("c"))],
+        min_should_match=2,
+    )
+    assert_matches(idx.search(q), exp)
+    assert sorted(exp) == [1, 3, 5]
+
+
+def test_match_all_and_constant_score(idx):
+    td = idx.search(Q.MatchAllDocsQuery(), k=10)
+    assert list(td.doc_ids) == [0, 1, 2, 3, 4, 5]
+    assert all(s == 1.0 for s in td.scores)
+    td2 = idx.search(Q.ConstantScoreQuery(Q.TermQuery("b"), boost=3.5), k=10)
+    assert sorted(td2.doc_ids.tolist()) == [1, 3, 4, 5]
+    assert all(s == np.float32(3.5) for s in td2.scores)
+
+
+def test_synonym_query(idx):
+    # b and c scored as one pseudo-term: doc 5 {b,c} gets freq 2
+    td = idx.search(Q.SynonymQuery(terms=("b", "c")), k=10)
+    assert td.doc_ids[0] == 5  # highest combined freq, shortish doc
+    assert idx.count(Q.SynonymQuery(terms=("b", "c"))) == 4
+
+
+def test_dismax(idx):
+    a, b = oracle_scores("a"), oracle_scores("b")
+    docs = set(a) | set(b)
+    exp = {}
+    for d in docs:
+        sa, sb = float(a.get(d, -np.inf)), float(b.get(d, -np.inf))
+        mx = max(sa, sb)
+        others = (0.0 if sa == -np.inf else sa) + (0.0 if sb == -np.inf else sb) - mx
+        exp[d] = np.float32(mx + 0.5 * others)
+    q = Q.DisjunctionMaxQuery(queries=(Q.TermQuery("a"), Q.TermQuery("b")), tie_breaker=0.5)
+    assert_matches(idx.search(q), exp)
+
+
+def test_search_after_pagination(idx):
+    q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery("a")), (Q.SHOULD, Q.TermQuery("b"))])
+    full = idx.search(q, k=10)
+    page1 = idx.search(q, k=2)
+    after = (float(page1.scores[-1]), int(page1.doc_ids[-1]))
+    page2 = idx.search_after(q, k=2, after=after)
+    got = page1.doc_ids.tolist() + page2.doc_ids.tolist()
+    assert got == full.doc_ids.tolist()[:4]
+
+
+def test_count_and_tie_break_doc_order(idx):
+    # docs 1 and 3 tie only if scores equal; regardless, ordering must be
+    # (score desc, doc asc) — verify explicitly on equal-score results
+    td = idx.search(Q.ConstantScoreQuery(Q.TermQuery("b")), k=10)
+    assert list(td.doc_ids) == sorted(td.doc_ids.tolist())
+
+
+def test_multi_segment_matches_single(tmp_path):
+    """Same corpus, 1 segment vs 4 segments -> identical results."""
+    t = generate_pages(400, seed=3, vocab_size=80, mean_tokens=20, dup_url_frac=0)
+    p = str(tmp_path / "pages.parquet")
+    write_pages_parquet(t, p, rows_per_row_group=50)
+    build_index_local([p], str(tmp_path / "one"), BuildConfig(target_docs_per_segment=10**6))
+    build_index_local([p], str(tmp_path / "many"), BuildConfig(target_docs_per_segment=100))
+    s1 = IndexSearcher(str(tmp_path / "one"))
+    s4 = IndexSearcher(str(tmp_path / "many"))
+    assert len(s4.readers) == 4
+    for qt in ["t00001 t00004", "t00000", "t00010 t00002 t00030"]:
+        a = s1.search(qt, k=15).to_lists()
+        b = s4.search(qt, k=15).to_lists()
+        assert a == b
+        c = s4.search(qt, k=15, mode="wand").to_lists()
+        assert a == c

@@ -1,0 +1,135 @@
+"""WAND duels: pruned top-k == exhaustive top-k, exactly (FIXTURES.md F5).
+
+Pattern of TestWANDScorer.testRandom (solr-8.4.0 core test
+TestWANDScorer.java:209-247) + CheckHits.checkTopScores: random corpora
+with heavy posting overlap, disjunctions of 2-8 terms, k in {1, 10, 100},
+total-hits threshold forced to k so pruning actually engages.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_7_x_9_x_ray.search import queries as Q
+from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+from lucene_7_x_9_x_ray.search.topk import TopKCollector
+from lucene_7_x_9_x_ray.search.wand import wand_topk
+from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+
+def _random_overlap_corpus(n_docs: int, seed: int) -> list[str]:
+    """TestWANDScorer.testRandom shape: tokens from a 10-token sliding
+    window over a small vocabulary — guarantees heavy overlap."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i:03d}" for i in range(30)]
+    docs = []
+    for _ in range(n_docs):
+        n_tok = int(rng.integers(0, 1 << int(rng.integers(0, 5))))
+        lo = int(rng.integers(0, 20))
+        toks = rng.choice(vocab[lo : lo + 10], size=n_tok) if n_tok else []
+        docs.append(" ".join(toks))
+    return docs
+
+
+@pytest.fixture(scope="module", params=[11, 29])
+def duel_idx(request, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp(f"duel{request.param}")
+    docs = _random_overlap_corpus(1200, seed=request.param)
+    t = pa.table(
+        {
+            "url": [f"u{i}" for i in range(len(docs))],
+            "warc_ts": pa.array(np.arange(len(docs)), type=pa.timestamp("us")),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+        }
+    )
+    p = str(tmp / "pages.parquet")
+    write_pages_parquet(t, p, rows_per_row_group=200)
+    build_index_local([p], str(tmp / "idx"), BuildConfig(target_docs_per_segment=400))
+    return IndexSearcher(str(tmp / "idx"))
+
+
+def duel(searcher, terms, k, msm=0):
+    q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms], min_should_match=msm)
+    exh = searcher.search(q, k=k, mode="exhaustive")
+    # force pruning: threshold == k
+    wnd = searcher.search(q, k=k, mode="wand", total_hits_threshold=k)
+    assert exh.to_lists() == wnd.to_lists(), (terms, k, exh.to_lists(), wnd.to_lists())
+    return exh
+
+
+def test_duel_random_disjunctions(duel_idx):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(30)]
+    for trial in range(20):
+        n_terms = int(rng.integers(2, 9))
+        terms = list(rng.choice(vocab, size=n_terms, replace=False))
+        for k in (1, 10, 100):
+            duel(duel_idx, terms, k)
+
+
+def test_duel_head_plus_tail_terms(duel_idx):
+    # head terms (dense postings) + rare/absent terms
+    duel(duel_idx, ["w010", "w011", "zzz_absent"], 10)
+    duel(duel_idx, ["w000", "w029"], 5)
+
+
+def test_duel_single_term(duel_idx):
+    duel(duel_idx, ["w015"], 10)
+
+
+def test_duel_boosts(duel_idx):
+    q = Q.BooleanQuery.build(
+        [
+            (Q.SHOULD, Q.TermQuery("w010", boost=3.0)),
+            (Q.SHOULD, Q.TermQuery("w012", boost=0.25)),
+            (Q.SHOULD, Q.TermQuery("w014")),
+        ]
+    )
+    exh = duel_idx.search(q, k=10, mode="exhaustive")
+    wnd = duel_idx.search(q, k=10, mode="wand", total_hits_threshold=10)
+    assert exh.to_lists() == wnd.to_lists()
+
+
+def test_duel_zipf_corpus(tmp_path):
+    """Zipf web corpus (FIXTURES F2): realistic skew, multi-segment."""
+    t = generate_pages(3000, seed=13, vocab_size=1000, mean_tokens=80, dup_url_frac=0)
+    p = str(tmp_path / "pages.parquet")
+    write_pages_parquet(t, p, rows_per_row_group=512)
+    build_index_local([p], str(tmp_path / "idx"), BuildConfig(target_docs_per_segment=1000))
+    s = IndexSearcher(str(tmp_path / "idx"))
+    for terms in [
+        ["t00000", "t00001"],  # the two heaviest heads
+        ["t00000", "t00500", "t00900"],  # head + torso + tail
+        ["t00100", "t00101", "t00102", "t00103"],
+    ]:
+        for k in (1, 10, 100):
+            duel(s, terms, k)
+
+
+def test_wand_threshold_semantics(duel_idx):
+    """With the default 1000-doc threshold the collector reports exact
+    total hits below it and a lower bound above."""
+    q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery("w010")), (Q.SHOULD, Q.TermQuery("w011"))])
+    exact = duel_idx.search(q, k=5, mode="exhaustive")
+    wnd = duel_idx.search(q, k=5, mode="wand")  # default threshold 1000
+    if exact.total_hits < 1000:
+        assert wnd.total_hits == exact.total_hits
+    pruned = duel_idx.search(q, k=5, mode="wand", total_hits_threshold=5)
+    # pruned hit count is a lower bound <= true count
+    assert pruned.total_hits <= exact.total_hits
+
+
+def test_shared_collector_cross_segment_pruning(duel_idx):
+    """Per-segment WAND with a shared collector equals the merged result."""
+    from lucene_7_x_9_x_ray.functions.bm25 import BM25
+
+    terms = [("w008", 1.0), ("w018", 1.0)]
+    q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t, _ in terms])
+    stats = duel_idx.collection_stats({t for t, _ in terms})
+    coll = TopKCollector(10, 10)
+    for r in duel_idx.readers:
+        wand_topk(r, terms, 10, stats, BM25(), collector=coll, doc_base=r.doc_base)
+    exh = duel_idx.search(q, k=10, mode="exhaustive")
+    assert coll.result().to_lists() == exh.to_lists()
