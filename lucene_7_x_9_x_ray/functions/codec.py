@@ -39,24 +39,25 @@ BLOCK_SIZE = 128  # ForUtil.BLOCK_SIZE
 
 
 def _pack_block(values: np.ndarray, width: int) -> bytes:
-    """Bit-pack uint32 values at `width` bits each, little-endian bit order."""
+    """Bit-pack non-negative ints at `width` bits each (<= 63, so docIDs up
+    to 10^12-scale corpora fit), little-endian bit order."""
     if width == 0:
         return b""
-    v = values.astype(np.uint32)
-    bits = (v[:, None] >> np.arange(width, dtype=np.uint32)) & 1
+    v = values.astype(np.uint64)
+    bits = (v[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)
     return np.packbits(bits.astype(np.uint8).ravel(), bitorder="little").tobytes()
 
 
 def _unpack_block(buf: memoryview, count: int, width: int) -> np.ndarray:
-    """Inverse of _pack_block -> uint32[count]."""
+    """Inverse of _pack_block -> uint64[count]."""
     if width == 0:
-        return np.zeros(count, dtype=np.uint32)
+        return np.zeros(count, dtype=np.uint64)
     nbytes = (count * width + 7) // 8
     raw = np.frombuffer(buf[:nbytes], dtype=np.uint8)
     bits = np.unpackbits(raw, bitorder="little")[: count * width]
-    weights = (np.uint32(1) << np.arange(width, dtype=np.uint32))
-    return (bits.reshape(count, width).astype(np.uint32) * weights).sum(
-        axis=1, dtype=np.uint32
+    weights = np.uint64(1) << np.arange(width, dtype=np.uint64)
+    return (bits.reshape(count, width).astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64
     )
 
 
@@ -100,7 +101,7 @@ class EncodedPostings:
     total_term_freq: int
     docs_blob: bytes
     freqs_blob: bytes
-    last_docs: bytes  # int32 LE per block
+    last_docs: bytes  # int64 LE per block
     doc_widths: bytes  # uint8 per block
     freq_widths: bytes  # uint8 per block
     imp_counts: bytes  # uint8 per block
@@ -136,7 +137,7 @@ def encode_postings(
     freq_parts: list[bytes] = []
     doc_widths = np.empty(nblocks, dtype=np.uint8)
     freq_widths = np.empty(nblocks, dtype=np.uint8)
-    last_docs = np.empty(nblocks, dtype=np.int32)
+    last_docs = np.empty(nblocks, dtype=np.int64)
     imp_counts = np.empty(nblocks, dtype=np.uint8)
     imp_f_parts: list[np.ndarray] = []
     imp_n_parts: list[np.ndarray] = []

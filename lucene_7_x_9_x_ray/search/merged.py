@@ -1,0 +1,192 @@
+"""Searcher over the merged (term-partitioned, salted) index.
+
+The merged index (stages/merge.py) keeps GLOBAL docIDs inside the packed
+postings, so a single virtual "reader" with doc_base=0 duck-types the
+SegmentReader interface the scorers need (term_postings / term_stats /
+norms / doc_count) — eval_query runs unchanged and returns global ids.
+
+Hot (salted) terms live as `hot_buckets` sub-shards covering contiguous
+doc_base ranges; FragmentedPostings stitches them back in bucket order
+(which IS ascending docID order — the associative-stitch guarantee of
+SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..functions.bm25 import BM25
+from ..state.manifest import IndexManifest, load_json
+from ..state.segment import NORMS_FILE, POSTINGS_FILE, TERMS_FILE, TermPostings
+from ..stages.merge import MERGED_MANIFEST, shard_of
+from .searcher import IndexSearcher
+
+
+class _Shard:
+    def __init__(self, shard_dir: str):
+        t = pq.read_table(os.path.join(shard_dir, TERMS_FILE), memory_map=True)
+        self.terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
+        self.doc_freqs = t["doc_freq"].to_numpy()
+        self.ttfs = t["total_term_freq"].to_numpy()
+        self._off = t["off"].to_numpy()
+        self._n_blocks = t["n_blocks"].to_numpy()
+        self._n_imp = t["n_imp"].to_numpy()
+        self._len_docs = t["len_docs"].to_numpy()
+        self._len_freqs = t["len_freqs"].to_numpy()
+        self._post = np.memmap(os.path.join(shard_dir, POSTINGS_FILE), dtype=np.uint8, mode="r")
+
+    def lookup(self, term: str) -> int:
+        i = int(np.searchsorted(self.terms, term))
+        if i < len(self.terms) and self.terms[i] == term:
+            return i
+        return -1
+
+    def postings_by_ord(self, i: int) -> TermPostings:
+        from ..state.segment import parse_region
+
+        off = int(self._off[i])
+        end = off + (
+            len(self._post) - off
+            if i + 1 >= len(self._off)
+            else int(self._off[i + 1]) - off
+        )
+        tp = parse_region(
+            self._post[off:end],
+            int(self.doc_freqs[i]),
+            int(self._n_blocks[i]),
+            int(self._n_imp[i]),
+            int(self._len_docs[i]),
+            int(self._len_freqs[i]),
+        )
+        tp.total_term_freq = int(self.ttfs[i])
+        return tp
+
+
+@dataclass
+class FragmentedPostings:
+    """Hot-term postings stitched from salted sub-shards (decode-only)."""
+
+    parts: list[TermPostings]
+    doc_freq: int
+    total_term_freq: int
+
+    def decode(self):
+        docs = np.concatenate([p.decode()[0] for p in self.parts])
+        freqs = np.concatenate([p.decode()[1] for p in self.parts])
+        return docs, freqs
+
+
+class MergedReader:
+    """Virtual whole-index reader (doc_base=0, global docIDs)."""
+
+    def __init__(self, index_dir: str):
+        merged_dir = os.path.join(index_dir, "merged")
+        self.meta = load_json(os.path.join(merged_dir, MERGED_MANIFEST))
+        self.n_shards = self.meta["n_shards"]
+        self.hot_buckets = self.meta["hot_buckets"]
+        self.hot_rank = {t: i for i, t in enumerate(self.meta["hot_terms"])}
+        self.doc_count = self.meta["doc_count"]
+        self.doc_base = 0
+        self.norms = np.fromfile(os.path.join(merged_dir, NORMS_FILE), dtype=np.uint8)
+        self._merged_dir = merged_dir
+        self._shards: dict[int, _Shard] = {}
+        self._have = {s["shard_id"] for s in self.meta["shards"]}
+
+    def _shard(self, sid: int) -> _Shard | None:
+        if sid not in self._have:
+            return None
+        if sid not in self._shards:
+            self._shards[sid] = _Shard(os.path.join(self._merged_dir, f"shard_{sid:05d}"))
+        return self._shards[sid]
+
+    def _hot_sids(self, rank: int) -> list[int]:
+        base = self.n_shards + rank * self.hot_buckets
+        return [s for s in range(base, base + self.hot_buckets) if s in self._have]
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        hr = self.hot_rank.get(term)
+        if hr is not None:
+            df = ttf = 0
+            for sid in self._hot_sids(hr):
+                sh = self._shard(sid)
+                i = sh.lookup(term)
+                if i >= 0:
+                    df += int(sh.doc_freqs[i])
+                    ttf += int(sh.ttfs[i])
+            return df, ttf
+        sh = self._shard(shard_of(term, self.n_shards))
+        if sh is None:
+            return 0, 0
+        i = sh.lookup(term)
+        return (int(sh.doc_freqs[i]), int(sh.ttfs[i])) if i >= 0 else (0, 0)
+
+    def term_postings(self, term: str):
+        hr = self.hot_rank.get(term)
+        if hr is not None:
+            parts = []
+            df = ttf = 0
+            for sid in self._hot_sids(hr):  # ascending bucket == ascending docID
+                sh = self._shard(sid)
+                i = sh.lookup(term)
+                if i >= 0:
+                    tp = sh.postings_by_ord(i)
+                    parts.append(tp)
+                    df += tp.doc_freq
+                    ttf += tp.total_term_freq
+            if not parts:
+                return None
+            if len(parts) == 1:
+                return parts[0]
+            return FragmentedPostings(parts, df, ttf)
+        sh = self._shard(shard_of(term, self.n_shards))
+        if sh is None:
+            return None
+        i = sh.lookup(term)
+        return sh.postings_by_ord(i) if i >= 0 else None
+
+    @property
+    def terms(self) -> np.ndarray:
+        """Union sorted dictionary across shards (multi-term rewrites)."""
+        parts = [self._shard(s["shard_id"]).terms for s in self.meta["shards"]]
+        return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
+
+
+class MergedIndexSearcher(IndexSearcher):
+    """IndexSearcher API over the merged index (exhaustive scoring; WAND
+    falls back automatically because FragmentedPostings has no unified
+    block structure — per-segment WAND remains available pre-merge)."""
+
+    def __init__(self, index_dir: str, bm25: BM25 | None = None):
+        from ..functions.analysis import get_analyzer
+
+        self.manifest = IndexManifest.load(index_dir)
+        self.index_dir = index_dir
+        self.bm25 = bm25 or BM25()
+        self.analyzer = get_analyzer(self.manifest.analyzer)
+        self._merged = MergedReader(index_dir)
+        self.readers = [self._merged]
+        self.doc_count = self.manifest.doc_count
+        self.sum_total_term_freq = self.manifest.sum_total_term_freq
+        self._seg_searcher = None
+
+    def search(self, query, k=10, mode="auto", total_hits_threshold=1000):
+        if mode == "wand":
+            mode = "exhaustive"
+        return super().search(query, k, mode, total_hits_threshold)
+
+    def lookup_docs(self, global_doc_ids) -> list[dict]:
+        if self._seg_searcher is None:
+            self._seg_searcher = IndexSearcher(self.index_dir, self.bm25)
+        return self._seg_searcher.lookup_docs(global_doc_ids)
+
+
+def open_searcher(index_dir: str, prefer_merged: bool = True) -> IndexSearcher:
+    """Factory: merged searcher when a merged index exists, else segments."""
+    merged_path = os.path.join(index_dir, "merged", MERGED_MANIFEST)
+    if prefer_merged and os.path.exists(merged_path):
+        return MergedIndexSearcher(index_dir)
+    return IndexSearcher(index_dir)

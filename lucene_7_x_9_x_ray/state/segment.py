@@ -9,7 +9,7 @@ norms .nvd + stored fields, SURVEY.md §1.1) — redesigned for Arrow/numpy:
                   postings.bin. Replaces the block-tree + FST term index
                   (BlockTreeTermsWriter.java:199-206) with a sorted column
                   + binary search — the columnar equivalent.
-  postings.bin    per term, contiguous: block metadata (last_docs int32[],
+  postings.bin    per term, contiguous: block metadata (last_docs int64[],
                   doc_widths u8[], freq_widths u8[], imp_counts u8[],
                   imp_freqs i32[], imp_norms u8[]) then the packed doc-delta
                   and freq blocks (functions/codec.py). Memory-mapped by
@@ -258,7 +258,7 @@ class TermPostings:
 
     doc_freq: int
     total_term_freq: int
-    last_docs: np.ndarray  # int32 per block
+    last_docs: np.ndarray  # int64 per block
     doc_widths: np.ndarray  # uint8 per block
     freq_widths: np.ndarray  # uint8 per block
     imp_counts: np.ndarray  # uint8 per block
@@ -286,6 +286,49 @@ class TermPostings:
         for c in self.imp_counts:
             yield self.imp_freqs[off : off + c], self.imp_norms[off : off + c]
             off += int(c)
+
+
+def parse_region(region, doc_freq: int, n_blocks: int, n_imp: int,
+                 len_docs: int, len_freqs: int) -> "TermPostings":
+    """Parse one term's postings.bin region from standalone bytes (used by
+    the merge reducer, which receives shuffled fragment rows)."""
+    mv = memoryview(region)
+    p = 0
+    last_docs = np.frombuffer(mv[p : p + n_blocks * 8], dtype=np.int64); p += n_blocks * 8
+    doc_widths = np.frombuffer(mv[p : p + n_blocks], dtype=np.uint8); p += n_blocks
+    freq_widths = np.frombuffer(mv[p : p + n_blocks], dtype=np.uint8); p += n_blocks
+    imp_counts = np.frombuffer(mv[p : p + n_blocks], dtype=np.uint8); p += n_blocks
+    imp_freqs = np.frombuffer(mv[p : p + n_imp * 4], dtype=np.int32); p += n_imp * 4
+    imp_norms = np.frombuffer(mv[p : p + n_imp], dtype=np.uint8); p += n_imp
+    docs_blob = mv[p : p + len_docs]; p += len_docs
+    freqs_blob = mv[p : p + len_freqs]
+    return TermPostings(
+        doc_freq=doc_freq, total_term_freq=-1, last_docs=last_docs,
+        doc_widths=doc_widths, freq_widths=freq_widths, imp_counts=imp_counts,
+        imp_freqs=imp_freqs, imp_norms=imp_norms, docs_blob=docs_blob,
+        freqs_blob=freqs_blob,
+    )
+
+
+def encode_term_table(
+    uniq_terms, dfs, ttfs, regions_meta
+) -> pa.Table:
+    """Assemble a terms.parquet table from per-term region metadata
+    (offsets, n_blocks, n_imp, len_docs, len_freqs) — shared by the segment
+    writer and the merge shard writer."""
+    offsets, n_blocks_arr, n_imp_arr, len_docs_arr, len_freqs_arr = regions_meta
+    return pa.table(
+        {
+            "term": pa.array(uniq_terms, type=pa.string()),
+            "doc_freq": pa.array(np.asarray(dfs, dtype=np.int64)),
+            "total_term_freq": pa.array(np.asarray(ttfs, dtype=np.int64)),
+            "off": pa.array(np.asarray(offsets, dtype=np.int64)),
+            "n_blocks": pa.array(np.asarray(n_blocks_arr, dtype=np.int32)),
+            "n_imp": pa.array(np.asarray(n_imp_arr, dtype=np.int32)),
+            "len_docs": pa.array(np.asarray(len_docs_arr, dtype=np.int64)),
+            "len_freqs": pa.array(np.asarray(len_freqs_arr, dtype=np.int64)),
+        }
+    )
 
 
 class SegmentReader:
@@ -342,7 +385,7 @@ class SegmentReader:
         lf = int(self._len_freqs[i])
         mv = memoryview(self._post)
         p = off
-        last_docs = np.frombuffer(mv[p : p + nb * 4], dtype=np.int32); p += nb * 4
+        last_docs = np.frombuffer(mv[p : p + nb * 8], dtype=np.int64); p += nb * 8
         doc_widths = np.frombuffer(mv[p : p + nb], dtype=np.uint8); p += nb
         freq_widths = np.frombuffer(mv[p : p + nb], dtype=np.uint8); p += nb
         imp_counts = np.frombuffer(mv[p : p + nb], dtype=np.uint8); p += nb

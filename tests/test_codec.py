@@ -86,7 +86,7 @@ def test_partial_decode_with_base():
     docs = np.sort(np.random.default_rng(7).choice(1_000_000, size=n, replace=False))
     enc = encode_postings(docs, np.ones(n), np.full(n, 5, dtype=np.uint8))
     dw = np.frombuffer(enc.doc_widths, dtype=np.uint8)
-    last = np.frombuffer(enc.last_docs, dtype=np.int32)
+    last = np.frombuffer(enc.last_docs, dtype=np.int64)
     # decode only block 2 using last_docs[1] as base
     part = decode_docs(enc.docs_blob, dw, n, first_block=2, last_block=3, base=int(last[1]))
     assert np.array_equal(part, docs[256:384])
@@ -132,5 +132,5 @@ def test_roundtrip_property(n, seed, maxdoc):
     assert np.array_equal(d, docs)
     assert np.array_equal(f, freqs)
     # per-block last_docs strictly increasing (FIXTURES F6 invariant)
-    last = np.frombuffer(enc.last_docs, dtype=np.int32)
+    last = np.frombuffer(enc.last_docs, dtype=np.int64)
     assert np.all(np.diff(last.astype(np.int64)) > 0) or len(last) == 1
