@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``entry()`` as a smoke check (Ray already initialised),
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against the
+matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
+order-insensitive value-hash). Column names/types match on both sides by
+construction; float columns are rounded (``*_r``) on both sides.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ray.init()/ray.shutdown() here or in the library (driver owns the
+session); bench.py and tests own their own sessions.
 """
 
 from __future__ import annotations
@@ -18,27 +15,87 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: pages -> Ray segment build (lineage
+    docIDs, resume) -> salted term-shuffle merge -> BM25 top-k for the
+    reference query set."""
+    from lucene_7_x_9_x_ray.pipelines import flagship
+
+    return flagship.q_bm25_topk(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_7_x_9_x_ray.pipelines import ann, dedup, flagship, multimodal, relational, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- full-text engine (index-backed) ---
+        "bm25_topk": flagship.q_bm25_topk,
+        "boolean_counts": flagship.q_boolean_counts,
+        "term_stats": flagship.q_term_stats,
+        "postings": flagship.q_postings,
+        "doc_lengths": flagship.q_doc_lengths,
+        "multiterm_match": flagship.q_multiterm_match,
+        "facet_lang": flagship.q_facet_lang,
+        "grouped_topk": flagship.q_grouped_topk,
+        # --- training-data text ops ---
+        "doc_stats": textops.q_doc_stats,
+        "lang_id": textops.q_lang_id,
+        "fingerprint": textops.q_fingerprint,
+        # --- dedup suite ---
+        "exact_dedup": dedup.q_exact_dedup,
+        "jaccard_pairs": dedup.q_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,  # rows-only (LSH recall)
+        "simhash_pairs": dedup.q_simhash_pairs,
+        "embed_dup_pairs": dedup.q_embed_dup_pairs,
+        # --- similarity search ---
+        "ann_brute_topk": ann.q_ann_brute_topk,
+        "ann_ivf_topk": ann.q_ann_ivf_topk,
+        # --- relational companions ---
+        "semi_join": relational.q_semi_join,
+        "latest_event_per_user": relational.q_latest_event_per_user,
+        "event_type_agg": relational.q_event_type_agg,
+        "sort_topn_docs": relational.q_sort_topn_docs,
+        # --- multimodal plumbing ---
+        "multimodal_meta": multimodal.q_multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_7_x_9_x_ray.pipelines import ann, dedup, flagship, multimodal, relational, textops
+    from lucene_7_x_9_x_ray.pipelines import oracles as O
+
+    multiterm_specs = [
+        ("prefix_ta", "t.term LIKE 'ta%'"),
+        ("wildcard_s_w", "t.term LIKE 's%w'"),
+        ("fuzzy_tabel_1", "levenshtein(t.term, 'tabel') <= 1"),
+        ("range_q_to_t", "t.term >= 'q' AND t.term <= 't'"),
+    ]
+    return {
+        "bm25_topk": O.bm25_topk_sql(flagship.BM25_QUERY_SPECS),
+        "boolean_counts": O.boolean_counts_sql(flagship.BOOLEAN_COUNT_SPECS),
+        "term_stats": O.term_stats_sql(),
+        "postings": O.postings_sql(flagship.POSTINGS_TERMS),
+        "doc_lengths": O.doc_lengths_sql(),
+        "multiterm_match": O.multiterm_match_sql(multiterm_specs),
+        "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
+        "grouped_topk": O.grouped_topk_sql(
+            flagship.GROUPED_TOPK_TERMS, flagship.GROUPED_TOPK_PER_GROUP
+        ),
+        "doc_stats": textops.oracle_doc_stats_sql(),
+        "lang_id": textops.oracle_lang_id_sql(),
+        "fingerprint": textops.oracle_fingerprint_sql(),
+        "exact_dedup": dedup.oracle_exact_dedup_sql(),
+        "jaccard_pairs": dedup.oracle_jaccard_pairs_sql(),
+        "simhash_pairs": dedup.oracle_simhash_pairs_sql(),
+        "embed_dup_pairs": dedup.oracle_embed_dup_sql(),
+        "ann_brute_topk": ann.oracle_ann_sql(ann.BRUTE_QUERY_IDS),
+        "ann_ivf_topk": ann.oracle_ann_sql(ann.IVF_QUERY_IDS),
+        "semi_join": relational.oracle_semi_join_sql(),
+        "latest_event_per_user": relational.oracle_latest_event_sql(),
+        "event_type_agg": relational.oracle_event_type_agg_sql(),
+        "sort_topn_docs": relational.oracle_sort_topn_sql(),
+        "multimodal_meta": multimodal.oracle_multimodal_sql(),
+    }

@@ -1,0 +1,204 @@
+"""DuckDB oracle-SQL generators mirroring the Ray pipelines bit-for-bit.
+
+The driver runs each ``queries()`` pipeline AND the matching SQL here on
+the same parquet views and compares row-count + schema + value-hash, so
+every expression below replicates the engine's arithmetic exactly:
+
+- tokenization: the driver's ``documents.text`` is single-space-joined
+  lowercase ASCII words, on which the UAX#29 StandardAnalyzer-equivalent
+  (functions/analysis.py) degenerates to ``string_split(text, ' ')`` —
+  asserted by tests/test_pipelines.py::test_sql_tokenizer_equivalence.
+- SmallFloat norm quantization: byte4ToInt(intToByte4(len)) is the
+  largest LENGTH_TABLE entry <= len (intToByte4 floors — SmallFloat.java:
+  113-181 behavior), expressed as a join against the inlined 256-entry
+  table.
+- BM25 float32 discipline: DuckDB FLOAT arithmetic is IEEE binary32 like
+  numpy float32, so each step of BM25Similarity.java:196-264 is written
+  with explicit FLOAT casts in the same operation order as
+  functions/bm25.py; boolean sums accumulate in DOUBLE and cast once
+  (scorers.py float discipline). Verified bit-identical by
+  tests/test_pipelines.py::test_bm25_sql_float32_identity.
+- hashes: DuckDB md5_number_lower(s) == little-endian uint64 of bytes
+  8..16 of md5(s) (md5_number_upper == bytes 0..8), matching
+  functions used by the dedup/fingerprint pipelines.
+"""
+
+from __future__ import annotations
+
+from ..functions.smallfloat import BYTE4_DECODE_TABLE
+
+K1_F = "CAST(1.2 AS FLOAT)"
+B_F = "CAST(0.75 AS FLOAT)"
+ONE_F = "CAST(1.0 AS FLOAT)"
+
+LENGTH_TABLE_SQL = "[" + ",".join(str(int(v)) for v in BYTE4_DECODE_TABLE) + "]"
+
+
+def _ident(term: str) -> str:
+    return "".join(ch if ch.isalnum() else "_" for ch in term)
+
+
+def base_ctes(relation: str = "documents") -> str:
+    """Shared CTEs: token stream, collection stats, doc lengths, norms."""
+    return f"""
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {relation}),
+cs AS (SELECT (SELECT count(*) FROM {relation}) AS n_docs,
+              (SELECT count(*) FROM tok) AS sttf,
+              CAST(CAST((SELECT count(*) FROM tok) AS DOUBLE)
+                   / (SELECT count(*) FROM {relation}) AS FLOAT) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lt AS (SELECT unnest({LENGTH_TABLE_SQL}) AS v),
+normlen AS (SELECT dl.doc_id, max(lt.v) AS nlen
+            FROM dl JOIN lt ON lt.v <= dl.dl GROUP BY dl.doc_id)"""
+
+
+def term_leaf_ctes(term: str) -> str:
+    """Per-term CTEs: idf weight and float32 leaf score per matching doc.
+
+    Mirrors BM25TermWeight.score (functions/bm25.py): norm_inverse =
+    1f/(k1*((1-b) + (b*len)/avgdl)); score = w - w/(1f + freq_f*ni).
+    """
+    t = _ident(term)
+    lit = term.replace("'", "''")
+    return f"""
+w_{t} AS (SELECT CAST(ln(1 + ((SELECT n_docs FROM cs) - df + 0.5) / (df + 0.5)) AS FLOAT) AS w
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{lit}')),
+s_{t} AS (SELECT tf.doc_id,
+                 (SELECT w FROM w_{t})
+                 - (SELECT w FROM w_{t})
+                   / ({ONE_F} + CAST(tf.freq AS FLOAT)
+                      * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                         + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS s
+          FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
+          JOIN normlen nl USING (doc_id))"""
+
+
+def disjunction_scored_cte(qid: str, terms: list[str]) -> str:
+    """SHOULD-sum: per-doc DOUBLE sum of float32 leaves, cast once to FLOAT."""
+    union = "\n      UNION ALL ".join(f"SELECT doc_id, s FROM s_{_ident(t)}" for t in terms)
+    return f"""
+scored_{qid} AS (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+                 FROM ({union}) GROUP BY doc_id)"""
+
+
+def bm25_topk_sql(
+    query_specs: list[tuple[str, list[str], int, int]], relation: str = "documents"
+) -> str:
+    """Top-k oracle: (query_id, rank, doc_id, score_r) per query spec.
+
+    query_specs: (query_id, terms, k, offset). Ordering (score DESC,
+    doc_id ASC) matches TopScoreDocCollector tie-break (topk.py).
+    """
+    terms = sorted({t for _, ts, _, _ in query_specs for t in ts})
+    ctes = [base_ctes(relation)]
+    ctes += [term_leaf_ctes(t) for t in terms]
+    ctes += [disjunction_scored_cte(qid, ts) for qid, ts, _, _ in query_specs]
+    selects = []
+    for qid, _, k, offset in query_specs:
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) - {offset} AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM scored_{qid} ORDER BY score DESC, doc_id LIMIT {k} OFFSET {offset})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def term_stats_sql(relation: str = "documents") -> str:
+    """Full term dictionary: (term, doc_freq, total_term_freq)."""
+    return f"""WITH {base_ctes(relation)}
+SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_term_freq
+FROM tok GROUP BY term"""
+
+
+def postings_sql(terms: list[str], relation: str = "documents") -> str:
+    """Posting lists for chosen terms: (term, doc_id, freq)."""
+    lits = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""WITH {base_ctes(relation)}
+SELECT term, doc_id, count(*) AS freq
+FROM tok WHERE term IN ({lits}) GROUP BY term, doc_id"""
+
+
+def doc_lengths_sql(relation: str = "documents") -> str:
+    """(doc_id, dl, norm_len): doc length + SmallFloat-quantized length."""
+    return f"""WITH {base_ctes(relation)}
+SELECT dl.doc_id, dl.dl AS dl, normlen.nlen AS norm_len
+FROM dl JOIN normlen ON dl.doc_id = normlen.doc_id"""
+
+
+def boolean_counts_sql(
+    specs: list[tuple[str, list[str], list[str], list[str], int]],
+    relation: str = "documents",
+) -> str:
+    """Boolean match counts: specs = (query_id, musts, shoulds, must_nots, msm).
+
+    Scoring-free BooleanQuery semantics (scorers.py _eval_boolean): all
+    musts present, >= msm shoulds present (>=max(1,msm) when no musts),
+    no must_nots present.
+    """
+    blocks = []
+    for qid, musts, shoulds, must_nots, msm in specs:
+        conds = []
+        for t in musts:
+            conds.append(
+                f"EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{t}')"
+            )
+        if shoulds:
+            need = msm if musts else max(1, msm)
+            in_list = ",".join(f"'{t}'" for t in shoulds)
+            conds.append(
+                f"(SELECT count(DISTINCT t.term) FROM tok t WHERE t.doc_id = d.doc_id "
+                f"AND t.term IN ({in_list})) >= {need}"
+            )
+        for t in must_nots:
+            conds.append(
+                f"NOT EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{t}')"
+            )
+        where = " AND ".join(conds) if conds else "FALSE"
+        blocks.append(
+            f"(SELECT '{qid}' AS query_id, count(*) AS n FROM {relation} d WHERE {where})"
+        )
+    return f"WITH {base_ctes(relation)}\n" + "\nUNION ALL\n".join(blocks)
+
+
+def multiterm_match_sql(
+    specs: list[tuple[str, str]], relation: str = "documents"
+) -> str:
+    """Multi-term (prefix/wildcard/fuzzy) matches: (kind, doc_id).
+
+    specs = (kind, condition-SQL over alias ``t.term``); a doc matches when
+    any of its tokens satisfies the condition (MultiTermQuery rewrite to a
+    constant-score disjunction — queries.py rewrite()).
+    """
+    blocks = [
+        f"""(SELECT '{kind}' AS kind, d.doc_id
+ FROM {relation} d
+ WHERE EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND {cond}))"""
+        for kind, cond in specs
+    ]
+    return f"WITH {base_ctes(relation)}\n" + "\nUNION ALL\n".join(blocks)
+
+
+def facet_lang_sql(term: str, relation: str = "documents") -> str:
+    """Facet counts of ``lang`` over docs matching ``term``."""
+    return f"""WITH {base_ctes(relation)}
+SELECT d.lang AS lang, count(*) AS n
+FROM {relation} d
+WHERE EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{term}')
+GROUP BY d.lang"""
+
+
+def grouped_topk_sql(terms: list[str], per_group: int, relation: str = "documents") -> str:
+    """Per-lang top-k by BM25 for a disjunction: (lang, rank, doc_id, score_r)."""
+    ctes = [base_ctes(relation)]
+    ctes += [term_leaf_ctes(t) for t in sorted(set(terms))]
+    ctes += [disjunction_scored_cte("g", terms)]
+    return (
+        "WITH " + ",".join(ctes) + f"""
+SELECT lang, rank, doc_id, score_r FROM (
+  SELECT d.lang AS lang,
+         CAST(row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id) AS BIGINT) AS rank,
+         s.doc_id, ROUND(CAST(s.score AS DOUBLE), 4) AS score_r
+  FROM scored_g s JOIN {relation} d USING (doc_id)
+) WHERE rank <= {per_group}"""
+    )

