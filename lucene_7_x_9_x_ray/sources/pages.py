@@ -111,33 +111,36 @@ def pages_from_documents(sf_dir: str, with_html: bool = True, repeat: int = 1) -
     """Deterministically wrap the driver's documents table into page shape.
 
     ``repeat`` > 1 tiles the corpus with distinct urls/doc ids (used to grow
-    bench inputs without synthesizing new text).
+    bench inputs without synthesizing new text). Vectorized with Arrow
+    string kernels — no Python loop over rows.
     """
-    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    import pyarrow.compute as pc
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     doc_ids = docs["doc_id"].to_numpy()
-    texts = docs["text"].to_pylist()
-    langs = docs["lang"].to_pylist()
     n = len(doc_ids)
 
-    urls, ts_all, htmls, texts_all, langs_all = [], [], [], [], []
+    parts = []
     for r in range(repeat):
-        base = r * n
-        urls.extend(f"https://docs.example/d/{base + int(i)}" for i in doc_ids)
-        ts_all.extend(EPOCH_2025 + (base + int(i)) * 1_000_000 for i in doc_ids)
+        gids = doc_ids + r * n
+        gid_str = pa.array(gids.astype("U"), type=pa.string())
+        urls = pc.binary_join_element_wise("https://docs.example/d/", gid_str, "")
+        ts = pa.array(EPOCH_2025 + gids * 1_000_000, type=pa.timestamp("us"))
+        cols: dict = {"url": urls, "warc_ts": ts}
         if with_html:
-            htmls.extend(wrap_html(t, f"T{base + int(i)}") for i, t in zip(doc_ids, texts))
-        texts_all.extend(texts)
-        langs_all.extend(langs)
-
-    cols: dict = {
-        "url": pa.array(urls, type=pa.string()),
-        "warc_ts": pa.array(ts_all, type=pa.timestamp("us")),
-    }
-    if with_html:
-        cols["html"] = pa.array(htmls, type=pa.binary())
-    cols["text"] = pa.array(texts_all, type=pa.string())
-    cols["lang"] = pa.array(langs_all, type=pa.string())
-    return pa.table(cols)
+            html_str = pc.binary_join_element_wise(
+                "<html><head><title>T",
+                gid_str,
+                "</title></head><body>",
+                docs["text"].combine_chunks(),
+                "</body></html>",
+                "",
+            )
+            cols["html"] = html_str.cast(pa.binary())
+        cols["text"] = docs["text"]
+        cols["lang"] = docs["lang"]
+        parts.append(pa.table(cols))
+    return pa.concat_tables(parts)
 
 
 def write_pages_parquet(

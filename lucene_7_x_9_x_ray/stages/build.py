@@ -104,7 +104,9 @@ def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> Segmen
     cols = [c for c in (cfg.url_col, cfg.ts_col, cfg.text_col, cfg.lang_col) if c in schema_names]
     if cfg.verify_extract and cfg.html_col in schema_names:
         cols.append(cfg.html_col)
-    table = pf.read_row_groups(list(range(spec["rg_start"], spec["rg_end"])), columns=cols)
+    table = pf.read_row_groups(
+        list(range(spec["rg_start"], spec["rg_end"])), columns=cols, use_threads=False
+    )  # 1-cpu task: arrow's own pool would oversubscribe the node
 
     texts = table[cfg.text_col].to_pylist()
     if cfg.verify_extract and cfg.html_col in table.column_names:
@@ -178,8 +180,10 @@ def build_index(
     kwargs = {}
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
+    # one block per partition spec — otherwise from_items packs specs into a
+    # handful of blocks and map_batches runs only that many concurrent tasks
     stats_rows = (
-        rd.from_items(specs)
+        rd.from_items(specs, override_num_blocks=len(specs))
         .map_batches(run_specs, batch_size=1, batch_format="pyarrow", **kwargs)
         .take_all()
     )

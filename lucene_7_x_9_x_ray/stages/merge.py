@@ -125,22 +125,22 @@ def emit_fragments(
         terms = r.terms[s:e]
         shard_ids = np.empty(e - s, dtype=np.int32)
         regions: list[bytes] = []
-        norms_blobs: list[bytes] = []
         for i, term in enumerate(terms):
             ti = s + i
             hr = hot_rank.get(term)
             shard_ids[i] = (
                 _hot_shard_id(cfg, hr, bucket) if hr is not None else shard_of(term, cfg.n_shards)
             )
+            # raw packed region bytes only — postings are NOT decoded here;
+            # the reducer reads the segment's norms from shared storage, so
+            # the shuffle ships each posting region exactly once, nothing else
             regions.append(bytes(post[r._off[ti] : region_ends[ti]]))
-            tp = r.postings_by_ord(ti)
-            docs, _ = tp.decode()
-            norms_blobs.append(r.norms[docs].tobytes())
         yield pa.table(
             {
                 "term": pa.array(terms, type=pa.string()),
                 "shard_id": pa.array(shard_ids),
                 "doc_base": pa.array(np.full(e - s, r.doc_base, dtype=np.int64)),
+                "seg_dir": pa.array([seg_dir] * (e - s), type=pa.string()),
                 "doc_freq": pa.array(r.doc_freqs[s:e]),
                 "total_term_freq": pa.array(r.ttfs[s:e]),
                 "n_blocks": pa.array(r._n_blocks[s:e]),
@@ -148,7 +148,6 @@ def emit_fragments(
                 "len_docs": pa.array(r._len_docs[s:e]),
                 "len_freqs": pa.array(r._len_freqs[s:e]),
                 "region": pa.array(regions, type=pa.large_binary()),
-                "norm_bytes": pa.array(norms_blobs, type=pa.large_binary()),
             }
         )
 
@@ -172,6 +171,7 @@ def write_merged_shard(group: pa.Table, merged_dir: str, fingerprint: str) -> di
     g = group.take(idx)
     terms = np.asarray(g["term"].to_numpy(zero_copy_only=False), dtype=object)
     doc_bases = g["doc_base"].to_numpy()
+    seg_dirs = g["seg_dir"].to_pylist()
     dfs = g["doc_freq"].to_numpy()
     ttfs = g["total_term_freq"].to_numpy()
     n_blocks = g["n_blocks"].to_numpy()
@@ -179,7 +179,17 @@ def write_merged_shard(group: pa.Table, merged_dir: str, fingerprint: str) -> di
     len_docs = g["len_docs"].to_numpy()
     len_freqs = g["len_freqs"].to_numpy()
     regions = g["region"].to_pylist()
-    norm_bytes = g["norm_bytes"].to_pylist()
+
+    # segment norms from shared storage, loaded once per segment per reducer
+    # (not shipped through the shuffle)
+    norms_cache: dict[str, np.ndarray] = {}
+
+    def seg_norms(sd: str) -> np.ndarray:
+        arr = norms_cache.get(sd)
+        if arr is None:
+            arr = np.fromfile(os.path.join(sd, NORMS_FILE), dtype=np.uint8)
+            norms_cache[sd] = arr
+        return arr
 
     uniq, starts = np.unique(terms, return_index=True)
     order = np.argsort(starts)
@@ -205,7 +215,7 @@ def write_merged_shard(group: pa.Table, merged_dir: str, fingerprint: str) -> di
             d, f = tp.decode()
             docs_parts.append(d + doc_bases[fi])  # -> global docIDs
             freqs_parts.append(f)
-            norm_parts.append(np.frombuffer(norm_bytes[fi], dtype=np.uint8))
+            norm_parts.append(seg_norms(seg_dirs[fi])[d])
         docs = np.concatenate(docs_parts)
         freqs = np.concatenate(freqs_parts)
         norms = np.concatenate(norm_parts)
@@ -228,7 +238,10 @@ def write_merged_shard(group: pa.Table, merged_dir: str, fingerprint: str) -> di
             for rg in out_regions:
                 f.write(rg)
             f.flush()
-            os.fsync(f.fileno())
+            if os.environ.get("LUCENE_RAY_FSYNC_SEGMENTS"):
+                # durability point is the manifest commit (segments_N
+                # analogue); per-file fsync is opt-in for strict mode
+                os.fsync(f.fileno())
         pq.write_table(
             encode_term_table(uniq, out_dfs, out_ttfs, meta),
             os.path.join(tmp, TERMS_FILE),
@@ -313,7 +326,7 @@ def merge_index(index_dir: str, cfg: MergeConfig | None = None) -> dict:
         return pa.Table.from_pylist([st])
 
     shard_stats = (
-        rd.from_items(specs)
+        rd.from_items(specs, override_num_blocks=len(specs))
         .map_batches(emit, batch_size=1, batch_format="pyarrow")
         .groupby("shard_id")
         .map_groups(reduce_shard, batch_format="pyarrow")

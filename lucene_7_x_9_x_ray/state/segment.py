@@ -59,13 +59,31 @@ def invert_texts(
 
     Returns (terms: object[], local_docs: int64[], freqs: int64[],
     doc_lengths: int64[]) where the triples are the nonzero (term, doc)
-    frequency pairs, unsorted. This is the DWPT in-RAM inverted table
-    equivalent (blog/Lucene/Index/倒排表) built with numpy group-by instead
-    of BytesRefHash/ByteBlockPool slices.
+    frequency pairs, unsorted (kept for tests / API compatibility;
+    the writer uses the coded variant below).
     """
+    vocab, codes, docs, freqs, lengths = invert_texts_coded(texts, analyzer, chunk_rows)
+    return vocab[codes] if len(codes) else np.empty(0, dtype=object), docs, freqs, lengths
+
+
+def invert_texts_coded(
+    texts, analyzer: Analyzer, chunk_rows: int = 8192
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Invert a partition into integer-coded triples.
+
+    Returns (vocab: object[] unsorted, term_codes: int64[], local_docs:
+    int64[], freqs: int64[], doc_lengths: int64[]). This is the DWPT
+    in-RAM inverted table equivalent (blog/Lucene/Index/倒排表) built with
+    hash-based factorization (the BytesRefHash analogue) — no O(n log n)
+    sort over token strings; only the small vocab is ever sorted later.
+    """
+    import pandas as pd
+
     n = len(texts)
     lengths = np.zeros(n, dtype=np.int64)
-    t_parts: list[np.ndarray] = []
+    vocab_index: dict = {}
+    vocab_list: list = []
+    c_parts: list[np.ndarray] = []
     d_parts: list[np.ndarray] = []
     f_parts: list[np.ndarray] = []
     for base in range(0, n, chunk_rows):
@@ -75,18 +93,36 @@ def invert_texts(
         lengths[base : base + m] = np.bincount(doc_idx, minlength=m)
         if len(tokens) == 0:
             continue
-        uniq, inv = np.unique(tokens, return_inverse=True)
-        # pair-count via a single flat key: term_code * chunk_docs + doc
-        key = inv.astype(np.int64) * m + doc_idx
-        pair_keys, counts = np.unique(key, return_counts=True)
-        t_parts.append(uniq[pair_keys // m])
+        local_codes, local_vocab = pd.factorize(tokens)
+        # remap chunk-local codes to the growing global vocab (loop is over
+        # the chunk VOCAB only, not tokens)
+        remap = np.empty(len(local_vocab), dtype=np.int64)
+        for i, t in enumerate(local_vocab):
+            gc = vocab_index.get(t)
+            if gc is None:
+                gc = len(vocab_list)
+                vocab_index[t] = gc
+                vocab_list.append(t)
+            remap[i] = gc
+        gcodes = remap[local_codes]
+        # pair-count via a single flat key; (term, doc) pairs are unique
+        # across chunks because each doc lives in exactly one chunk
+        key = gcodes * m + doc_idx
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        counts = np.diff(np.r_[starts, len(key)])
+        pair_keys = key[starts]
+        c_parts.append(pair_keys // m)
         d_parts.append(pair_keys % m + base)
         f_parts.append(counts.astype(np.int64))
-    if not t_parts:
+    vocab = np.array(vocab_list, dtype=object)
+    if not c_parts:
         empty = np.empty(0, dtype=np.int64)
-        return np.empty(0, dtype=object), empty, empty, lengths
+        return vocab, empty, empty, empty, lengths
     return (
-        np.concatenate(t_parts),
+        vocab,
+        np.concatenate(c_parts),
         np.concatenate(d_parts),
         np.concatenate(f_parts),
         lengths,
@@ -138,12 +174,17 @@ def write_segment(
     task arrival order (SURVEY.md §7.5).
     """
     n = len(texts)
-    terms, docs, freqs, lengths = invert_texts(texts, analyzer)
+    vocab, codes, docs, freqs, lengths = invert_texts_coded(texts, analyzer)
     norms = int_to_byte4(lengths)
 
-    # sort triples by (term, doc): np.unique gives sorted term codes
-    if len(terms):
-        uniq_terms, inv = np.unique(terms, return_inverse=True)
+    # sort triples by (term, doc): only the SMALL vocab is string-sorted;
+    # the big triple arrays sort on integer codes (rank remap + lexsort)
+    if len(codes):
+        vocab_order = np.argsort(vocab)  # sorted term strings
+        uniq_terms = vocab[vocab_order]
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[vocab_order] = np.arange(len(vocab))
+        inv = rank[codes]
         order = np.lexsort((docs, inv))
         docs_s = docs[order]
         freqs_s = freqs[order]
@@ -187,7 +228,10 @@ def write_segment(
             for r in regions:
                 f.write(r)
             f.flush()
-            os.fsync(f.fileno())
+            if os.environ.get("LUCENE_RAY_FSYNC_SEGMENTS"):
+                # durability point is the manifest commit (segments_N
+                # analogue); per-file fsync is opt-in for strict mode
+                os.fsync(f.fileno())
 
         terms_table = pa.table(
             {
