@@ -95,6 +95,14 @@ class MergedReader:
         self._merged_dir = merged_dir
         self._shards: dict[int, _Shard] = {}
         self._have = {s["shard_id"] for s in self.meta["shards"]}
+        # range-merged index: shard i covers [boundaries[i], boundaries[i+1])
+        b = self.meta.get("boundaries")
+        self._boundaries = np.asarray(b, dtype=object) if b else None
+
+    def _cold_shard_id(self, term: str) -> int:
+        if self._boundaries is not None:
+            return max(0, int(np.searchsorted(self._boundaries, term, side="right")) - 1)
+        return shard_of(term, self.n_shards)
 
     def _shard(self, sid: int) -> _Shard | None:
         if sid not in self._have:
@@ -118,7 +126,7 @@ class MergedReader:
                     df += int(sh.doc_freqs[i])
                     ttf += int(sh.ttfs[i])
             return df, ttf
-        sh = self._shard(shard_of(term, self.n_shards))
+        sh = self._shard(self._cold_shard_id(term))
         if sh is None:
             return 0, 0
         i = sh.lookup(term)
@@ -142,7 +150,7 @@ class MergedReader:
             if len(parts) == 1:
                 return parts[0]
             return FragmentedPostings(parts, df, ttf)
-        sh = self._shard(shard_of(term, self.n_shards))
+        sh = self._shard(self._cold_shard_id(term))
         if sh is None:
             return None
         i = sh.lookup(term)

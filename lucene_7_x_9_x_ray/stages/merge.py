@@ -106,6 +106,280 @@ def compute_hot_terms_local(manifest: IndexManifest, cfg: MergeConfig) -> list[s
     return sorted(t for t, df in acc.items() if df > cfg.hot_df_threshold)
 
 
+# ---------------------------------------------------------------------------
+# pull merge (default): term-RANGE partitioned shuffle with ranged reads
+# ---------------------------------------------------------------------------
+
+
+def collect_term_stats(manifest: IndexManifest, max_workers: int = 16):
+    """Driver-side global (term, df) aggregate from per-segment dictionaries.
+
+    Per-segment dicts are already partial aggregates, so this reads only
+    vocabulary rows (never postings). Threaded reads are fine up to ~10k
+    segments; beyond that, run a hierarchical merge first (TieredMergePolicy
+    analogue) or fall back to strategy="groupby".
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def read_one(d):
+        t = pq.read_table(os.path.join(d, TERMS_FILE), columns=["term", "doc_freq"])
+        return (
+            np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object),
+            t["doc_freq"].to_numpy(),
+        )
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        parts = list(ex.map(read_one, manifest.segment_dirs()))
+    all_terms = np.concatenate([p[0] for p in parts])
+    all_dfs = np.concatenate([p[1] for p in parts])
+    import pandas as pd
+
+    codes, vocab = pd.factorize(all_terms)
+    dfs = np.bincount(codes, weights=all_dfs.astype(np.float64)).astype(np.int64)
+    vocab = np.asarray(vocab, dtype=object)
+    order = np.argsort(vocab)
+    return vocab[order], dfs[order]
+
+
+def plan_merge_ranges(
+    terms_sorted: np.ndarray, dfs: np.ndarray, cfg: MergeConfig
+) -> tuple[list[str], list[str]]:
+    """(hot_terms, range_boundaries) for the pull merge.
+
+    Boundaries are equal-docFreq quantile cuts over the NON-hot sorted
+    vocabulary: each range shard re-encodes ~the same posting volume, which
+    is the skew guarantee hashing can't give (hash shards are only equal in
+    EXPECTATION; ranges are equal by construction from the measured df).
+    Hot terms (df > threshold) are excluded and salted into per-doc-range
+    bucket tasks exactly as in the groupby strategy.
+    """
+    hot_mask = dfs > cfg.hot_df_threshold
+    hot_terms = [str(t) for t in terms_sorted[hot_mask]]
+    cold_terms = terms_sorted[~hot_mask]
+    cold_dfs = dfs[~hot_mask]
+    n = min(cfg.n_shards, max(1, len(cold_terms)))
+    if len(cold_terms) == 0:
+        return hot_terms, []
+    cum = np.cumsum(cold_dfs)
+    targets = cum[-1] * (np.arange(n) / n)
+    cuts = np.searchsorted(cum, targets, side="left")
+    cuts = np.unique(np.minimum(cuts, len(cold_terms) - 1))
+    boundaries = [str(cold_terms[c]) for c in cuts]
+    boundaries[0] = ""  # first range starts at the beginning of term space
+    return hot_terms, boundaries
+
+
+def _bucket_of(seg_ord: int, n_segs: int, hot_buckets: int) -> int:
+    return seg_ord * hot_buckets // n_segs
+
+
+_FRAG_SCHEMA_COLS = (
+    "term", "shard_id", "doc_base", "seg_dir", "doc_freq", "total_term_freq",
+    "n_blocks", "n_imp", "len_docs", "len_freqs", "region",
+)
+
+
+def _frag_table(cols: dict) -> pa.Table:
+    return pa.table({k: cols[k] for k in _FRAG_SCHEMA_COLS})
+
+
+def assemble_range_group(
+    seg_dirs: list[str],
+    doc_bases: list[int],
+    lo: str,
+    hi: str | None,
+    hot_set: frozenset,
+    shard_id: int,
+) -> pa.Table:
+    """Pull one term-range's fragments from every segment (ranged reads).
+
+    Region bytes for a term range are CONTIGUOUS in postings.bin (regions
+    are written in sorted term order), so each segment contributes one
+    sequential read — the pull-shuffle property that replaces the
+    all-to-all exchange.
+    """
+    parts = []
+    for seg_dir, doc_base in zip(seg_dirs, doc_bases):
+        t = pq.read_table(os.path.join(seg_dir, TERMS_FILE))
+        terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
+        a = int(np.searchsorted(terms, lo, side="left"))
+        b = len(terms) if hi is None else int(np.searchsorted(terms, hi, side="left"))
+        if a >= b:
+            continue
+        keep = np.ones(b - a, dtype=bool)
+        if hot_set:
+            for i in range(a, b):
+                if terms[i] in hot_set:
+                    keep[i - a] = False
+        off = t["off"].to_numpy()
+        post = np.memmap(os.path.join(seg_dir, POSTINGS_FILE), dtype=np.uint8, mode="r")
+        ends = np.empty(len(terms), dtype=np.int64)
+        ends[:-1] = off[1:]
+        if len(terms):
+            ends[-1] = len(post)
+        idx = np.arange(a, b)[keep]
+        regions = [bytes(post[off[i] : ends[i]]) for i in idx]
+        m = len(idx)
+        parts.append(
+            _frag_table(
+                {
+                    "term": pa.array(terms[idx], type=pa.string()),
+                    "shard_id": pa.array(np.full(m, shard_id, dtype=np.int32)),
+                    "doc_base": pa.array(np.full(m, doc_base, dtype=np.int64)),
+                    "seg_dir": pa.array([seg_dir] * m, type=pa.string()),
+                    "doc_freq": t["doc_freq"].take(idx),
+                    "total_term_freq": t["total_term_freq"].take(idx),
+                    "n_blocks": t["n_blocks"].take(idx),
+                    "n_imp": t["n_imp"].take(idx),
+                    "len_docs": t["len_docs"].take(idx),
+                    "len_freqs": t["len_freqs"].take(idx),
+                    "region": pa.array(regions, type=pa.large_binary()),
+                }
+            )
+        )
+    if not parts:
+        return _frag_table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "shard_id": pa.array([], type=pa.int32()),
+                "doc_base": pa.array([], type=pa.int64()),
+                "seg_dir": pa.array([], type=pa.string()),
+                "doc_freq": pa.array([], type=pa.int64()),
+                "total_term_freq": pa.array([], type=pa.int64()),
+                "n_blocks": pa.array([], type=pa.int32()),
+                "n_imp": pa.array([], type=pa.int32()),
+                "len_docs": pa.array([], type=pa.int64()),
+                "len_freqs": pa.array([], type=pa.int64()),
+                "region": pa.array([], type=pa.large_binary()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
+def assemble_hot_group(
+    seg_dirs: list[str],
+    doc_bases: list[int],
+    seg_ords: list[int],
+    n_segs: int,
+    term: str,
+    bucket: int,
+    cfg: MergeConfig,
+    shard_id: int,
+) -> pa.Table:
+    """Pull one salted hot term's fragments for one doc-range bucket."""
+    sel = [
+        (d, base)
+        for d, base, o in zip(seg_dirs, doc_bases, seg_ords)
+        if _bucket_of(o, n_segs, cfg.hot_buckets) == bucket
+    ]
+    t_parts, b_parts, s_parts, rows = [], [], [], []
+    for seg_dir, doc_base in sel:
+        t = pq.read_table(os.path.join(seg_dir, TERMS_FILE))
+        terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
+        i = int(np.searchsorted(terms, term))
+        if i >= len(terms) or terms[i] != term:
+            continue
+        off = t["off"].to_numpy()
+        post = np.memmap(os.path.join(seg_dir, POSTINGS_FILE), dtype=np.uint8, mode="r")
+        end = int(off[i + 1]) if i + 1 < len(terms) else len(post)
+        rows.append(
+            {
+                "term": term,
+                "shard_id": shard_id,
+                "doc_base": doc_base,
+                "seg_dir": seg_dir,
+                "doc_freq": int(t["doc_freq"][i].as_py()),
+                "total_term_freq": int(t["total_term_freq"][i].as_py()),
+                "n_blocks": int(t["n_blocks"][i].as_py()),
+                "n_imp": int(t["n_imp"][i].as_py()),
+                "len_docs": int(t["len_docs"][i].as_py()),
+                "len_freqs": int(t["len_freqs"][i].as_py()),
+                "region": bytes(post[int(off[i]) : end]),
+            }
+        )
+    if not rows:
+        return assemble_range_group([], [], "", "", frozenset(), shard_id)
+    tb = pa.Table.from_pylist(rows)
+    return _frag_table(
+        {
+            **{k: tb[k] for k in _FRAG_SCHEMA_COLS if k not in ("shard_id", "n_blocks", "n_imp", "region")},
+            "shard_id": tb["shard_id"].cast(pa.int32()),
+            "n_blocks": tb["n_blocks"].cast(pa.int32()),
+            "n_imp": tb["n_imp"].cast(pa.int32()),
+            "region": tb["region"].cast(pa.large_binary()),
+        }
+    )
+
+
+def merge_index_pull(index_dir: str, cfg: MergeConfig | None = None) -> dict:
+    """Range-partitioned pull merge (default strategy).
+
+    One Ray task per output shard assembles its term range (or salted hot
+    bucket) by contiguous ranged reads from the sorted segment files on
+    shared storage, then re-encodes — no all-to-all exchange, no shuffle
+    machinery on the critical path. Equal-df range boundaries bound each
+    task's work (measured, not expected, balance).
+    """
+    import ray.data as rd
+
+    cfg = cfg or MergeConfig()
+    manifest = IndexManifest.load(index_dir)
+    merged_dir = os.path.join(index_dir, "merged")
+    os.makedirs(merged_dir, exist_ok=True)
+
+    terms_sorted, dfs = collect_term_stats(manifest)
+    hot_terms, boundaries = plan_merge_ranges(terms_sorted, dfs, cfg)
+    hot_set = frozenset(hot_terms)
+    fp = _fingerprint(manifest)
+    seg_dirs = manifest.segment_dirs()
+    doc_bases = [s["doc_base"] for s in sorted(manifest.segments, key=lambda s: s["doc_base"])]
+    n_segs = len(seg_dirs)
+
+    specs: list[dict] = []
+    for si, lo in enumerate(boundaries):
+        hi = boundaries[si + 1] if si + 1 < len(boundaries) else None
+        specs.append({"kind": "range", "shard_id": si, "lo": lo, "hi": hi})
+    for hr, term in enumerate(hot_terms):
+        for bucket in range(cfg.hot_buckets):
+            specs.append(
+                {
+                    "kind": "hot",
+                    "shard_id": _hot_shard_id(cfg, hr, bucket),
+                    "term": term,
+                    "bucket": bucket,
+                }
+            )
+
+    def run_spec(batch: pa.Table) -> pa.Table:
+        out = []
+        for spec in batch.to_pylist():
+            if spec["kind"] == "range":
+                group = assemble_range_group(
+                    seg_dirs, doc_bases, spec["lo"], spec["hi"], hot_set, spec["shard_id"]
+                )
+            else:
+                group = assemble_hot_group(
+                    seg_dirs, doc_bases, list(range(n_segs)), n_segs,
+                    spec["term"], spec["bucket"], cfg, spec["shard_id"],
+                )
+            if group.num_rows == 0:
+                continue
+            out.append(write_merged_shard(group, merged_dir, fp, shard_id=spec["shard_id"]))
+        return pa.Table.from_pylist(out) if out else pa.Table.from_pylist(
+            [{"shard_id": -1, "shard_name": "", "n_terms": 0, "sum_doc_freq": 0,
+              "fingerprint": fp, "resumed": False}]
+        ).slice(0, 0)
+
+    shard_stats = (
+        rd.from_items(specs, override_num_blocks=len(specs))
+        .map_batches(run_spec, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    return _finalize(
+        index_dir, merged_dir, manifest, cfg, hot_terms, shard_stats, boundaries=boundaries
+    )
+
+
 def emit_fragments(
     seg_dir: str, seg_ord: int, n_segs: int, cfg: MergeConfig, hot_rank: dict[str, int]
 ):
@@ -152,9 +426,12 @@ def emit_fragments(
         )
 
 
-def write_merged_shard(group: pa.Table, merged_dir: str, fingerprint: str) -> dict:
-    """Stage C reduce: merge one shard group's fragments, commit atomically."""
-    shard_id = int(group["shard_id"][0].as_py())
+def write_merged_shard(
+    group: pa.Table, merged_dir: str, fingerprint: str, shard_id: int | None = None
+) -> dict:
+    """Reduce: merge one shard group's fragments, commit atomically."""
+    if shard_id is None:
+        shard_id = int(group["shard_id"][0].as_py())
     shard_name = f"shard_{shard_id:05d}"
     out_dir = os.path.join(merged_dir, shard_name)
     stats_path = os.path.join(out_dir, "stats.json")
@@ -275,7 +552,8 @@ def _fingerprint(manifest: IndexManifest) -> str:
 
 
 def _finalize(index_dir: str, merged_dir: str, manifest: IndexManifest,
-              cfg: MergeConfig, hot_terms: list[str], shard_stats: list[dict]) -> dict:
+              cfg: MergeConfig, hot_terms: list[str], shard_stats: list[dict],
+              boundaries: list[str] | None = None) -> dict:
     # global norms: concatenation of segment norms in doc_base order (the
     # merged .nvd). Kept as one file here; at cluster scale query actors
     # mmap only their doc-range slice.
@@ -292,6 +570,9 @@ def _finalize(index_dir: str, merged_dir: str, manifest: IndexManifest,
         "sum_total_term_freq": manifest.sum_total_term_freq,
         "shards": sorted(shard_stats, key=lambda s: s["shard_id"]),
         "fingerprint": _fingerprint(manifest),
+        # range strategy: shard i covers terms [boundaries[i], boundaries[i+1])
+        "strategy": "range" if boundaries is not None else "hash",
+        "boundaries": boundaries,
     }
     atomic_write_json(os.path.join(merged_dir, MERGED_MANIFEST), merged)
     manifest.merged = True
@@ -299,8 +580,23 @@ def _finalize(index_dir: str, merged_dir: str, manifest: IndexManifest,
     return merged
 
 
-def merge_index(index_dir: str, cfg: MergeConfig | None = None) -> dict:
-    """Distributed merge via Ray Data groupby (Ray must be initialised)."""
+def merge_index(
+    index_dir: str, cfg: MergeConfig | None = None, strategy: str = "pull"
+) -> dict:
+    """Distributed segment merge (Ray must be initialised).
+
+    strategy="pull" (default): range-partitioned ranged-read merge — see
+    merge_index_pull. strategy="groupby": the Ray Data groupby-on-term
+    shuffle — the true all-to-all path, kept for segment counts too large
+    for per-reducer fan-in reads.
+    """
+    if strategy == "pull":
+        return merge_index_pull(index_dir, cfg)
+    return merge_index_groupby(index_dir, cfg)
+
+
+def merge_index_groupby(index_dir: str, cfg: MergeConfig | None = None) -> dict:
+    """Distributed merge via Ray Data groupby (the all-to-all exchange)."""
     import ray
     import ray.data as rd
 
