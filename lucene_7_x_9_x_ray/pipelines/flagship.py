@@ -162,6 +162,27 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_topk_served(sf_dir: str) -> pa.Table:
+    """Same reference query set, but scored by the actor-pool serving stage
+    (stages/serve.py): each actor memory-maps the merged index once and
+    batches of queries stream through — results must equal the driver-side
+    searcher path (and the SQL oracle) exactly."""
+    from ..stages.serve import serve_queries
+
+    index_dir = build_flagship_index(sf_dir)
+    specs = [(qid, terms, k) for qid, terms, k, off in BM25_QUERY_SPECS if off == 0]
+    t = serve_queries(index_dir, specs, concurrency=2)
+    scores_r = [round_half_away(s, 4) for s in t["score"].to_pylist()]
+    return pa.table(
+        {
+            "query_id": t["query_id"],
+            "rank": t["rank"],
+            "doc_id": t["doc_id"],
+            "score_r": pa.array(scores_r, pa.float64()),
+        }
+    )
+
+
 def q_boolean_counts(sf_dir: str) -> pa.Table:
     """Boolean-query match counts: (query_id, n)."""
     merged, _ = get_searchers(sf_dir)

@@ -75,8 +75,9 @@ class FragmentedPostings:
     total_term_freq: int
 
     def decode(self):
-        docs = np.concatenate([p.decode()[0] for p in self.parts])
-        freqs = np.concatenate([p.decode()[1] for p in self.parts])
+        decoded = [p.decode() for p in self.parts]  # one pass per fragment
+        docs = np.concatenate([d for d, _ in decoded])
+        freqs = np.concatenate([f for _, f in decoded])
         return docs, freqs
 
 
@@ -164,9 +165,13 @@ class MergedReader:
 
 
 class MergedIndexSearcher(IndexSearcher):
-    """IndexSearcher API over the merged index (exhaustive scoring; WAND
-    falls back automatically because FragmentedPostings has no unified
-    block structure — per-segment WAND remains available pre-merge)."""
+    """IndexSearcher API over the merged index.
+
+    mode="auto" runs the dense vectorized bulk scorer (fastest at these
+    segment sizes — measured in bench.py); mode="wand" runs block-max WAND
+    document-at-a-time, with salted hot terms expanded into one clause per
+    doc-range fragment (see wand.py) — the pruning scale path, duel-tested
+    rank-identical in tests/test_merge.py."""
 
     def __init__(self, index_dir: str, bm25: BM25 | None = None):
         from ..functions.analysis import get_analyzer
@@ -180,11 +185,6 @@ class MergedIndexSearcher(IndexSearcher):
         self.doc_count = self.manifest.doc_count
         self.sum_total_term_freq = self.manifest.sum_total_term_freq
         self._seg_searcher = None
-
-    def search(self, query, k=10, mode="auto", total_hits_threshold=1000):
-        if mode == "wand":
-            mode = "exhaustive"
-        return super().search(query, k, mode, total_hits_threshold)
 
     def lookup_docs(self, global_doc_ids) -> list[dict]:
         if self._seg_searcher is None:

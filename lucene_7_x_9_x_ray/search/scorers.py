@@ -32,6 +32,11 @@ from . import queries as Q
 
 __all__ = ["CollectionStats", "eval_query", "term_scores"]
 
+# dense bulk-scoring cutover: per-query transient = doc_count * 10 bytes
+# (float64 acc + uint16 counts); above this, fall back to sort-based union.
+# Serving shards at 10^12-doc scale partition the doc space well below it.
+_MAX_DENSE_DOCS = 1 << 24
+
 
 class CollectionStats:
     """Global (cross-segment) collection + term statistics for scoring.
@@ -186,6 +191,25 @@ def _eval_boolean(
             cand = cand[:0]
     elif shoulds:
         need = max(1, msm)
+        if reader.doc_count <= _MAX_DENSE_DOCS:
+            # dense bulk-scoring fast path (BooleanScorer.java:33-40 window
+            # accumulation, whole-segment window): clause docIDs are unique
+            # within a posting list, so plain fancy-index adds accumulate
+            # scores in float64 and match counts in one pass — no sort.
+            acc = np.zeros(reader.doc_count, dtype=np.float64)
+            cnt = np.zeros(reader.doc_count, dtype=np.uint16)
+            for d, s in shoulds:
+                if len(d):
+                    acc[d] += s.astype(np.float64)
+                    cnt[d] += 1
+            cand = np.flatnonzero(cnt >= need).astype(np.int64)
+            if len(cand) == 0:
+                return _empty()
+            for d in must_nots:
+                cand = cand[~_in_sorted(cand, d)]
+            if len(cand) == 0:
+                return _empty()
+            return cand, acc[cand].astype(np.float32)
         all_d = np.concatenate([d for d, _ in shoulds]) if shoulds else np.empty(0, np.int64)
         if len(all_d) == 0:
             return _empty()

@@ -129,12 +129,18 @@ def wand_topk(
         if tp is None:
             continue
         tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost)
-        pre.append((tp, tw))
-        m = max(
-            (tw.max_score(f, n) for f, n in tp.impact_slices()),
-            default=0.0,
-        )
-        max_float = max(max_float, m)
+        # a salted hot term on a merged index arrives as FragmentedPostings;
+        # its doc-range fragments become independent clauses with the SAME
+        # weight — ranges are disjoint, so per-doc scores are unchanged and
+        # the Σ-max pruning bound stays valid (merely looser)
+        parts = getattr(tp, "parts", None) or [tp]
+        for part in parts:
+            pre.append((part, tw))
+            m = max(
+                (tw.max_score(f, n) for f, n in part.impact_slices()),
+                default=0.0,
+            )
+            max_float = max(max_float, m)
     sf = scaling_factor(np.float32(max_float))
     for tp, tw in pre:
         iters.append(TermIterator(tp, tw, reader.norms, sf))

@@ -1,0 +1,221 @@
+"""Pipelines + oracle-parity tests (the driver-gate invariants).
+
+Covers the claims oracles.py relies on (SQL tokenizer equivalence, DuckDB
+FLOAT == numpy float32 BM25), the training-data ops on corpora with
+planted near-duplicates, ANN brute/IVF equality, and the actor-pool
+serving stage vs the driver-side searcher.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_7_x_9_x_ray.functions.analysis import get_analyzer
+from lucene_7_x_9_x_ray.functions.bm25 import BM25
+from lucene_7_x_9_x_ray.functions.hashing import md5_lower64, md5_upper64
+from lucene_7_x_9_x_ray.functions.rounding import round_half_away
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sql_tokenizer_equivalence():
+    """On the driver corpus, UAX#29 analyze == string_split(text, ' ')."""
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])["text"].to_pylist()
+    an = get_analyzer("standard")
+    for t in texts[:100]:
+        assert an.tokens(t) == t.split(" ")
+
+
+def test_md5_number_compat():
+    con = duckdb.connect()
+    for s in ("", "abc", "key hash value", "the 123"):
+        lo, hi = con.execute(
+            "select md5_number_lower(?), md5_number_upper(?)", [s, s]
+        ).fetchone()
+        assert md5_lower64(s) == lo
+        assert md5_upper64(s) == hi
+
+
+def test_bm25_sql_float32_identity():
+    """DuckDB FLOAT arithmetic reproduces the numpy float32 BM25 kernel
+    bit-for-bit across a parameter sweep (the oracles.py contract)."""
+    from lucene_7_x_9_x_ray.functions.smallfloat import BYTE4_DECODE_TABLE
+
+    con = duckdb.connect()
+    bm25 = BM25()
+    rng = np.random.default_rng(7)
+    rows = []
+    for _ in range(200):
+        n_docs = int(rng.integers(10, 10_000_000))
+        df = int(rng.integers(1, n_docs + 1))
+        sttf = int(n_docs * rng.integers(5, 500))
+        freq = int(rng.integers(1, 50))
+        nbyte = int(rng.integers(0, 256))
+        rows.append((n_docs, df, sttf, freq, int(BYTE4_DECODE_TABLE[nbyte]), nbyte))
+    sql = """
+    SELECT w - w / (CAST(1.0 AS FLOAT) + CAST(freq AS FLOAT)
+           * (CAST(1.0 AS FLOAT) / (CAST(1.2 AS FLOAT) * ((CAST(1.0 AS FLOAT) - CAST(0.75 AS FLOAT))
+              + (CAST(0.75 AS FLOAT) * CAST(nlen AS FLOAT)) / avgdl))))
+    FROM (SELECT CAST(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS FLOAT) AS w,
+                 CAST(CAST(sttf AS DOUBLE) / n_docs AS FLOAT) AS avgdl,
+                 freq, nlen
+          FROM (SELECT ? AS n_docs, ? AS df, ? AS sttf, ? AS freq, ? AS nlen))
+    """
+    for n_docs, df, sttf, freq, nlen, nbyte in rows:
+        got_sql = con.execute(sql, [n_docs, df, sttf, freq, nlen]).fetchone()[0]
+        tw = bm25.term_weight(df, n_docs, sttf)
+        got_np = float(tw.score(np.array([freq]), np.array([nbyte]))[0])
+        assert got_sql == pytest.approx(got_np, abs=0.0), (
+            n_docs, df, sttf, freq, nlen, got_sql, got_np,
+        )
+
+
+def _planted_corpus() -> pa.Table:
+    """12 docs: 0/1 near-dup pair, 2/3 exact dup pair, rest random-ish."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [
+        base,
+        base.replace("today", "tomorrow"),
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta",
+    ]
+    rng = np.random.default_rng(11)
+    vocab = ["red", "green", "blue", "cyan", "teal", "plum", "gold", "jade"]
+    for i in range(8):
+        texts.append(" ".join(rng.choice(vocab, size=12)))
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(_planted_corpus(), os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def test_jaccard_and_minhash_find_planted_dups(ray_session, planted_dir):
+    from lucene_7_x_9_x_ray.pipelines import dedup
+
+    jp = dedup.q_jaccard_pairs(planted_dir)
+    pairs = set(zip(jp["doc_a"].to_pylist(), jp["doc_b"].to_pylist()))
+    assert (0, 1) in pairs and (2, 3) in pairs
+
+    mh = dedup.q_minhash_lsh_pairs(planted_dir)
+    mh_pairs = set(zip(mh["doc_a"].to_pylist(), mh["doc_b"].to_pylist()))
+    assert (0, 1) in mh_pairs and (2, 3) in mh_pairs
+    # LSH candidates never report below-threshold jaccard
+    assert all(j >= dedup.JACCARD_THRESHOLD for j in mh["jaccard_r"].to_pylist())
+
+
+def test_simhash_banding_is_exact(ray_session, planted_dir):
+    """4-band pigeonhole blocking finds EXACTLY the hamming<=3 pairs."""
+    from lucene_7_x_9_x_ray.pipelines import dedup, textops
+
+    got = dedup.q_simhash_pairs(planted_dir)
+    got_pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+
+    fp = textops.fingerprint_batch(_planted_corpus())
+    sims = fp["simhash"].to_numpy().astype(np.uint64)
+    want = set()
+    for i in range(len(sims)):
+        for j in range(i + 1, len(sims)):
+            if bin(int(sims[i]) ^ int(sims[j])).count("1") <= dedup.SIMHASH_MAX_HAMMING:
+                want.add((i, j))
+    assert got_pairs == want
+    assert (2, 3) in want  # exact dups -> hamming 0
+
+
+def test_exact_dedup_groups(ray_session, planted_dir):
+    from lucene_7_x_9_x_ray.pipelines import dedup
+
+    t = dedup.q_exact_dedup(planted_dir)
+    by_keep = {int(k): int(n) for k, n in zip(t["keep_doc_id"].to_pylist(),
+                                              t["n_copies"].to_pylist())}
+    assert by_keep[2] == 2  # docs 2,3 identical, min doc_id kept
+    assert t.num_rows == 11  # 12 docs, one exact-dup pair collapses
+
+
+def test_ann_ivf_fullprobe_equals_brute(ray_session):
+    from lucene_7_x_9_x_ray.pipelines import ann
+
+    brute = ann._brute_force(SF, ann.IVF_QUERY_IDS)
+    ivf = ann.q_ann_ivf_topk(SF)
+    assert brute.to_pylist() == ivf.to_pylist()
+
+
+def test_doc_stats_values(ray_session, planted_dir):
+    from lucene_7_x_9_x_ray.pipelines import textops
+
+    t = textops.q_doc_stats(planted_dir)
+    row = {r["doc_id"]: r for r in t.to_pylist()}
+    toks = _planted_corpus()["text"].to_pylist()[0].split()
+    assert row[0]["n_tokens"] == len(toks)
+    assert row[0]["n_distinct"] == len(set(toks))
+    stops = sum(1 for x in toks if x in textops.QUALITY_STOPWORDS)
+    assert row[0]["stop_ratio"] == round_half_away(stops / len(toks), 6)
+
+
+def test_serve_stage_matches_searcher(ray_session, tmp_path):
+    """Actor-pool serving == driver-side searcher, including salted terms."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index
+    from lucene_7_x_9_x_ray.stages.serve import serve_queries
+
+    pages = generate_pages(600, vocab_size=500, mean_tokens=40)
+    path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "idx")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=100))
+    merge_index(idx, MergeConfig(n_shards=4, hot_df_threshold=50))
+
+    specs = [("q1", ["t00000"], 5), ("q2", ["t00001", "t00040"], 7), ("q3", ["t00420"], 3)]
+    served = serve_queries(idx, specs, concurrency=2)
+    s = open_searcher(idx)
+    got = {r["query_id"]: [] for r in served.to_pylist()}
+    for r in served.to_pylist():
+        got[r["query_id"]].append((r["rank"], r["doc_id"], np.float32(r["score"])))
+    for qid, terms, k in specs:
+        q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
+        td = s.search(q, k=k)
+        want = [(i + 1, int(d), np.float32(sc))
+                for i, (d, sc) in enumerate(zip(td.doc_ids, td.scores))]
+        assert sorted(got.get(qid, [])) == want
+
+
+def test_merged_wand_duel_with_hot_terms(ray_session, tmp_path):
+    """Block-max WAND on the merged index (salted hot terms expanded to
+    per-fragment clauses) is rank-identical to the exhaustive scorer."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index
+
+    pages = generate_pages(800, vocab_size=300, mean_tokens=30, seed=5)
+    path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "idx")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=200))
+    merged = merge_index(idx, MergeConfig(n_shards=4, hot_df_threshold=60, hot_buckets=4))
+    assert merged["hot_terms"], "fixture must exercise salting"
+
+    s = open_searcher(idx)
+    hot = merged["hot_terms"][0]
+    cases = [[hot], [hot, "t00050"], ["t00010", "t00020", hot], ["t00200"]]
+    for terms in cases:
+        q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
+        for k in (1, 10):
+            a = s.search(q, k=k, mode="exhaustive")
+            b = s.search(q, k=k, mode="wand")
+            assert list(a.doc_ids) == list(b.doc_ids), (terms, k)
+            assert np.array_equal(a.scores, b.scores), (terms, k)
