@@ -173,6 +173,43 @@ def encode_postings(
     )
 
 
+def encode_positions(pos_stream: np.ndarray, freqs: np.ndarray) -> tuple[bytes, int]:
+    """Encode one term's concatenated per-doc token positions.
+
+    pos_stream holds each posting's positions ascending, doc after doc
+    (length == total_term_freq); deltas restart at every doc boundary
+    (Lucene84PostingsWriter position deltas). Returns (packed bytes, width).
+    """
+    if len(pos_stream) == 0:
+        return b"", 0
+    pos_stream = np.asarray(pos_stream, dtype=np.int64)
+    deltas = np.empty(len(pos_stream), dtype=np.int64)
+    deltas[0] = pos_stream[0]
+    np.subtract(pos_stream[1:], pos_stream[:-1], out=deltas[1:])
+    starts = np.zeros(len(freqs), dtype=np.int64)
+    np.cumsum(np.asarray(freqs, dtype=np.int64)[:-1], out=starts[1:])
+    deltas[starts] = pos_stream[starts]  # delta restarts at doc boundaries
+    width = int(deltas.max()).bit_length()
+    return _pack_block(deltas, width), width
+
+
+def decode_positions(
+    blob, width: int, freqs: np.ndarray
+) -> np.ndarray:
+    """Inverse of encode_positions -> int64 positions stream."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    deltas = _unpack_block(memoryview(blob), total, width).astype(np.int64)
+    cums = np.cumsum(deltas)
+    starts = np.zeros(len(freqs), dtype=np.int64)
+    np.cumsum(freqs[:-1], out=starts[1:])
+    # subtract each doc's incoming prefix so cumsum restarts per doc
+    base = cums[starts] - deltas[starts]
+    return cums - np.repeat(base, freqs)
+
+
 def _block_offsets(counts: np.ndarray, widths: np.ndarray) -> np.ndarray:
     sizes = _packed_nbytes(counts, widths)
     offsets = np.zeros(len(sizes) + 1, dtype=np.int64)

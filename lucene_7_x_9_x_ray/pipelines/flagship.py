@@ -52,6 +52,13 @@ BOOLEAN_COUNT_SPECS: list[tuple[str, list[str], list[str], list[str], int]] = [
     ("must_value_not_line_group", ["value"], [], ["line", "group"], 0),
 ]
 
+# exact-phrase query set: (query_id, phrase terms, k)
+PHRASE_SPECS: list[tuple[str, list[str], int]] = [
+    ("ph_key_hash", ["key", "hash"], 10),
+    ("ph_the_table", ["the", "table"], 10),
+    ("ph3_row_scan_slow", ["row", "scan", "slow"], 10),
+]
+
 POSTINGS_TERMS = ["the", "table", "dup"]
 FACET_TERM = "table"
 GROUPED_TOPK_TERMS = ["key", "hash"]
@@ -61,8 +68,9 @@ _SEARCHERS: dict[str, tuple[IndexSearcher, IndexSearcher]] = {}
 
 
 def _cache_dir(sf_dir: str) -> str:
+    # v2: index format gained the positions (.pos) artifact
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(CACHE_ROOT, f"idx_{key}")
+    return os.path.join(CACHE_ROOT, f"idx_{key}_v2")
 
 
 def build_flagship_index(sf_dir: str, use_ray: bool = True) -> str:
@@ -147,6 +155,28 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
                 continue
             after = (float(anchor.scores[-1]), int(anchor.doc_ids[-1]))
             td = merged.search_after(query, k=k, after=after)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def q_phrase_topk(sf_dir: str) -> pa.Table:
+    """Exact PhraseQuery top-k over the positions index:
+    (query_id, rank, doc_id, score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms, k in PHRASE_SPECS:
+        td = merged.search(Q.PhraseQuery(terms=tuple(terms)), k=k)
         for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
             qids.append(qid)
             ranks.append(r)

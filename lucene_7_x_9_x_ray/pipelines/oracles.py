@@ -104,6 +104,46 @@ def bm25_topk_sql(
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def phrase_topk_sql(
+    phrase_specs: list[tuple[str, list[str], int]], relation: str = "documents"
+) -> str:
+    """Exact-phrase top-k oracle: (query_id, rank, doc_id, score_r).
+
+    Phrase freq = adjacent-position matches counted over the token array;
+    the score is BM25 with weight = float32(Σ double(per-term f32 idf))
+    (PhraseWeight / idfExplain(TermStatistics[]) semantics, scorers.py
+    _eval_phrase)."""
+    terms = sorted({t for _, ts, _ in phrase_specs for t in ts})
+    ctes = [base_ctes(relation)]
+    ctes += [term_leaf_ctes(t) for t in terms]
+    for qid, ts, _k in phrase_specs:
+        conds = " AND ".join(
+            f"arr[i+{j}] = '{t.replace(chr(39), chr(39) * 2)}'" for j, t in enumerate(ts)
+        )
+        idf_sum = " + ".join(f"CAST((SELECT w FROM w_{_ident(t)}) AS DOUBLE)" for t in ts)
+        ctes.append(f"""
+pf_{qid} AS (SELECT doc_id, count(*) AS freq
+             FROM (SELECT doc_id, arr,
+                          unnest(generate_series(1, greatest(len(arr) - {len(ts) - 1}, 0))) AS i
+                   FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}))
+             WHERE {conds} GROUP BY doc_id),
+ps_{qid} AS (SELECT pf.doc_id,
+                    CAST({idf_sum} AS FLOAT)
+                    - CAST({idf_sum} AS FLOAT)
+                      / ({ONE_F} + CAST(pf.freq AS FLOAT)
+                         * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                            + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS score
+             FROM pf_{qid} pf JOIN normlen nl USING (doc_id))""")
+    selects = [
+        f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM ps_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
+        for qid, _ts, k in phrase_specs
+    ]
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def term_stats_sql(relation: str = "documents") -> str:
     """Full term dictionary: (term, doc_freq, total_term_freq)."""
     return f"""WITH {base_ctes(relation)}

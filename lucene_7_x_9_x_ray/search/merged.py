@@ -38,6 +38,24 @@ class _Shard:
         self._len_docs = t["len_docs"].to_numpy()
         self._len_freqs = t["len_freqs"].to_numpy()
         self._post = np.memmap(os.path.join(shard_dir, POSTINGS_FILE), dtype=np.uint8, mode="r")
+        self.has_positions = "pos_off" in t.column_names
+        if self.has_positions:
+            self._pos_off = t["pos_off"].to_numpy()
+            self._pos_width = t["pos_width"].to_numpy()
+            self._len_pos = t["len_pos"].to_numpy()
+            from ..state.segment import POSITIONS_FILE
+
+            self._positions = np.memmap(
+                os.path.join(shard_dir, POSITIONS_FILE), dtype=np.uint8, mode="r"
+            )
+
+    def positions_by_ord(self, i: int, freqs: np.ndarray) -> np.ndarray:
+        from ..functions import codec as _codec
+
+        off, ln = int(self._pos_off[i]), int(self._len_pos[i])
+        return _codec.decode_positions(
+            self._positions[off : off + ln], int(self._pos_width[i]), freqs
+        )
 
     def lookup(self, term: str) -> int:
         i = int(np.searchsorted(self.terms, term))
@@ -156,6 +174,39 @@ class MergedReader:
             return None
         i = sh.lookup(term)
         return sh.postings_by_ord(i) if i >= 0 else None
+
+    def term_positions(self, term: str):
+        """(global docs, freqs, positions stream) or None — hot terms stitch
+        their doc-range fragments in bucket (== docID) order."""
+        hr = self.hot_rank.get(term)
+        sids = self._hot_sids(hr) if hr is not None else [self._cold_shard_id(term)]
+        d_parts, f_parts, p_parts = [], [], []
+        for sid in sids:
+            sh = self._shard(sid)
+            if sh is None or not getattr(sh, "has_positions", False):
+                continue
+            i = sh.lookup(term)
+            if i < 0:
+                continue
+            d, f = sh.postings_by_ord(i).decode()
+            d_parts.append(d)
+            f_parts.append(f)
+            p_parts.append(sh.positions_by_ord(i, f))
+        if not d_parts:
+            return None
+        return (
+            np.concatenate(d_parts),
+            np.concatenate(f_parts),
+            np.concatenate(p_parts),
+        )
+
+    @property
+    def has_positions(self) -> bool:
+        for s in self.meta["shards"]:
+            sh = self._shard(s["shard_id"])
+            if sh is not None:
+                return bool(getattr(sh, "has_positions", False))
+        return False
 
     @property
     def terms(self) -> np.ndarray:

@@ -149,12 +149,81 @@ def eval_query(
         return docs, out
 
     if isinstance(query, Q.PhraseQuery):
-        raise NotImplementedError("PhraseQuery requires the positions index (see search/phrase.py)")
+        return _eval_phrase(reader, query, stats, bm25)
 
     if isinstance(query, Q.BooleanQuery):
         return _eval_boolean(reader, query, stats, bm25)
 
     raise TypeError(f"unrewritten or unknown query type: {type(query).__name__}")
+
+
+def _eval_phrase(
+    reader, query: Q.PhraseQuery, stats: CollectionStats, bm25: BM25
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact PhraseQuery over the positions index (ExactPhraseMatcher
+    semantics): a doc matches when some position p has term_i at p+i for
+    every i; freq = number of such p. Scoring follows PhraseWeight: one
+    SimScorer whose idf is the DOUBLE sum of the per-term float idfs
+    (BM25Similarity idfExplain over TermStatistics[]), freq = phrase freq.
+    Sloppy phrases (slop > 0) are not implemented yet."""
+    if query.slop != 0:
+        raise NotImplementedError("sloppy PhraseQuery (slop > 0) not implemented")
+    if not getattr(reader, "has_positions", False):
+        raise ValueError(
+            "PhraseQuery requires an index built with index_positions=True"
+        )
+    per_term = []
+    for t in query.terms:
+        tpp = reader.term_positions(t)
+        if tpp is None:
+            return _empty()
+        per_term.append(tpp)
+
+    # conjunction of doc lists
+    cand = per_term[0][0]
+    for d, _f, _p in per_term[1:]:
+        cand = np.intersect1d(cand, d, assume_unique=True)
+    if len(cand) == 0:
+        return _empty()
+
+    # per-candidate phrase-match counting on the decoded position streams
+    locs, offs = [], []
+    for d, f, _p in per_term:
+        off = np.zeros(len(f) + 1, dtype=np.int64)
+        np.cumsum(f, out=off[1:])
+        locs.append(np.searchsorted(d, cand))
+        offs.append(off)
+    freqs = np.zeros(len(cand), dtype=np.int64)
+    for ci in range(len(cand)):
+        li = locs[0][ci]
+        match = per_term[0][2][offs[0][li] : offs[0][li + 1]]
+        for ti in range(1, len(per_term)):
+            li = locs[ti][ci]
+            pos_i = per_term[ti][2][offs[ti][li] : offs[ti][li + 1]]
+            match = np.intersect1d(match, pos_i - ti, assume_unique=True)
+            if len(match) == 0:
+                break
+        freqs[ci] = len(match)
+    keep = freqs > 0
+    cand, freqs = cand[keep], freqs[keep]
+    if len(cand) == 0:
+        return _empty()
+
+    idf_total = np.float32(
+        sum(
+            float(bm25.idf(stats.df(t), stats.doc_count))
+            for t in query.terms
+        )
+    )
+    weight = np.float32(query.boost) * idf_total
+    from ..functions.bm25 import BM25TermWeight
+
+    tw = BM25TermWeight(
+        weight=weight,
+        cache=bm25.norm_cache(bm25.avgdl(stats.sum_total_term_freq, stats.doc_count)),
+    )
+    scores = tw.score(freqs, reader.norms[cand]).astype(np.float32, copy=False)
+    return cand, scores
 
 
 def _eval_boolean(

@@ -48,6 +48,9 @@ class BuildConfig:
     # derive text from html and check byte-identity vs the text column
     # (per-row north-rule invariant); off by default for throughput
     verify_extract: bool = False
+    # IndexOptions: positions on by default, as for Lucene text fields
+    # (DOCS_AND_FREQS_AND_POSITIONS, index/IndexOptions.java:26-56)
+    index_positions: bool = True
     target_docs_per_segment: int = 100_000
     chunk_rows: int = 8192
 
@@ -147,6 +150,7 @@ def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> Segmen
         rg_start=spec["rg_start"],
         rg_end=spec["rg_end"],
         elapsed_sec=time.perf_counter() - t0,
+        index_positions=cfg.index_positions,
     )
     return stats
 

@@ -47,8 +47,10 @@ import pyarrow.parquet as pq
 
 from ..functions.codec import encode_postings
 from ..state.manifest import IndexManifest, atomic_write_json, load_json
+from ..functions.codec import decode_positions, encode_positions
 from ..state.segment import (
     NORMS_FILE,
+    POSITIONS_FILE,
     POSTINGS_FILE,
     TERMS_FILE,
     SegmentReader,
@@ -177,10 +179,32 @@ _FRAG_SCHEMA_COLS = (
     "term", "shard_id", "doc_base", "seg_dir", "doc_freq", "total_term_freq",
     "n_blocks", "n_imp", "len_docs", "len_freqs", "region",
 )
+_FRAG_POS_COLS = ("pos_width", "pos_blob")
 
 
 def _frag_table(cols: dict) -> pa.Table:
-    return pa.table({k: cols[k] for k in _FRAG_SCHEMA_COLS})
+    keys = _FRAG_SCHEMA_COLS + (_FRAG_POS_COLS if "pos_blob" in cols else ())
+    return pa.table({k: cols[k] for k in keys})
+
+
+def _empty_frag_table(has_pos: bool) -> pa.Table:
+    cols = {
+        "term": pa.array([], type=pa.string()),
+        "shard_id": pa.array([], type=pa.int32()),
+        "doc_base": pa.array([], type=pa.int64()),
+        "seg_dir": pa.array([], type=pa.string()),
+        "doc_freq": pa.array([], type=pa.int64()),
+        "total_term_freq": pa.array([], type=pa.int64()),
+        "n_blocks": pa.array([], type=pa.int32()),
+        "n_imp": pa.array([], type=pa.int32()),
+        "len_docs": pa.array([], type=pa.int64()),
+        "len_freqs": pa.array([], type=pa.int64()),
+        "region": pa.array([], type=pa.large_binary()),
+    }
+    if has_pos:
+        cols["pos_width"] = pa.array([], type=pa.uint8())
+        cols["pos_blob"] = pa.array([], type=pa.large_binary())
+    return _frag_table(cols)
 
 
 def assemble_range_group(
@@ -199,6 +223,7 @@ def assemble_range_group(
     all-to-all exchange.
     """
     parts = []
+    has_pos = False
     for seg_dir, doc_base in zip(seg_dirs, doc_bases):
         t = pq.read_table(os.path.join(seg_dir, TERMS_FILE))
         terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
@@ -220,39 +245,34 @@ def assemble_range_group(
         idx = np.arange(a, b)[keep]
         regions = [bytes(post[off[i] : ends[i]]) for i in idx]
         m = len(idx)
-        parts.append(
-            _frag_table(
-                {
-                    "term": pa.array(terms[idx], type=pa.string()),
-                    "shard_id": pa.array(np.full(m, shard_id, dtype=np.int32)),
-                    "doc_base": pa.array(np.full(m, doc_base, dtype=np.int64)),
-                    "seg_dir": pa.array([seg_dir] * m, type=pa.string()),
-                    "doc_freq": t["doc_freq"].take(idx),
-                    "total_term_freq": t["total_term_freq"].take(idx),
-                    "n_blocks": t["n_blocks"].take(idx),
-                    "n_imp": t["n_imp"].take(idx),
-                    "len_docs": t["len_docs"].take(idx),
-                    "len_freqs": t["len_freqs"].take(idx),
-                    "region": pa.array(regions, type=pa.large_binary()),
-                }
+        cols = {
+            "term": pa.array(terms[idx], type=pa.string()),
+            "shard_id": pa.array(np.full(m, shard_id, dtype=np.int32)),
+            "doc_base": pa.array(np.full(m, doc_base, dtype=np.int64)),
+            "seg_dir": pa.array([seg_dir] * m, type=pa.string()),
+            "doc_freq": t["doc_freq"].take(idx),
+            "total_term_freq": t["total_term_freq"].take(idx),
+            "n_blocks": t["n_blocks"].take(idx),
+            "n_imp": t["n_imp"].take(idx),
+            "len_docs": t["len_docs"].take(idx),
+            "len_freqs": t["len_freqs"].take(idx),
+            "region": pa.array(regions, type=pa.large_binary()),
+        }
+        if "pos_off" in t.column_names:
+            has_pos = True
+            pos_off = t["pos_off"].to_numpy()
+            len_pos = t["len_pos"].to_numpy()
+            posf = np.memmap(
+                os.path.join(seg_dir, POSITIONS_FILE), dtype=np.uint8, mode="r"
             )
-        )
+            cols["pos_width"] = t["pos_width"].take(idx)
+            cols["pos_blob"] = pa.array(
+                [bytes(posf[pos_off[i] : pos_off[i] + len_pos[i]]) for i in idx],
+                type=pa.large_binary(),
+            )
+        parts.append(_frag_table(cols))
     if not parts:
-        return _frag_table(
-            {
-                "term": pa.array([], type=pa.string()),
-                "shard_id": pa.array([], type=pa.int32()),
-                "doc_base": pa.array([], type=pa.int64()),
-                "seg_dir": pa.array([], type=pa.string()),
-                "doc_freq": pa.array([], type=pa.int64()),
-                "total_term_freq": pa.array([], type=pa.int64()),
-                "n_blocks": pa.array([], type=pa.int32()),
-                "n_imp": pa.array([], type=pa.int32()),
-                "len_docs": pa.array([], type=pa.int64()),
-                "len_freqs": pa.array([], type=pa.int64()),
-                "region": pa.array([], type=pa.large_binary()),
-            }
-        )
+        return _empty_frag_table(has_pos)
     return pa.concat_tables(parts)
 
 
@@ -272,7 +292,8 @@ def assemble_hot_group(
         for d, base, o in zip(seg_dirs, doc_bases, seg_ords)
         if _bucket_of(o, n_segs, cfg.hot_buckets) == bucket
     ]
-    t_parts, b_parts, s_parts, rows = [], [], [], []
+    rows = []
+    has_pos = False
     for seg_dir, doc_base in sel:
         t = pq.read_table(os.path.join(seg_dir, TERMS_FILE))
         terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
@@ -282,33 +303,47 @@ def assemble_hot_group(
         off = t["off"].to_numpy()
         post = np.memmap(os.path.join(seg_dir, POSTINGS_FILE), dtype=np.uint8, mode="r")
         end = int(off[i + 1]) if i + 1 < len(terms) else len(post)
-        rows.append(
-            {
-                "term": term,
-                "shard_id": shard_id,
-                "doc_base": doc_base,
-                "seg_dir": seg_dir,
-                "doc_freq": int(t["doc_freq"][i].as_py()),
-                "total_term_freq": int(t["total_term_freq"][i].as_py()),
-                "n_blocks": int(t["n_blocks"][i].as_py()),
-                "n_imp": int(t["n_imp"][i].as_py()),
-                "len_docs": int(t["len_docs"][i].as_py()),
-                "len_freqs": int(t["len_freqs"][i].as_py()),
-                "region": bytes(post[int(off[i]) : end]),
-            }
-        )
-    if not rows:
-        return assemble_range_group([], [], "", "", frozenset(), shard_id)
-    tb = pa.Table.from_pylist(rows)
-    return _frag_table(
-        {
-            **{k: tb[k] for k in _FRAG_SCHEMA_COLS if k not in ("shard_id", "n_blocks", "n_imp", "region")},
-            "shard_id": tb["shard_id"].cast(pa.int32()),
-            "n_blocks": tb["n_blocks"].cast(pa.int32()),
-            "n_imp": tb["n_imp"].cast(pa.int32()),
-            "region": tb["region"].cast(pa.large_binary()),
+        row = {
+            "term": term,
+            "shard_id": shard_id,
+            "doc_base": doc_base,
+            "seg_dir": seg_dir,
+            "doc_freq": int(t["doc_freq"][i].as_py()),
+            "total_term_freq": int(t["total_term_freq"][i].as_py()),
+            "n_blocks": int(t["n_blocks"][i].as_py()),
+            "n_imp": int(t["n_imp"][i].as_py()),
+            "len_docs": int(t["len_docs"][i].as_py()),
+            "len_freqs": int(t["len_freqs"][i].as_py()),
+            "region": bytes(post[int(off[i]) : end]),
         }
-    )
+        if "pos_off" in t.column_names:
+            has_pos = True
+            po = int(t["pos_off"][i].as_py())
+            lp = int(t["len_pos"][i].as_py())
+            posf = np.memmap(
+                os.path.join(seg_dir, POSITIONS_FILE), dtype=np.uint8, mode="r"
+            )
+            row["pos_width"] = int(t["pos_width"][i].as_py())
+            row["pos_blob"] = bytes(posf[po : po + lp])
+        rows.append(row)
+    if not rows:
+        return _empty_frag_table(False)
+    tb = pa.Table.from_pylist(rows)
+    cols = {
+        **{
+            k: tb[k]
+            for k in _FRAG_SCHEMA_COLS
+            if k not in ("shard_id", "n_blocks", "n_imp", "region")
+        },
+        "shard_id": tb["shard_id"].cast(pa.int32()),
+        "n_blocks": tb["n_blocks"].cast(pa.int32()),
+        "n_imp": tb["n_imp"].cast(pa.int32()),
+        "region": tb["region"].cast(pa.large_binary()),
+    }
+    if has_pos:
+        cols["pos_width"] = tb["pos_width"].cast(pa.uint8())
+        cols["pos_blob"] = tb["pos_blob"].cast(pa.large_binary())
+    return _frag_table(cols)
 
 
 def merge_index_pull(index_dir: str, cfg: MergeConfig | None = None) -> dict:
@@ -409,21 +444,33 @@ def emit_fragments(
             # the reducer reads the segment's norms from shared storage, so
             # the shuffle ships each posting region exactly once, nothing else
             regions.append(bytes(post[r._off[ti] : region_ends[ti]]))
-        yield pa.table(
-            {
-                "term": pa.array(terms, type=pa.string()),
-                "shard_id": pa.array(shard_ids),
-                "doc_base": pa.array(np.full(e - s, r.doc_base, dtype=np.int64)),
-                "seg_dir": pa.array([seg_dir] * (e - s), type=pa.string()),
-                "doc_freq": pa.array(r.doc_freqs[s:e]),
-                "total_term_freq": pa.array(r.ttfs[s:e]),
-                "n_blocks": pa.array(r._n_blocks[s:e]),
-                "n_imp": pa.array(r._n_imp[s:e]),
-                "len_docs": pa.array(r._len_docs[s:e]),
-                "len_freqs": pa.array(r._len_freqs[s:e]),
-                "region": pa.array(regions, type=pa.large_binary()),
-            }
-        )
+        cols = {
+            "term": pa.array(terms, type=pa.string()),
+            "shard_id": pa.array(shard_ids),
+            "doc_base": pa.array(np.full(e - s, r.doc_base, dtype=np.int64)),
+            "seg_dir": pa.array([seg_dir] * (e - s), type=pa.string()),
+            "doc_freq": pa.array(r.doc_freqs[s:e]),
+            "total_term_freq": pa.array(r.ttfs[s:e]),
+            "n_blocks": pa.array(r._n_blocks[s:e]),
+            "n_imp": pa.array(r._n_imp[s:e]),
+            "len_docs": pa.array(r._len_docs[s:e]),
+            "len_freqs": pa.array(r._len_freqs[s:e]),
+            "region": pa.array(regions, type=pa.large_binary()),
+        }
+        if r.has_positions:
+            cols["pos_width"] = pa.array(r._pos_width[s:e], type=pa.uint8())
+            cols["pos_blob"] = pa.array(
+                [
+                    bytes(
+                        r._positions[
+                            int(r._pos_off[ti]) : int(r._pos_off[ti]) + int(r._len_pos[ti])
+                        ]
+                    )
+                    for ti in range(s, e)
+                ],
+                type=pa.large_binary(),
+            )
+        yield pa.table(cols)
 
 
 def write_merged_shard(
@@ -456,6 +503,9 @@ def write_merged_shard(
     len_docs = g["len_docs"].to_numpy()
     len_freqs = g["len_freqs"].to_numpy()
     regions = g["region"].to_pylist()
+    has_pos = "pos_blob" in g.column_names
+    pos_blobs = g["pos_blob"].to_pylist() if has_pos else None
+    pos_widths = g["pos_width"].to_numpy() if has_pos else None
 
     # segment norms from shared storage, loaded once per segment per reducer
     # (not shipped through the shuffle)
@@ -480,10 +530,18 @@ def write_merged_shard(
             np.zeros(len(uniq), np.int64))
     out_dfs = np.zeros(len(uniq), np.int64)
     out_ttfs = np.zeros(len(uniq), np.int64)
+    out_pos_blobs: list[bytes] = []
+    pos_meta = (
+        (np.zeros(len(uniq), np.int64), np.zeros(len(uniq), np.uint8),
+         np.zeros(len(uniq), np.int64))
+        if has_pos
+        else None
+    )
     pos = 0
+    ppos = 0
     for ui in range(len(uniq)):
         s, e = int(starts[ui]), int(ends[ui])
-        docs_parts, freqs_parts, norm_parts = [], [], []
+        docs_parts, freqs_parts, norm_parts, pos_parts = [], [], [], []
         for fi in range(s, e):
             tp = parse_region(
                 regions[fi], int(dfs[fi]), int(n_blocks[fi]), int(n_imps[fi]),
@@ -493,6 +551,12 @@ def write_merged_shard(
             docs_parts.append(d + doc_bases[fi])  # -> global docIDs
             freqs_parts.append(f)
             norm_parts.append(seg_norms(seg_dirs[fi])[d])
+            if has_pos:
+                # positions are doc-local: fragment streams concatenate in
+                # doc_base order with no remap, then re-pack at the new width
+                pos_parts.append(
+                    decode_positions(pos_blobs[fi], int(pos_widths[fi]), f)
+                )
         docs = np.concatenate(docs_parts)
         freqs = np.concatenate(freqs_parts)
         norms = np.concatenate(norm_parts)
@@ -507,6 +571,13 @@ def write_merged_shard(
         out_dfs[ui] = enc.doc_freq
         out_ttfs[ui] = int(ttfs[s:e].sum())
         pos += len(region)
+        if has_pos:
+            pblob, pw = encode_positions(np.concatenate(pos_parts), freqs)
+            out_pos_blobs.append(pblob)
+            pos_meta[0][ui] = ppos
+            pos_meta[1][ui] = pw
+            pos_meta[2][ui] = len(pblob)
+            ppos += len(pblob)
 
     tmp = os.path.join(merged_dir, f".{shard_name}.tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
@@ -519,8 +590,12 @@ def write_merged_shard(
                 # durability point is the manifest commit (segments_N
                 # analogue); per-file fsync is opt-in for strict mode
                 os.fsync(f.fileno())
+        if has_pos:
+            with open(os.path.join(tmp, POSITIONS_FILE), "wb") as f:
+                for b in out_pos_blobs:
+                    f.write(b)
         pq.write_table(
-            encode_term_table(uniq, out_dfs, out_ttfs, meta),
+            encode_term_table(uniq, out_dfs, out_ttfs, meta, pos_meta=pos_meta),
             os.path.join(tmp, TERMS_FILE),
             row_group_size=65536,
         )

@@ -45,6 +45,7 @@ TERMS_FILE = "terms.parquet"
 POSTINGS_FILE = "postings.bin"
 NORMS_FILE = "norms.bin"
 DOCMAP_FILE = "docmap.parquet"
+POSITIONS_FILE = "positions.bin"  # the .pos analogue (optional, per IndexOptions)
 
 
 # ---------------------------------------------------------------------------
@@ -129,6 +130,59 @@ def invert_texts_coded(
     )
 
 
+def invert_tokens_coded(
+    texts, analyzer: Analyzer, chunk_rows: int = 8192
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Token-level inversion (positions path).
+
+    Returns (vocab unsorted, term_codes per token, local_docs per token,
+    positions per token [0-based within doc], doc_lengths). Used when
+    IndexOptions include positions — the DefaultIndexingChain.invert:806
+    analogue that keeps the position attribute.
+    """
+    import pandas as pd
+
+    n = len(texts)
+    lengths = np.zeros(n, dtype=np.int64)
+    vocab_index: dict = {}
+    vocab_list: list = []
+    c_parts, d_parts, p_parts = [], [], []
+    for base in range(0, n, chunk_rows):
+        chunk = texts[base : base + chunk_rows]
+        tokens, doc_idx = analyzer.tokenize_batch(chunk)
+        m = len(chunk)
+        per_doc = np.bincount(doc_idx, minlength=m)
+        lengths[base : base + m] = per_doc
+        if len(tokens) == 0:
+            continue
+        doc_tok_starts = np.zeros(m, dtype=np.int64)
+        np.cumsum(per_doc[:-1], out=doc_tok_starts[1:])
+        positions = np.arange(len(tokens), dtype=np.int64) - doc_tok_starts[doc_idx]
+        local_codes, local_vocab = pd.factorize(tokens)
+        remap = np.empty(len(local_vocab), dtype=np.int64)
+        for i, t in enumerate(local_vocab):
+            gc = vocab_index.get(t)
+            if gc is None:
+                gc = len(vocab_list)
+                vocab_index[t] = gc
+                vocab_list.append(t)
+            remap[i] = gc
+        c_parts.append(remap[local_codes])
+        d_parts.append(doc_idx.astype(np.int64) + base)
+        p_parts.append(positions)
+    vocab = np.array(vocab_list, dtype=object)
+    if not c_parts:
+        empty = np.empty(0, dtype=np.int64)
+        return vocab, empty, empty, empty, lengths
+    return (
+        vocab,
+        np.concatenate(c_parts),
+        np.concatenate(d_parts),
+        np.concatenate(p_parts),
+        lengths,
+    )
+
+
 # ---------------------------------------------------------------------------
 # writer
 # ---------------------------------------------------------------------------
@@ -166,6 +220,7 @@ def write_segment(
     rg_start: int = 0,
     rg_end: int = 0,
     elapsed_sec: float = 0.0,
+    index_positions: bool = False,
 ) -> SegmentStats:
     """Build + atomically commit one segment from a partition of pages.
 
@@ -174,21 +229,41 @@ def write_segment(
     task arrival order (SURVEY.md §7.5).
     """
     n = len(texts)
-    vocab, codes, docs, freqs, lengths = invert_texts_coded(texts, analyzer)
+    pos_s = pair_tok_starts = None
+    if index_positions:
+        # token-level path: one lexsort of (term rank, doc, position) gives
+        # the postings AND the per-term position streams in final order
+        vocab, codes_tok, docs_tok, pos_tok, lengths = invert_tokens_coded(texts, analyzer)
+    else:
+        vocab, codes, docs, freqs, lengths = invert_texts_coded(texts, analyzer)
     norms = int_to_byte4(lengths)
 
     # sort triples by (term, doc): only the SMALL vocab is string-sorted;
     # the big triple arrays sort on integer codes (rank remap + lexsort)
-    if len(codes):
+    if len(vocab):
         vocab_order = np.argsort(vocab)  # sorted term strings
         uniq_terms = vocab[vocab_order]
         rank = np.empty(len(vocab), dtype=np.int64)
         rank[vocab_order] = np.arange(len(vocab))
-        inv = rank[codes]
-        order = np.lexsort((docs, inv))
-        docs_s = docs[order]
-        freqs_s = freqs[order]
-        inv_s = inv[order]
+        if index_positions:
+            inv_tok = rank[codes_tok]
+            order = np.lexsort((pos_tok, docs_tok, inv_tok))
+            inv_st = inv_tok[order]
+            docs_st = docs_tok[order]
+            pos_s = pos_tok[order]
+            change = np.r_[
+                True, (inv_st[1:] != inv_st[:-1]) | (docs_st[1:] != docs_st[:-1])
+            ]
+            pair_tok_starts = np.flatnonzero(change)
+            freqs_s = np.diff(np.r_[pair_tok_starts, len(inv_st)])
+            docs_s = docs_st[pair_tok_starts]
+            inv_s = inv_st[pair_tok_starts]
+        else:
+            inv = rank[codes]
+            order = np.lexsort((docs, inv))
+            docs_s = docs[order]
+            freqs_s = freqs[order]
+            inv_s = inv[order]
         # term boundaries
         starts = np.searchsorted(inv_s, np.arange(len(uniq_terms)))
         ends = np.append(starts[1:], len(inv_s))
@@ -205,8 +280,16 @@ def write_segment(
     dfs = (ends - starts).astype(np.int64)
     ttfs = np.zeros(len(uniq_terms), dtype=np.int64)
 
+    n_terms_total = len(uniq_terms)
+    pos_off_arr = np.zeros(n_terms_total, dtype=np.int64)
+    pos_width_arr = np.zeros(n_terms_total, dtype=np.uint8)
+    len_pos_arr = np.zeros(n_terms_total, dtype=np.int64)
+    pos_blobs: list[bytes] = []
+
     regions: list[bytes] = []
     pos = 0
+    ppos = 0
+    total_toks = len(pos_s) if pos_s is not None else 0
     for ti in range(len(uniq_terms)):
         s, e = starts[ti], ends[ti]
         td, tf = docs_s[s:e], freqs_s[s:e]
@@ -220,6 +303,15 @@ def write_segment(
         len_freqs_arr[ti] = len(enc.freqs_blob)
         ttfs[ti] = enc.total_term_freq
         pos += len(region)
+        if index_positions:
+            tok_s = int(pair_tok_starts[s])
+            tok_e = int(pair_tok_starts[e]) if e < len(pair_tok_starts) else total_toks
+            pblob, pw = codec.encode_positions(pos_s[tok_s:tok_e], tf)
+            pos_blobs.append(pblob)
+            pos_off_arr[ti] = ppos
+            pos_width_arr[ti] = pw
+            len_pos_arr[ti] = len(pblob)
+            ppos += len(pblob)
 
     tmp = os.path.join(os.path.dirname(out_dir), f".{seg_name}.tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
@@ -233,17 +325,17 @@ def write_segment(
                 # analogue); per-file fsync is opt-in for strict mode
                 os.fsync(f.fileno())
 
-        terms_table = pa.table(
-            {
-                "term": pa.array(uniq_terms, type=pa.string()),
-                "doc_freq": pa.array(dfs),
-                "total_term_freq": pa.array(ttfs),
-                "off": pa.array(offsets),
-                "n_blocks": pa.array(n_blocks_arr),
-                "n_imp": pa.array(n_imp_arr),
-                "len_docs": pa.array(len_docs_arr),
-                "len_freqs": pa.array(len_freqs_arr),
-            }
+        pos_meta = None
+        if index_positions:
+            with open(os.path.join(tmp, POSITIONS_FILE), "wb") as f:
+                for b in pos_blobs:
+                    f.write(b)
+            pos_meta = (pos_off_arr, pos_width_arr, len_pos_arr)
+
+        terms_table = encode_term_table(
+            uniq_terms, dfs, ttfs,
+            (offsets, n_blocks_arr, n_imp_arr, len_docs_arr, len_freqs_arr),
+            pos_meta=pos_meta,
         )
         pq.write_table(terms_table, os.path.join(tmp, TERMS_FILE), row_group_size=65536)
 
@@ -355,24 +447,29 @@ def parse_region(region, doc_freq: int, n_blocks: int, n_imp: int,
 
 
 def encode_term_table(
-    uniq_terms, dfs, ttfs, regions_meta
+    uniq_terms, dfs, ttfs, regions_meta, pos_meta=None
 ) -> pa.Table:
     """Assemble a terms.parquet table from per-term region metadata
     (offsets, n_blocks, n_imp, len_docs, len_freqs) — shared by the segment
-    writer and the merge shard writer."""
+    writer and the merge shard writer. ``pos_meta`` = (pos_off, pos_width,
+    len_pos) adds the positions columns when positions are indexed."""
     offsets, n_blocks_arr, n_imp_arr, len_docs_arr, len_freqs_arr = regions_meta
-    return pa.table(
-        {
-            "term": pa.array(uniq_terms, type=pa.string()),
-            "doc_freq": pa.array(np.asarray(dfs, dtype=np.int64)),
-            "total_term_freq": pa.array(np.asarray(ttfs, dtype=np.int64)),
-            "off": pa.array(np.asarray(offsets, dtype=np.int64)),
-            "n_blocks": pa.array(np.asarray(n_blocks_arr, dtype=np.int32)),
-            "n_imp": pa.array(np.asarray(n_imp_arr, dtype=np.int32)),
-            "len_docs": pa.array(np.asarray(len_docs_arr, dtype=np.int64)),
-            "len_freqs": pa.array(np.asarray(len_freqs_arr, dtype=np.int64)),
-        }
-    )
+    cols = {
+        "term": pa.array(uniq_terms, type=pa.string()),
+        "doc_freq": pa.array(np.asarray(dfs, dtype=np.int64)),
+        "total_term_freq": pa.array(np.asarray(ttfs, dtype=np.int64)),
+        "off": pa.array(np.asarray(offsets, dtype=np.int64)),
+        "n_blocks": pa.array(np.asarray(n_blocks_arr, dtype=np.int32)),
+        "n_imp": pa.array(np.asarray(n_imp_arr, dtype=np.int32)),
+        "len_docs": pa.array(np.asarray(len_docs_arr, dtype=np.int64)),
+        "len_freqs": pa.array(np.asarray(len_freqs_arr, dtype=np.int64)),
+    }
+    if pos_meta is not None:
+        pos_off, pos_width, len_pos = pos_meta
+        cols["pos_off"] = pa.array(np.asarray(pos_off, dtype=np.int64))
+        cols["pos_width"] = pa.array(np.asarray(pos_width, dtype=np.uint8))
+        cols["len_pos"] = pa.array(np.asarray(len_pos, dtype=np.int64))
+    return pa.table(cols)
 
 
 class SegmentReader:
@@ -401,6 +498,34 @@ class SegmentReader:
         self.doc_count = self.stats.doc_count
         self.doc_base = self.stats.doc_base
         self._docmap = None
+        self.has_positions = "pos_off" in t.column_names
+        if self.has_positions:
+            self._pos_off = t["pos_off"].to_numpy()
+            self._pos_width = t["pos_width"].to_numpy()
+            self._len_pos = t["len_pos"].to_numpy()
+            self._positions = np.memmap(
+                os.path.join(seg_dir, POSITIONS_FILE), dtype=np.uint8, mode="r"
+            )
+
+    def positions_by_ord(self, i: int, freqs: np.ndarray) -> np.ndarray:
+        """Decoded positions stream for term ord i (needs its decoded freqs
+        to place doc boundaries) — the PostingsEnum.nextPosition analogue."""
+        from ..functions import codec as _codec
+
+        off, ln = int(self._pos_off[i]), int(self._len_pos[i])
+        return _codec.decode_positions(
+            self._positions[off : off + ln], int(self._pos_width[i]), freqs
+        )
+
+    def term_positions(self, term: str):
+        """(docs, freqs, positions stream) or None (term absent / no .pos)."""
+        if not self.has_positions:
+            return None
+        i = self.lookup(term)
+        if i < 0:
+            return None
+        docs, freqs = self.postings_by_ord(i).decode()
+        return docs, freqs, self.positions_by_ord(i, freqs)
 
     def lookup(self, term: str) -> int:
         """Sorted-dict binary search; -1 if absent (the FST-replacement)."""

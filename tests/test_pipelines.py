@@ -219,3 +219,53 @@ def test_merged_wand_duel_with_hot_terms(ray_session, tmp_path):
             b = s.search(q, k=k, mode="wand")
             assert list(a.doc_ids) == list(b.doc_ids), (terms, k)
             assert np.array_equal(a.scores, b.scores), (terms, k)
+
+
+def test_positions_roundtrip():
+    from lucene_7_x_9_x_ray.functions.codec import decode_positions, encode_positions
+
+    rng = np.random.default_rng(3)
+    for _ in range(30):
+        n_docs = int(rng.integers(1, 20))
+        freqs = rng.integers(1, 9, size=n_docs)
+        stream = np.concatenate(
+            [np.sort(rng.choice(500, size=f, replace=False)) for f in freqs]
+        ).astype(np.int64)
+        blob, w = encode_positions(stream, freqs)
+        out = decode_positions(blob, w, freqs)
+        assert np.array_equal(out, stream)
+
+
+def test_phrase_query_matches_bruteforce(ray_session, tmp_path):
+    """Exact PhraseQuery vs a per-doc python scan, segment AND merged."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index
+
+    pages = generate_pages(400, vocab_size=50, mean_tokens=30, seed=9)
+    path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "idx")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=100, index_positions=True))
+    merge_index(idx, MergeConfig(n_shards=4, hot_df_threshold=40, hot_buckets=4))
+
+    texts = pages["text"].to_pylist()
+    phrase = ("t00000", "t00001")
+
+    def brute_freq(toks):
+        return sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == phrase[0] and toks[i + 1] == phrase[1]
+        )
+
+    want_docs = sorted(
+        d for d, t in enumerate(texts) if brute_freq(t.split()) > 0
+    )
+    for searcher in (IndexSearcher(idx), open_searcher(idx)):
+        td = searcher.search(Q.PhraseQuery(terms=phrase), k=1000,
+                             total_hits_threshold=1 << 30)
+        assert sorted(int(d) for d in td.doc_ids) == want_docs
