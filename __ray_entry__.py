@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": flagship.q_bm25_topk,
         "bm25_topk_served": flagship.q_bm25_topk_served,  # actor-pool serving stage
         "phrase_topk": flagship.q_phrase_topk,
+        "scoring_variants": flagship.q_scoring_variants,
         "boolean_counts": flagship.q_boolean_counts,
         "term_stats": flagship.q_term_stats,
         "postings": flagship.q_postings,
@@ -81,6 +82,9 @@ def oracle_sql() -> dict[str, str]:
             [s for s in flagship.BM25_QUERY_SPECS if s[3] == 0]
         ),
         "phrase_topk": O.phrase_topk_sql(flagship.PHRASE_SPECS),
+        "scoring_variants": O.scoring_variants_sql(
+            *flagship.SCORING_VARIANT_TERMS, flagship.SCORING_VARIANTS_K
+        ),
         "boolean_counts": O.boolean_counts_sql(flagship.BOOLEAN_COUNT_SPECS),
         "term_stats": O.term_stats_sql(),
         "postings": O.postings_sql(flagship.POSTINGS_TERMS),

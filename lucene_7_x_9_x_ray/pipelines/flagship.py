@@ -192,6 +192,55 @@ def q_phrase_topk(sf_dir: str) -> pa.Table:
     )
 
 
+SCORING_VARIANT_TERMS = ("key", "hash")
+SCORING_VARIANTS_K = 10
+
+
+def q_scoring_variants(sf_dir: str) -> pa.Table:
+    """Non-disjunction scoring operators (SynonymQuery, DisjunctionMax,
+    boosted clauses, MUST+optional-SHOULD): (query_id, rank, doc_id,
+    score_r), each reproduced exactly by oracles.scoring_variants_sql."""
+    merged, _ = get_searchers(sf_dir)
+    ta, tb = SCORING_VARIANT_TERMS
+    cases = [
+        (f"syn_{ta}_{tb}", Q.SynonymQuery(terms=(ta, tb))),
+        (
+            f"dismax_{ta}_{tb}",
+            Q.DisjunctionMaxQuery(
+                queries=(Q.TermQuery(ta), Q.TermQuery(tb)), tie_breaker=0.3
+            ),
+        ),
+        (
+            f"boost_{ta}2_{tb}",
+            Q.BooleanQuery.build(
+                [(Q.SHOULD, Q.TermQuery(ta, boost=2.0)), (Q.SHOULD, Q.TermQuery(tb))]
+            ),
+        ),
+        (
+            f"must_{ta}_opt_{tb}",
+            Q.BooleanQuery.build(
+                [(Q.MUST, Q.TermQuery(ta)), (Q.SHOULD, Q.TermQuery(tb))]
+            ),
+        ),
+    ]
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, query in cases:
+        td = merged.search(query, k=SCORING_VARIANTS_K)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 def q_bm25_topk_served(sf_dir: str) -> pa.Table:
     """Same reference query set, but scored by the actor-pool serving stage
     (stages/serve.py): each actor memory-maps the merged index once and

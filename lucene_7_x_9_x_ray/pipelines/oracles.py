@@ -144,6 +144,76 @@ ps_{qid} AS (SELECT pf.doc_id,
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def scoring_variants_sql(ta: str, tb: str, k: int, relation: str = "documents") -> str:
+    """Oracle for the non-disjunction scoring operators over terms (ta, tb):
+
+    - syn: SynonymQuery — one pseudo-term with freq = freq_a + freq_b,
+      df = max(df_a, df_b) (SynonymQuery TermStatistics aggregation).
+    - dismax: DisjunctionMaxQuery tie=0.3 — float64 max + tie*(sum-max),
+      cast to float32 (DisjunctionMaxQuery.java:30; scorers.py).
+    - boost: SHOULD [ta^2.0, tb] — boost folded into the term weight
+      (weight = boost * idf, BM25Similarity weight creation).
+    - must_opt: MUST ta SHOULD tb — candidates = ta docs, score = sum.
+    """
+    a, b = _ident(ta), _ident(tb)
+    la, lb = ta.replace("'", "''"), tb.replace("'", "''")
+    ctes = [base_ctes(relation), term_leaf_ctes(ta), term_leaf_ctes(tb)]
+    ctes.append(f"""
+w2_{a} AS (SELECT CAST(2.0 AS FLOAT) * (SELECT w FROM w_{a}) AS w),
+s2_{a} AS (SELECT tf.doc_id,
+                  (SELECT w FROM w2_{a})
+                  - (SELECT w FROM w2_{a})
+                    / ({ONE_F} + CAST(tf.freq AS FLOAT)
+                       * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                          + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS s
+           FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{la}' GROUP BY doc_id) tf
+           JOIN normlen nl USING (doc_id)),
+w_syn AS (SELECT CAST(ln(1 + ((SELECT n_docs FROM cs) - df + 0.5) / (df + 0.5)) AS FLOAT) AS w
+          FROM (SELECT greatest(
+                 (SELECT count(DISTINCT doc_id) FROM tok WHERE term = '{la}'),
+                 (SELECT count(DISTINCT doc_id) FROM tok WHERE term = '{lb}')) AS df)),
+syn AS (SELECT tf.doc_id,
+               (SELECT w FROM w_syn)
+               - (SELECT w FROM w_syn)
+                 / ({ONE_F} + CAST(tf.freq AS FLOAT)
+                    * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                       + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS score
+        FROM (SELECT doc_id, count(*) AS freq FROM tok
+              WHERE term IN ('{la}', '{lb}') GROUP BY doc_id) tf
+        JOIN normlen nl USING (doc_id)),
+pair AS (SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id, x.s AS sa, y.s AS sb
+         FROM s_{a} x FULL OUTER JOIN s_{b} y ON x.doc_id = y.doc_id),
+dismax AS (SELECT doc_id,
+                  CAST(CAST(greatest(COALESCE(sa, CAST('-inf' AS FLOAT)),
+                                     COALESCE(sb, CAST('-inf' AS FLOAT))) AS DOUBLE)
+                       + 0.3 * ((COALESCE(CAST(sa AS DOUBLE), 0) + COALESCE(CAST(sb AS DOUBLE), 0))
+                                - CAST(greatest(COALESCE(sa, CAST('-inf' AS FLOAT)),
+                                                COALESCE(sb, CAST('-inf' AS FLOAT))) AS DOUBLE))
+                       AS FLOAT) AS score
+           FROM pair),
+boostq AS (SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
+                  CAST(COALESCE(CAST(x.s AS DOUBLE), 0)
+                       + COALESCE(CAST(y.s AS DOUBLE), 0) AS FLOAT) AS score
+           FROM s2_{a} x FULL OUTER JOIN s_{b} y ON x.doc_id = y.doc_id),
+mustopt AS (SELECT x.doc_id,
+                   CAST(CAST(x.s AS DOUBLE) + COALESCE(CAST(y.s AS DOUBLE), 0) AS FLOAT) AS score
+            FROM s_{a} x LEFT JOIN s_{b} y ON x.doc_id = y.doc_id)""")
+    selects = []
+    for qid, rel in (
+        (f"syn_{a}_{b}", "syn"),
+        (f"dismax_{a}_{b}", "dismax"),
+        (f"boost_{a}2_{b}", "boostq"),
+        (f"must_{a}_opt_{b}", "mustopt"),
+    ):
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM {rel} ORDER BY score DESC, doc_id LIMIT {k})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def term_stats_sql(relation: str = "documents") -> str:
     """Full term dictionary: (term, doc_freq, total_term_freq)."""
     return f"""WITH {base_ctes(relation)}
