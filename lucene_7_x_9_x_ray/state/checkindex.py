@@ -1,0 +1,150 @@
+"""CheckIndex analogue: whole-index invariant validation.
+
+Re-creates the role of CheckIndex.checkIndex (solr-8.4.0/lucene/core/src/
+java/org/apache/lucene/index/CheckIndex.java:642-882): walk every segment
+(and the merged index, if present) and verify the structural invariants
+the query engine relies on. Run after builds/merges in tests, or from the
+CLI: ``python -m lucene_7_x_9_x_ray.state.checkindex <index_dir>``.
+
+Checks per segment / merged shard:
+- term dictionary strictly sorted, unique;
+- decoded postings: len == doc_freq, docIDs strictly increasing and
+  within [0, doc_count) (local) / [0, total_docs) (merged, global);
+- freqs >= 1 and sum == total_term_freq;
+- per-block impacts: non-empty pareto frontier per block, and the
+  max-score bound dominates every (freq, norm) in its block;
+- norms file length == doc_count;
+- positions (if present): stream lengths match ttf, positions
+  non-negative and < the doc's length is NOT required (tokens may exceed
+  norm quantization) but per-doc positions must be strictly increasing;
+- cross-checks: Σ segment doc_count == manifest doc_count; merged
+  per-term df/ttf == Σ segment df/ttf.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from .manifest import IndexManifest
+from .segment import SegmentReader
+
+
+class CheckIndexError(AssertionError):
+    pass
+
+
+def _check(cond, msg):
+    if not cond:
+        raise CheckIndexError(msg)
+
+
+def _check_reader_terms(reader, name: str, doc_limit: int, sample_every: int = 1):
+    terms = reader.terms
+    if len(terms) > 1:
+        _check((terms[:-1] < terms[1:]).all(), f"{name}: term dict not strictly sorted")
+    total_df = 0
+    total_ttf = 0
+    for i in range(0, len(terms), sample_every):
+        tp = reader.postings_by_ord(i)
+        docs, freqs = tp.decode()
+        _check(len(docs) == tp.doc_freq, f"{name}/{terms[i]}: len(docs) != doc_freq")
+        if len(docs) > 1:
+            _check((docs[1:] > docs[:-1]).all(), f"{name}/{terms[i]}: docs not increasing")
+        if len(docs):
+            _check(0 <= docs[0] and docs[-1] < doc_limit,
+                   f"{name}/{terms[i]}: docID out of range")
+        _check((freqs >= 1).all(), f"{name}/{terms[i]}: freq < 1")
+        _check(int(freqs.sum()) == tp.total_term_freq,
+               f"{name}/{terms[i]}: sum(freqs) != total_term_freq")
+        # impacts: per-block frontier dominates the block's true pairs
+        from ..functions.codec import BLOCK_SIZE
+
+        bi = 0
+        for f_imp, n_imp in tp.impact_slices():
+            _check(len(f_imp) > 0, f"{name}/{terms[i]}: empty impact frontier")
+            blk_f = freqs[bi * BLOCK_SIZE : (bi + 1) * BLOCK_SIZE]
+            blk_d = docs[bi * BLOCK_SIZE : (bi + 1) * BLOCK_SIZE]
+            blk_n = reader.norms[blk_d]
+            for bf, bn in zip(blk_f, blk_n):
+                dominated = any(
+                    int(ff) >= int(bf) and int(nn) <= int(bn)
+                    for ff, nn in zip(f_imp, n_imp)
+                )
+                _check(dominated,
+                       f"{name}/{terms[i]} block {bi}: ({bf},{bn}) not dominated")
+            bi += 1
+        if getattr(reader, "has_positions", False):
+            pos = reader.positions_by_ord(i, freqs)
+            _check(len(pos) == tp.total_term_freq,
+                   f"{name}/{terms[i]}: positions stream length != ttf")
+            _check((pos >= 0).all(), f"{name}/{terms[i]}: negative position")
+            off = 0
+            for f in freqs:
+                p = pos[off : off + f]
+                if len(p) > 1:
+                    _check((p[1:] > p[:-1]).all(),
+                           f"{name}/{terms[i]}: positions not increasing in doc")
+                off += int(f)
+        total_df += tp.doc_freq
+        total_ttf += tp.total_term_freq
+    return total_df, total_ttf
+
+
+def check_index(index_dir: str, sample_every: int = 1) -> dict:
+    """Validate one index directory. Returns summary stats; raises
+    CheckIndexError on the first violated invariant."""
+    manifest = IndexManifest.load(index_dir)
+    seg_doc_total = 0
+    seg_term_stats: dict[str, tuple[int, int]] = {}
+    n_terms = 0
+    for s in sorted(manifest.segments, key=lambda x: x["doc_base"]):
+        seg_dir = os.path.join(index_dir, "segments", s["seg_name"])
+        r = SegmentReader(seg_dir)
+        _check(r.doc_count == s["doc_count"], f"{s['seg_name']}: doc_count mismatch")
+        _check(len(r.norms) == r.doc_count, f"{s['seg_name']}: norms length")
+        _check(r.docmap().num_rows == r.doc_count, f"{s['seg_name']}: docmap rows")
+        _check_reader_terms(r, s["seg_name"], r.doc_count, sample_every)
+        for t, df, ttf in zip(r.terms, r.doc_freqs, r.ttfs):
+            a, b = seg_term_stats.get(t, (0, 0))
+            seg_term_stats[t] = (a + int(df), b + int(ttf))
+        seg_doc_total += r.doc_count
+        n_terms += len(r.terms)
+    _check(seg_doc_total == manifest.doc_count, "manifest doc_count != Σ segments")
+
+    merged_stats = None
+    merged_path = os.path.join(index_dir, "merged", "merged.json")
+    if os.path.exists(merged_path):
+        from ..search.merged import MergedReader
+
+        mr = MergedReader(index_dir)
+        _check(len(mr.norms) == manifest.doc_count, "merged norms length")
+        merged_terms = mr.terms
+        _check(set(map(str, merged_terms)) == set(map(str, seg_term_stats)),
+               "merged term dict != union of segment dicts")
+        for t in merged_terms:
+            df, ttf = mr.term_stats(str(t))
+            _check((df, ttf) == seg_term_stats[str(t)],
+                   f"merged stats mismatch for {t}: {(df, ttf)} vs {seg_term_stats[str(t)]}")
+            tp = mr.term_postings(str(t))
+            docs, freqs = tp.decode()
+            _check(len(docs) == df, f"merged/{t}: len(docs) != df")
+            if len(docs) > 1:
+                _check((docs[1:] > docs[:-1]).all(), f"merged/{t}: global docs not increasing")
+            _check(int(freqs.sum()) == ttf, f"merged/{t}: freq sum != ttf")
+        merged_stats = {"n_terms": len(merged_terms)}
+
+    return {
+        "segments": len(manifest.segments),
+        "doc_count": seg_doc_total,
+        "segment_term_entries": n_terms,
+        "distinct_terms": len(seg_term_stats),
+        "merged": merged_stats,
+    }
+
+
+if __name__ == "__main__":
+    out = check_index(sys.argv[1])
+    print("checkindex OK:", out)

@@ -269,3 +269,31 @@ def test_phrase_query_matches_bruteforce(ray_session, tmp_path):
         td = searcher.search(Q.PhraseQuery(terms=phrase), k=1000,
                              total_hits_threshold=1 << 30)
         assert sorted(int(d) for d in td.doc_ids) == want_docs
+
+
+def test_checkindex_passes_and_catches_corruption(ray_session, tmp_path):
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index
+    from lucene_7_x_9_x_ray.state.checkindex import CheckIndexError, check_index
+
+    pages = generate_pages(300, vocab_size=80, mean_tokens=25, seed=13)
+    path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "idx")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=100))
+    merge_index(idx, MergeConfig(n_shards=4, hot_df_threshold=50, hot_buckets=2))
+
+    out = check_index(idx)
+    assert out["doc_count"] == 300 and out["merged"] is not None
+
+    # corrupt one segment's norms file -> impacts domination must fail
+    import glob, os
+    norms = sorted(glob.glob(os.path.join(idx, "segments", "*", "norms.bin")))[0]
+    b = bytearray(open(norms, "rb").read())
+    b[0] = 0  # length-0 norm: no stored impact pair can dominate it
+    open(norms, "wb").write(bytes(b))
+    import pytest as _pytest
+
+    with _pytest.raises(CheckIndexError):
+        check_index(idx)
