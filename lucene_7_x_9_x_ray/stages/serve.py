@@ -52,6 +52,153 @@ class QueryScorer:
         )
 
 
+class ShardScorer:
+    """Leaf-slice actor: owns a doc-range subset of segments.
+
+    The IndexSearcher LeafSlice executor model (IndexSearcher.java:222,
+    609-639): global CollectionStatistics are computed ONCE on the driver
+    (createWeight) and broadcast via ray.put; each actor opens only its
+    shard's segment readers (lazily, cached across queries) and returns a
+    per-shard top-k that the driver reduces (CollectorManager.reduce).
+    """
+
+    def __init__(self, index_dir: str, shard_segs: dict[int, list[str]], stats_ref):
+        import ray
+
+        from ..functions.bm25 import BM25
+        from ..search.scorers import CollectionStats
+
+        self.index_dir = index_dir
+        self.shard_segs = shard_segs
+        dc, sttf, df, ttf = ray.get(stats_ref)
+        self.stats = CollectionStats(dc, sttf, df, ttf)
+        self.bm25 = BM25()
+        self._readers: dict[int, list] = {}
+
+    def _shard_readers(self, sid: int):
+        if sid not in self._readers:
+            import os
+
+            from ..state.segment import SegmentReader
+
+            self._readers[sid] = [
+                SegmentReader(os.path.join(self.index_dir, "segments", name))
+                for name in self.shard_segs[sid]
+            ]
+        return self._readers[sid]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..search.scorers import eval_query
+        from ..search.topk import topk_from_arrays
+
+        qids, sids, ranks, docs, scores = [], [], [], [], []
+        for row in batch.to_pylist():
+            query = Q.BooleanQuery.build(
+                [(Q.SHOULD, Q.TermQuery(t)) for t in row["terms"]]
+            )
+            k = int(row["k"])
+            for r in self._shard_readers(int(row["shard_id"])):
+                d, s = eval_query(r, query, self.stats, self.bm25)
+                td = topk_from_arrays(d + r.doc_base, s, k)
+                for rk, (dd, ss) in enumerate(zip(td.doc_ids, td.scores), start=1):
+                    qids.append(row["query_id"])
+                    sids.append(int(row["shard_id"]))
+                    ranks.append(rk)
+                    docs.append(int(dd))
+                    scores.append(float(ss))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "shard_id": pa.array(sids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def serve_queries_sharded(
+    index_dir: str,
+    query_specs: list[tuple[str, list[str], int]],
+    n_shards: int = 4,
+    concurrency: int = 2,
+) -> pa.Table:
+    """Fan each query out to doc-range segment shards, reduce to global
+    top-k: (query_id, rank, doc_id, score). Results are identical to the
+    single-searcher path because scoring uses global statistics and the
+    reduce is the TopScoreDocCollector merge order."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..search.searcher import IndexSearcher
+    from ..search.topk import TopDocs, merge_topk
+    from ..state.manifest import IndexManifest
+
+    manifest = IndexManifest.load(index_dir)
+    segs = sorted(manifest.segments, key=lambda s: s["doc_base"])
+    n_shards = min(n_shards, len(segs))
+    shard_segs = {
+        i: [s["seg_name"] for s in part]
+        for i, part in enumerate(np.array_split(segs, n_shards))
+    }
+
+    # createWeight on the driver: global stats for every query term
+    searcher = IndexSearcher(index_dir)
+    all_terms = {t for _, terms, _ in query_specs for t in terms}
+    st = searcher.collection_stats(all_terms)
+    stats_ref = ray.put((st.doc_count, st.sum_total_term_freq, st.term_df, st.term_ttf))
+
+    rows = [
+        {"query_id": qid, "terms": terms, "k": k, "shard_id": sid}
+        for qid, terms, k in query_specs
+        for sid in range(n_shards)
+    ]
+    ds = rd.from_items(rows, override_num_blocks=max(len(rows), 1)).map_batches(
+        ShardScorer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "shard_segs": shard_segs,
+            "stats_ref": stats_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    per_query: dict[str, list[TopDocs]] = {}
+    ks = {qid: k for qid, _t, k in query_specs}
+    # rebuild per-(query, shard) TopDocs then reduce
+    groups: dict[tuple[str, int], list] = {}
+    for t in parts:
+        for row in t.to_pylist():
+            groups.setdefault((row["query_id"], row["shard_id"]), []).append(row)
+    for (qid, _sid), rows_g in groups.items():
+        rows_g.sort(key=lambda r: r["rank"])
+        per_query.setdefault(qid, []).append(
+            TopDocs(
+                doc_ids=np.array([r["doc_id"] for r in rows_g], dtype=np.int64),
+                scores=np.array([r["score"] for r in rows_g], dtype=np.float32),
+            )
+        )
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, parts_td in per_query.items():
+        td = merge_topk(parts_td, ks[qid])
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(float(s))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 def serve_queries(
     index_dir: str,
     query_specs: list[tuple[str, list[str], int]],

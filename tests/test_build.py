@@ -148,3 +148,31 @@ def test_ray_build_matches_local(pages_file, tmp_path, ray_session):
         sa = json.load(open(os.path.join(local, "segments", seg, "stats.json")))
         sb = json.load(open(os.path.join(dist, "segments", seg, "stats.json")))
         assert sa["lineage_fingerprint"] == sb["lineage_fingerprint"]
+
+
+def test_incremental_append_preserves_docids(ray_session, tmp_path):
+    """Appending a later-sorting input file resumes existing segments
+    unchanged (lineage docIDs stable) and indexes only the new file —
+    the NRT/incremental-build analogue of segments_N append."""
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.state.manifest import IndexManifest
+
+    p1 = str(tmp_path / "pages_000.parquet")
+    p2 = str(tmp_path / "pages_001.parquet")
+    write_pages_parquet(generate_pages(200, seed=1, vocab_size=50, mean_tokens=20), p1,
+                        rows_per_row_group=100)
+    write_pages_parquet(generate_pages(150, seed=2, vocab_size=50, mean_tokens=20), p2,
+                        rows_per_row_group=100)
+
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(target_docs_per_segment=100)
+    m1 = build_index([p1], idx, cfg)
+    assert m1.doc_count == 200
+    m2 = build_index([p1, p2], idx, cfg)
+    assert m2.doc_count == 350
+    resumed = [s for s in m2.segments if s.get("resumed")]
+    fresh = [s for s in m2.segments if not s.get("resumed")]
+    assert len(resumed) == 2 and len(fresh) == 2  # p1's segments untouched
+    bases = [s["doc_base"] for s in sorted(m2.segments, key=lambda s: s["doc_base"])]
+    assert bases == [0, 100, 200, 300]

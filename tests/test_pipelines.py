@@ -297,3 +297,33 @@ def test_checkindex_passes_and_catches_corruption(ray_session, tmp_path):
 
     with _pytest.raises(CheckIndexError):
         check_index(idx)
+
+
+def test_sharded_serving_matches_searcher(ray_session, tmp_path):
+    """Leaf-slice fan-out + driver reduce == single-searcher top-k."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.serve import serve_queries_sharded
+
+    pages = generate_pages(500, vocab_size=200, mean_tokens=30, seed=21)
+    path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=50)
+    idx = str(tmp_path / "idx")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=50))
+
+    specs = [("q1", ["t00000"], 5), ("q2", ["t00003", "t00010"], 8), ("q3", ["t00150"], 4)]
+    served = serve_queries_sharded(idx, specs, n_shards=4, concurrency=2)
+    s = IndexSearcher(idx)
+    got: dict[str, list] = {}
+    for r in served.to_pylist():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], np.float32(r["score"]))
+        )
+    for qid, terms, k in specs:
+        q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
+        td = s.search(q, k=k)
+        want = [(i + 1, int(d), np.float32(sc))
+                for i, (d, sc) in enumerate(zip(td.doc_ids, td.scores))]
+        assert sorted(got.get(qid, [])) == want, qid
