@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann.q_ann_ivf_topk,
         # --- relational companions ---
         "semi_join": relational.q_semi_join,
+        "lineitem_pricing": relational.q_lineitem_pricing,
         "latest_event_per_user": relational.q_latest_event_per_user,
         "event_type_agg": relational.q_event_type_agg,
         "sort_topn_docs": relational.q_sort_topn_docs,
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": ann.oracle_ann_sql(ann.BRUTE_QUERY_IDS),
         "ann_ivf_topk": ann.oracle_ann_sql(ann.IVF_QUERY_IDS),
         "semi_join": relational.oracle_semi_join_sql(),
+        "lineitem_pricing": relational.oracle_lineitem_pricing_sql(),
         "latest_event_per_user": relational.oracle_latest_event_sql(),
         "event_type_agg": relational.oracle_event_type_agg_sql(),
         "sort_topn_docs": relational.oracle_sort_topn_sql(),

@@ -128,6 +128,22 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
     query_sec = sum(qsecs.values())
     timings["query_set"] = query_sec
 
+    # training-data operator timings over the raw sf tables (the quick
+    # subset; exact all-pairs Jaccard is quadratic and benched separately)
+    if os.environ.get("GRAFT_BENCH_OPS", "1") != "0":
+        from lucene_7_x_9_x_ray.pipelines import ann, dedup, relational, textops
+
+        for name, fn in (
+            ("op_doc_stats", textops.q_doc_stats),
+            ("op_fingerprint", textops.q_fingerprint),
+            ("op_exact_dedup", dedup.q_exact_dedup),
+            ("op_ann_brute_topk", ann.q_ann_brute_topk),
+            ("op_lineitem_pricing", relational.q_lineitem_pricing),
+        ):
+            t0 = time.perf_counter()
+            fn(sf_dir)
+            qsecs[name] = time.perf_counter() - t0
+
     doc_count = manifest.doc_count
     total = build_sec + merge_sec + query_sec
     return {
@@ -158,6 +174,7 @@ def main() -> int:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             env.setdefault("GRAFT_BENCH_ROUNDS", "2")
             env.setdefault("GRAFT_QUERY_ITERS", "3")
+            env.setdefault("GRAFT_BENCH_OPS", "0")
             # larger corpus for the scaling criterion: fixed per-job costs
             # (plan, shuffle setup) must be small vs work, as at 100 TB
             env.setdefault("GRAFT_REPEAT", "256")

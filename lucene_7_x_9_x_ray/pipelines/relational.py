@@ -110,6 +110,105 @@ def oracle_event_type_agg_sql() -> str:
 FROM events GROUP BY event_type"""
 
 
+LINEITEM_CUTOFF = "2001-01-01"
+
+
+def q_lineitem_pricing(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-style pricing summary over the largest driver table,
+    built the 100 TB way: column-pruned read -> per-batch PARTIAL
+    aggregation inside map_batches (the combiner) -> a small groupby of
+    partial rows -> driver finalize. The shuffle moves one row per
+    (batch, group), never raw lineitems."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cutoff = datetime.datetime.fromisoformat(LINEITEM_CUTOFF)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff))
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "p_qty": pa.array([], pa.float64()),
+                    "p_price": pa.array([], pa.float64()),
+                    "p_disc_price": pa.array([], pa.float64()),
+                    "p_n": pa.array([], pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_pandas(),
+                "l_linestatus": b["l_linestatus"].to_pandas(),
+                "qty": b["l_quantity"].to_numpy(),
+                "price": b["l_extendedprice"].to_numpy(),
+                "disc_price": b["l_extendedprice"].to_numpy()
+                * (1.0 - b["l_discount"].to_numpy()),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
+            p_qty=("qty", "sum"),
+            p_price=("price", "sum"),
+            p_disc_price=("disc_price", "sum"),
+            p_n=("qty", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_price", alias_name="sum_price"),
+            Sum("p_disc_price", alias_name="sum_disc_price"),
+            Sum("p_n", alias_name="n"),
+        )
+    )
+    t = _to_table(ds)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sq = t["sum_qty"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sp = t["sum_price"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sd = t["sum_disc_price"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty_r": pa.array(round_half_away_np(sq, 2), pa.float64()),
+            "sum_price_r": pa.array(round_half_away_np(sp, 2), pa.float64()),
+            "sum_disc_price_r": pa.array(round_half_away_np(sd, 2), pa.float64()),
+            "avg_qty_r": pa.array(round_half_away_np(sq / n, 4), pa.float64()),
+            "avg_price_r": pa.array(round_half_away_np(sp / n, 4), pa.float64()),
+            "n": pa.array(n, pa.int64()),
+        }
+    )
+
+
+def oracle_lineitem_pricing_sql() -> str:
+    return f"""SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty_r,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price_r,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price_r,
+       ROUND(SUM(l_quantity) / count(*), 4) AS avg_qty_r,
+       ROUND(SUM(l_extendedprice) / count(*), 4) AS avg_price_r,
+       count(*) AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{LINEITEM_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
 def q_sort_topn_docs(sf_dir: str) -> pa.Table:
     """TopFieldCollector analogue: top-N docs by (n_chars desc, doc_id asc)."""
     import ray.data as rd
