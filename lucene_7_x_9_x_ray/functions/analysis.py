@@ -78,9 +78,12 @@ _STANDARD_PATTERN = re.compile(
     re.UNICODE,
 )
 
-# Pure-ASCII fast path (no lookahead over CJK classes needed).
+# Pure-ASCII fast path. MUST tokenize identically to _STANDARD_PATTERN on
+# ASCII input (same connector lookaheads, ASCII classes) — tokenization may
+# not depend on which documents share a batch; equivalence is property-
+# tested in tests/test_analysis.py::test_ascii_fast_path_equivalence.
 _ASCII_WORD = re.compile(
-    r"[A-Za-z0-9_]+(?:(?:['.:][A-Za-z][A-Za-z0-9_]*)|(?:[.,][0-9][A-Za-z0-9_]*))*"
+    r"[A-Za-z0-9_]+(?:(?:[':](?=[A-Za-z])|\.(?=[A-Za-z0-9_])|,(?=[0-9]))[A-Za-z0-9_]+)*"
 )
 
 # SimpleAnalyzer: lowercase alnum runs — exactly replicable in DuckDB SQL as

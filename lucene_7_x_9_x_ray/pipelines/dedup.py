@@ -155,13 +155,18 @@ def _emit_pairs_vectorized(group: pa.Table) -> pa.Table:
     b = docs[np.concatenate(b_idx)]
     lo, hi = np.minimum(a, b), np.maximum(a, b)
     # partial aggregation (combiner): count per pair INSIDE the group so the
-    # downstream combine only sees one row per (pair, bucket)
-    key = (lo.astype(np.int64) << np.int64(32)) | hi.astype(np.int64)
-    uk, cnt = np.unique(key, return_counts=True)
+    # downstream combine only sees one row per (pair, bucket). Pair identity
+    # is kept as two int64 columns (lexsort run-length), NOT packed into one
+    # word — doc_ids at 10^12-doc scale don't fit 32 bits each.
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    change = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+    starts = np.flatnonzero(change)
+    cnt = np.diff(np.r_[starts, len(lo)])
     return pa.table(
         {
-            "a": pa.array((uk >> np.int64(32)).astype(np.int64)),
-            "b": pa.array((uk & np.int64(0xFFFFFFFF)).astype(np.int64)),
+            "a": pa.array(lo[starts].astype(np.int64)),
+            "b": pa.array(hi[starts].astype(np.int64)),
             "inter_part": pa.array(cnt.astype(np.int64)),
         }
     )
@@ -192,15 +197,13 @@ def _pairs_from_shingles(sh_table: pa.Table) -> dict[tuple[int, int], int]:
     a = partials["a"].to_numpy()
     b = partials["b"].to_numpy()
     c = partials["inter_part"].to_numpy()
-    key = (a << np.int64(32)) | b
-    order = np.argsort(key, kind="mergesort")
-    key, c = key[order], c[order]
-    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    order = np.lexsort((b, a))
+    a, b, c = a[order], b[order], c[order]
+    starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
     sums = np.add.reduceat(c, starts)
-    uk = key[starts]
     return {
-        (int(k >> np.int64(32)), int(k & np.int64(0xFFFFFFFF))): int(s)
-        for k, s in zip(uk, sums)
+        (int(aa), int(bb)): int(s)
+        for aa, bb, s in zip(a[starts], b[starts], sums)
     }
 
 

@@ -38,6 +38,8 @@ def q_semi_join(sf_dir: str) -> pa.Table:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ck = batch["c_custkey"].to_numpy()
+            if len(self.keys) == 0:
+                return pa.table({"c_custkey": pa.array([], pa.int64())})
             idx = np.searchsorted(self.keys, ck)
             idx = np.minimum(idx, len(self.keys) - 1)
             mask = self.keys[idx] == ck

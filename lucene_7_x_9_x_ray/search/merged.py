@@ -210,9 +210,16 @@ class MergedReader:
 
     @property
     def terms(self) -> np.ndarray:
-        """Union sorted dictionary across shards (multi-term rewrites)."""
-        parts = [self._shard(s["shard_id"]).terms for s in self.meta["shards"]]
-        return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
+        """Union sorted dictionary across shards (multi-term rewrites),
+        cached after the first use."""
+        cached = getattr(self, "_terms_cache", None)
+        if cached is None:
+            parts = [self._shard(s["shard_id"]).terms for s in self.meta["shards"]]
+            cached = (
+                np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
+            )
+            self._terms_cache = cached
+        return cached
 
 
 class MergedIndexSearcher(IndexSearcher):

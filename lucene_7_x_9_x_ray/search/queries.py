@@ -160,6 +160,13 @@ def _expand_to_constant_score(matched: list[str]) -> Query:
     return ConstantScoreQuery(inner)
 
 
+# exclusive upper bound for a prefix scan: prefix + the max code point, so
+# terms whose next char is supplementary-plane (> U+FFFF) are included
+# (only a term containing literal U+10FFFF — a noncharacter the analyzer
+# never emits — could sort above it)
+_PREFIX_CEILING = chr(0x10FFFF)
+
+
 def _dict_range(term_dict: np.ndarray, lo: str, hi_exclusive: str | None) -> list[str]:
     a = int(np.searchsorted(term_dict, lo, side="left"))
     b = len(term_dict) if hi_exclusive is None else int(
@@ -198,7 +205,7 @@ def rewrite(query: Query, term_dict: np.ndarray) -> Query:
     """
     if isinstance(query, PrefixQuery):
         return _expand_to_constant_score(
-            _dict_range(term_dict, query.prefix, query.prefix + "￿")
+            _dict_range(term_dict, query.prefix, query.prefix + _PREFIX_CEILING)
         )
     if isinstance(query, TermRangeQuery):
         lo = query.lower if query.lower is not None else ""
@@ -221,17 +228,15 @@ def rewrite(query: Query, term_dict: np.ndarray) -> Query:
         )
         # constant prefix optimisation: scan only the dict range sharing it
         pfx = query.pattern.split("*")[0].split("?")[0]
-        cand = _dict_range(term_dict, pfx, pfx + "￿") if pfx else [str(t) for t in term_dict]
+        cand = _dict_range(term_dict, pfx, pfx + _PREFIX_CEILING) if pfx else [str(t) for t in term_dict]
         return _expand_to_constant_score([t for t in cand if rx.fullmatch(t)])
     if isinstance(query, RegexpQuery):
         rx = _re.compile(query.pattern)
         return _expand_to_constant_score([str(t) for t in term_dict if rx.fullmatch(str(t))])
     if isinstance(query, FuzzyQuery):
         pfx = query.term[: query.prefix_length]
-        cand = _dict_range(term_dict, pfx, pfx + "￿") if pfx else [str(t) for t in term_dict]
+        cand = _dict_range(term_dict, pfx, pfx + _PREFIX_CEILING) if pfx else [str(t) for t in term_dict]
         matched = [t for t in cand if _edit_distance_le(t, query.term, query.max_edits)]
-        if query.term in matched:  # exact match scores as a TermQuery
-            pass
         return _expand_to_constant_score(matched)
     if isinstance(query, TermInSetQuery):
         present = set(query.terms) & set(map(str, term_dict))
@@ -251,6 +256,26 @@ def rewrite(query: Query, term_dict: np.ndarray) -> Query:
             tie_breaker=query.tie_breaker,
         )
     return query
+
+
+_MULTI_TERM_TYPES = (
+    PrefixQuery, TermRangeQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermInSetQuery,
+)
+
+
+def needs_rewrite(query: Query) -> bool:
+    """True iff the tree contains a multi-term query that must be expanded
+    against the term dictionary — lets searchers skip the dictionary-union
+    work for the common Term/Boolean/Phrase case."""
+    if isinstance(query, _MULTI_TERM_TYPES):
+        return True
+    if isinstance(query, BooleanQuery):
+        return any(needs_rewrite(c.query) for c in query.clauses)
+    if isinstance(query, (BoostQuery, ConstantScoreQuery)):
+        return needs_rewrite(query.query)
+    if isinstance(query, DisjunctionMaxQuery):
+        return any(needs_rewrite(q) for q in query.queries)
+    return False
 
 
 def collect_terms(query: Query) -> set[str]:

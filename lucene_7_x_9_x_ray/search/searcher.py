@@ -78,10 +78,16 @@ class IndexSearcher:
         return CollectionStats(self.doc_count, self.sum_total_term_freq, df, ttf)
 
     def term_dict_union(self) -> np.ndarray:
-        """Union sorted term dictionary (for multi-term rewrites)."""
-        if len(self.readers) == 1:
-            return self.readers[0].terms
-        return np.unique(np.concatenate([r.terms for r in self.readers]))
+        """Union sorted term dictionary (for multi-term rewrites), cached —
+        computing it is O(V log V) and must not run per query."""
+        cached = getattr(self, "_term_union", None)
+        if cached is None:
+            if len(self.readers) == 1:
+                cached = self.readers[0].terms
+            else:
+                cached = np.unique(np.concatenate([r.terms for r in self.readers]))
+            self._term_union = cached
+        return cached
 
     # -- search -------------------------------------------------------------
 
@@ -97,7 +103,8 @@ class IndexSearcher:
     ) -> TopDocs:
         if isinstance(query, str):
             query = self.parse(query)
-        query = Q.rewrite(query, self.term_dict_union())
+        if Q.needs_rewrite(query):  # multi-term expansion only when needed
+            query = Q.rewrite(query, self.term_dict_union())
         stats = self.collection_stats(Q.collect_terms(query))
 
         # mode "wand" = document-at-a-time block-max WAND (the pruning scale
@@ -127,7 +134,8 @@ class IndexSearcher:
         """Total matching docs (TotalHitCountCollector equivalent)."""
         if isinstance(query, str):
             query = self.parse(query)
-        query = Q.rewrite(query, self.term_dict_union())
+        if Q.needs_rewrite(query):
+            query = Q.rewrite(query, self.term_dict_union())
         stats = self.collection_stats(Q.collect_terms(query))
         return sum(len(eval_query(r, query, stats, self.bm25)[0]) for r in self.readers)
 
@@ -138,7 +146,8 @@ class IndexSearcher:
         docs ranking strictly after (score, global docID)."""
         if isinstance(query, str):
             query = self.parse(query)
-        query = Q.rewrite(query, self.term_dict_union())
+        if Q.needs_rewrite(query):
+            query = Q.rewrite(query, self.term_dict_union())
         stats = self.collection_stats(Q.collect_terms(query))
         a_score, a_doc = np.float32(after[0]), int(after[1])
         parts = []

@@ -609,7 +609,23 @@ def write_merged_shard(
         }
         atomic_write_json(os.path.join(tmp, "stats.json"), st)
         if os.path.exists(out_dir):
-            shutil.rmtree(tmp)
+            # keep an existing dir only if it is the SAME fingerprint (a
+            # concurrent task of this run won the race — content identical);
+            # a stale shard from a previous segment set must be replaced or
+            # re-merge-after-append would silently serve the old index
+            try:
+                same = load_json(os.path.join(out_dir, "stats.json")).get(
+                    "fingerprint"
+                ) == fingerprint
+            except Exception:
+                same = False
+            if same:
+                shutil.rmtree(tmp)
+            else:
+                old = out_dir + f".stale-{uuid.uuid4().hex[:8]}"
+                os.rename(out_dir, old)
+                os.rename(tmp, out_dir)
+                shutil.rmtree(old, ignore_errors=True)
         else:
             os.rename(tmp, out_dir)
         return st

@@ -150,7 +150,7 @@ def serve_queries_sharded(
     stats_ref = ray.put((st.doc_count, st.sum_total_term_freq, st.term_df, st.term_ttf))
 
     rows = [
-        {"query_id": qid, "terms": terms, "k": k, "shard_id": sid}
+        {"query_id": str(qid), "terms": terms, "k": k, "shard_id": sid}
         for qid, terms, k in query_specs
         for sid in range(n_shards)
     ]
@@ -167,7 +167,7 @@ def serve_queries_sharded(
     )
     parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
     per_query: dict[str, list[TopDocs]] = {}
-    ks = {qid: k for qid, _t, k in query_specs}
+    ks = {str(qid): k for qid, _t, k in query_specs}
     # rebuild per-(query, shard) TopDocs then reduce
     groups: dict[tuple[str, int], list] = {}
     for t in parts:
@@ -210,7 +210,7 @@ def serve_queries(
     import ray.data as rd
 
     items = [
-        {"query_id": qid, "terms": terms, "k": k} for qid, terms, k in query_specs
+        {"query_id": str(qid), "terms": terms, "k": k} for qid, terms, k in query_specs
     ]
     ds = rd.from_items(items, override_num_blocks=max(len(items), 1)).map_batches(
         QueryScorer,

@@ -373,8 +373,30 @@ def write_segment(
         )
         atomic_write_json(os.path.join(tmp, STATS_NAME), stats.to_dict())
 
-        if os.path.exists(out_dir):  # concurrent rebuild lost the race: keep winner
-            shutil.rmtree(tmp)
+        if os.path.exists(out_dir):
+            # keep the existing dir only if its lineage matches this build
+            # (a concurrent task of the same plan won the race — identical
+            # content); a dir left by a DIFFERENT plan (e.g. the partition
+            # was remapped by a prepended input file) must be replaced,
+            # else the manifest would describe postings that aren't there
+            from .manifest import segment_is_complete as _sic
+
+            existing = _sic(
+                out_dir,
+                expect={
+                    "path": lineage_file,
+                    "rg_start": rg_start,
+                    "rg_end": rg_end,
+                    "doc_base": doc_base,
+                },
+            )
+            if existing is not None:
+                shutil.rmtree(tmp)
+            else:
+                old = out_dir + f".stale-{uuid.uuid4().hex[:8]}"
+                os.rename(out_dir, old)
+                os.rename(tmp, out_dir)
+                shutil.rmtree(old, ignore_errors=True)
         else:
             os.rename(tmp, out_dir)
         return stats

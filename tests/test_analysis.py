@@ -137,3 +137,32 @@ def test_deterministic_token_order():
     # order = document order then position order, not sorted
     assert list(tokens) == ["b", "a", "c", "z", "y"]
     assert np.all(np.diff(doc_idx) >= 0)
+
+
+def test_ascii_fast_path_equivalence():
+    """Tokenization must not depend on co-batched documents: the ASCII
+    fast-path regex must tokenize identically to the Unicode pattern on
+    any ASCII input (property-tested), and a doc's tokens must be the
+    same whether or not a non-ASCII doc shares its batch."""
+    import random
+    import string
+
+    from lucene_7_x_9_x_ray.functions.analysis import (
+        _ASCII_WORD,
+        _STANDARD_PATTERN,
+        get_analyzer,
+    )
+
+    rng = random.Random(1234)
+    alphabet = string.ascii_letters + string.digits + "_'.,:; -\t\"()"
+    for _ in range(5000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))).lower()
+        a = [m.group() for m in _ASCII_WORD.finditer(s)]
+        b = [m.group() for m in _STANDARD_PATTERN.finditer(s)]
+        assert a == b, s
+
+    an = get_analyzer("standard")
+    doc = "a._b x4.y don't 1,5 v1.2"
+    alone, _ = an.tokenize_batch([doc])
+    mixed, idx = an.tokenize_batch([doc, "café"])
+    assert alone.tolist() == mixed[idx == 0].tolist()

@@ -327,3 +327,58 @@ def test_sharded_serving_matches_searcher(ray_session, tmp_path):
         want = [(i + 1, int(d), np.float32(sc))
                 for i, (d, sc) in enumerate(zip(td.doc_ids, td.scores))]
         assert sorted(got.get(qid, [])) == want, qid
+
+
+def test_remerge_after_append_replaces_stale_shards(ray_session, tmp_path):
+    """Re-merging after an appended input must replace shards built from
+    the old segment set — the merged index then serves ALL documents."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index
+    from lucene_7_x_9_x_ray.state.checkindex import check_index
+
+    p1 = str(tmp_path / "pages_000.parquet")
+    p2 = str(tmp_path / "pages_001.parquet")
+    write_pages_parquet(generate_pages(200, seed=1, vocab_size=40, mean_tokens=20), p1,
+                        rows_per_row_group=100)
+    write_pages_parquet(generate_pages(150, seed=2, vocab_size=40, mean_tokens=20), p2,
+                        rows_per_row_group=75)
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(target_docs_per_segment=100)
+    mcfg = MergeConfig(n_shards=4, hot_df_threshold=80, hot_buckets=2)
+
+    build_index([p1], idx, cfg)
+    merge_index(idx, mcfg)
+    build_index([p1, p2], idx, cfg)
+    merge_index(idx, mcfg)
+
+    s = open_searcher(idx)  # merged searcher
+    assert s.doc_count == 350
+    td = s.search(Q.TermQuery("t00000"), k=350, total_hits_threshold=1 << 30)
+    assert int(max(td.doc_ids)) >= 200  # appended docs visible post-merge
+    check_index(idx)  # cross-checks merged df/ttf against segments
+
+
+def test_rebuilt_segment_replaces_stale_dir(ray_session, tmp_path):
+    """A segment whose partition was remapped (e.g. a prepended input file)
+    must be rebuilt IN PLACE, not silently keep the old dir's postings."""
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.state.checkindex import check_index
+
+    pa_ = str(tmp_path / "a.parquet")  # sorts BEFORE b -> remaps seg_000000
+    pb = str(tmp_path / "b.parquet")
+    write_pages_parquet(generate_pages(120, seed=3, vocab_size=40, mean_tokens=20), pb,
+                        rows_per_row_group=120)
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(target_docs_per_segment=200)
+    build_index([pb], idx, cfg)
+
+    write_pages_parquet(generate_pages(90, seed=4, vocab_size=40, mean_tokens=20), pa_,
+                        rows_per_row_group=90)
+    m = build_index([pa_, pb], idx, cfg)
+    assert m.doc_count == 210
+    out = check_index(idx)  # stale seg_000000 content would fail doc ranges
+    assert out["doc_count"] == 210
