@@ -17,71 +17,19 @@ import os
 from dataclasses import dataclass
 
 import numpy as np
-import pyarrow.parquet as pq
 
 from ..functions.bm25 import BM25
 from ..state.manifest import IndexManifest, load_json
-from ..state.segment import NORMS_FILE, POSTINGS_FILE, TERMS_FILE, TermPostings
+from ..state.segment import NORMS_FILE, TermPostings, TermTableReader
 from ..stages.merge import MERGED_MANIFEST, shard_of
 from .searcher import IndexSearcher
 
 
-class _Shard:
+class _Shard(TermTableReader):
+    """One merged shard dir — the shared TermTableReader parsing core."""
+
     def __init__(self, shard_dir: str):
-        t = pq.read_table(os.path.join(shard_dir, TERMS_FILE), memory_map=True)
-        self.terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
-        self.doc_freqs = t["doc_freq"].to_numpy()
-        self.ttfs = t["total_term_freq"].to_numpy()
-        self._off = t["off"].to_numpy()
-        self._n_blocks = t["n_blocks"].to_numpy()
-        self._n_imp = t["n_imp"].to_numpy()
-        self._len_docs = t["len_docs"].to_numpy()
-        self._len_freqs = t["len_freqs"].to_numpy()
-        self._post = np.memmap(os.path.join(shard_dir, POSTINGS_FILE), dtype=np.uint8, mode="r")
-        self.has_positions = "pos_off" in t.column_names
-        if self.has_positions:
-            self._pos_off = t["pos_off"].to_numpy()
-            self._pos_width = t["pos_width"].to_numpy()
-            self._len_pos = t["len_pos"].to_numpy()
-            from ..state.segment import POSITIONS_FILE
-
-            self._positions = np.memmap(
-                os.path.join(shard_dir, POSITIONS_FILE), dtype=np.uint8, mode="r"
-            )
-
-    def positions_by_ord(self, i: int, freqs: np.ndarray) -> np.ndarray:
-        from ..functions import codec as _codec
-
-        off, ln = int(self._pos_off[i]), int(self._len_pos[i])
-        return _codec.decode_positions(
-            self._positions[off : off + ln], int(self._pos_width[i]), freqs
-        )
-
-    def lookup(self, term: str) -> int:
-        i = int(np.searchsorted(self.terms, term))
-        if i < len(self.terms) and self.terms[i] == term:
-            return i
-        return -1
-
-    def postings_by_ord(self, i: int) -> TermPostings:
-        from ..state.segment import parse_region
-
-        off = int(self._off[i])
-        end = off + (
-            len(self._post) - off
-            if i + 1 >= len(self._off)
-            else int(self._off[i + 1]) - off
-        )
-        tp = parse_region(
-            self._post[off:end],
-            int(self.doc_freqs[i]),
-            int(self._n_blocks[i]),
-            int(self._n_imp[i]),
-            int(self._len_docs[i]),
-            int(self._len_freqs[i]),
-        )
-        tp.total_term_freq = int(self.ttfs[i])
-        return tp
+        self._load_term_table(shard_dir)
 
 
 @dataclass

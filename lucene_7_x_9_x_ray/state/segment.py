@@ -494,19 +494,15 @@ def encode_term_table(
     return pa.table(cols)
 
 
-class SegmentReader:
-    """Open one segment: term dict in RAM, postings/norms memory-mapped.
-
-    The IndexSearcher/SegmentReader + MMapDirectory analogue (SURVEY.md
-    §2.3): construct once per query actor, serve many queries.
+class TermTableReader:
+    """Shared reader core for any directory holding terms.parquet +
+    postings.bin (+ positions.bin): sorted-dict lookup, region parsing,
+    positions decode. Subclassed by SegmentReader and the merged-index
+    shard reader so the on-disk layout is parsed in exactly one place.
     """
 
-    def __init__(self, seg_dir: str):
-        self.seg_dir = seg_dir
-        from .manifest import load_json
-
-        self.stats = SegmentStats.from_dict(load_json(os.path.join(seg_dir, STATS_NAME)))
-        t = pq.read_table(os.path.join(seg_dir, TERMS_FILE), memory_map=True)
+    def _load_term_table(self, dir_path: str) -> None:
+        t = pq.read_table(os.path.join(dir_path, TERMS_FILE), memory_map=True)
         self.terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
         self.doc_freqs = t["doc_freq"].to_numpy()
         self.ttfs = t["total_term_freq"].to_numpy()
@@ -515,39 +511,17 @@ class SegmentReader:
         self._n_imp = t["n_imp"].to_numpy()
         self._len_docs = t["len_docs"].to_numpy()
         self._len_freqs = t["len_freqs"].to_numpy()
-        self._post = np.memmap(os.path.join(seg_dir, POSTINGS_FILE), dtype=np.uint8, mode="r")
-        self.norms = np.fromfile(os.path.join(seg_dir, NORMS_FILE), dtype=np.uint8)
-        self.doc_count = self.stats.doc_count
-        self.doc_base = self.stats.doc_base
-        self._docmap = None
+        self._post = np.memmap(
+            os.path.join(dir_path, POSTINGS_FILE), dtype=np.uint8, mode="r"
+        )
         self.has_positions = "pos_off" in t.column_names
         if self.has_positions:
             self._pos_off = t["pos_off"].to_numpy()
             self._pos_width = t["pos_width"].to_numpy()
             self._len_pos = t["len_pos"].to_numpy()
             self._positions = np.memmap(
-                os.path.join(seg_dir, POSITIONS_FILE), dtype=np.uint8, mode="r"
+                os.path.join(dir_path, POSITIONS_FILE), dtype=np.uint8, mode="r"
             )
-
-    def positions_by_ord(self, i: int, freqs: np.ndarray) -> np.ndarray:
-        """Decoded positions stream for term ord i (needs its decoded freqs
-        to place doc boundaries) — the PostingsEnum.nextPosition analogue."""
-        from ..functions import codec as _codec
-
-        off, ln = int(self._pos_off[i]), int(self._len_pos[i])
-        return _codec.decode_positions(
-            self._positions[off : off + ln], int(self._pos_width[i]), freqs
-        )
-
-    def term_positions(self, term: str):
-        """(docs, freqs, positions stream) or None (term absent / no .pos)."""
-        if not self.has_positions:
-            return None
-        i = self.lookup(term)
-        if i < 0:
-            return None
-        docs, freqs = self.postings_by_ord(i).decode()
-        return docs, freqs, self.positions_by_ord(i, freqs)
 
     def lookup(self, term: str) -> int:
         """Sorted-dict binary search; -1 if absent (the FST-replacement)."""
@@ -562,40 +536,62 @@ class SegmentReader:
             return 0, 0
         return int(self.doc_freqs[i]), int(self.ttfs[i])
 
-    def term_postings(self, term: str) -> TermPostings | None:
+    def term_postings(self, term: str) -> "TermPostings | None":
         i = self.lookup(term)
         if i < 0:
             return None
         return self.postings_by_ord(i)
 
-    def postings_by_ord(self, i: int) -> TermPostings:
+    def postings_by_ord(self, i: int) -> "TermPostings":
         off = int(self._off[i])
-        nb = int(self._n_blocks[i])
-        ni = int(self._n_imp[i])
-        ld = int(self._len_docs[i])
-        lf = int(self._len_freqs[i])
-        mv = memoryview(self._post)
-        p = off
-        last_docs = np.frombuffer(mv[p : p + nb * 8], dtype=np.int64); p += nb * 8
-        doc_widths = np.frombuffer(mv[p : p + nb], dtype=np.uint8); p += nb
-        freq_widths = np.frombuffer(mv[p : p + nb], dtype=np.uint8); p += nb
-        imp_counts = np.frombuffer(mv[p : p + nb], dtype=np.uint8); p += nb
-        imp_freqs = np.frombuffer(mv[p : p + ni * 4], dtype=np.int32); p += ni * 4
-        imp_norms = np.frombuffer(mv[p : p + ni], dtype=np.uint8); p += ni
-        docs_blob = mv[p : p + ld]; p += ld
-        freqs_blob = mv[p : p + lf]
-        return TermPostings(
-            doc_freq=int(self.doc_freqs[i]),
-            total_term_freq=int(self.ttfs[i]),
-            last_docs=last_docs,
-            doc_widths=doc_widths,
-            freq_widths=freq_widths,
-            imp_counts=imp_counts,
-            imp_freqs=imp_freqs,
-            imp_norms=imp_norms,
-            docs_blob=docs_blob,
-            freqs_blob=freqs_blob,
+        end = int(self._off[i + 1]) if i + 1 < len(self._off) else len(self._post)
+        tp = parse_region(
+            self._post[off:end],
+            int(self.doc_freqs[i]),
+            int(self._n_blocks[i]),
+            int(self._n_imp[i]),
+            int(self._len_docs[i]),
+            int(self._len_freqs[i]),
         )
+        tp.total_term_freq = int(self.ttfs[i])
+        return tp
+
+    def positions_by_ord(self, i: int, freqs: np.ndarray) -> np.ndarray:
+        """Decoded positions stream for term ord i (needs its decoded freqs
+        to place doc boundaries) — the PostingsEnum.nextPosition analogue."""
+        off, ln = int(self._pos_off[i]), int(self._len_pos[i])
+        return codec.decode_positions(
+            self._positions[off : off + ln], int(self._pos_width[i]), freqs
+        )
+
+    def term_positions(self, term: str):
+        """(docs, freqs, positions stream) or None (term absent / no .pos)."""
+        if not self.has_positions:
+            return None
+        i = self.lookup(term)
+        if i < 0:
+            return None
+        docs, freqs = self.postings_by_ord(i).decode()
+        return docs, freqs, self.positions_by_ord(i, freqs)
+
+
+class SegmentReader(TermTableReader):
+    """Open one segment: term dict in RAM, postings/norms memory-mapped.
+
+    The IndexSearcher/SegmentReader + MMapDirectory analogue (SURVEY.md
+    §2.3): construct once per query actor, serve many queries.
+    """
+
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        from .manifest import load_json
+
+        self.stats = SegmentStats.from_dict(load_json(os.path.join(seg_dir, STATS_NAME)))
+        self._load_term_table(seg_dir)
+        self.norms = np.fromfile(os.path.join(seg_dir, NORMS_FILE), dtype=np.uint8)
+        self.doc_count = self.stats.doc_count
+        self.doc_base = self.stats.doc_base
+        self._docmap = None
 
     def docmap(self) -> pa.Table:
         if self._docmap is None:
