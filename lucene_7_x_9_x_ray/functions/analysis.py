@@ -110,7 +110,7 @@ class Analyzer:
         return list(toks)
 
     # -- batch (index side) -------------------------------------------------
-    def _find(self, joined: str):
+    def _findall(self, text: str) -> list[str]:
         raise NotImplementedError
 
     def tokenize_batch(
@@ -120,35 +120,43 @@ class Analyzer:
 
         Returns (tokens: object ndarray, doc_idx: int64 ndarray) where
         doc_idx[i] is the row of texts that produced tokens[i]. Tokens are
-        emitted in document order then position order (deterministic).
+        emitted in document order then position order (deterministic; the
+        ASCII fast path is chosen PER DOCUMENT, so a doc's tokens never
+        depend on its batch neighbors). The Python loop is per document —
+        token extraction is one C-level findall per doc.
         """
         n = len(texts)
         if n == 0:
             return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
-        lowered = [("" if t is None else str(t)).lower() for t in texts]
-        joined = _SENTINEL.join(lowered)
-        lens = np.fromiter((len(t) for t in lowered), dtype=np.int64, count=n)
-        doc_starts = np.zeros(n, dtype=np.int64)
-        if n > 1:
-            np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
+        per_doc = [
+            self._findall(("" if t is None else str(t)).lower()) for t in texts
+        ]
+        counts = np.fromiter(map(len, per_doc), dtype=np.int64, count=n)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        flat: list[str] = []
+        for toks in per_doc:
+            flat.extend(toks)
+        tokens = np.array(flat, dtype=object)
 
-        toks: list[str] = []
-        positions: list[int] = []
-        append_t, append_p = toks.append, positions.append
-        for m in self._find(joined):
-            tok = m.group()
-            if len(tok) <= MAX_TOKEN_LENGTH:
-                append_t(tok)
-                append_p(m.start())
-            else:  # split over-long runs at 255 chars, as the reference does
-                s = m.start()
-                for off in range(0, len(tok), MAX_TOKEN_LENGTH):
-                    append_t(tok[off : off + MAX_TOKEN_LENGTH])
-                    append_p(s + off)
+        # maxTokenLength=255: overlong runs are split (rare; vectorized scan)
+        if len(tokens):
+            import pyarrow.compute as _pc
+            import pyarrow as _pa
 
-        tokens = np.array(toks, dtype=object)
-        pos_arr = np.array(positions, dtype=np.int64)
-        doc_idx = np.searchsorted(doc_starts, pos_arr, side="right") - 1
+            lens = _pc.utf8_length(_pa.array(tokens, type=_pa.string())).to_numpy()
+            if int(lens.max(initial=0)) > MAX_TOKEN_LENGTH:
+                out_t: list[str] = []
+                out_d: list[int] = []
+                for tok, d in zip(tokens, doc_idx):
+                    if len(tok) <= MAX_TOKEN_LENGTH:
+                        out_t.append(tok)
+                        out_d.append(int(d))
+                    else:
+                        for off in range(0, len(tok), MAX_TOKEN_LENGTH):
+                            out_t.append(tok[off : off + MAX_TOKEN_LENGTH])
+                            out_d.append(int(d))
+                tokens = np.array(out_t, dtype=object)
+                doc_idx = np.array(out_d, dtype=np.int64)
 
         if self._stop_arr is not None and len(tokens):
             # vectorized membership: binary-search the sorted stop array
@@ -175,10 +183,10 @@ class StandardAnalyzer(Analyzer):
 
     name = "standard"
 
-    def _find(self, joined: str):
-        if joined.isascii():
-            return _ASCII_WORD.finditer(joined)
-        return _STANDARD_PATTERN.finditer(joined)
+    def _findall(self, text: str) -> list[str]:
+        if text.isascii():
+            return _ASCII_WORD.findall(text)
+        return _STANDARD_PATTERN.findall(text)
 
 
 class SimpleAnalyzer(Analyzer):
@@ -186,8 +194,8 @@ class SimpleAnalyzer(Analyzer):
 
     name = "simple"
 
-    def _find(self, joined: str):
-        return _SIMPLE_PATTERN.finditer(joined)
+    def _findall(self, text: str) -> list[str]:
+        return _SIMPLE_PATTERN.findall(text)
 
 
 _REGISTRY = {

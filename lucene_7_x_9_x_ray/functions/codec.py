@@ -65,6 +65,61 @@ def _packed_nbytes(counts: np.ndarray, widths: np.ndarray) -> np.ndarray:
     return (counts.astype(np.int64) * widths.astype(np.int64) + 7) // 8
 
 
+def bit_widths(maxima: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length over non-negative int64 maxima."""
+    m = np.asarray(maxima, dtype=np.int64)
+    w = np.zeros(len(m), dtype=np.int64)
+    nz = m > 0
+    w[nz] = np.floor(np.log2(m[nz].astype(np.float64))).astype(np.int64) + 1
+    # float log2 can land one low at exact powers of two — fix up exactly
+    bad = nz & ((m >> np.minimum(w, 63)) > 0)
+    w[bad] += 1
+    return w
+
+
+def pack_blocks(
+    values: np.ndarray, block_counts: np.ndarray, block_widths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pack MANY bit-packed blocks in one vectorized pass.
+
+    ``values`` holds every block's values back to back (block i contributes
+    block_counts[i] values packed at block_widths[i] bits, little-endian,
+    each block padded to a byte boundary — byte-identical to concatenating
+    per-block _pack_block outputs). Returns (packed uint8 array,
+    byte offsets[B+1]). This is the whole-segment encode fast path: one
+    bit-scatter + one np.packbits instead of a Python call per block.
+    """
+    counts = np.asarray(block_counts, dtype=np.int64)
+    widths = np.asarray(block_widths, dtype=np.int64)
+    nbytes = _packed_nbytes(counts, widths)
+    byte_off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_off[1:])
+    total_bytes = int(byte_off[-1])
+    if total_bytes == 0 or len(values) == 0:
+        return np.zeros(total_bytes, dtype=np.uint8), byte_off
+
+    v = np.asarray(values, dtype=np.int64)
+    w_per_value = np.repeat(widths, counts)
+    base_bits = np.repeat(byte_off[:-1] * 8, counts)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    local_idx = np.arange(len(v), dtype=np.int64) - np.repeat(starts, counts)
+    val_bit_start = base_bits + local_idx * w_per_value
+
+    maxw = int(widths.max())
+    if maxw == 0:
+        return np.zeros(total_bytes, dtype=np.uint8), byte_off
+    # one scatter per bit plane (≤ maxw vectorized passes; no (N, w)
+    # temporaries — those dominate wall time at millions of values)
+    out = np.zeros(total_bytes * 8, dtype=np.uint8)
+    for k in range(maxw):
+        selk = w_per_value > k
+        if not selk.any():
+            continue
+        out[val_bit_start[selk] + k] = ((v[selk] >> k) & 1).astype(np.uint8)
+    return np.packbits(out, bitorder="little"), byte_off
+
+
 def block_bounds(doc_freq: int) -> tuple[int, np.ndarray]:
     """(num_blocks, per-block counts) for a posting list of length doc_freq."""
     nblocks = (doc_freq + BLOCK_SIZE - 1) // BLOCK_SIZE
@@ -208,6 +263,164 @@ def decode_positions(
     # subtract each doc's incoming prefix so cumsum restarts per doc
     base = cums[starts] - deltas[starts]
     return cums - np.repeat(base, freqs)
+
+
+class SegmentEncoding:
+    """Whole-segment batch encoding of many terms' postings (+ positions).
+
+    Produced by encode_segment_terms: all packed streams are built in a
+    few vectorized passes (pack_blocks) instead of per-term encode calls;
+    ``term_region(ti)`` assembles term ti's postings.bin region
+    byte-identically to _region_blobs(encode_postings(...)).
+    """
+
+    __slots__ = (
+        "n_terms", "dfs", "ttfs", "nbs", "bstart", "bcount",
+        "last_docs", "dwidths", "fwidths", "imp_counts", "imp_freqs",
+        "imp_norms", "imp_term_off", "docs_packed", "docs_off",
+        "freqs_packed", "freqs_off", "pos_packed", "pos_off", "pos_widths",
+    )
+
+    def term_region(self, ti: int) -> tuple[bytes, int, int, int, int]:
+        """(region bytes, n_blocks, n_imp, len_docs, len_freqs) for term ti."""
+        b0, b1 = int(self.bstart[ti]), int(self.bstart[ti + 1])
+        i0, i1 = int(self.imp_term_off[ti]), int(self.imp_term_off[ti + 1])
+        d0, d1 = int(self.docs_off[b0]), int(self.docs_off[b1])
+        f0, f1 = int(self.freqs_off[b0]), int(self.freqs_off[b1])
+        region = b"".join(
+            (
+                self.last_docs[b0:b1].tobytes(),
+                self.dwidths[b0:b1].astype(np.uint8).tobytes(),
+                self.fwidths[b0:b1].astype(np.uint8).tobytes(),
+                self.imp_counts[b0:b1].astype(np.uint8).tobytes(),
+                self.imp_freqs[i0:i1].astype(np.int32).tobytes(),
+                self.imp_norms[i0:i1].astype(np.uint8).tobytes(),
+                self.docs_packed[d0:d1].tobytes(),
+                self.freqs_packed[f0:f1].tobytes(),
+            )
+        )
+        return region, b1 - b0, i1 - i0, d1 - d0, f1 - f0
+
+    def term_positions_blob(self, ti: int) -> tuple[bytes, int, int]:
+        """(pos blob bytes, pos width, len) for term ti (positions mode)."""
+        p0, p1 = int(self.pos_off[ti]), int(self.pos_off[ti + 1])
+        return self.pos_packed[p0:p1].tobytes(), int(self.pos_widths[ti]), p1 - p0
+
+
+def encode_segment_terms(
+    docs: np.ndarray,
+    freqs: np.ndarray,
+    norms_aligned: np.ndarray,
+    term_starts: np.ndarray,
+    term_ends: np.ndarray,
+    pos_stream: np.ndarray | None = None,
+) -> SegmentEncoding:
+    """Batch-encode every term of a segment in vectorized passes.
+
+    docs/freqs are the (term, doc)-sorted posting triples (term boundaries
+    in term_starts/term_ends); norms_aligned[i] is the norm byte of the
+    doc at position i (aligned with docs); pos_stream (optional) holds
+    positions in the same global order, expanded per occurrence.
+    Semantically identical to per-term encode_postings + encode_positions
+    (asserted by tests)."""
+    T = len(term_starts)
+    enc = SegmentEncoding()
+    docs = np.asarray(docs, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    term_starts = np.asarray(term_starts, dtype=np.int64)
+    term_ends = np.asarray(term_ends, dtype=np.int64)
+    enc.n_terms = T
+    enc.dfs = (term_ends - term_starts).astype(np.int64)
+
+    # docID deltas with restarts at term boundaries (store delta-1)
+    deltas = np.empty(len(docs), dtype=np.int64)
+    if len(docs):
+        deltas[1:] = docs[1:] - docs[:-1] - 1
+        deltas[term_starts] = docs[term_starts]
+    fm1 = freqs - 1
+
+    # global block table: nbs[t] blocks per term, 128 values except tails
+    nbs = (enc.dfs + BLOCK_SIZE - 1) // BLOCK_SIZE
+    enc.nbs = nbs
+    B = int(nbs.sum())
+    bstart = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(nbs, out=bstart[1:])
+    enc.bstart = bstart
+    bterm = np.repeat(np.arange(T, dtype=np.int64), nbs)
+    local_b = np.arange(B, dtype=np.int64) - np.repeat(bstart[:-1], nbs)
+    bcount = np.where(
+        local_b < nbs[bterm] - 1,
+        BLOCK_SIZE,
+        enc.dfs[bterm] - (nbs[bterm] - 1) * BLOCK_SIZE,
+    ).astype(np.int64)
+    enc.bcount = bcount
+    bvstart = term_starts[bterm] + local_b * BLOCK_SIZE
+
+    # per-block maxima -> widths (reduceat: blocks tile the value range)
+    if B:
+        dmax = np.maximum.reduceat(deltas, bvstart)
+        fmax = np.maximum.reduceat(fm1, bvstart)
+    else:
+        dmax = fmax = np.empty(0, dtype=np.int64)
+    enc.dwidths = bit_widths(dmax)
+    enc.fwidths = bit_widths(fmax)
+    enc.last_docs = docs[bvstart + bcount - 1] if B else np.empty(0, np.int64)
+
+    enc.docs_packed, enc.docs_off = pack_blocks(deltas, bcount, enc.dwidths)
+    enc.freqs_packed, enc.freqs_off = pack_blocks(fm1, bcount, enc.fwidths)
+
+    # per-block competitive (freq, norm) pareto frontiers
+    imp_counts = np.empty(B, dtype=np.int64)
+    imp_f_parts: list[np.ndarray] = []
+    imp_n_parts: list[np.ndarray] = []
+    norms_aligned = np.asarray(norms_aligned, dtype=np.uint8)
+    for bi in range(B):
+        s = int(bvstart[bi])
+        c = int(bcount[bi])
+        kf, kn = compute_impacts(
+            freqs[s : s + c].astype(np.int32), norms_aligned[s : s + c]
+        )
+        imp_counts[bi] = len(kf)
+        imp_f_parts.append(kf)
+        imp_n_parts.append(kn)
+    enc.imp_counts = imp_counts
+    enc.imp_freqs = (
+        np.concatenate(imp_f_parts) if imp_f_parts else np.empty(0, np.int32)
+    )
+    enc.imp_norms = (
+        np.concatenate(imp_n_parts) if imp_n_parts else np.empty(0, np.uint8)
+    )
+    imp_term_off = np.zeros(T + 1, dtype=np.int64)
+    if B:
+        per_term_imps = np.add.reduceat(imp_counts, bstart[:-1])
+        np.cumsum(per_term_imps, out=imp_term_off[1:])
+    enc.imp_term_off = imp_term_off
+
+    # positions: delta restarts at every posting (doc) boundary, one width
+    # per term, each term's stream padded to a byte (== encode_positions)
+    if pos_stream is not None and len(pos_stream):
+        pos_stream = np.asarray(pos_stream, dtype=np.int64)
+        pd = np.empty(len(pos_stream), dtype=np.int64)
+        pd[1:] = pos_stream[1:] - pos_stream[:-1]
+        posting_starts = np.zeros(len(freqs), dtype=np.int64)
+        np.cumsum(freqs[:-1], out=posting_starts[1:])
+        pd[posting_starts] = pos_stream[posting_starts]
+        ttfs_arr = np.add.reduceat(freqs, term_starts) if T else np.empty(0, np.int64)
+        # term token boundaries in the stream
+        term_tok_starts = np.zeros(T, dtype=np.int64)
+        np.cumsum(ttfs_arr[:-1], out=term_tok_starts[1:])
+        pmax = np.maximum.reduceat(pd, term_tok_starts)
+        enc.pos_widths = bit_widths(pmax)
+        enc.pos_packed, enc.pos_off = pack_blocks(pd, ttfs_arr, enc.pos_widths)
+        enc.ttfs = ttfs_arr
+    else:
+        enc.pos_packed = np.empty(0, np.uint8)
+        enc.pos_off = np.zeros(T + 1, dtype=np.int64)
+        enc.pos_widths = np.zeros(T, dtype=np.int64)
+        enc.ttfs = (
+            np.add.reduceat(freqs, term_starts) if T and len(freqs) else np.zeros(T, np.int64)
+        )
+    return enc
 
 
 def _block_offsets(counts: np.ndarray, widths: np.ndarray) -> np.ndarray:

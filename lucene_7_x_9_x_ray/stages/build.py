@@ -53,6 +53,11 @@ class BuildConfig:
     index_positions: bool = True
     target_docs_per_segment: int = 100_000
     chunk_rows: int = 8192
+    # Ray cpu slots reserved per build task. 1 is right on real clusters;
+    # raise to 2-4 on hosts where concurrent heavy tasks contend for memory
+    # bandwidth (measured 3x on this sandbox for 400-token docs — see
+    # BASELINE.md), trading slot count for per-task headroom.
+    cpus_per_task: int = 1
 
 
 def plan_partitions(
@@ -184,6 +189,8 @@ def build_index(
     kwargs = {}
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
+    if cfg.cpus_per_task != 1:
+        kwargs["num_cpus"] = cfg.cpus_per_task
     # one block per partition spec — otherwise from_items packs specs into a
     # handful of blocks and map_batches runs only that many concurrent tasks
     stats_rows = (

@@ -45,16 +45,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.codec import encode_postings
+from ..functions.codec import decode_positions, encode_segment_terms
 from ..state.manifest import IndexManifest, atomic_write_json, load_json
-from ..functions.codec import decode_positions, encode_positions
 from ..state.segment import (
     NORMS_FILE,
     POSITIONS_FILE,
     POSTINGS_FILE,
     TERMS_FILE,
     SegmentReader,
-    _region_blobs,
     encode_term_table,
     parse_region,
 )
@@ -537,47 +535,58 @@ def write_merged_shard(
         if has_pos
         else None
     )
-    pos = 0
-    ppos = 0
+
+    # decode every fragment, concatenate into whole-shard arrays with term
+    # boundaries, then batch-encode all terms in one vectorized pass
+    # (codec.encode_segment_terms — the same fast path the segment flush uses)
+    d_cat, f_cat, n_cat, p_cat = [], [], [], []
+    term_starts = np.zeros(len(uniq), dtype=np.int64)
+    off = 0
     for ui in range(len(uniq)):
         s, e = int(starts[ui]), int(ends[ui])
-        docs_parts, freqs_parts, norm_parts, pos_parts = [], [], [], []
+        term_starts[ui] = off
         for fi in range(s, e):
             tp = parse_region(
                 regions[fi], int(dfs[fi]), int(n_blocks[fi]), int(n_imps[fi]),
                 int(len_docs[fi]), int(len_freqs[fi]),
             )
             d, f = tp.decode()
-            docs_parts.append(d + doc_bases[fi])  # -> global docIDs
-            freqs_parts.append(f)
-            norm_parts.append(seg_norms(seg_dirs[fi])[d])
+            d_cat.append(d + doc_bases[fi])  # -> global docIDs
+            f_cat.append(f)
+            n_cat.append(seg_norms(seg_dirs[fi])[d])
             if has_pos:
                 # positions are doc-local: fragment streams concatenate in
                 # doc_base order with no remap, then re-pack at the new width
-                pos_parts.append(
-                    decode_positions(pos_blobs[fi], int(pos_widths[fi]), f)
-                )
-        docs = np.concatenate(docs_parts)
-        freqs = np.concatenate(freqs_parts)
-        norms = np.concatenate(norm_parts)
-        enc = encode_postings(docs, freqs, norms)
-        region, nb, ni = _region_blobs(enc)
+                p_cat.append(decode_positions(pos_blobs[fi], int(pos_widths[fi]), f))
+            off += len(d)
+        out_ttfs[ui] = int(ttfs[s:e].sum())
+    term_ends = np.append(term_starts[1:], off)
+    docs_all = np.concatenate(d_cat) if d_cat else np.empty(0, np.int64)
+    freqs_all = np.concatenate(f_cat) if f_cat else np.empty(0, np.int64)
+    norms_all = np.concatenate(n_cat) if n_cat else np.empty(0, np.uint8)
+    pos_all = np.concatenate(p_cat) if has_pos and p_cat else None
+    enc = encode_segment_terms(
+        docs_all, freqs_all, norms_all, term_starts, term_ends, pos_stream=pos_all
+    )
+    pos = 0
+    ppos = 0
+    for ui in range(len(uniq)):
+        region, nb, ni, ld, lf = enc.term_region(ui)
         out_regions.append(region)
         meta[0][ui] = pos
         meta[1][ui] = nb
         meta[2][ui] = ni
-        meta[3][ui] = len(enc.docs_blob)
-        meta[4][ui] = len(enc.freqs_blob)
-        out_dfs[ui] = enc.doc_freq
-        out_ttfs[ui] = int(ttfs[s:e].sum())
+        meta[3][ui] = ld
+        meta[4][ui] = lf
+        out_dfs[ui] = int(term_ends[ui] - term_starts[ui])
         pos += len(region)
         if has_pos:
-            pblob, pw = encode_positions(np.concatenate(pos_parts), freqs)
+            pblob, pw, pl = enc.term_positions_blob(ui)
             out_pos_blobs.append(pblob)
             pos_meta[0][ui] = ppos
             pos_meta[1][ui] = pw
-            pos_meta[2][ui] = len(pblob)
-            ppos += len(pblob)
+            pos_meta[2][ui] = pl
+            ppos += pl
 
     tmp = os.path.join(merged_dir, f".{shard_name}.tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)

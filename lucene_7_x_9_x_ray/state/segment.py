@@ -226,8 +226,12 @@ def write_segment(
 
     Local docIDs are row positions within the partition (ascending input
     order), so global docID = doc_base + local is deterministic lineage, not
-    task arrival order (SURVEY.md §7.5).
+    task arrival order (SURVEY.md §7.5). ``elapsed_sec`` is the caller's
+    pre-work (read) time; the stats record adds this function's own time.
     """
+    import time as _time
+
+    _t_start = _time.perf_counter()
     n = len(texts)
     pos_s = pair_tok_starts = None
     if index_positions:
@@ -286,32 +290,33 @@ def write_segment(
     len_pos_arr = np.zeros(n_terms_total, dtype=np.int64)
     pos_blobs: list[bytes] = []
 
+    # batch-encode the whole segment in vectorized passes (the per-term
+    # Python encode loop was the flush hot spot on realistic doc sizes)
+    seg_enc = codec.encode_segment_terms(
+        docs_s, freqs_s, norms[docs_s] if len(docs_s) else norms[:0],
+        starts, ends,
+        pos_stream=pos_s if index_positions else None,
+    )
     regions: list[bytes] = []
     pos = 0
     ppos = 0
-    total_toks = len(pos_s) if pos_s is not None else 0
     for ti in range(len(uniq_terms)):
-        s, e = starts[ti], ends[ti]
-        td, tf = docs_s[s:e], freqs_s[s:e]
-        enc = codec.encode_postings(td, tf, norms[td])
-        region, nb, ni = _region_blobs(enc)
+        region, nb, ni, ld, lf = seg_enc.term_region(ti)
         regions.append(region)
         offsets[ti] = pos
         n_blocks_arr[ti] = nb
         n_imp_arr[ti] = ni
-        len_docs_arr[ti] = len(enc.docs_blob)
-        len_freqs_arr[ti] = len(enc.freqs_blob)
-        ttfs[ti] = enc.total_term_freq
+        len_docs_arr[ti] = ld
+        len_freqs_arr[ti] = lf
+        ttfs[ti] = seg_enc.ttfs[ti]
         pos += len(region)
         if index_positions:
-            tok_s = int(pair_tok_starts[s])
-            tok_e = int(pair_tok_starts[e]) if e < len(pair_tok_starts) else total_toks
-            pblob, pw = codec.encode_positions(pos_s[tok_s:tok_e], tf)
+            pblob, pw, pl = seg_enc.term_positions_blob(ti)
             pos_blobs.append(pblob)
             pos_off_arr[ti] = ppos
             pos_width_arr[ti] = pw
-            len_pos_arr[ti] = len(pblob)
-            ppos += len(pblob)
+            len_pos_arr[ti] = pl
+            ppos += pl
 
     tmp = os.path.join(os.path.dirname(out_dir), f".{seg_name}.tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
@@ -369,7 +374,7 @@ def write_segment(
             lineage_rg_end=rg_end,
             lineage_fingerprint=h.hexdigest(),
             analyzer=analyzer.name,
-            elapsed_sec=elapsed_sec,
+            elapsed_sec=elapsed_sec + (_time.perf_counter() - _t_start),
         )
         atomic_write_json(os.path.join(tmp, STATS_NAME), stats.to_dict())
 
