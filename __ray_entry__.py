@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": flagship.q_postings,
         "doc_lengths": flagship.q_doc_lengths,
         "multiterm_match": flagship.q_multiterm_match,
+        "bm25_lang_filtered": flagship.q_bm25_lang_filtered,
         "facet_lang": flagship.q_facet_lang,
         "grouped_topk": flagship.q_grouped_topk,
         # --- training-data text ops ---
@@ -61,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": relational.q_lineitem_pricing,
         "latest_event_per_user": relational.q_latest_event_per_user,
         "event_type_agg": relational.q_event_type_agg,
+        "event_window_agg": relational.q_event_window_agg,
         "sort_topn_docs": relational.q_sort_topn_docs,
         # --- multimodal plumbing ---
         "multimodal_meta": multimodal.q_multimodal_meta,
@@ -91,6 +93,10 @@ def oracle_sql() -> dict[str, str]:
         "postings": O.postings_sql(flagship.POSTINGS_TERMS),
         "doc_lengths": O.doc_lengths_sql(),
         "multiterm_match": O.multiterm_match_sql(multiterm_specs),
+        "bm25_lang_filtered": O.lang_filtered_topk_sql(
+            list(flagship.LANG_FILTER_TERMS), flagship.LANG_FILTER_LANG,
+            flagship.LANG_FILTER_K,
+        ),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "grouped_topk": O.grouped_topk_sql(
             flagship.GROUPED_TOPK_TERMS, flagship.GROUPED_TOPK_PER_GROUP
@@ -108,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing": relational.oracle_lineitem_pricing_sql(),
         "latest_event_per_user": relational.oracle_latest_event_sql(),
         "event_type_agg": relational.oracle_event_type_agg_sql(),
+        "event_window_agg": relational.oracle_event_window_agg_sql(),
         "sort_topn_docs": relational.oracle_sort_topn_sql(),
         "multimodal_meta": multimodal.oracle_multimodal_sql(),
     }

@@ -192,6 +192,39 @@ def q_phrase_topk(sf_dir: str) -> pa.Table:
     )
 
 
+LANG_FILTER_TERMS = ("the", "table")
+LANG_FILTER_LANG = "en"
+LANG_FILTER_K = 10
+
+
+def q_bm25_lang_filtered(sf_dir: str) -> pa.Table:
+    """BM25 disjunction restricted by a metadata predicate: the stored
+    ``lang`` column becomes a FILTER-clause doc set (DocSetQuery — the
+    IndexOrDocValuesQuery column-scan plan): (rank, doc_id, score_r)."""
+    merged, seg = get_searchers(sf_dir)
+    en_docs: list[int] = []
+    for r in seg.readers:
+        dm = r.docmap()
+        ids = _doc_ids_from_urls(dm["url"].to_pylist())
+        for gid, lang in zip(ids, dm["lang"].to_pylist()):
+            if lang == LANG_FILTER_LANG:
+                en_docs.append(gid)
+    query = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery(t)) for t in LANG_FILTER_TERMS]
+        + [(Q.FILTER, Q.DocSetQuery(doc_ids=tuple(sorted(en_docs))))]
+    )
+    td = merged.search(query, k=LANG_FILTER_K)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(td.doc_ids) + 1), pa.int64()),
+            "doc_id": pa.array([int(d) for d in td.doc_ids], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in td.scores], pa.float64()
+            ),
+        }
+    )
+
+
 SCORING_VARIANT_TERMS = ("key", "hash")
 SCORING_VARIANTS_K = 10
 

@@ -214,6 +214,29 @@ mustopt AS (SELECT x.doc_id,
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def lang_filtered_topk_sql(
+    terms: list[str], lang: str, k: int, relation: str = "documents"
+) -> str:
+    """BM25 disjunction + metadata FILTER oracle: every doc of the filtered
+    set matches (FILTER-side score contribution is 0), scored by the sum of
+    its matching SHOULD leaves: (rank, doc_id, score_r)."""
+    ctes = [base_ctes(relation)]
+    ctes += [term_leaf_ctes(t) for t in sorted(set(terms))]
+    union = "\n      UNION ALL ".join(f"SELECT doc_id, s FROM s_{_ident(t)}" for t in terms)
+    ctes.append(f"""
+flt AS (SELECT doc_id FROM {relation} WHERE lang = '{lang}'),
+scf AS (SELECT flt.doc_id,
+               CAST(COALESCE(SUM(CAST(u.s AS DOUBLE)), 0) AS FLOAT) AS score
+        FROM flt LEFT JOIN ({union}) u USING (doc_id)
+        GROUP BY flt.doc_id)""")
+    return (
+        "WITH " + ",".join(ctes) + f"""
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+FROM scf ORDER BY score DESC, doc_id LIMIT {k}"""
+    )
+
+
 def term_stats_sql(relation: str = "documents") -> str:
     """Full term dictionary: (term, doc_freq, total_term_freq)."""
     return f"""WITH {base_ctes(relation)}

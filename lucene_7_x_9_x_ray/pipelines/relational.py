@@ -211,6 +211,34 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '{LINEITEM_CUTOFF} 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
 
+def q_event_window_agg(sf_dir: str) -> pa.Table:
+    """Tumbling-window (daily) aggregate over the stream table: (day,
+    event_type, n). The micro-batch windowing shape — key = (time bucket,
+    type), computed with a vectorized map + one small groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        return pa.table({"day": day, "event_type": batch["event_type"]})
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        .map_batches(add_day, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+    t = _to_table(ds)
+    return pa.table(
+        {"day": t["day"], "event_type": t["event_type"], "n": t["n"].cast(pa.int64())}
+    )
+
+
+def oracle_event_window_agg_sql() -> str:
+    return """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+FROM events GROUP BY date_trunc('day', ts), event_type"""
+
+
 def q_sort_topn_docs(sf_dir: str) -> pa.Table:
     """TopFieldCollector analogue: top-N docs by (n_chars desc, doc_id asc)."""
     import ray.data as rd

@@ -88,6 +88,16 @@ class ConstantScoreQuery(Query):
 
 
 @dataclass(frozen=True)
+class DocSetQuery(Query):
+    """Matches an explicit GLOBAL docID set at constant score 0 — the
+    doc-values / column-scan side of IndexOrDocValuesQuery
+    (IndexOrDocValuesQuery.java:202): metadata predicates evaluated over
+    the stored columns become a FILTER clause doc set."""
+
+    doc_ids: tuple[int, ...]  # sorted global docIDs
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: tuple[str, ...]
     boost: float = 1.0

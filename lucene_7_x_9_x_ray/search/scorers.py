@@ -100,6 +100,14 @@ def eval_query(
     if isinstance(query, Q.MatchNoDocsQuery):
         return _empty()
 
+    if isinstance(query, Q.DocSetQuery):
+        # global docID set intersected with this reader's doc range,
+        # rebased to local ids; constant score 0 (a FILTER-side query)
+        ids = np.asarray(query.doc_ids, dtype=np.int64)
+        lo, hi = reader.doc_base, reader.doc_base + reader.doc_count
+        ids = ids[(ids >= lo) & (ids < hi)] - reader.doc_base
+        return ids, np.zeros(len(ids), dtype=np.float32)
+
     if isinstance(query, Q.BoostQuery):
         # BoostQuery multiplies the sub-score (BoostQuery.java:130)
         docs, scores = eval_query(reader, query.query, stats, bm25)
