@@ -382,3 +382,49 @@ def test_rebuilt_segment_replaces_stale_dir(ray_session, tmp_path):
     assert m.doc_count == 210
     out = check_index(idx)  # stale seg_000000 content would fail doc ranges
     assert out["doc_count"] == 210
+
+
+def test_tiered_compaction_preserves_results(ray_session, tmp_path):
+    """Compaction merges adjacent segments without changing global docIDs,
+    stats, or search results; a re-merge after compaction serves the same
+    index (TieredMergePolicy + SegmentMerger analogue)."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.compact import CompactionPolicy, compact_index
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index
+    from lucene_7_x_9_x_ray.state.checkindex import check_index
+
+    pages = generate_pages(600, vocab_size=80, mean_tokens=25, seed=31)
+    path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=50)
+    idx = str(tmp_path / "idx")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=50))
+
+    s0 = IndexSearcher(idx)
+    probes = [
+        Q.TermQuery("t00000"),
+        Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery("t00002")), (Q.SHOULD, Q.TermQuery("t00030"))]),
+        Q.PhraseQuery(terms=("t00000", "t00001")),
+    ]
+    before = [s0.search(q, k=20, total_hits_threshold=1 << 30) for q in probes]
+
+    m = compact_index(idx, CompactionPolicy(max_merge_at_once=4))
+    assert len(m.segments) == 3  # 12 segments -> groups of 4
+    out = check_index(idx)
+    assert out["doc_count"] == 600
+
+    s1 = IndexSearcher(idx)
+    for q, td0 in zip(probes, before):
+        td1 = s1.search(q, k=20, total_hits_threshold=1 << 30)
+        assert list(td0.doc_ids) == list(td1.doc_ids)
+        assert np.array_equal(td0.scores, td1.scores)
+
+    merge_index(idx, MergeConfig(n_shards=4, hot_df_threshold=100))
+    s2 = open_searcher(idx)
+    for q, td0 in zip(probes, before):
+        td2 = s2.search(q, k=20, total_hits_threshold=1 << 30)
+        assert list(td0.doc_ids) == list(td2.doc_ids)
+        assert np.array_equal(td0.scores, td2.scores)
