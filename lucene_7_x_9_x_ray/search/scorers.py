@@ -38,6 +38,56 @@ __all__ = ["CollectionStats", "eval_query", "term_scores"]
 _MAX_DENSE_DOCS = 1 << 24
 
 
+class FilterCache:
+    """LRU cache of FILTER-clause doc sets per reader — the LRUQueryCache
+    analogue (search/LRUQueryCache.java): filter queries are score-free,
+    so their matching doc sets are reusable across queries. Attached
+    lazily to readers; keys are the (hashable, frozen) query nodes."""
+
+    def __init__(self, max_entries: int = 256):
+        from collections import OrderedDict
+
+        self.max_entries = max_entries
+        self._d: "OrderedDict" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        v = self._d.get(key)
+        if v is not None:
+            self._d.move_to_end(key)
+            self.hits += 1
+        else:
+            self.misses += 1
+        return v
+
+    def put(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        if len(self._d) > self.max_entries:
+            self._d.popitem(last=False)
+
+
+def _filter_docs(reader, query, stats, bm25) -> np.ndarray:
+    """Evaluate a FILTER clause's doc set through the reader's LRU cache."""
+    cache = getattr(reader, "filter_cache", None)
+    if cache is None:
+        cache = FilterCache()
+        try:
+            reader.filter_cache = cache
+        except AttributeError:  # readers with __slots__: evaluate uncached
+            return eval_query(reader, query, stats, bm25)[0]
+    try:
+        cached = cache.get(query)
+    except TypeError:  # unhashable query node
+        return eval_query(reader, query, stats, bm25)[0]
+    if cached is not None:
+        return cached
+    docs = eval_query(reader, query, stats, bm25)[0]
+    cache.put(query, docs)
+    return docs
+
+
 class CollectionStats:
     """Global (cross-segment) collection + term statistics for scoring.
 
@@ -244,7 +294,7 @@ def _eval_boolean(
         elif c.occur == Q.SHOULD:
             shoulds.append(eval_query(reader, c.query, stats, bm25))
         elif c.occur == Q.FILTER:
-            filters.append(eval_query(reader, c.query, stats, bm25)[0])
+            filters.append(_filter_docs(reader, c.query, stats, bm25))
         elif c.occur == Q.MUST_NOT:
             must_nots.append(eval_query(reader, c.query, stats, bm25)[0])
         else:

@@ -213,3 +213,19 @@ def test_multi_segment_matches_single(tmp_path):
         assert a == b
         c = s4.search(qt, k=15, mode="wand").to_lists()
         assert a == c
+
+
+def test_filter_lru_cache(idx):
+    """FILTER doc sets are cached per reader (LRUQueryCache analogue):
+    repeated queries with the same filter hit the cache and results are
+    unchanged."""
+    import lucene_7_x_9_x_ray.search.queries as Q
+
+    s = idx
+    f = Q.TermQuery("b")
+    q = Q.BooleanQuery.build([(Q.MUST, Q.TermQuery("a")), (Q.FILTER, f)])
+    td1 = s.search(q, k=10)
+    td2 = s.search(q, k=10)
+    assert list(td1.doc_ids) == list(td2.doc_ids)
+    r = s.readers[0]
+    assert r.filter_cache.hits >= 1 and r.filter_cache.misses >= 1
