@@ -58,6 +58,11 @@ class BuildConfig:
     # bandwidth (measured 3x on this sandbox for 400-token docs — see
     # BASELINE.md), trading slot count for per-task headroom.
     cpus_per_task: int = 1
+    # index sort (IndexSortTest / 段内排序IndexSort, SURVEY.md §2.6): rows of
+    # each partition are sorted by this column (ascending, stable) before
+    # docIDs are assigned, so sorted-field top-N queries early-terminate by
+    # reading only each segment's docmap head (search/sortedfield.py).
+    sort_by: str | None = None
 
 
 def plan_partitions(
@@ -112,9 +117,18 @@ def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> Segmen
     cols = [c for c in (cfg.url_col, cfg.ts_col, cfg.text_col, cfg.lang_col) if c in schema_names]
     if cfg.verify_extract and cfg.html_col in schema_names:
         cols.append(cfg.html_col)
+    if cfg.sort_by and cfg.sort_by not in cols:
+        cols.append(cfg.sort_by)
     table = pf.read_row_groups(
         list(range(spec["rg_start"], spec["rg_end"])), columns=cols, use_threads=False
     )  # 1-cpu task: arrow's own pool would oversubscribe the node
+    if cfg.sort_by:
+        # deterministic index sort: stable by the sort column, original row
+        # order breaking ties — docIDs remain a pure function of the input
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(table, sort_keys=[(cfg.sort_by, "ascending")])
+        table = table.take(idx)
 
     texts = table[cfg.text_col].to_pylist()
     if cfg.verify_extract and cfg.html_col in table.column_names:

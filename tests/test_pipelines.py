@@ -428,3 +428,35 @@ def test_tiered_compaction_preserves_results(ray_session, tmp_path):
         td2 = s2.search(q, k=20, total_hits_threshold=1 << 30)
         assert list(td0.doc_ids) == list(td2.doc_ids)
         assert np.array_equal(td0.scores, td2.scores)
+
+
+def test_index_sort_early_termination(ray_session, tmp_path):
+    """BuildConfig.sort_by pre-sorts each partition; sorted_field_topn
+    reads only segment heads/tails and matches a brute-force sort."""
+    import pyarrow.parquet as pq_
+
+    from lucene_7_x_9_x_ray.search.sortedfield import sorted_field_topn
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+
+    pages = generate_pages(400, vocab_size=50, mean_tokens=20, seed=41)
+    path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "idx")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=100, sort_by="lang"))
+
+    got = sorted_field_topn(idx, "lang", 10)
+    got_desc = sorted_field_topn(idx, "lang", 10, descending=True)
+    assert len(got) == 10 and len(got_desc) == 10
+    # brute force over the docmaps (values only; ids depend on sort order)
+    import glob
+
+    vals = []
+    for p in sorted(glob.glob(idx + "/segments/*/docmap.parquet")):
+        vals.extend(pq_.read_table(p, columns=["lang"])["lang"].to_pylist())
+    assert [v for v, _ in got] == sorted(vals)[:10]
+    assert [v for v, _ in got_desc] == sorted(vals, reverse=True)[:10]
+    # within-segment ordering invariant: docmap is ascending in sort_by
+    for p in sorted(glob.glob(idx + "/segments/*/docmap.parquet")):
+        lv = pq_.read_table(p, columns=["lang"])["lang"].to_pylist()
+        assert lv == sorted(lv)
