@@ -37,6 +37,8 @@ def main() -> int:
     ap.add_argument("--skip-merge", action="store_true")
     ap.add_argument("--checkindex", action="store_true",
                     help="run the CheckIndex-style validator afterwards")
+    ap.add_argument("--compact", action="store_true",
+                    help="run one tiered-compaction round before the merge")
     args = ap.parse_args()
 
     import ray
@@ -64,6 +66,11 @@ def main() -> int:
     )
     manifest = build_index(paths, args.index_dir, cfg)
     build_sec = time.perf_counter() - t0
+
+    if args.compact:
+        from lucene_7_x_9_x_ray.stages.compact import compact_index
+
+        manifest = compact_index(args.index_dir)
 
     merge_sec = 0.0
     if not args.skip_merge:
