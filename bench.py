@@ -172,7 +172,7 @@ def main() -> int:
         results = {}
         for n in (low, num_cpus):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-            env.setdefault("GRAFT_BENCH_ROUNDS", "2")
+            env.setdefault("GRAFT_BENCH_ROUNDS", "3")
             env.setdefault("GRAFT_QUERY_ITERS", "3")
             env.setdefault("GRAFT_BENCH_OPS", "0")
             # larger corpus for the scaling criterion: fixed per-job costs
