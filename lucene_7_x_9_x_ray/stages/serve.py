@@ -199,6 +199,92 @@ def serve_queries_sharded(
     )
 
 
+class ServingPool:
+    """Persistent sharded serving: one long-lived Ray actor per doc-range
+    shard, created once (each opens and memory-maps only its segments),
+    then every query fans out with `.remote` and reduces on the caller —
+    the steady-state deployment shape for 10^12-doc serving, where the
+    per-call actor startup of a fresh Dataset pool would dominate.
+    """
+
+    def __init__(self, index_dir: str, n_shards: int = 8):
+        import ray
+
+        from ..search.searcher import IndexSearcher
+        from ..state.manifest import IndexManifest
+
+        manifest = IndexManifest.load(index_dir)
+        segs = sorted(manifest.segments, key=lambda s: s["doc_base"])
+        n_shards = min(n_shards, len(segs))
+        import numpy as _np
+
+        shard_segs = [
+            [s["seg_name"] for s in part]
+            for part in _np.array_split(segs, n_shards)
+        ]
+
+        @ray.remote
+        class _Shard:
+            def __init__(self, index_dir, seg_names):
+                import os as _os
+
+                from lucene_7_x_9_x_ray.state.segment import SegmentReader
+
+                self.readers = [
+                    SegmentReader(_os.path.join(index_dir, "segments", n))
+                    for n in seg_names
+                ]
+
+            def topk(self, terms, k, stats_tuple):
+                import numpy as _np
+
+                from lucene_7_x_9_x_ray.functions.bm25 import BM25
+                from lucene_7_x_9_x_ray.search import queries as Q
+                from lucene_7_x_9_x_ray.search.scorers import (
+                    CollectionStats,
+                    eval_query,
+                )
+                from lucene_7_x_9_x_ray.search.topk import topk_from_arrays
+
+                stats = CollectionStats(*stats_tuple)
+                query = Q.BooleanQuery.build(
+                    [(Q.SHOULD, Q.TermQuery(t)) for t in terms]
+                )
+                bm25 = BM25()
+                out = []
+                for r in self.readers:
+                    d, s = eval_query(r, query, stats, bm25)
+                    td = topk_from_arrays(d + r.doc_base, s, k)
+                    out.append((td.doc_ids.tolist(), td.scores.tolist()))
+                return out
+
+        self._actors = [
+            _Shard.remote(index_dir, names) for names in shard_segs
+        ]
+        self._searcher = IndexSearcher(index_dir)
+
+    def search(self, terms: list[str], k: int = 10):
+        """Global top-k: fan out to every shard actor, reduce locally."""
+        import numpy as np
+        import ray
+
+        from ..search.topk import TopDocs, merge_topk
+
+        stats = self._searcher.collection_stats(set(terms))
+        st = (stats.doc_count, stats.sum_total_term_freq, stats.term_df, stats.term_ttf)
+        futs = [a.topk.remote(terms, k, st) for a in self._actors]
+        parts = []
+        for res in ray.get(futs):
+            for docs, scores in res:
+                parts.append(
+                    TopDocs(
+                        doc_ids=np.asarray(docs, dtype=np.int64),
+                        scores=np.asarray(scores, dtype=np.float32),
+                    )
+                )
+        return merge_topk(parts, k)
+
+
 def serve_queries(
     index_dir: str,
     query_specs: list[tuple[str, list[str], int]],

@@ -135,3 +135,42 @@ def test_ray_merge_matches_local(built, tmp_path, ray_session):
     b = MergedIndexSearcher(idx2)
     for qt in ["t00000", "t00000 t00123", "t00399"]:
         assert a.search(qt, k=20).to_lists() == b.search(qt, k=20).to_lists()
+
+
+def test_groupby_strategy_carries_positions_and_duels(ray_session, tmp_path):
+    """strategy='groupby' produces a merged index equivalent to the pull
+    strategy: same phrase results, WAND duel rank-identical."""
+    import numpy as np
+
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index
+
+    pages = generate_pages(500, vocab_size=60, mean_tokens=25, seed=77)
+    path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    cfgs = {}
+    for strat in ("pull", "groupby"):
+        idx = str(tmp_path / f"idx_{strat}")
+        build_index([path], idx, BuildConfig(target_docs_per_segment=100))
+        merge_index(idx, MergeConfig(n_shards=4, hot_df_threshold=60, hot_buckets=2),
+                    strategy=strat)
+        cfgs[strat] = open_searcher(idx)
+
+    probes = [
+        Q.PhraseQuery(terms=("t00000", "t00001")),
+        Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery("t00000")), (Q.SHOULD, Q.TermQuery("t00020"))]),
+    ]
+    for q in probes:
+        a = cfgs["pull"].search(q, k=25, total_hits_threshold=1 << 30)
+        b = cfgs["groupby"].search(q, k=25, total_hits_threshold=1 << 30)
+        assert list(a.doc_ids) == list(b.doc_ids)
+        assert np.array_equal(a.scores, b.scores)
+    # WAND over the groupby-merged index (fragment expansion path)
+    q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery("t00000")), (Q.SHOULD, Q.TermQuery("t00005"))])
+    w = cfgs["groupby"].search(q, k=10, mode="wand")
+    e = cfgs["groupby"].search(q, k=10, mode="exhaustive")
+    assert list(w.doc_ids) == list(e.doc_ids)
+    assert np.array_equal(w.scores, e.scores)

@@ -460,3 +460,27 @@ def test_index_sort_early_termination(ray_session, tmp_path):
     for p in sorted(glob.glob(idx + "/segments/*/docmap.parquet")):
         lv = pq_.read_table(p, columns=["lang"])["lang"].to_pylist()
         assert lv == sorted(lv)
+
+
+def test_serving_pool_matches_searcher(ray_session, tmp_path):
+    """Persistent sharded ServingPool == single searcher, rank-identical."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.serve import ServingPool
+
+    pages = generate_pages(400, vocab_size=100, mean_tokens=25, seed=51)
+    path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=50)
+    idx = str(tmp_path / "idx")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=50))
+
+    pool = ServingPool(idx, n_shards=4)
+    s = IndexSearcher(idx)
+    for terms in (["t00000"], ["t00002", "t00015"], ["t00090"]):
+        q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
+        a = s.search(q, k=7)
+        b = pool.search(terms, 7)
+        assert list(a.doc_ids) == list(b.doc_ids)
+        assert np.array_equal(a.scores, b.scores)
