@@ -128,6 +128,20 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
     query_sec = sum(qsecs.values())
     timings["query_set"] = query_sec
 
+    # persistent sharded serving pool latency (the deployment query path)
+    pool_lat_ms: list[float] = []
+    if os.environ.get("GRAFT_BENCH_POOL", "1") != "0":
+        from lucene_7_x_9_x_ray.stages.serve import ServingPool
+
+        pool = ServingPool(index_dir, n_shards=min(16, max(1, num_cpus // 2)))
+        for qid, terms, k, _off in flagship.BM25_QUERY_SPECS:
+            pool.search(terms, k)  # warm
+        for qid, terms, k, _off in flagship.BM25_QUERY_SPECS:
+            for _ in range(iters):
+                ts = time.perf_counter()
+                pool.search(terms, k)
+                pool_lat_ms.append((time.perf_counter() - ts) * 1000)
+
     # training-data operator timings over the raw sf tables (the quick
     # subset; exact all-pairs Jaccard is quadratic and benched separately)
     if os.environ.get("GRAFT_BENCH_OPS", "1") != "0":
@@ -158,6 +172,12 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
         "build_merge_docs_per_sec": round(doc_count / (build_sec + merge_sec), 1),
         "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
         "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
+        "pool_query_p50_ms": (
+            round(float(np.percentile(pool_lat_ms, 50)), 3) if pool_lat_ms else None
+        ),
+        "pool_query_p99_ms": (
+            round(float(np.percentile(pool_lat_ms, 99)), 3) if pool_lat_ms else None
+        ),
         "timings": {k: round(v, 3) for k, v in timings.items()},
     }
 
@@ -174,6 +194,7 @@ def main() -> int:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             env.setdefault("GRAFT_BENCH_ROUNDS", "3")
             env.setdefault("GRAFT_QUERY_ITERS", "3")
+            env.setdefault("GRAFT_BENCH_POOL", "0")
             env.setdefault("GRAFT_BENCH_OPS", "0")
             # larger corpus for the scaling criterion: fixed per-job costs
             # (plan, shuffle setup) must be small vs work, as at 100 TB
