@@ -215,17 +215,83 @@ def eval_query(
     raise TypeError(f"unrewritten or unknown query type: {type(query).__name__}")
 
 
+def _sloppy_freq(adj_lists: list[np.ndarray], slop: int) -> float:
+    """Sloppy phrase frequency of one document — a faithful transcription
+    of SloppyPhraseMatcher.nextMatch for the no-repeats case
+    (solr-8.4.0/lucene/core/.../search/SloppyPhraseMatcher.java:165-201):
+    traverse offset-adjusted positions with a (position, offset) min-heap,
+    always advancing the least PhrasePosition; every emitted match adds
+    sloppyWeight = 1/(1+matchLength), accumulated in float32 as
+    PhraseScorer does. adj_lists[i] = positions of term i minus i."""
+    import heapq
+
+    n = len(adj_lists)
+    idx = [0] * n
+    pos = [int(l[0]) for l in adj_lists]
+    end = max(pos)
+    heap = [(pos[o], o) for o in range(n)]
+    heapq.heapify(heap)
+
+    def advance(o: int) -> bool:
+        nonlocal end
+        idx[o] += 1
+        if idx[o] >= len(adj_lists[o]):
+            return False
+        pos[o] = int(adj_lists[o][idx[o]])
+        if pos[o] > end:
+            end = pos[o]
+        return True
+
+    one = np.float32(1.0)
+    freq = np.float32(0.0)
+    positioned = True
+    while positioned:
+        p, o = heapq.heappop(heap)
+        match_len = end - p
+        nxt = heap[0][0]
+        emitted = False
+        while True:
+            if not advance(o):
+                positioned = False
+                if match_len <= slop:
+                    freq = np.float32(freq + one / np.float32(1 + match_len))
+                break
+            p = pos[o]
+            if p > nxt:
+                heapq.heappush(heap, (p, o))
+                if match_len <= slop:
+                    freq = np.float32(freq + one / np.float32(1 + match_len))
+                    emitted = True
+                    break
+                p, o = heapq.heappop(heap)
+                nxt = heap[0][0]
+                match_len = end - p
+            else:
+                ml2 = end - p
+                if ml2 < match_len:
+                    match_len = ml2
+        if emitted:
+            continue
+    return float(freq)
+
+
 def _eval_phrase(
     reader, query: Q.PhraseQuery, stats: CollectionStats, bm25: BM25
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact PhraseQuery over the positions index (ExactPhraseMatcher
-    semantics): a doc matches when some position p has term_i at p+i for
-    every i; freq = number of such p. Scoring follows PhraseWeight: one
-    SimScorer whose idf is the DOUBLE sum of the per-term float idfs
-    (BM25Similarity idfExplain over TermStatistics[]), freq = phrase freq.
-    Sloppy phrases (slop > 0) are not implemented yet."""
-    if query.slop != 0:
-        raise NotImplementedError("sloppy PhraseQuery (slop > 0) not implemented")
+    """PhraseQuery over the positions index.
+
+    slop=0: ExactPhraseMatcher semantics — a doc matches when some
+    position p has term_i at p+i for every i; freq = number of such p.
+    slop>0: SloppyPhraseMatcher traversal (_sloppy_freq) with float
+    sloppy frequency; phrases with REPEATED terms are not implemented
+    (the rptGroups machinery — SloppyPhraseMatcher.java:279-358).
+    Scoring follows PhraseWeight: one SimScorer whose idf is the DOUBLE
+    sum of the per-term float idfs (BM25Similarity idfExplain over
+    TermStatistics[]), freq = (sloppy) phrase freq."""
+    if query.slop != 0 and len(set(query.terms)) != len(query.terms):
+        raise NotImplementedError(
+            "sloppy PhraseQuery with repeated terms not implemented"
+        )
     if not getattr(reader, "has_positions", False):
         raise ValueError(
             "PhraseQuery requires an index built with index_positions=True"
@@ -251,17 +317,26 @@ def _eval_phrase(
         np.cumsum(f, out=off[1:])
         locs.append(np.searchsorted(d, cand))
         offs.append(off)
-    freqs = np.zeros(len(cand), dtype=np.int64)
+    freqs = np.zeros(len(cand), dtype=np.float64)
     for ci in range(len(cand)):
-        li = locs[0][ci]
-        match = per_term[0][2][offs[0][li] : offs[0][li + 1]]
-        for ti in range(1, len(per_term)):
-            li = locs[ti][ci]
-            pos_i = per_term[ti][2][offs[ti][li] : offs[ti][li + 1]]
-            match = np.intersect1d(match, pos_i - ti, assume_unique=True)
-            if len(match) == 0:
-                break
-        freqs[ci] = len(match)
+        if query.slop == 0:
+            li = locs[0][ci]
+            match = per_term[0][2][offs[0][li] : offs[0][li + 1]]
+            for ti in range(1, len(per_term)):
+                li = locs[ti][ci]
+                pos_i = per_term[ti][2][offs[ti][li] : offs[ti][li + 1]]
+                match = np.intersect1d(match, pos_i - ti, assume_unique=True)
+                if len(match) == 0:
+                    break
+            freqs[ci] = len(match)
+        else:
+            adj_lists = []
+            for ti in range(len(per_term)):
+                li = locs[ti][ci]
+                adj_lists.append(
+                    per_term[ti][2][offs[ti][li] : offs[ti][li + 1]] - ti
+                )
+            freqs[ci] = _sloppy_freq(adj_lists, query.slop)
     keep = freqs > 0
     cand, freqs = cand[keep], freqs[keep]
     if len(cand) == 0:

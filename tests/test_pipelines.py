@@ -484,3 +484,49 @@ def test_serving_pool_matches_searcher(ray_session, tmp_path):
         b = pool.search(terms, 7)
         assert list(a.doc_ids) == list(b.doc_ids)
         assert np.array_equal(a.scores, b.scores)
+
+
+def test_sloppy_phrase_javadoc_examples(ray_session, tmp_path):
+    """Pinned behaviors from SloppyPhraseMatcher's own javadoc, plus the
+    slop=0 duel: sloppy freq at slop=0 == exact phrase match count."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.scorers import _sloppy_freq
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+
+    # javadoc: doc "x a b a y", query "a b"~2 matches twice: dist 0 and 2
+    a = np.array([1, 3]) - 0
+    b = np.array([2]) - 1
+    assert _sloppy_freq([a, b], 2) == np.float32(np.float32(1.0) + np.float32(1.0) / 3)
+    # no match outside slop
+    assert _sloppy_freq([np.array([0]), np.array([10 - 1])], 2) == 0.0
+
+    # slop=0 duel on a generated corpus: sloppy freq == exact count per doc
+    pages = generate_pages(200, vocab_size=12, mean_tokens=30, seed=61)
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "i")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=100))
+    s = IndexSearcher(idx)
+    q0 = Q.PhraseQuery(terms=("t00000", "t00001"), slop=0)
+    exact = s.search(q0, k=500, total_hits_threshold=1 << 30)
+
+    # property duel: at slop=0 the sloppy matcher's float freq equals the
+    # exact matcher's adjacency count on random position lists
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        pa_pos = np.sort(rng.choice(60, size=rng.integers(1, 12), replace=False))
+        pb_pos = np.sort(rng.choice(60, size=rng.integers(1, 12), replace=False))
+        exact_count = len(np.intersect1d(pa_pos, pb_pos - 1))
+        got = _sloppy_freq([pa_pos, pb_pos - 1], 0)
+        assert got == float(exact_count), (pa_pos, pb_pos)
+
+    q2 = Q.PhraseQuery(terms=("t00000", "t00001"), slop=3)
+    sloppy = s.search(q2, k=500, total_hits_threshold=1 << 30)
+    assert set(int(x) for x in exact.doc_ids) <= set(int(x) for x in sloppy.doc_ids)
+    # repeated-term sloppy phrases are explicitly unimplemented
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        s.search(Q.PhraseQuery(terms=("t00000", "t00000"), slop=1), k=5)
