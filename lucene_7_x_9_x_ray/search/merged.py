@@ -191,6 +191,9 @@ class MergedIndexSearcher(IndexSearcher):
         self.doc_count = self.manifest.doc_count
         self.sum_total_term_freq = self.manifest.sum_total_term_freq
         self._seg_searcher = None
+        from ..state.livedocs import load_tombstones
+
+        self.tombstones = load_tombstones(index_dir)
 
     def lookup_docs(self, global_doc_ids) -> list[dict]:
         if self._seg_searcher is None:

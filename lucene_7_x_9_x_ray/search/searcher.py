@@ -22,6 +22,7 @@ import numpy as np
 
 from ..functions.analysis import get_analyzer
 from ..functions.bm25 import BM25
+from ..state.livedocs import load_tombstones
 from ..state.manifest import IndexManifest
 from ..state.segment import SegmentReader
 from . import queries as Q
@@ -64,6 +65,18 @@ class IndexSearcher:
         ]
         self.doc_count = self.manifest.doc_count
         self.sum_total_term_freq = self.manifest.sum_total_term_freq
+        # live-docs filter (.liv analogue): deleted GLOBAL docIDs, sorted.
+        # Statistics intentionally still include deleted docs until a
+        # reclaiming merge, as in Lucene between commits.
+        self.tombstones = load_tombstones(index_dir)
+
+    def _live(self, global_docs: np.ndarray) -> np.ndarray:
+        """Boolean mask of docs NOT tombstoned."""
+        if len(self.tombstones) == 0:
+            return np.ones(len(global_docs), dtype=bool)
+        idx = np.searchsorted(self.tombstones, global_docs)
+        idx = np.minimum(idx, len(self.tombstones) - 1)
+        return self.tombstones[idx] != global_docs
 
     # -- statistics ---------------------------------------------------------
 
@@ -111,6 +124,10 @@ class IndexSearcher:
         # path, duel-verified rank-identical). "auto"/"exhaustive" = the
         # vectorized bulk scorer, which numpy makes faster at these segment
         # sizes (measured in bench.py; see BENCH/BASELINE.md).
+        # deletes are applied as a post-match live filter; WAND's internal
+        # collector has no filter hook, so fall back to the bulk scorer
+        if mode == "wand" and len(self.tombstones):
+            mode = "exhaustive"
         disj = _as_term_disjunction(query) if mode == "wand" else None
         if disj is not None:
             coll = TopKCollector(k, total_hits_threshold)
@@ -126,7 +143,9 @@ class IndexSearcher:
         parts: list[TopDocs] = []
         for r in self.readers:
             docs, scores = eval_query(r, query, stats, self.bm25)
-            td = topk_from_arrays(docs + r.doc_base, scores, k)
+            gdocs = docs + r.doc_base
+            live = self._live(gdocs)
+            td = topk_from_arrays(gdocs[live], scores[live], k)
             parts.append(td)
         return merge_topk(parts, k)
 
@@ -137,7 +156,10 @@ class IndexSearcher:
         if Q.needs_rewrite(query):
             query = Q.rewrite(query, self.term_dict_union())
         stats = self.collection_stats(Q.collect_terms(query))
-        return sum(len(eval_query(r, query, stats, self.bm25)[0]) for r in self.readers)
+        return sum(
+            int(self._live(eval_query(r, query, stats, self.bm25)[0] + r.doc_base).sum())
+            for r in self.readers
+        )
 
     def search_after(
         self, query: Q.Query | str, k: int, after: tuple[float, int]
@@ -155,6 +177,7 @@ class IndexSearcher:
             docs, scores = eval_query(r, query, stats, self.bm25)
             gdocs = docs + r.doc_base
             keep = (scores < a_score) | ((scores == a_score) & (gdocs > a_doc))
+            keep &= self._live(gdocs)
             parts.append(topk_from_arrays(gdocs[keep], scores[keep], k))
         return merge_topk(parts, k)
 

@@ -530,3 +530,50 @@ def test_sloppy_phrase_javadoc_examples(ray_session, tmp_path):
 
     with _pytest.raises(NotImplementedError):
         s.search(Q.PhraseQuery(terms=("t00000", "t00000"), slop=1), k=5)
+
+
+def test_delete_by_url_and_update_flow(ray_session, tmp_path):
+    """Delete-by-term (url) tombstones filter every query path; an update
+    is delete + append (IndexWriter.updateDocument semantics)."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index
+    from lucene_7_x_9_x_ray.state.livedocs import delete_by_url, load_tombstones
+
+    pages = generate_pages(300, vocab_size=40, mean_tokens=20, seed=71, dup_url_frac=0)
+    path = str(tmp_path / "p000.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "i")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=100))
+    merge_index(idx, MergeConfig(n_shards=4, hot_df_threshold=50))
+
+    s = IndexSearcher(idx)
+    td = s.search(Q.TermQuery("t00000"), k=5)
+    victim_gid = int(td.doc_ids[0])
+    victim_url = s.lookup_docs([victim_gid])[0]["url"]
+
+    n = delete_by_url(idx, [victim_url])
+    assert n == 1 and victim_gid in set(load_tombstones(idx).tolist())
+
+    for searcher in (IndexSearcher(idx), open_searcher(idx)):
+        td2 = searcher.search(Q.TermQuery("t00000"), k=300, total_hits_threshold=1 << 30)
+        assert victim_gid not in set(int(d) for d in td2.doc_ids)
+        assert searcher.count(Q.TermQuery("t00000")) == len(td2.doc_ids)
+        # wand mode silently falls back and still excludes the tombstone
+        td3 = searcher.search(Q.TermQuery("t00000"), k=300, mode="wand",
+                              total_hits_threshold=1 << 30)
+        assert victim_gid not in set(int(d) for d in td3.doc_ids)
+
+    # update = delete + append of a replacement file
+    repl = generate_pages(50, vocab_size=40, mean_tokens=20, seed=72, dup_url_frac=0)
+    p2 = str(tmp_path / "p001.parquet")
+    write_pages_parquet(repl, p2, rows_per_row_group=50)
+    m2 = build_index([path, p2], idx, BuildConfig(target_docs_per_segment=100))
+    assert m2.doc_count == 350
+    s2 = IndexSearcher(idx)
+    td4 = s2.search(Q.TermQuery("t00000"), k=350, total_hits_threshold=1 << 30)
+    assert victim_gid not in set(int(d) for d in td4.doc_ids)
+    assert max(int(d) for d in td4.doc_ids) >= 300  # replacement docs visible
