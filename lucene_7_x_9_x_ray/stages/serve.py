@@ -67,13 +67,23 @@ class ShardScorer:
 
         from ..functions.bm25 import BM25
         from ..search.scorers import CollectionStats
+        from ..state.livedocs import load_tombstones
 
         self.index_dir = index_dir
         self.shard_segs = shard_segs
         dc, sttf, df, ttf = ray.get(stats_ref)
         self.stats = CollectionStats(dc, sttf, df, ttf)
         self.bm25 = BM25()
+        self.tombstones = load_tombstones(index_dir)
         self._readers: dict[int, list] = {}
+
+    def _live(self, gdocs):
+        if len(self.tombstones) == 0:
+            return np.ones(len(gdocs), dtype=bool)
+        idx = np.minimum(
+            np.searchsorted(self.tombstones, gdocs), len(self.tombstones) - 1
+        )
+        return self.tombstones[idx] != gdocs
 
     def _shard_readers(self, sid: int):
         if sid not in self._readers:
@@ -99,7 +109,9 @@ class ShardScorer:
             k = int(row["k"])
             for r in self._shard_readers(int(row["shard_id"])):
                 d, s = eval_query(r, query, self.stats, self.bm25)
-                td = topk_from_arrays(d + r.doc_base, s, k)
+                gdocs = d + r.doc_base
+                live = self._live(gdocs)
+                td = topk_from_arrays(gdocs[live], s[live], k)
                 for rk, (dd, ss) in enumerate(zip(td.doc_ids, td.scores), start=1):
                     qids.append(row["query_id"])
                     sids.append(int(row["shard_id"]))
@@ -228,12 +240,16 @@ class ServingPool:
             def __init__(self, index_dir, seg_names):
                 import os as _os
 
+                import numpy as _np
+
+                from lucene_7_x_9_x_ray.state.livedocs import load_tombstones
                 from lucene_7_x_9_x_ray.state.segment import SegmentReader
 
                 self.readers = [
                     SegmentReader(_os.path.join(index_dir, "segments", n))
                     for n in seg_names
                 ]
+                self.tombstones = load_tombstones(index_dir)
 
             def topk(self, terms, k, stats_tuple):
                 import numpy as _np
@@ -254,7 +270,15 @@ class ServingPool:
                 out = []
                 for r in self.readers:
                     d, s = eval_query(r, query, stats, bm25)
-                    td = topk_from_arrays(d + r.doc_base, s, k)
+                    gdocs = d + r.doc_base
+                    if len(self.tombstones):
+                        idx = _np.minimum(
+                            _np.searchsorted(self.tombstones, gdocs),
+                            len(self.tombstones) - 1,
+                        )
+                        live = self.tombstones[idx] != gdocs
+                        gdocs, s = gdocs[live], s[live]
+                    td = topk_from_arrays(gdocs, s, k)
                     out.append((td.doc_ids.tolist(), td.scores.tolist()))
                 return out
 

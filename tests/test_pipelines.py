@@ -577,3 +577,28 @@ def test_delete_by_url_and_update_flow(ray_session, tmp_path):
     td4 = s2.search(Q.TermQuery("t00000"), k=350, total_hits_threshold=1 << 30)
     assert victim_gid not in set(int(d) for d in td4.doc_ids)
     assert max(int(d) for d in td4.doc_ids) >= 300  # replacement docs visible
+
+
+def test_serving_paths_respect_tombstones(ray_session, tmp_path):
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.serve import ServingPool, serve_queries_sharded
+    from lucene_7_x_9_x_ray.state.livedocs import delete_docs
+
+    pages = generate_pages(200, vocab_size=30, mean_tokens=20, seed=81, dup_url_frac=0)
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=50)
+    idx = str(tmp_path / "i")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=50))
+
+    s = IndexSearcher(idx)
+    victim = int(s.search(Q.TermQuery("t00000"), k=1).doc_ids[0])
+    delete_docs(idx, [victim])
+
+    served = serve_queries_sharded(idx, [("q", ["t00000"], 200)], n_shards=2)
+    assert victim not in set(served["doc_id"].to_pylist())
+    pool = ServingPool(idx, n_shards=2)
+    td = pool.search(["t00000"], 200)
+    assert victim not in set(int(d) for d in td.doc_ids)
