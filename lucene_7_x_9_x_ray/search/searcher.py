@@ -53,6 +53,19 @@ def _as_term_disjunction(query: Q.Query) -> list[tuple[str, float]] | None:
     return None
 
 
+def _as_term_conjunction(query: Q.Query) -> list[tuple[str, float]] | None:
+    """[(term, boost)] if the query is a MUST-only term conjunction."""
+    if isinstance(query, Q.BooleanQuery) and query.min_should_match == 0:
+        out = []
+        for c in query.clauses:
+            q = c.query
+            if c.occur != Q.MUST or not isinstance(q, Q.TermQuery):
+                return None
+            out.append((q.term, q.boost))
+        return out if len(out) >= 2 else None
+    return None
+
+
 class IndexSearcher:
     def __init__(self, index_dir: str, bm25: BM25 | None = None):
         self.manifest = IndexManifest.load(index_dir)
@@ -134,6 +147,19 @@ class IndexSearcher:
             for r in self.readers:
                 wand_topk(
                     r, disj, k, stats, self.bm25,
+                    total_hits_threshold=total_hits_threshold,
+                    collector=coll,
+                    doc_base=r.doc_base,
+                )
+            return coll.result()
+        conj = _as_term_conjunction(query) if mode == "wand" else None
+        if conj is not None:
+            from .wand import conjunction_topk
+
+            coll = TopKCollector(k, total_hits_threshold)
+            for r in self.readers:
+                conjunction_topk(
+                    r, conj, k, stats, self.bm25,
                     total_hits_threshold=total_hits_threshold,
                     collector=coll,
                     doc_base=r.doc_base,

@@ -103,6 +103,127 @@ class TermIterator:
         return self.tw.score_scalar(freq, int(self.norms[self.doc]))
 
 
+class ChainedTermIterator:
+    """TermIterator over FragmentedPostings: fragments hold disjoint,
+    ascending doc ranges (salted hot terms), so chaining their iterators
+    in order preserves every TermIterator invariant."""
+
+    __slots__ = ("its", "ci", "max_scaled")
+
+    def __init__(self, parts, tw, norms, sf):
+        self.its = [TermIterator(p, tw, norms, sf) for p in parts]
+        self.ci = 0
+        self.max_scaled = max(it.max_scaled for it in self.its)
+
+    @property
+    def doc(self) -> int:
+        return self.its[self.ci].doc if self.ci < len(self.its) else NO_MORE_DOCS
+
+    def next_doc(self) -> int:
+        if self.ci >= len(self.its):
+            return NO_MORE_DOCS
+        if self.its[self.ci].next_doc() != NO_MORE_DOCS:
+            return self.doc
+        # crossing a fragment boundary: the next fragment's iterator is
+        # already positioned on its FIRST doc — return it, don't skip it
+        self.ci += 1
+        while self.ci < len(self.its):
+            if self.its[self.ci].doc != NO_MORE_DOCS:
+                return self.doc
+            self.ci += 1
+        return NO_MORE_DOCS
+
+    def advance(self, target: int) -> int:
+        while self.ci < len(self.its):
+            if self.its[self.ci].advance(target) != NO_MORE_DOCS:
+                return self.doc
+            self.ci += 1
+        return NO_MORE_DOCS
+
+    def block_max_at(self, target: int) -> tuple[int, int]:
+        if self.ci >= len(self.its):
+            return 0, NO_MORE_DOCS
+        return self.its[self.ci].block_max_at(target)
+
+    def score(self) -> float:
+        return self.its[self.ci].score()
+
+
+def _make_iter(tp, tw, norms, sf):
+    parts = getattr(tp, "parts", None)
+    if parts:
+        return ChainedTermIterator(parts, tw, norms, sf)
+    return TermIterator(tp, tw, norms, sf)
+
+
+def conjunction_topk(
+    reader,
+    term_boosts: list[tuple[str, float]],
+    k: int,
+    stats: CollectionStats,
+    bm25: BM25,
+    total_hits_threshold: int = DEFAULT_TOTAL_HITS_THRESHOLD,
+    collector: TopKCollector | None = None,
+    doc_base: int = 0,
+) -> TopDocs:
+    """Top-k of a MUST conjunction of term queries with block-max pruning
+    (BlockMaxConjunctionScorer.java:30 semantics): leapfrog intersection,
+    and once the heap is competitive, windows whose Σ per-clause block max
+    stays below the min competitive score are skipped wholesale."""
+    iters = []
+    pre = []
+    max_float = 0.0
+    for term, boost in term_boosts:
+        tp = reader.term_postings(term)
+        if tp is None:
+            return (collector or TopKCollector(k, total_hits_threshold)).result()
+        tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost)
+        pre.append((tp, tw))
+        parts = getattr(tp, "parts", None) or [tp]
+        m = max(
+            (tw.max_score(f, n) for p in parts for f, n in p.impact_slices()),
+            default=0.0,
+        )
+        max_float = max(max_float, m)
+    sf = scaling_factor(np.float32(max_float))
+    # lead = rarest clause (ConjunctionDISI cost ordering)
+    pre.sort(key=lambda p: p[0].doc_freq)
+    for tp, tw in pre:
+        iters.append(_make_iter(tp, tw, reader.norms, sf))
+    coll = collector if collector is not None else TopKCollector(k, total_hits_threshold)
+
+    doc = iters[0].doc
+    while doc != NO_MORE_DOCS:
+        # leapfrog all clauses to a common doc
+        target = doc
+        for it in iters:
+            d = it.advance(target)
+            if d == NO_MORE_DOCS:
+                return coll.result()
+            target = max(target, d)
+        if target != doc:
+            doc = target
+            continue
+        min_scaled = scale_min_score(np.float32(coll.min_competitive()), sf)
+        if min_scaled > 0:
+            # block-max bound for the window containing doc
+            bsum = 0
+            window_end = NO_MORE_DOCS
+            for it in iters:
+                bm, bend = it.block_max_at(doc)
+                bsum += bm
+                window_end = min(window_end, bend)
+            if bsum < min_scaled:
+                doc = iters[0].advance(window_end + 1)
+                continue
+        ssum = 0.0
+        for it in iters:
+            ssum += it.score()
+        coll.collect(doc + doc_base, float(np.float32(ssum)))
+        doc = iters[0].next_doc()
+    return coll.result()
+
+
 def wand_topk(
     reader: SegmentReader,
     term_boosts: list[tuple[str, float]],

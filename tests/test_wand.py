@@ -133,3 +133,44 @@ def test_shared_collector_cross_segment_pruning(duel_idx):
         wand_topk(r, terms, 10, stats, BM25(), collector=coll, doc_base=r.doc_base)
     exh = duel_idx.search(q, k=10, mode="exhaustive")
     assert coll.result().to_lists() == exh.to_lists()
+
+
+def test_conjunction_blockmax_duel(tmp_path):
+    """BlockMaxConjunction top-k is rank-identical to the exhaustive MUST
+    path, on segments and on the merged index (chained hot fragments)."""
+    import numpy as np
+
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index_local
+
+    pages = generate_pages(900, vocab_size=120, mean_tokens=30, seed=91)
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=150)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx, BuildConfig(target_docs_per_segment=150))
+    merged = merge_index_local(idx, MergeConfig(n_shards=4, hot_df_threshold=100, hot_buckets=3))
+    assert merged["hot_terms"]
+
+    hot = merged["hot_terms"][0]
+    cases = [
+        ["t00000", "t00001"],
+        [hot, "t00010"],
+        ["t00002", "t00005", hot],
+        ["t00050", "t00080"],
+    ]
+    for searcher in (IndexSearcher(idx), open_searcher(idx)):
+        for terms in cases:
+            q = Q.BooleanQuery.build([(Q.MUST, Q.TermQuery(t)) for t in terms])
+            for k in (1, 10, 50):
+                a = searcher.search(q, k=k, mode="exhaustive")
+                b = searcher.search(q, k=k, mode="wand")
+                assert list(a.doc_ids) == list(b.doc_ids), (terms, k)
+                assert np.array_equal(a.scores, b.scores), (terms, k)
+                # aggressive pruning regime: tiny threshold
+                c = searcher.search(q, k=k, mode="wand", total_hits_threshold=1)
+                assert list(a.doc_ids) == list(c.doc_ids), (terms, k)
+                assert np.array_equal(a.scores, c.scores), (terms, k)
