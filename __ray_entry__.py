@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": flagship.q_bm25_topk,
         "bm25_topk_served": flagship.q_bm25_topk_served,  # actor-pool serving stage
         "phrase_topk": flagship.q_phrase_topk,
+        "phrase_sloppy_topk": flagship.q_phrase_sloppy_topk,  # rows-only (non-SQL)
         "scoring_variants": flagship.q_scoring_variants,
         "boolean_counts": flagship.q_boolean_counts,
         "term_stats": flagship.q_term_stats,

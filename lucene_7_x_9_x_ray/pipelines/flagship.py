@@ -192,6 +192,36 @@ def q_phrase_topk(sf_dir: str) -> pa.Table:
     )
 
 
+SLOPPY_PHRASE_SPECS: list[tuple[str, list[str], int, int]] = [
+    ("sp_key_hash_s2", ["key", "hash"], 2, 10),
+    ("sp_row_scan_s3", ["row", "scan"], 3, 10),
+]
+
+
+def q_phrase_sloppy_topk(sf_dir: str) -> pa.Table:
+    """Sloppy PhraseQuery top-k (float sloppy freq — SloppyPhraseMatcher
+    transcription, scorers._sloppy_freq). Not ANSI-SQL-expressible (greedy
+    heap traversal), so the driver records a rows-only check; semantics
+    are pinned by tests/test_pipelines.py::test_sloppy_phrase_javadoc_examples."""
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms, slop, k in SLOPPY_PHRASE_SPECS:
+        td = merged.search(Q.PhraseQuery(terms=tuple(terms), slop=slop), k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 LANG_FILTER_TERMS = ("the", "table")
 LANG_FILTER_LANG = "en"
 LANG_FILTER_K = 10
