@@ -288,6 +288,11 @@ def _eval_phrase(
     Scoring follows PhraseWeight: one SimScorer whose idf is the DOUBLE
     sum of the per-term float idfs (BM25Similarity idfExplain over
     TermStatistics[]), freq = (sloppy) phrase freq."""
+    if len(query.terms) == 1:
+        # PhraseQuery.rewrite collapses one-term phrases to a TermQuery
+        # (s84 search/PhraseQuery.java rewrite), so slop never reaches the
+        # matcher; scoring is plain TermQuery scoring
+        return term_scores(reader, query.terms[0], stats, bm25, query.boost)
     if query.slop != 0 and len(set(query.terms)) != len(query.terms):
         raise NotImplementedError(
             "sloppy PhraseQuery with repeated terms not implemented"

@@ -11,27 +11,45 @@ from __future__ import annotations
 
 import heapq
 
+import numpy as np
+
 from ..search.searcher import IndexSearcher
 
 
 def sorted_field_topn(
     index_dir: str, field: str, k: int, descending: bool = False
 ) -> list[tuple[object, int]]:
-    """[(field value, global docID)] of the top-k rows by the index-sort
-    field. Reads k docmap rows per segment, not the corpus."""
+    """[(field value, global docID)] of the top-k LIVE rows by the
+    index-sort field. Reads k (+ deleted-count headroom) docmap rows per
+    segment, not the corpus. Raises if the index was not built with
+    ``sort_by=field`` — early termination is only valid over segments that
+    are actually ascending in that column (the manifest records the build's
+    sort column, like Lucene's per-segment indexSort in SegmentInfo)."""
     searcher = IndexSearcher(index_dir)
+    recorded = getattr(searcher.manifest, "sort_by", "")
+    if recorded != field:
+        raise ValueError(
+            f"index at {index_dir} was built with sort_by={recorded!r}; "
+            f"sorted_field_topn({field!r}) would return wrong results on "
+            "an unsorted docmap"
+        )
+    tombs = searcher.tombstones
     candidates: list[tuple[object, int]] = []
     for r in searcher.readers:
-        dm = r.docmap()
-        vals = dm[field].to_pylist()
-        n = len(vals)
-        take = min(k, n)
-        if descending:
-            rows = range(n - take, n)
-        else:
-            rows = range(take)
-        for local in rows:
-            candidates.append((vals[local], r.doc_base + local))
+        n = r.doc_count
+        lo, hi = r.doc_base, r.doc_base + n
+        # early termination stays valid under deletes by widening the head
+        # by this segment's tombstone count: the top-k live rows are always
+        # within the first k + deleted rows of a sorted segment
+        n_deleted = int(np.searchsorted(tombs, hi) - np.searchsorted(tombs, lo))
+        take = min(k + n_deleted, n)
+        start = n - take if descending else 0
+        vals = r.docmap()[field].slice(start, take).to_pylist()
+        gdocs = np.arange(start, start + take, dtype=np.int64) + r.doc_base
+        live = searcher._live(gdocs)
+        for v, gd, ok in zip(vals, gdocs, live):
+            if ok:
+                candidates.append((v, int(gd)))
     # cross-segment reduce; ties broken by ascending global docID
     if descending:
         return heapq.nsmallest(k, candidates, key=lambda t: (_neg(t[0]), t[1]))

@@ -221,6 +221,7 @@ def build_index(
         doc_count=sum(r["doc_count"] for r in stats_rows),
         sum_total_term_freq=sum(r["sum_total_term_freq"] for r in stats_rows),
         segments=stats_rows,
+        sort_by=cfg.sort_by or "",
     )
     manifest.save()
     return manifest
@@ -243,6 +244,7 @@ def build_index_local(
         doc_count=sum(r["doc_count"] for r in stats_rows),
         sum_total_term_freq=sum(r["sum_total_term_freq"] for r in stats_rows),
         segments=stats_rows,
+        sort_by=cfg.sort_by or "",
     )
     manifest.save()
     return manifest

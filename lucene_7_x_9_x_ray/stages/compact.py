@@ -79,7 +79,15 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
     readers.sort(key=lambda r: r.doc_base)
     base = readers[0].doc_base
     doc_count = sum(r.doc_count for r in readers)
-    has_pos = all(r.has_positions for r in readers)
+    pos_flags = {r.has_positions for r in readers}
+    if len(pos_flags) > 1:
+        # merging a positions segment into a no-positions one would silently
+        # drop .pos data (PhraseQuery over those docs would then fail);
+        # plan_compactions/compact_index keep such segments in separate tiers
+        raise ValueError(
+            f"refusing to merge segments with mixed has_positions: {seg_names}"
+        )
+    has_pos = pos_flags.pop()
 
     # union sorted term dict; per term, fragments concatenate in doc_base
     # order with local ids rebased to the NEW segment's local space
@@ -183,6 +191,9 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
             elapsed_sec=0.0,
         )
         atomic_write_json(os.path.join(tmp, STATS_NAME), st.to_dict())
+        from ..state.manifest import fsync_dir_files
+
+        fsync_dir_files(tmp)
         out_dir = os.path.join(seg_root, out_name)
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)
@@ -205,6 +216,29 @@ def compact_index(
     policy = policy or CompactionPolicy()
     manifest = IndexManifest.load(index_dir)
     groups = plan_compactions(manifest, policy)
+    # split any group at has_positions boundaries: mixed merges would drop
+    # .pos data, so positioned and position-less segments stay in separate
+    # (still doc_base-adjacent) tiers
+    def _has_pos(name: str) -> bool:
+        return os.path.exists(
+            os.path.join(index_dir, "segments", name, POSITIONS_FILE)
+        )
+
+    split_groups: list[list[str]] = []
+    for g in groups:
+        cur: list[str] = []
+        cur_flag: bool | None = None
+        for name in g:
+            flag = _has_pos(name)
+            if cur and flag != cur_flag:
+                if len(cur) >= policy.min_segments_to_merge:
+                    split_groups.append(cur)
+                cur = []
+            cur.append(name)
+            cur_flag = flag
+        if len(cur) >= policy.min_segments_to_merge:
+            split_groups.append(cur)
+    groups = split_groups
     if not groups:
         return manifest
     jobs = [

@@ -594,11 +594,6 @@ def write_merged_shard(
         with open(os.path.join(tmp, POSTINGS_FILE), "wb") as f:
             for rg in out_regions:
                 f.write(rg)
-            f.flush()
-            if os.environ.get("LUCENE_RAY_FSYNC_SEGMENTS"):
-                # durability point is the manifest commit (segments_N
-                # analogue); per-file fsync is opt-in for strict mode
-                os.fsync(f.fileno())
         if has_pos:
             with open(os.path.join(tmp, POSITIONS_FILE), "wb") as f:
                 for b in out_pos_blobs:
@@ -617,6 +612,9 @@ def write_merged_shard(
             "resumed": False,
         }
         atomic_write_json(os.path.join(tmp, "stats.json"), st)
+        from ..state.manifest import fsync_dir_files
+
+        fsync_dir_files(tmp)
         if os.path.exists(out_dir):
             # keep an existing dir only if it is the SAME fingerprint (a
             # concurrent task of this run won the race — content identical);
@@ -662,6 +660,11 @@ def _finalize(index_dir: str, merged_dir: str, manifest: IndexManifest,
         for d in manifest.segment_dirs():
             with open(os.path.join(d, NORMS_FILE), "rb") as src:
                 shutil.copyfileobj(src, f)
+        f.flush()
+        from ..state.manifest import fsync_enabled
+
+        if fsync_enabled():
+            os.fsync(f.fileno())
     merged = {
         "n_shards": cfg.n_shards,
         "hot_buckets": cfg.hot_buckets,

@@ -47,6 +47,39 @@ def load_json(path: str) -> Any:
         return json.load(f)
 
 
+def fsync_enabled() -> bool:
+    """Segment-file durability: ON by default; LUCENE_RAY_FSYNC_SEGMENTS=0
+    opts into unsynced mode (faster, but a power loss can leave a committed
+    manifest pointing at segment files whose pages never reached disk)."""
+    return os.environ.get("LUCENE_RAY_FSYNC_SEGMENTS", "1").lower() not in (
+        "0", "false", "no", "off",
+    )
+
+
+def fsync_path(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def fsync_dir_files(dir_path: str) -> None:
+    """fsync every regular file in dir_path, then the directory itself —
+    the 'sync every referenced file before writing segments_N' discipline
+    of IndexWriter.commit (s84 index/IndexWriter.java:3180-3467). Called on
+    a segment/shard temp dir immediately before its atomic rename so the
+    manifest (our segments_N) never references unsynced data. No-op when
+    fsync_enabled() is off."""
+    if not fsync_enabled():
+        return
+    for name in os.listdir(dir_path):
+        p = os.path.join(dir_path, name)
+        if os.path.isfile(p):
+            fsync_path(p)
+    fsync_path(dir_path)
+
+
 @dataclass
 class SegmentStats:
     """Per-partition checkpoint record (written inside the segment dir)."""
@@ -86,6 +119,10 @@ class IndexManifest:
     segments: list[dict] = field(default_factory=list)  # SegmentStats dicts, doc_base ascending
     merged: bool = False
     version: int = 1
+    # index-sort column (BuildConfig.sort_by); "" = not sorted. Recorded so
+    # sorted_field_topn can refuse a mismatched field instead of silently
+    # returning head rows of an unsorted docmap.
+    sort_by: str = ""
 
     @property
     def avgdl_inputs(self) -> tuple[int, int]:

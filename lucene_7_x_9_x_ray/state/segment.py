@@ -324,11 +324,6 @@ def write_segment(
         with open(os.path.join(tmp, POSTINGS_FILE), "wb") as f:
             for r in regions:
                 f.write(r)
-            f.flush()
-            if os.environ.get("LUCENE_RAY_FSYNC_SEGMENTS"):
-                # durability point is the manifest commit (segments_N
-                # analogue); per-file fsync is opt-in for strict mode
-                os.fsync(f.fileno())
 
         pos_meta = None
         if index_positions:
@@ -377,6 +372,11 @@ def write_segment(
             elapsed_sec=elapsed_sec + (_time.perf_counter() - _t_start),
         )
         atomic_write_json(os.path.join(tmp, STATS_NAME), stats.to_dict())
+        # sync all segment data files before the dir becomes visible: the
+        # global manifest commit must never reference unsynced pages
+        from .manifest import fsync_dir_files
+
+        fsync_dir_files(tmp)
 
         if os.path.exists(out_dir):
             # keep the existing dir only if its lineage matches this build

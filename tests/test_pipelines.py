@@ -602,3 +602,83 @@ def test_serving_paths_respect_tombstones(ray_session, tmp_path):
     pool = ServingPool(idx, n_shards=2)
     td = pool.search(["t00000"], 200)
     assert victim not in set(int(d) for d in td.doc_ids)
+
+
+def test_sorted_field_topn_deletes_and_validation(ray_session, tmp_path):
+    """ADVICE fixes: sorted_field_topn filters tombstones and refuses a
+    field the index was not sorted by."""
+    import glob
+
+    import pyarrow.parquet as pq_
+    import pytest
+
+    from lucene_7_x_9_x_ray.search.sortedfield import sorted_field_topn
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.state.livedocs import delete_docs
+
+    pages = generate_pages(300, vocab_size=50, mean_tokens=20, seed=43)
+    path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "idx")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=100, sort_by="url"))
+
+    with pytest.raises(ValueError, match="sort_by"):
+        sorted_field_topn(idx, "lang", 5)
+
+    # delete the docs that would have been ranks 0, 2, 3 -> results skip them
+    before = sorted_field_topn(idx, "url", 6)
+    dead = [before[0][1], before[2][1], before[3][1]]
+    delete_docs(idx, dead)
+    after = sorted_field_topn(idx, "url", 6)
+    assert all(gd not in dead for _, gd in after)
+    # brute-force expected: live rows sorted by (url, docid)
+    rows = []
+    base = 0
+    for p in sorted(glob.glob(idx + "/segments/*/docmap.parquet")):
+        t = pq_.read_table(p, columns=["url"])
+        rows.extend((u, base + i) for i, u in enumerate(t["url"].to_pylist()))
+        base += t.num_rows
+    live = [r for r in rows if r[1] not in set(dead)]
+    assert after == sorted(live)[:6]
+
+
+def test_compaction_refuses_mixed_positions(ray_session, tmp_path):
+    """Compacting a mix of positions/no-positions segments must not drop
+    .pos silently: merge_segment_group raises; compact_index splits tiers."""
+    import pytest
+
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.compact import (
+        CompactionPolicy,
+        compact_index,
+        merge_segment_group,
+    )
+    from lucene_7_x_9_x_ray.state.manifest import IndexManifest
+
+    pages = generate_pages(300, vocab_size=40, mean_tokens=15, seed=44, dup_url_frac=0)
+    p1 = str(tmp_path / "p000.parquet")
+    write_pages_parquet(pages[:200], p1, rows_per_row_group=50)
+    idx = str(tmp_path / "idx")
+    build_index([p1], idx, BuildConfig(target_docs_per_segment=50, index_positions=True))
+    # append segments WITHOUT positions (incremental build with a different
+    # IndexOptions config — the mixed-tier scenario)
+    p2 = str(tmp_path / "p001.parquet")
+    write_pages_parquet(pages[200:], p2, rows_per_row_group=50)
+    build_index([p1, p2], idx, BuildConfig(target_docs_per_segment=50, index_positions=False))
+
+    man = IndexManifest.load(idx)
+    names = [s["seg_name"] for s in sorted(man.segments, key=lambda s: s["doc_base"])]
+    assert len(names) == 6
+    with pytest.raises(ValueError, match="mixed has_positions"):
+        merge_segment_group(idx, [names[3], names[4]], "bad")
+
+    m = compact_index(idx, CompactionPolicy(max_merge_at_once=10))
+    # 4 positioned + 2 position-less -> exactly two homogeneous merged tiers
+    assert len(m.segments) == 2
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+
+    rs = IndexSearcher(idx).readers
+    assert [r.has_positions for r in rs] == [True, False]
+    assert sum(r.doc_count for r in rs) == 300

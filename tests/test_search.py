@@ -229,3 +229,16 @@ def test_filter_lru_cache(idx):
     assert list(td1.doc_ids) == list(td2.doc_ids)
     r = s.readers[0]
     assert r.filter_cache.hits >= 1 and r.filter_cache.misses >= 1
+
+
+def test_single_term_phrase_rewrites_to_term(idx):
+    """A 1-term PhraseQuery (any slop) scores exactly like TermQuery —
+    PhraseQuery.rewrite semantics; previously crashed for slop>0."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+
+    base = idx.search(Q.TermQuery("t00000"), k=50, total_hits_threshold=1 << 30)
+    for slop in (0, 2):
+        td = idx.search(Q.PhraseQuery(terms=("t00000",), slop=slop), k=50,
+                        total_hits_threshold=1 << 30)
+        assert list(td.doc_ids) == list(base.doc_ids)
+        assert np.array_equal(td.scores, base.scores)
