@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": flagship.q_doc_lengths,
         "multiterm_match": flagship.q_multiterm_match,
         "bm25_lang_filtered": flagship.q_bm25_lang_filtered,
+        "field_topk": flagship.q_field_topk,  # multi-field (title vs body)
         "facet_lang": flagship.q_facet_lang,
         "grouped_topk": flagship.q_grouped_topk,
         # --- training-data text ops ---
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
             list(flagship.LANG_FILTER_TERMS), flagship.LANG_FILTER_LANG,
             flagship.LANG_FILTER_K,
         ),
+        "field_topk": O.field_topk_sql(flagship.FIELD_TOPK_SPECS),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "grouped_topk": O.grouped_topk_sql(
             flagship.GROUPED_TOPK_TERMS, flagship.GROUPED_TOPK_PER_GROUP

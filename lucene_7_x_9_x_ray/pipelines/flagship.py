@@ -68,9 +68,10 @@ _SEARCHERS: dict[str, tuple[IndexSearcher, IndexSearcher]] = {}
 
 
 def _cache_dir(sf_dir: str) -> str:
-    # v2: index format gained the positions (.pos) artifact
+    # v3: pages gained the title column; segments gained the per-field
+    # (f_title.*) artifacts (v2 added the positions .pos artifact)
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(CACHE_ROOT, f"idx_{key}_v2")
+    return os.path.join(CACHE_ROOT, f"idx_{key}_v3")
 
 
 def build_flagship_index(sf_dir: str, use_ray: bool = True) -> str:
@@ -97,7 +98,15 @@ def build_flagship_index(sf_dir: str, use_ray: bool = True) -> str:
         )
         os.replace(pages_path + ".tmp", pages_path)
 
-    cfg = BuildConfig(verify_extract=True, target_docs_per_segment=10**9)
+    from ..stages.build import FieldSpec
+
+    cfg = BuildConfig(
+        verify_extract=True,
+        target_docs_per_segment=10**9,
+        # multi-field schema: title (first TITLE_TOKENS body tokens) indexed
+        # as its own field with per-field postings/norms/stats
+        extra_fields=(FieldSpec("title", "title", index_positions=True),),
+    )
     # target=1e9 keeps one row-group range per partition spec; the row-group
     # size above is what actually fixes the segment count.
     cfg.target_docs_per_segment = max(128, _pages_rows(pages_path) // 8)
@@ -207,6 +216,45 @@ def q_phrase_sloppy_topk(sf_dir: str) -> pa.Table:
     qids, ranks, docs, scores = [], [], [], []
     for qid, terms, slop, k in SLOPPY_PHRASE_SPECS:
         td = merged.search(Q.PhraseQuery(terms=tuple(terms), slop=slop), k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+# multi-field query set: (query_id, kind, [(field, term, boost)], k).
+# "" = body (primary field), "title" = the extra indexed field. Exercises
+# per-field df/docCount/avgdl/norms (FieldInfos-style schema) end to end.
+FIELD_TOPK_SPECS: list[tuple[str, str, list[tuple[str, str, float]], int]] = [
+    ("ft_title_table", "sum", [("title", "table", 1.0)], 10),
+    ("ft_title_key2_body_key", "sum", [("title", "key", 2.0), ("", "key", 1.0)], 10),
+    ("ft_title_the_body_hash", "sum", [("title", "the", 1.0), ("", "hash", 1.0)], 10),
+    ("ft_dismax_title_body_table", "dismax", [("title", "table", 1.0), ("", "table", 1.0)], 10),
+]
+
+
+def q_field_topk(sf_dir: str) -> pa.Table:
+    """Multi-field BM25 top-k (title vs body with per-field statistics):
+    (query_id, rank, doc_id, score_r). Queries scoring the title field run
+    on the per-segment searcher (merged routes them there automatically)."""
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, kind, clauses, k in FIELD_TOPK_SPECS:
+        leaves = [Q.TermQuery(t, boost=b, field=f) for f, t, b in clauses]
+        if kind == "sum":
+            query: Q.Query = Q.BooleanQuery.build([(Q.SHOULD, lq) for lq in leaves])
+        else:
+            query = Q.DisjunctionMaxQuery(queries=tuple(leaves), tie_breaker=0.3)
+        td = merged.search(query, k=k)
         for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
             qids.append(qid)
             ranks.append(r)

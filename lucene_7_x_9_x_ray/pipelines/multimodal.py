@@ -87,12 +87,17 @@ def oracle_multimodal_sql(relation: str = "documents") -> str:
     """The page payload is reconstructible from documents (wrap_html), so
     the fake features are SQL-expressible: md5_number_lower/upper of the
     page string reproduce the byte hashes (ASCII payloads)."""
+    from ..sources.pages import TITLE_TOKENS
+
+    title = (
+        f"array_to_string(list_slice(string_split(text, ' '), 1, {TITLE_TOKENS}), ' ')"
+    )
     html = (
-        "'<html><head><title>T' || doc_id || '</title></head><body>' || text || '</body></html>'"
+        f"'<html><head><title>' || {title} || '</title></head><body>' || text || '</body></html>'"
     )
     return f"""SELECT doc_id,
        CAST(octet_length(encode({html})) AS BIGINT) AS n_bytes,
-       'T' || doc_id AS title,
+       {title} AS title,
        CAST(64 + md5_number_lower({html}) % 1024 AS BIGINT) AS fake_w,
        CAST(64 + md5_number_upper({html}) % 1024 AS BIGINT) AS fake_h
 FROM {relation}"""

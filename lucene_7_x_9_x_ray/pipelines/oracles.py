@@ -312,6 +312,122 @@ def multiterm_match_sql(
     return f"WITH {base_ctes(relation)}\n" + "\nUNION ALL\n".join(blocks)
 
 
+# --- multi-field BM25 oracles ----------------------------------------------
+# Token-stream SQL per indexed field. The synthetic title field is the first
+# TITLE_TOKENS body tokens (sources/pages.py), so its stream is a pure SQL
+# expression over the same relation. Field "" = primary (body text).
+def _field_token_expr(field: str) -> str:
+    from ..sources.pages import TITLE_TOKENS
+
+    if field == "":
+        return "string_split(text, ' ')"
+    if field == "title":
+        return f"list_slice(string_split(text, ' '), 1, {TITLE_TOKENS})"
+    raise ValueError(f"no oracle token expression for field {field!r}")
+
+
+def _fp(field: str) -> str:
+    return "b" if field == "" else "f" + _ident(field)
+
+
+def field_stream_ctes(field: str, relation: str = "documents") -> str:
+    """Per-field token stream + collection stats + norm lengths.
+
+    Field docCount = docs WITH >= 1 token of the field (docsWithField — what
+    the engine stores in manifest field_stats and BM25Similarity uses for a
+    field's CollectionStatistics); the primary field keeps count(*) over the
+    relation, matching the engine's manifest doc_count."""
+    p = _fp(field)
+    expr = _field_token_expr(field)
+    n_docs = (
+        f"(SELECT count(*) FROM {relation})"
+        if field == ""
+        else f"(SELECT count(DISTINCT doc_id) FROM {p}tok)"
+    )
+    return f"""
+{p}tok AS (SELECT doc_id, unnest({expr}) AS term FROM {relation}),
+{p}cs AS (SELECT {n_docs} AS n_docs,
+              (SELECT count(*) FROM {p}tok) AS sttf,
+              CAST(CAST((SELECT count(*) FROM {p}tok) AS DOUBLE)
+                   / {n_docs} AS FLOAT) AS avgdl),
+{p}dl AS (SELECT doc_id, count(*) AS dl FROM {p}tok GROUP BY doc_id),
+{p}normlen AS (SELECT {p}dl.doc_id, max(lt.v) AS nlen
+               FROM {p}dl JOIN lt ON lt.v <= {p}dl.dl GROUP BY {p}dl.doc_id)"""
+
+
+def _boost_tag(boost: float) -> str:
+    return str(boost).replace(".", "_").replace("-", "m")
+
+
+def field_leaf_cte(field: str, term: str, boost: float = 1.0) -> str:
+    """Float32 BM25 leaf for (field, term, boost) over the field's streams;
+    weight = float32(boost) * float32 idf (BM25 weight creation)."""
+    p = _fp(field)
+    t = _ident(term)
+    bt = _boost_tag(boost)
+    lit = term.replace("'", "''")
+    w_expr = f"CAST(ln(1 + (({p}cs.n_docs) - df + 0.5) / (df + 0.5)) AS FLOAT)"
+    if boost != 1.0:
+        w_expr = f"CAST({boost} AS FLOAT) * {w_expr}"
+    return f"""
+w_{p}_{t}_{bt} AS (SELECT {w_expr} AS w
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM {p}tok WHERE term = '{lit}'), {p}cs),
+s_{p}_{t}_{bt} AS (SELECT tf.doc_id,
+                 (SELECT w FROM w_{p}_{t}_{bt})
+                 - (SELECT w FROM w_{p}_{t}_{bt})
+                   / ({ONE_F} + CAST(tf.freq AS FLOAT)
+                      * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                         + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM {p}cs))))) AS s
+          FROM (SELECT doc_id, count(*) AS freq FROM {p}tok WHERE term = '{lit}' GROUP BY doc_id) tf
+          JOIN {p}normlen nl USING (doc_id))"""
+
+
+def field_topk_sql(
+    specs: list[tuple[str, str, list[tuple[str, str, float]], int]],
+    relation: str = "documents",
+) -> str:
+    """Multi-field top-k oracle: (query_id, rank, doc_id, score_r).
+
+    specs = (query_id, kind, clauses, k) with clauses = [(field, term,
+    boost)]; kind "sum" = SHOULD-sum across fields (DOUBLE accumulate, one
+    float32 cast — scorers.py discipline), kind "dismax" = float64 max +
+    0.3*(sum-max) cast to float32 (DisjunctionMaxQuery semantics)."""
+    fields = sorted({f for _, _, cls, _ in specs for f, _, _ in cls})
+    leaves = sorted({(f, t, b) for _, _, cls, _ in specs for f, t, b in cls})
+    ctes = ["lt AS (SELECT unnest(" + LENGTH_TABLE_SQL + ") AS v)"]
+    ctes += [field_stream_ctes(f, relation) for f in fields]
+    ctes += [field_leaf_cte(f, t, b) for f, t, b in leaves]
+    selects = []
+    for qid, kind, cls, k in specs:
+        names = [f"s_{_fp(f)}_{_ident(t)}_{_boost_tag(b)}" for f, t, b in cls]
+        if kind == "sum":
+            union = "\n      UNION ALL ".join(
+                f"SELECT doc_id, s FROM {nm}" for nm in names
+            )
+            scored = f"""(SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+                 FROM ({union}) GROUP BY doc_id)"""
+        elif kind == "dismax":
+            assert len(names) == 2, "dismax oracle supports 2 clauses"
+            a, b2 = names
+            scored = f"""(SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
+                  CAST(CAST(greatest(COALESCE(x.s, CAST('-inf' AS FLOAT)),
+                                     COALESCE(y.s, CAST('-inf' AS FLOAT))) AS DOUBLE)
+                       + 0.3 * ((COALESCE(CAST(x.s AS DOUBLE), 0) + COALESCE(CAST(y.s AS DOUBLE), 0))
+                                - CAST(greatest(COALESCE(x.s, CAST('-inf' AS FLOAT)),
+                                                COALESCE(y.s, CAST('-inf' AS FLOAT))) AS DOUBLE))
+                       AS FLOAT) AS score
+           FROM {a} x FULL OUTER JOIN {b2} y ON x.doc_id = y.doc_id)"""
+        else:
+            raise ValueError(f"unknown kind {kind!r}")
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM {scored} ORDER BY score DESC, doc_id LIMIT {k})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def facet_lang_sql(term: str, relation: str = "documents") -> str:
     """Facet counts of ``lang`` over docs matching ``term``."""
     return f"""WITH {base_ctes(relation)}

@@ -195,10 +195,43 @@ class MergedIndexSearcher(IndexSearcher):
 
         self.tombstones = load_tombstones(index_dir)
 
-    def lookup_docs(self, global_doc_ids) -> list[dict]:
+    def _seg(self) -> IndexSearcher:
         if self._seg_searcher is None:
             self._seg_searcher = IndexSearcher(self.index_dir, self.bm25)
-        return self._seg_searcher.lookup_docs(global_doc_ids)
+        return self._seg_searcher
+
+    def _route(self, query):
+        """The term-sharded merged index holds only the PRIMARY field, so
+        queries scoring extra fields run on the per-segment searcher (which
+        has the per-field artifacts). Returns (query, searcher-or-None)."""
+        from . import queries as Q
+
+        q = self.parse(query) if isinstance(query, str) else query
+        return q, (self._seg() if Q.uses_extra_fields(q) else None)
+
+    def search(self, query, k=10, mode="auto", total_hits_threshold=None, **kw):
+        from .topk import DEFAULT_TOTAL_HITS_THRESHOLD
+
+        tht = DEFAULT_TOTAL_HITS_THRESHOLD if total_hits_threshold is None else total_hits_threshold
+        q, delegate = self._route(query)
+        if delegate is not None:
+            return delegate.search(q, k=k, mode=mode, total_hits_threshold=tht, **kw)
+        return super().search(q, k=k, mode=mode, total_hits_threshold=tht, **kw)
+
+    def count(self, query) -> int:
+        q, delegate = self._route(query)
+        if delegate is not None:
+            return delegate.count(q)
+        return super().count(q)
+
+    def search_after(self, query, k, after):
+        q, delegate = self._route(query)
+        if delegate is not None:
+            return delegate.search_after(q, k, after)
+        return super().search_after(q, k, after)
+
+    def lookup_docs(self, global_doc_ids) -> list[dict]:
+        return self._seg().lookup_docs(global_doc_ids)
 
 
 def open_searcher(index_dir: str, prefer_merged: bool = True) -> IndexSearcher:

@@ -44,6 +44,11 @@ class Query:
 class TermQuery(Query):
     term: str
     boost: float = 1.0
+    # indexed field to score against; "" = the index's primary field.
+    # The FieldInfos-style dynamic schema (s84 index/FieldInfos.java,
+    # document/FieldType.java:32): each field has its own postings, norms
+    # and collection statistics.
+    field: str = ""
 
 
 @dataclass(frozen=True)
@@ -101,6 +106,7 @@ class DocSetQuery(Query):
 class SynonymQuery(Query):
     terms: tuple[str, ...]
     boost: float = 1.0
+    field: str = ""
 
 
 @dataclass(frozen=True)
@@ -114,6 +120,7 @@ class PhraseQuery(Query):
     terms: tuple[str, ...]
     slop: int = 0
     boost: float = 1.0
+    field: str = ""
 
 
 # --- multi-term (dict-rewritten) queries -----------------------------------
@@ -306,6 +313,32 @@ def collect_terms(query: Query) -> set[str]:
         for q in query.queries:
             out |= collect_terms(q)
     return out
+
+
+def collect_field_terms(query: Query) -> set[tuple[str, str]]:
+    """All (field, term) pairs referenced by a (rewritten) query; field ""
+    is the primary field. The per-field CollectionStatistics/TermStatistics
+    gathering step of IndexSearcher.createWeight works from this set."""
+    out: set[tuple[str, str]] = set()
+    if isinstance(query, TermQuery):
+        out.add((query.field, query.term))
+    elif isinstance(query, (PhraseQuery, SynonymQuery)):
+        out.update((query.field, t) for t in query.terms)
+    elif isinstance(query, BooleanQuery):
+        for c in query.clauses:
+            out |= collect_field_terms(c.query)
+    elif isinstance(query, (BoostQuery, ConstantScoreQuery)):
+        out |= collect_field_terms(query.query)
+    elif isinstance(query, DisjunctionMaxQuery):
+        for q in query.queries:
+            out |= collect_field_terms(q)
+    return out
+
+
+def uses_extra_fields(query: Query) -> bool:
+    """True iff any leaf scores a non-primary field (routes merged-index
+    searches back to the per-segment searcher, which holds field data)."""
+    return any(f != "" for f, _ in collect_field_terms(query))
 
 
 def parse_query(text: str, analyzer, operator: str = SHOULD, min_should_match: int = 0) -> Query:

@@ -97,14 +97,44 @@ class CollectionStats:
     makes scores comparable across partitions.
     """
 
-    def __init__(self, doc_count: int, sum_total_term_freq: int, term_df: dict, term_ttf: dict):
+    def __init__(
+        self,
+        doc_count: int,
+        sum_total_term_freq: int,
+        term_df: dict,
+        term_ttf: dict,
+        field_df: dict | None = None,
+        field_ttf: dict | None = None,
+        field_sttf: dict | None = None,
+        field_doc_count: dict | None = None,
+    ):
         self.doc_count = doc_count
         self.sum_total_term_freq = sum_total_term_freq
-        self.term_df = term_df
+        self.term_df = term_df  # primary-field term -> docFreq
         self.term_ttf = term_ttf
+        # non-primary fields: (field, term) -> df/ttf, field -> sttf/docCount
+        self.field_df = field_df or {}
+        self.field_ttf = field_ttf or {}
+        self.field_sttf = field_sttf or {}
+        self.field_doc_count = field_doc_count or {}
 
-    def df(self, term: str) -> int:
-        return self.term_df.get(term, 0)
+    def df(self, term: str, field: str = "") -> int:
+        if not field:
+            return self.term_df.get(term, 0)
+        return self.field_df.get((field, term), 0)
+
+    def sttf(self, field: str = "") -> int:
+        """Per-field sumTotalTermFreq (avgdl numerator)."""
+        if not field:
+            return self.sum_total_term_freq
+        return self.field_sttf.get(field, 0)
+
+    def n_docs(self, field: str = "") -> int:
+        """Per-field docCount (docs WITH the field — BM25Similarity uses the
+        field's CollectionStatistics.docCount, not maxDoc)."""
+        if not field:
+            return self.doc_count
+        return self.field_doc_count.get(field, 0)
 
 
 def _in_sorted(a: np.ndarray, b_sorted: np.ndarray) -> np.ndarray:
@@ -116,16 +146,34 @@ def _in_sorted(a: np.ndarray, b_sorted: np.ndarray) -> np.ndarray:
     return b_sorted[idx] == a
 
 
+def _view(reader, field: str):
+    """Resolve the reader serving ``field`` ("" = the reader itself)."""
+    if not field:
+        return reader
+    fv = getattr(reader, "field_view", None)
+    if fv is None:
+        raise ValueError(
+            f"{type(reader).__name__} has no per-field data (field={field!r})"
+        )
+    return fv(field)
+
+
 def term_scores(
-    reader: SegmentReader, term: str, stats: CollectionStats, bm25: BM25, boost: float = 1.0
+    reader: SegmentReader, term: str, stats: CollectionStats, bm25: BM25,
+    boost: float = 1.0, field: str = "",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """TermQuery leaf: decode postings, score all docs (TermScorer.java:29)."""
-    tp = reader.term_postings(term)
+    """TermQuery leaf: decode postings, score all docs (TermScorer.java:29).
+    Scoring uses the FIELD's statistics (df over its postings, its own
+    docCount/avgdl) and the field's norm bytes."""
+    fr = _view(reader, field)
+    tp = fr.term_postings(term)
     if tp is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     docs, freqs = tp.decode()
-    tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost)
-    scores = tw.score(freqs, reader.norms[docs])
+    tw = bm25.term_weight(
+        stats.df(term, field), stats.n_docs(field), stats.sttf(field), boost
+    )
+    scores = tw.score(freqs, fr.norms[docs])
     return docs, scores.astype(np.float32, copy=False)
 
 
@@ -141,7 +189,7 @@ def eval_query(
     Returns (local docIDs ascending, float32 scores aligned).
     """
     if isinstance(query, Q.TermQuery):
-        return term_scores(reader, query.term, stats, bm25, query.boost)
+        return term_scores(reader, query.term, stats, bm25, query.boost, query.field)
 
     if isinstance(query, Q.MatchAllDocsQuery):
         docs = np.arange(reader.doc_count, dtype=np.int64)
@@ -170,10 +218,11 @@ def eval_query(
     if isinstance(query, Q.SynonymQuery):
         # one pseudo-term: summed tf, df = max over members, ttf = sum
         # (SynonymQuery.java TermStatistics aggregation)
+        fr = _view(reader, query.field)
         all_docs: list[np.ndarray] = []
         all_freqs: list[np.ndarray] = []
         for t in query.terms:
-            tp = reader.term_postings(t)
+            tp = fr.term_postings(t)
             if tp is not None:
                 d, f = tp.decode()
                 all_docs.append(d)
@@ -185,9 +234,11 @@ def eval_query(
         docs, inv = np.unique(docs_cat, return_inverse=True)
         freqs = np.zeros(len(docs), dtype=np.int64)
         np.add.at(freqs, inv, freqs_cat)
-        df = max(stats.df(t) for t in query.terms)
-        tw = bm25.term_weight(df, stats.doc_count, stats.sum_total_term_freq, query.boost)
-        return docs, tw.score(freqs, reader.norms[docs]).astype(np.float32, copy=False)
+        df = max(stats.df(t, query.field) for t in query.terms)
+        tw = bm25.term_weight(
+            df, stats.n_docs(query.field), stats.sttf(query.field), query.boost
+        )
+        return docs, tw.score(freqs, fr.norms[docs]).astype(np.float32, copy=False)
 
     if isinstance(query, Q.DisjunctionMaxQuery):
         subs = [eval_query(reader, q, stats, bm25) for q in query.queries]
@@ -292,18 +343,19 @@ def _eval_phrase(
         # PhraseQuery.rewrite collapses one-term phrases to a TermQuery
         # (s84 search/PhraseQuery.java rewrite), so slop never reaches the
         # matcher; scoring is plain TermQuery scoring
-        return term_scores(reader, query.terms[0], stats, bm25, query.boost)
+        return term_scores(reader, query.terms[0], stats, bm25, query.boost, query.field)
     if query.slop != 0 and len(set(query.terms)) != len(query.terms):
         raise NotImplementedError(
             "sloppy PhraseQuery with repeated terms not implemented"
         )
-    if not getattr(reader, "has_positions", False):
+    fr = _view(reader, query.field)
+    if not getattr(fr, "has_positions", False):
         raise ValueError(
             "PhraseQuery requires an index built with index_positions=True"
         )
     per_term = []
     for t in query.terms:
-        tpp = reader.term_positions(t)
+        tpp = fr.term_positions(t)
         if tpp is None:
             return _empty()
         per_term.append(tpp)
@@ -349,7 +401,7 @@ def _eval_phrase(
 
     idf_total = np.float32(
         sum(
-            float(bm25.idf(stats.df(t), stats.doc_count))
+            float(bm25.idf(stats.df(t, query.field), stats.n_docs(query.field)))
             for t in query.terms
         )
     )
@@ -358,9 +410,11 @@ def _eval_phrase(
 
     tw = BM25TermWeight(
         weight=weight,
-        cache=bm25.norm_cache(bm25.avgdl(stats.sum_total_term_freq, stats.doc_count)),
+        cache=bm25.norm_cache(
+            bm25.avgdl(stats.sttf(query.field), stats.n_docs(query.field))
+        ),
     )
-    scores = tw.score(freqs, reader.norms[cand]).astype(np.float32, copy=False)
+    scores = tw.score(freqs, fr.norms[cand]).astype(np.float32, copy=False)
     return cand, scores
 
 

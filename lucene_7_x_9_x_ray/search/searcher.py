@@ -35,7 +35,7 @@ __all__ = ["IndexSearcher"]
 
 def _as_term_disjunction(query: Q.Query) -> list[tuple[str, float]] | None:
     """[(term, boost)] if the query is a SHOULD-only term disjunction."""
-    if isinstance(query, Q.TermQuery):
+    if isinstance(query, Q.TermQuery) and not query.field:
         return [(query.term, query.boost)]
     if isinstance(query, Q.BooleanQuery) and query.min_should_match <= 1:
         out = []
@@ -43,9 +43,13 @@ def _as_term_disjunction(query: Q.Query) -> list[tuple[str, float]] | None:
             q = c.query
             if c.occur != Q.SHOULD:
                 return None
-            if isinstance(q, Q.TermQuery):
+            if isinstance(q, Q.TermQuery) and not q.field:
                 out.append((q.term, q.boost))
-            elif isinstance(q, Q.BoostQuery) and isinstance(q.query, Q.TermQuery):
+            elif (
+                isinstance(q, Q.BoostQuery)
+                and isinstance(q.query, Q.TermQuery)
+                and not q.query.field
+            ):
                 out.append((q.query.term, float(q.boost) * q.query.boost))
             else:
                 return None
@@ -59,7 +63,7 @@ def _as_term_conjunction(query: Q.Query) -> list[tuple[str, float]] | None:
         out = []
         for c in query.clauses:
             q = c.query
-            if c.occur != Q.MUST or not isinstance(q, Q.TermQuery):
+            if c.occur != Q.MUST or not isinstance(q, Q.TermQuery) or q.field:
                 return None
             out.append((q.term, q.boost))
         return out if len(out) >= 2 else None
@@ -93,15 +97,31 @@ class IndexSearcher:
 
     # -- statistics ---------------------------------------------------------
 
-    def collection_stats(self, terms: set[str]) -> CollectionStats:
-        df: dict[str, int] = {t: 0 for t in terms}
-        ttf: dict[str, int] = {t: 0 for t in terms}
+    def collection_stats(self, terms: set) -> CollectionStats:
+        """Global stats for a set of terms — plain strings (primary field)
+        and/or (field, term) pairs (per-field TermStatistics gathering)."""
+        pairs = {("", t) if isinstance(t, str) else t for t in terms}
+        df: dict[str, int] = {}
+        ttf: dict[str, int] = {}
+        fdf: dict[tuple[str, str], int] = {}
+        fttf: dict[tuple[str, str], int] = {}
         for r in self.readers:
-            for t in terms:
-                d, f = r.term_stats(t)
-                df[t] += d
-                ttf[t] += f
-        return CollectionStats(self.doc_count, self.sum_total_term_freq, df, ttf)
+            for f, t in pairs:
+                view = r if not f else r.field_view(f)
+                d, tf = view.term_stats(t)
+                if not f:
+                    df[t] = df.get(t, 0) + d
+                    ttf[t] = ttf.get(t, 0) + tf
+                else:
+                    fdf[(f, t)] = fdf.get((f, t), 0) + d
+                    fttf[(f, t)] = fttf.get((f, t), 0) + tf
+        fs = getattr(self.manifest, "field_stats", {}) or {}
+        return CollectionStats(
+            self.doc_count, self.sum_total_term_freq, df, ttf,
+            field_df=fdf, field_ttf=fttf,
+            field_sttf={k: v["sum_total_term_freq"] for k, v in fs.items()},
+            field_doc_count={k: v["doc_count"] for k, v in fs.items()},
+        )
 
     def term_dict_union(self) -> np.ndarray:
         """Union sorted term dictionary (for multi-term rewrites), cached —
@@ -131,7 +151,7 @@ class IndexSearcher:
             query = self.parse(query)
         if Q.needs_rewrite(query):  # multi-term expansion only when needed
             query = Q.rewrite(query, self.term_dict_union())
-        stats = self.collection_stats(Q.collect_terms(query))
+        stats = self.collection_stats(Q.collect_field_terms(query))
 
         # mode "wand" = document-at-a-time block-max WAND (the pruning scale
         # path, duel-verified rank-identical). "auto"/"exhaustive" = the
@@ -181,7 +201,7 @@ class IndexSearcher:
             query = self.parse(query)
         if Q.needs_rewrite(query):
             query = Q.rewrite(query, self.term_dict_union())
-        stats = self.collection_stats(Q.collect_terms(query))
+        stats = self.collection_stats(Q.collect_field_terms(query))
         return sum(
             int(self._live(eval_query(r, query, stats, self.bm25)[0] + r.doc_base).sum())
             for r in self.readers
@@ -196,7 +216,7 @@ class IndexSearcher:
             query = self.parse(query)
         if Q.needs_rewrite(query):
             query = Q.rewrite(query, self.term_dict_union())
-        stats = self.collection_stats(Q.collect_terms(query))
+        stats = self.collection_stats(Q.collect_field_terms(query))
         a_score, a_doc = np.float32(after[0]), int(after[1])
         parts = []
         for r in self.readers:

@@ -28,7 +28,20 @@ import pyarrow.parquet as pq
 EPOCH_2025 = 1735689600_000000  # 2025-01-01T00:00:00Z in microseconds
 
 _BODY_RE = re.compile(rb"<body(?:\s[^>]*)?>(.*)</body>", re.DOTALL | re.IGNORECASE)
+_TITLE_RE = re.compile(rb"<title(?:\s[^>]*)?>(.*?)</title>", re.DOTALL | re.IGNORECASE)
 _TAG_RE = re.compile(rb"<[^>]+>")
+
+# tokens per synthesized title: both page generators emit title = the first
+# TITLE_TOKENS tokens of the body text, making the title field's BM25 oracle
+# SQL-expressible (list_slice(string_split(text,' '), 1, TITLE_TOKENS))
+TITLE_TOKENS = 8
+
+
+def extract_title(html: bytes) -> str:
+    """Deterministic html -> title (the DemoHTMLParser.java:42-96 title
+    extraction half); '' when no <title> element."""
+    m = _TITLE_RE.search(html)
+    return m.group(1).decode("utf-8", errors="replace") if m else ""
 
 
 def extract_text(html: bytes) -> str:
@@ -82,6 +95,10 @@ def generate_pages(
     np.cumsum(lengths, out=bounds[1:])
     texts = [" ".join(all_tokens[bounds[i] : bounds[i + 1]]) for i in range(n_rows)]
 
+    titles = [
+        " ".join(all_tokens[bounds[i] : min(bounds[i] + TITLE_TOKENS, bounds[i + 1])])
+        for i in range(n_rows)
+    ]
     idx = np.arange(n_rows)
     urls = np.array([f"https://site{i % 211}.example/p/{i}" for i in idx], dtype=object)
     # a dup_url_frac slice of rows reuses the previous row's url with a later
@@ -100,10 +117,11 @@ def generate_pages(
     }
     if with_html:
         cols["html"] = pa.array(
-            [wrap_html(t, f"T{i}") for i, t in enumerate(texts)], type=pa.binary()
+            [wrap_html(t, ti) for ti, t in zip(titles, texts)], type=pa.binary()
         )
     cols["text"] = pa.array(texts, type=pa.string())
     cols["lang"] = pa.array(langs, type=pa.string())
+    cols["title"] = pa.array(titles, type=pa.string())
     return pa.table(cols)
 
 
@@ -120,6 +138,13 @@ def pages_from_documents(sf_dir: str, with_html: bool = True, repeat: int = 1) -
     doc_ids = docs["doc_id"].to_numpy()
     n = len(doc_ids)
 
+    # title = first TITLE_TOKENS body tokens (vectorized split/slice/join),
+    # the SQL-expressible per-field fixture for multi-field BM25 oracles
+    text_col = docs["text"].combine_chunks()
+    titles = pc.binary_join(
+        pc.list_slice(pc.split_pattern(text_col, " "), 0, TITLE_TOKENS), " "
+    )
+
     parts = []
     for r in range(repeat):
         gids = doc_ids + r * n
@@ -129,16 +154,17 @@ def pages_from_documents(sf_dir: str, with_html: bool = True, repeat: int = 1) -
         cols: dict = {"url": urls, "warc_ts": ts}
         if with_html:
             html_str = pc.binary_join_element_wise(
-                "<html><head><title>T",
-                gid_str,
+                "<html><head><title>",
+                titles,
                 "</title></head><body>",
-                docs["text"].combine_chunks(),
+                text_col,
                 "</body></html>",
                 "",
             )
             cols["html"] = html_str.cast(pa.binary())
         cols["text"] = docs["text"]
         cols["lang"] = docs["lang"]
+        cols["title"] = titles
         parts.append(pa.table(cols))
     return pa.concat_tables(parts)
 

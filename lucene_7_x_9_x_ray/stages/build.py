@@ -37,6 +37,19 @@ from ..state.manifest import IndexManifest, SegmentStats, segment_is_complete
 from ..state.segment import write_segment
 
 
+@dataclass(frozen=True)
+class FieldSpec:
+    """One additional indexed field: FieldType-style per-field config
+    (s84 document/FieldType.java:32,141 — indexed flags per field).
+
+    ``name`` is the query-time field name; ``col`` the source parquet
+    column holding its text (analyzed with the index's analyzer)."""
+
+    name: str
+    col: str
+    index_positions: bool = False
+
+
 @dataclass
 class BuildConfig:
     analyzer: str = "standard"
@@ -63,6 +76,9 @@ class BuildConfig:
     # docIDs are assigned, so sorted-field top-N queries early-terminate by
     # reading only each segment's docmap head (search/sortedfield.py).
     sort_by: str | None = None
+    # additional indexed fields beyond text_col (the multi-field schema —
+    # FieldInfos accretes per-field postings/norms/stats in the reference)
+    extra_fields: tuple = ()
 
 
 def plan_partitions(
@@ -119,6 +135,11 @@ def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> Segmen
         cols.append(cfg.html_col)
     if cfg.sort_by and cfg.sort_by not in cols:
         cols.append(cfg.sort_by)
+    for fs in cfg.extra_fields:
+        if fs.col not in schema_names:
+            raise ValueError(f"extra field {fs.name!r}: column {fs.col!r} not in input")
+        if fs.col not in cols:
+            cols.append(fs.col)
     table = pf.read_row_groups(
         list(range(spec["rg_start"], spec["rg_end"])), columns=cols, use_threads=False
     )  # 1-cpu task: arrow's own pool would oversubscribe the node
@@ -156,6 +177,10 @@ def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> Segmen
     )
 
     analyzer = get_analyzer(cfg.analyzer)
+    extra = {
+        fs.name: (table[fs.col].to_pylist(), fs.index_positions)
+        for fs in cfg.extra_fields
+    }
     stats = write_segment(
         out_dir=seg_dir,
         seg_name=spec["seg_name"],
@@ -170,8 +195,21 @@ def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> Segmen
         rg_end=spec["rg_end"],
         elapsed_sec=time.perf_counter() - t0,
         index_positions=cfg.index_positions,
+        extra_fields=extra or None,
     )
     return stats
+
+
+
+def _aggregate_field_stats(stats_rows: list[dict]) -> dict:
+    """Cross-segment per-field stats for the manifest (idf/avgdl inputs)."""
+    agg: dict[str, dict] = {}
+    for r in stats_rows:
+        for fname, fs in (r.get("field_stats") or {}).items():
+            a = agg.setdefault(fname, {"sum_total_term_freq": 0, "doc_count": 0})
+            a["sum_total_term_freq"] += int(fs["sum_total_term_freq"])
+            a["doc_count"] += int(fs["doc_count"])
+    return agg
 
 
 def build_index(
@@ -194,10 +232,16 @@ def build_index(
         raise ValueError(f"no input rows found in {input_paths}")
 
     def run_specs(batch: pa.Table) -> pa.Table:
+        import json as _json
+
         out = []
         for spec in batch.to_pylist():
             st = build_one_segment(spec, cfg, segments_dir)
-            out.append(st.to_dict())
+            d = st.to_dict()
+            # nested per-field stats ride the stats row as JSON (a stable
+            # scalar column; Arrow struct inference breaks on empty dicts)
+            d["field_stats"] = _json.dumps(d.get("field_stats") or {})
+            out.append(d)
         return pa.Table.from_pylist(out)
 
     kwargs = {}
@@ -212,6 +256,11 @@ def build_index(
         .map_batches(run_specs, batch_size=1, batch_format="pyarrow", **kwargs)
         .take_all()
     )
+    import json as _json
+
+    for r in stats_rows:
+        if isinstance(r.get("field_stats"), str):
+            r["field_stats"] = _json.loads(r["field_stats"])
     stats_rows.sort(key=lambda r: r["doc_base"])
 
     manifest = IndexManifest(
@@ -222,6 +271,7 @@ def build_index(
         sum_total_term_freq=sum(r["sum_total_term_freq"] for r in stats_rows),
         segments=stats_rows,
         sort_by=cfg.sort_by or "",
+        field_stats=_aggregate_field_stats(stats_rows),
     )
     manifest.save()
     return manifest
@@ -245,6 +295,7 @@ def build_index_local(
         sum_total_term_freq=sum(r["sum_total_term_freq"] for r in stats_rows),
         segments=stats_rows,
         sort_by=cfg.sort_by or "",
+        field_stats=_aggregate_field_stats(stats_rows),
     )
     manifest.save()
     return manifest

@@ -32,6 +32,7 @@ from ..functions.codec import encode_segment_terms
 from ..state.manifest import IndexManifest, SegmentStats, atomic_write_json
 from ..state.segment import (
     DOCMAP_FILE,
+    field_prefix,
     NORMS_FILE,
     POSITIONS_FILE,
     POSTINGS_FILE,
@@ -71,8 +72,92 @@ def plan_compactions(manifest: IndexManifest, policy: CompactionPolicy) -> list[
     return groups
 
 
+def _merge_field_views(views, rebases, has_pos: bool, tmp: str, prefix: str) -> dict:
+    """k-way merge ONE field's term tables/postings/norms from per-segment
+    views (SegmentReader for the primary field, FieldReader for extras) into
+    prefixed artifact files under ``tmp``. Returns the merged field stats."""
+    all_terms = np.unique(np.concatenate([v.terms for v in views]))
+    d_cat, f_cat, n_cat, p_cat = [], [], [], []
+    term_starts = np.zeros(len(all_terms), dtype=np.int64)
+    off = 0
+    for ti, term in enumerate(all_terms):
+        term_starts[ti] = off
+        for v, rb in zip(views, rebases):
+            i = v.lookup(str(term))
+            if i < 0:
+                continue
+            tp = v.postings_by_ord(i)
+            d, f = tp.decode()
+            d_cat.append(d + rb)
+            f_cat.append(f)
+            n_cat.append(v.norms[d])
+            if has_pos:
+                p_cat.append(v.positions_by_ord(i, f))
+            off += len(d)
+    term_ends = np.append(term_starts[1:], off)
+    docs = np.concatenate(d_cat) if d_cat else np.empty(0, np.int64)
+    freqs = np.concatenate(f_cat) if f_cat else np.empty(0, np.int64)
+    norms_aligned = np.concatenate(n_cat) if n_cat else np.empty(0, np.uint8)
+    pos_stream = np.concatenate(p_cat) if has_pos and p_cat else None
+    enc = encode_segment_terms(docs, freqs, norms_aligned, term_starts, term_ends,
+                               pos_stream=pos_stream)
+
+    pos = ppos = 0
+    regions = []
+    meta = (np.zeros(len(all_terms), np.int64), np.zeros(len(all_terms), np.int32),
+            np.zeros(len(all_terms), np.int32), np.zeros(len(all_terms), np.int64),
+            np.zeros(len(all_terms), np.int64))
+    pos_meta = (
+        (np.zeros(len(all_terms), np.int64), np.zeros(len(all_terms), np.uint8),
+         np.zeros(len(all_terms), np.int64)) if has_pos else None
+    )
+    pos_blobs = []
+    for ti in range(len(all_terms)):
+        region, nb, ni, ld, lf = enc.term_region(ti)
+        regions.append(region)
+        meta[0][ti] = pos
+        meta[1][ti] = nb
+        meta[2][ti] = ni
+        meta[3][ti] = ld
+        meta[4][ti] = lf
+        pos += len(region)
+        if has_pos:
+            pb, pw, pl = enc.term_positions_blob(ti)
+            pos_blobs.append(pb)
+            pos_meta[0][ti] = ppos
+            pos_meta[1][ti] = pw
+            pos_meta[2][ti] = pl
+            ppos += pl
+    with open(os.path.join(tmp, prefix + POSTINGS_FILE), "wb") as f:
+        for rg in regions:
+            f.write(rg)
+    if has_pos:
+        with open(os.path.join(tmp, prefix + POSITIONS_FILE), "wb") as f:
+            for b in pos_blobs:
+                f.write(b)
+    dfs = (term_ends - term_starts).astype(np.int64)
+    pq.write_table(
+        encode_term_table(all_terms, dfs, enc.ttfs, meta, pos_meta=pos_meta),
+        os.path.join(tmp, prefix + TERMS_FILE),
+        row_group_size=65536,
+    )
+    with open(os.path.join(tmp, prefix + NORMS_FILE), "wb") as f:
+        for v in views:
+            f.write(v.norms.tobytes())
+    return {
+        "unique_terms": int(len(all_terms)),
+        "sum_doc_freq": int(dfs.sum()),
+        "sum_total_term_freq": int(freqs.sum()),
+    }
+
+
 def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> dict:
-    """SegmentMerger: k-way merge adjacent segments into one new segment."""
+    """SegmentMerger: k-way merge adjacent segments into one new segment.
+
+    Every indexed field merges (primary + extras) — the per-field pass of
+    SegmentMerger.java:100-166 (stored fields -> norms -> terms/postings
+    per field), with docIDs rebased to the new segment's local space.
+    """
     readers = [
         SegmentReader(os.path.join(index_dir, "segments", n)) for n in seg_names
     ]
@@ -88,35 +173,13 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
             f"refusing to merge segments with mixed has_positions: {seg_names}"
         )
     has_pos = pos_flags.pop()
-
-    # union sorted term dict; per term, fragments concatenate in doc_base
-    # order with local ids rebased to the NEW segment's local space
-    all_terms = np.unique(np.concatenate([r.terms for r in readers]))
-    d_cat, f_cat, n_cat, p_cat = [], [], [], []
-    term_starts = np.zeros(len(all_terms), dtype=np.int64)
-    off = 0
+    field_sets = {frozenset((r.stats.field_stats or {}).keys()) for r in readers}
+    if len(field_sets) > 1:
+        raise ValueError(
+            f"refusing to merge segments with differing field sets: {seg_names}"
+        )
+    extra_names = sorted(field_sets.pop())
     rebases = [r.doc_base - base for r in readers]
-    for ti, term in enumerate(all_terms):
-        term_starts[ti] = off
-        for r, rb in zip(readers, rebases):
-            i = r.lookup(str(term))
-            if i < 0:
-                continue
-            tp = r.postings_by_ord(i)
-            d, f = tp.decode()
-            d_cat.append(d + rb)
-            f_cat.append(f)
-            n_cat.append(r.norms[d])
-            if has_pos:
-                p_cat.append(r.positions_by_ord(i, f))
-            off += len(d)
-    term_ends = np.append(term_starts[1:], off)
-    docs = np.concatenate(d_cat) if d_cat else np.empty(0, np.int64)
-    freqs = np.concatenate(f_cat) if f_cat else np.empty(0, np.int64)
-    norms_aligned = np.concatenate(n_cat) if n_cat else np.empty(0, np.uint8)
-    pos_stream = np.concatenate(p_cat) if has_pos and p_cat else None
-    enc = encode_segment_terms(docs, freqs, norms_aligned, term_starts, term_ends,
-                               pos_stream=pos_stream)
 
     import uuid
 
@@ -124,48 +187,19 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
     tmp = os.path.join(seg_root, f".{out_name}.tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
     try:
-        pos = ppos = 0
-        regions = []
-        meta = (np.zeros(len(all_terms), np.int64), np.zeros(len(all_terms), np.int32),
-                np.zeros(len(all_terms), np.int32), np.zeros(len(all_terms), np.int64),
-                np.zeros(len(all_terms), np.int64))
-        pos_meta = (
-            (np.zeros(len(all_terms), np.int64), np.zeros(len(all_terms), np.uint8),
-             np.zeros(len(all_terms), np.int64)) if has_pos else None
-        )
-        pos_blobs = []
-        for ti in range(len(all_terms)):
-            region, nb, ni, ld, lf = enc.term_region(ti)
-            regions.append(region)
-            meta[0][ti] = pos
-            meta[1][ti] = nb
-            meta[2][ti] = ni
-            meta[3][ti] = ld
-            meta[4][ti] = lf
-            pos += len(region)
-            if has_pos:
-                pb, pw, pl = enc.term_positions_blob(ti)
-                pos_blobs.append(pb)
-                pos_meta[0][ti] = ppos
-                pos_meta[1][ti] = pw
-                pos_meta[2][ti] = pl
-                ppos += pl
-        with open(os.path.join(tmp, POSTINGS_FILE), "wb") as f:
-            for rg in regions:
-                f.write(rg)
-        if has_pos:
-            with open(os.path.join(tmp, POSITIONS_FILE), "wb") as f:
-                for b in pos_blobs:
-                    f.write(b)
-        dfs = (term_ends - term_starts).astype(np.int64)
-        pq.write_table(
-            encode_term_table(all_terms, dfs, enc.ttfs, meta, pos_meta=pos_meta),
-            os.path.join(tmp, TERMS_FILE),
-            row_group_size=65536,
-        )
-        with open(os.path.join(tmp, NORMS_FILE), "wb") as f:
-            for r in readers:
-                f.write(r.norms.tobytes())
+        primary = _merge_field_views(readers, rebases, has_pos, tmp, "")
+        field_stats: dict = {}
+        for fname in extra_names:
+            views = [r.field_view(fname) for r in readers]
+            f_has_pos = all(v.has_positions for v in views)
+            fres = _merge_field_views(
+                views, rebases, f_has_pos, tmp, field_prefix(fname)
+            )
+            fres["doc_count"] = sum(
+                int(r.stats.field_stats[fname]["doc_count"]) for r in readers
+            )
+            fres["index_positions"] = f_has_pos
+            field_stats[fname] = fres
         pq.write_table(
             pa.concat_tables([r.docmap() for r in readers]),
             os.path.join(tmp, DOCMAP_FILE),
@@ -181,13 +215,14 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
             doc_base=base,
             doc_count=doc_count,
             sum_total_term_freq=sum(r.stats.sum_total_term_freq for r in readers),
-            sum_doc_freq=int(dfs.sum()),
-            unique_terms=len(all_terms),
+            sum_doc_freq=primary["sum_doc_freq"],
+            unique_terms=primary["unique_terms"],
             lineage_file=";".join(r.stats.lineage_file for r in readers),
             lineage_rg_start=readers[0].stats.lineage_rg_start,
             lineage_rg_end=readers[-1].stats.lineage_rg_end,
             lineage_fingerprint=h.hexdigest(),
             analyzer=readers[0].stats.analyzer,
+            field_stats=field_stats,
             elapsed_sec=0.0,
         )
         atomic_write_json(os.path.join(tmp, STATS_NAME), st.to_dict())
@@ -249,17 +284,25 @@ def compact_index(
         import ray.data as rd
 
         def run(batch: pa.Table) -> pa.Table:
-            out = [
-                merge_segment_group(index_dir, row["segs"], row["out_name"])
-                for row in batch.to_pylist()
-            ]
+            import json as _json
+
+            out = []
+            for row in batch.to_pylist():
+                d = merge_segment_group(index_dir, row["segs"], row["out_name"])
+                d["field_stats"] = _json.dumps(d.get("field_stats") or {})
+                out.append(d)
             return pa.Table.from_pylist(out)
+
+        import json as _json
 
         new_stats = (
             rd.from_items(jobs, override_num_blocks=len(jobs))
             .map_batches(run, batch_size=1, batch_format="pyarrow")
             .take_all()
         )
+        for r in new_stats:
+            if isinstance(r.get("field_stats"), str):
+                r["field_stats"] = _json.loads(r["field_stats"])
     else:
         new_stats = [
             merge_segment_group(index_dir, j["segs"], j["out_name"]) for j in jobs

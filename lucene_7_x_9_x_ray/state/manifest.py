@@ -20,6 +20,7 @@ import json
 import os
 import tempfile
 from dataclasses import asdict, dataclass, field
+from dataclasses import field as _dc_field  # usable where an attr named "field" shadows
 from typing import Any
 
 MANIFEST_NAME = "manifest.json"
@@ -98,6 +99,10 @@ class SegmentStats:
     field: str = "text"
     elapsed_sec: float = 0.0
     resumed: bool = False
+    # extra indexed fields: name -> {sum_total_term_freq, sum_doc_freq,
+    # unique_terms, doc_count (docs with the field), index_positions}.
+    # The FieldInfos (.fnm) record of this segment's non-primary fields.
+    field_stats: dict = _dc_field(default_factory=dict)
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -123,6 +128,10 @@ class IndexManifest:
     # sorted_field_topn can refuse a mismatched field instead of silently
     # returning head rows of an unsorted docmap.
     sort_by: str = ""
+    # cross-segment aggregate of extra-field statistics: field name ->
+    # {sum_total_term_freq, doc_count} (per-field avgdl/idf inputs — the
+    # global FieldInfos + FieldSummary record, tim&&tip.md:152-163)
+    field_stats: dict = _dc_field(default_factory=dict)
 
     @property
     def avgdl_inputs(self) -> tuple[int, int]:

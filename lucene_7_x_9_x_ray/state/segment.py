@@ -207,33 +207,23 @@ def _region_blobs(enc: codec.EncodedPostings) -> tuple[bytes, int, int]:
     return region, n_blocks, n_imp
 
 
-def write_segment(
-    out_dir: str,
-    seg_name: str,
-    texts,
-    urls,
-    warc_ts,
-    langs,
-    analyzer: Analyzer,
-    doc_base: int,
-    lineage_file: str = "",
-    rg_start: int = 0,
-    rg_end: int = 0,
-    elapsed_sec: float = 0.0,
-    index_positions: bool = False,
-) -> SegmentStats:
-    """Build + atomically commit one segment from a partition of pages.
+def field_prefix(field: str) -> str:
+    """Artifact filename prefix for a non-primary field ("" = primary).
 
-    Local docIDs are row positions within the partition (ascending input
-    order), so global docID = doc_base + local is deterministic lineage, not
-    task arrival order (SURVEY.md §7.5). ``elapsed_sec`` is the caller's
-    pre-work (read) time; the stats record adds this function's own time.
-    """
-    import time as _time
+    Per-field postings/norms/terms files are the FieldInfos-driven per-field
+    structures of the reference (s84 index/FieldInfos.java; every field gets
+    its own terms dict + postings + norms in the codec)."""
+    return f"f_{field}." if field else ""
 
-    _t_start = _time.perf_counter()
+
+def _write_field_artifacts(
+    tmp: str, prefix: str, texts, analyzer: Analyzer, index_positions: bool
+) -> dict:
+    """Invert + encode + write ONE field's term dict/postings/positions/norms
+    into ``tmp`` under ``prefix``. Returns the field's stats (plus the raw
+    per-doc lengths array under "lengths" for the caller's docmap)."""
     n = len(texts)
-    pos_s = pair_tok_starts = None
+    pos_s = None
     if index_positions:
         # token-level path: one lexsort of (term rank, doc, position) gives
         # the postings AND the per-term position streams in final order
@@ -318,29 +308,88 @@ def write_segment(
             len_pos_arr[ti] = pl
             ppos += pl
 
+    with open(os.path.join(tmp, prefix + POSTINGS_FILE), "wb") as f:
+        for r in regions:
+            f.write(r)
+
+    pos_meta = None
+    if index_positions:
+        with open(os.path.join(tmp, prefix + POSITIONS_FILE), "wb") as f:
+            for b in pos_blobs:
+                f.write(b)
+        pos_meta = (pos_off_arr, pos_width_arr, len_pos_arr)
+
+    terms_table = encode_term_table(
+        uniq_terms, dfs, ttfs,
+        (offsets, n_blocks_arr, n_imp_arr, len_docs_arr, len_freqs_arr),
+        pos_meta=pos_meta,
+    )
+    pq.write_table(terms_table, os.path.join(tmp, prefix + TERMS_FILE), row_group_size=65536)
+
+    with open(os.path.join(tmp, prefix + NORMS_FILE), "wb") as f:
+        f.write(norms.astype(np.uint8).tobytes())
+
+    return {
+        "lengths": lengths,
+        "sum_total_term_freq": int(lengths.sum()),
+        "sum_doc_freq": int(dfs.sum()),
+        "unique_terms": int(len(uniq_terms)),
+        # docCount of this field = docs with >= 1 token (the docsWithField
+        # statistic norms presence encodes in the reference; BM25 idf/avgdl
+        # for a field use ITS docCount, BM25Similarity.java:88-90)
+        "doc_count": int((lengths > 0).sum()),
+        "index_positions": bool(index_positions),
+    }
+
+
+def write_segment(
+    out_dir: str,
+    seg_name: str,
+    texts,
+    urls,
+    warc_ts,
+    langs,
+    analyzer: Analyzer,
+    doc_base: int,
+    lineage_file: str = "",
+    rg_start: int = 0,
+    rg_end: int = 0,
+    elapsed_sec: float = 0.0,
+    index_positions: bool = False,
+    extra_fields: dict | None = None,
+) -> SegmentStats:
+    """Build + atomically commit one segment from a partition of pages.
+
+    Local docIDs are row positions within the partition (ascending input
+    order), so global docID = doc_base + local is deterministic lineage, not
+    task arrival order (SURVEY.md §7.5). ``elapsed_sec`` is the caller's
+    pre-work (read) time; the stats record adds this function's own time.
+
+    ``extra_fields`` maps field name -> (texts, index_positions): each extra
+    field gets its own prefixed term dict/postings/norms artifacts in the
+    same segment dir (the per-field structures FieldInfos drives in the
+    reference), sharing the docID space and docmap with the primary field.
+    """
+    import time as _time
+
+    _t_start = _time.perf_counter()
+    n = len(texts)
     tmp = os.path.join(os.path.dirname(out_dir), f".{seg_name}.tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
     try:
-        with open(os.path.join(tmp, POSTINGS_FILE), "wb") as f:
-            for r in regions:
-                f.write(r)
-
-        pos_meta = None
-        if index_positions:
-            with open(os.path.join(tmp, POSITIONS_FILE), "wb") as f:
-                for b in pos_blobs:
-                    f.write(b)
-            pos_meta = (pos_off_arr, pos_width_arr, len_pos_arr)
-
-        terms_table = encode_term_table(
-            uniq_terms, dfs, ttfs,
-            (offsets, n_blocks_arr, n_imp_arr, len_docs_arr, len_freqs_arr),
-            pos_meta=pos_meta,
-        )
-        pq.write_table(terms_table, os.path.join(tmp, TERMS_FILE), row_group_size=65536)
-
-        with open(os.path.join(tmp, NORMS_FILE), "wb") as f:
-            f.write(norms.astype(np.uint8).tobytes())
+        primary = _write_field_artifacts(tmp, "", texts, analyzer, index_positions)
+        lengths = primary["lengths"]
+        field_stats: dict[str, dict] = {}
+        for fname, (ftexts, fpos) in (extra_fields or {}).items():
+            if len(ftexts) != n:
+                raise ValueError(
+                    f"field {fname!r} has {len(ftexts)} values for {n} docs"
+                )
+            fres = _write_field_artifacts(
+                tmp, field_prefix(fname), ftexts, analyzer, fpos
+            )
+            fres.pop("lengths")
+            field_stats[fname] = fres
 
         docmap = pa.table(
             {
@@ -361,14 +410,15 @@ def write_segment(
             seg_name=seg_name,
             doc_base=doc_base,
             doc_count=n,
-            sum_total_term_freq=int(lengths.sum()),
-            sum_doc_freq=int(dfs.sum()),
-            unique_terms=len(uniq_terms),
+            sum_total_term_freq=primary["sum_total_term_freq"],
+            sum_doc_freq=primary["sum_doc_freq"],
+            unique_terms=primary["unique_terms"],
             lineage_file=lineage_file,
             lineage_rg_start=rg_start,
             lineage_rg_end=rg_end,
             lineage_fingerprint=h.hexdigest(),
             analyzer=analyzer.name,
+            field_stats=field_stats,
             elapsed_sec=elapsed_sec + (_time.perf_counter() - _t_start),
         )
         atomic_write_json(os.path.join(tmp, STATS_NAME), stats.to_dict())
@@ -506,8 +556,8 @@ class TermTableReader:
     shard reader so the on-disk layout is parsed in exactly one place.
     """
 
-    def _load_term_table(self, dir_path: str) -> None:
-        t = pq.read_table(os.path.join(dir_path, TERMS_FILE), memory_map=True)
+    def _load_term_table(self, dir_path: str, prefix: str = "") -> None:
+        t = pq.read_table(os.path.join(dir_path, prefix + TERMS_FILE), memory_map=True)
         self.terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
         self.doc_freqs = t["doc_freq"].to_numpy()
         self.ttfs = t["total_term_freq"].to_numpy()
@@ -517,7 +567,7 @@ class TermTableReader:
         self._len_docs = t["len_docs"].to_numpy()
         self._len_freqs = t["len_freqs"].to_numpy()
         self._post = np.memmap(
-            os.path.join(dir_path, POSTINGS_FILE), dtype=np.uint8, mode="r"
+            os.path.join(dir_path, prefix + POSTINGS_FILE), dtype=np.uint8, mode="r"
         )
         self.has_positions = "pos_off" in t.column_names
         if self.has_positions:
@@ -525,7 +575,7 @@ class TermTableReader:
             self._pos_width = t["pos_width"].to_numpy()
             self._len_pos = t["len_pos"].to_numpy()
             self._positions = np.memmap(
-                os.path.join(dir_path, POSITIONS_FILE), dtype=np.uint8, mode="r"
+                os.path.join(dir_path, prefix + POSITIONS_FILE), dtype=np.uint8, mode="r"
             )
 
     def lookup(self, term: str) -> int:
@@ -580,11 +630,30 @@ class TermTableReader:
         return docs, freqs, self.positions_by_ord(i, freqs)
 
 
+class FieldReader(TermTableReader):
+    """Reader for one NON-primary field's artifacts within a segment dir:
+    its own term dict, postings, positions and norms over the segment's
+    shared docID space (the per-field Terms/NumericDocValues(norms) readers
+    FieldInfos resolves in the reference)."""
+
+    def __init__(self, seg_dir: str, field: str, doc_count: int, doc_base: int):
+        prefix = field_prefix(field)
+        self.field = field
+        self._load_term_table(seg_dir, prefix)
+        self.norms = np.fromfile(
+            os.path.join(seg_dir, prefix + NORMS_FILE), dtype=np.uint8
+        )
+        self.doc_count = doc_count
+        self.doc_base = doc_base
+
+
 class SegmentReader(TermTableReader):
     """Open one segment: term dict in RAM, postings/norms memory-mapped.
 
     The IndexSearcher/SegmentReader + MMapDirectory analogue (SURVEY.md
-    §2.3): construct once per query actor, serve many queries.
+    §2.3): construct once per query actor, serve many queries. The reader
+    itself is the PRIMARY field's view; ``field_view(name)`` opens the
+    per-field artifacts of additional indexed fields.
     """
 
     def __init__(self, seg_dir: str):
@@ -597,6 +666,22 @@ class SegmentReader(TermTableReader):
         self.doc_count = self.stats.doc_count
         self.doc_base = self.stats.doc_base
         self._docmap = None
+        self._field_views: dict[str, FieldReader] = {}
+
+    def field_view(self, field: str):
+        """Per-field reader ("" = primary = self); lazy-opened and cached."""
+        if not field:
+            return self
+        fv = self._field_views.get(field)
+        if fv is None:
+            if field not in (self.stats.field_stats or {}):
+                raise ValueError(
+                    f"segment {self.seg_dir} has no indexed field {field!r} "
+                    f"(fields: {sorted(self.stats.field_stats or ())})"
+                )
+            fv = FieldReader(self.seg_dir, field, self.doc_count, self.doc_base)
+            self._field_views[field] = fv
+        return fv
 
     def docmap(self) -> pa.Table:
         if self._docmap is None:
