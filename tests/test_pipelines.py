@@ -682,3 +682,18 @@ def test_compaction_refuses_mixed_positions(ray_session, tmp_path):
     rs = IndexSearcher(idx).readers
     assert [r.has_positions for r in rs] == [True, False]
     assert sum(r.doc_count for r in rs) == 300
+
+
+def test_embed_lsh_finds_planted_near_dups(ray_session):
+    """Hyperplane-LSH embedding dedup recovers every planted jittered pair
+    without a full-matrix broadcast (the sub-quadratic scale path)."""
+    from lucene_7_x_9_x_ray.pipelines import dedup
+
+    t = dedup.q_embed_dup_lsh_pairs("/root/testdata/sf0.001")
+    pairs = set(zip(t["vec_a"].to_pylist(), t["vec_b"].to_pylist()))
+    planted = {
+        (i, i + dedup.EMBED_LSH_PLANT_OFFSET) for i in range(dedup.EMBED_LSH_PLANT_N)
+    }
+    # per-pair recall ~0.98 -> allow at most one miss out of 32
+    assert len(planted - pairs) <= 1
+    assert all(c >= dedup.EMBED_LSH_COS_THRESHOLD for c in t["cos_r"].to_pylist())
