@@ -279,14 +279,16 @@ def q_bm25_lang_filtered(sf_dir: str) -> pa.Table:
     """BM25 disjunction restricted by a metadata predicate: the stored
     ``lang`` column becomes a FILTER-clause doc set (DocSetQuery — the
     IndexOrDocValuesQuery column-scan plan): (rank, doc_id, score_r)."""
+    import pyarrow.compute as pc
+
     merged, seg = get_searchers(sf_dir)
     en_docs: list[int] = []
     for r in seg.readers:
         dm = r.docmap()
-        ids = _doc_ids_from_urls(dm["url"].to_pylist())
-        for gid, lang in zip(ids, dm["lang"].to_pylist()):
-            if lang == LANG_FILTER_LANG:
-                en_docs.append(gid)
+        # vectorized per-segment mask (pc.equal), not a per-row Python loop
+        mask = pc.equal(dm["lang"], LANG_FILTER_LANG)
+        urls = dm["url"].filter(mask).to_pylist()
+        en_docs.extend(_doc_ids_from_urls(urls))
     query = Q.BooleanQuery.build(
         [(Q.SHOULD, Q.TermQuery(t)) for t in LANG_FILTER_TERMS]
         + [(Q.FILTER, Q.DocSetQuery(doc_ids=tuple(sorted(en_docs))))]
@@ -476,46 +478,136 @@ def q_multiterm_match(sf_dir: str) -> pa.Table:
     return pa.table({"kind": pa.array(kinds, pa.string()), "doc_id": pa.array(docs, pa.int64())})
 
 
+def _matched_rows_dataset(sf_dir: str, terms: list[str], per_seg_topk_per_lang: int = 0):
+    """Distributed matched-docs relation: one Ray task per SEGMENT evaluates
+    the SHOULD-disjunction where the segment lives and emits (doc_id, lang,
+    score) for ITS matches only — the docmap join happens segment-locally,
+    so only matched rows (or per-lang top-k partials) enter any shuffle.
+
+    Global collection stats are gathered once on the driver (tiny dicts)
+    and broadcast via ray.put — the IndexSearcher.createWeight split: stats
+    global, scoring per-leaf (facet/GroupingSearch collector semantics,
+    s84 facet/.../SortedSetDocValuesFacetCounts.java:68,
+    grouping/GroupingSearch.java:43)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.bm25 import BM25
+    from ..search.scorers import CollectionStats, eval_query
+    from ..state.segment import SegmentReader
+
+    index_dir = build_flagship_index(sf_dir)
+    _, seg = get_searchers(sf_dir)
+    stats = seg.collection_stats({(("", t)) for t in terms})
+    stats_ref = ray.put(
+        (stats.doc_count, stats.sum_total_term_freq, stats.term_df, stats.term_ttf)
+    )
+    seg_dirs = [
+        {"seg_dir": os.path.join(index_dir, "segments", s["seg_name"])}
+        for s in seg.manifest.segments
+    ]
+
+    def run(batch: pa.Table) -> pa.Table:
+        dc, sttf, tdf, tttf = ray.get(stats_ref)
+        st = CollectionStats(dc, sttf, tdf, tttf)
+        bm25 = BM25()
+        query = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
+        out = []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["seg_dir"])
+            docs, scores = eval_query(r, query, st, bm25)
+            if len(docs) == 0:
+                continue
+            dm = r.docmap()
+            urls = dm["url"].take(pa.array(docs)).to_pylist()
+            langs = np.asarray(dm["lang"].take(pa.array(docs)).to_pylist(), dtype=object)
+            gids = np.asarray(_doc_ids_from_urls(urls), dtype=np.int64)
+            if per_seg_topk_per_lang:
+                # per-segment per-lang partial top-k (combiner): the final
+                # per-lang reduce only ever sees n_segments * k rows per lang
+                keep_idx = []
+                for lang in np.unique(langs):
+                    li = np.flatnonzero(langs == lang)
+                    order = np.lexsort((gids[li], -scores[li].astype(np.float64)))
+                    keep_idx.append(li[order[:per_seg_topk_per_lang]])
+                sel = np.concatenate(keep_idx)
+                gids, langs, scores = gids[sel], langs[sel], scores[sel]
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(gids),
+                        "lang": pa.array(langs, pa.string()),
+                        "score": pa.array(scores.astype(np.float32)),
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float32())}
+            )
+        return pa.concat_tables(out)
+
+    return rd.from_items(seg_dirs, override_num_blocks=len(seg_dirs)).map_batches(
+        run, batch_size=1, batch_format="pyarrow"
+    )
+
+
 def q_facet_lang(sf_dir: str) -> pa.Table:
     """Facet counts (SSDV-facet analogue): lang histogram of docs matching
-    the facet term, computed Ray-Data-side via groupby on the docmap."""
-    merged, _ = get_searchers(sf_dir)
-    td = merged.search(Q.TermQuery(FACET_TERM), k=merged.doc_count)
-    rows = merged.lookup_docs([int(d) for d in td.doc_ids])
-    langs: dict[str, int] = {}
-    for row in rows:
-        langs[row["lang"]] = langs.get(row["lang"], 0) + 1
-    ks = sorted(langs)
+    the facet term — matched rows stay a Dataset; the histogram is a Ray
+    Data groupby(lang).count(), not a driver dict."""
+    from ray.data.aggregate import Count
+
+    rows = (
+        _matched_rows_dataset(sf_dir, [FACET_TERM])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["lang"])
     return pa.table(
         {
-            "lang": pa.array(ks, pa.string()),
-            "n": pa.array([langs[k] for k in ks], pa.int64()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
         }
     )
 
 
 def q_grouped_topk(sf_dir: str) -> pa.Table:
     """Grouped top-k (GroupingSearch analogue): per-lang top-n docs by BM25
-    for the flagship disjunction: (lang, rank, doc_id, score_r)."""
-    merged, _ = get_searchers(sf_dir)
-    query = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in GROUPED_TOPK_TERMS])
-    td = merged.search(query, k=merged.doc_count, total_hits_threshold=1 << 30)
-    rows = merged.lookup_docs([int(d) for d in td.doc_ids])
-    per_lang: dict[str, list[tuple[int, float]]] = {}
-    for row, score in zip(rows, td.scores):
-        per_lang.setdefault(row["lang"], []).append((row["doc_id"], float(score)))
-    langs, ranks, docs, scores = [], [], [], []
-    for lang in sorted(per_lang):
-        for r, (d, s) in enumerate(per_lang[lang][:GROUPED_TOPK_PER_GROUP], start=1):
-            langs.append(lang)
-            ranks.append(r)
-            docs.append(d)
-            scores.append(round_half_away(s, 4))
+    for the flagship disjunction — per-segment per-lang partial top-k
+    inside the match tasks, final reduce via groupby(lang).map_groups."""
+
+    def lang_topk(group: pa.Table) -> pa.Table:
+        scores = group["score"].to_numpy()
+        gids = group["doc_id"].to_numpy()
+        order = np.lexsort((gids, -scores.astype(np.float64)))[:GROUPED_TOPK_PER_GROUP]
+        return pa.table(
+            {
+                "lang": group["lang"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "doc_id": pa.array(gids[order]),
+                "score": pa.array(scores[order]),
+            }
+        )
+
+    parts = (
+        _matched_rows_dataset(
+            sf_dir, list(GROUPED_TOPK_TERMS), per_seg_topk_per_lang=GROUPED_TOPK_PER_GROUP
+        )
+        .groupby("lang")
+        .map_groups(lang_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    parts.sort(key=lambda r: (r["lang"], r["rank"]))
     return pa.table(
         {
-            "lang": pa.array(langs, pa.string()),
-            "rank": pa.array(ranks, pa.int64()),
-            "doc_id": pa.array(docs, pa.int64()),
-            "score_r": pa.array(scores, pa.float64()),
+            "lang": pa.array([r["lang"] for r in parts], pa.string()),
+            "rank": pa.array([int(r["rank"]) for r in parts], pa.int64()),
+            "doc_id": pa.array([int(r["doc_id"]) for r in parts], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(r["score"]), 4) for r in parts], pa.float64()
+            ),
         }
     )

@@ -697,3 +697,20 @@ def test_embed_lsh_finds_planted_near_dups(ray_session):
     # per-pair recall ~0.98 -> allow at most one miss out of 32
     assert len(planted - pairs) <= 1
     assert all(c >= dedup.EMBED_LSH_COS_THRESHOLD for c in t["cos_r"].to_pylist())
+
+
+def test_ivf_small_nprobe_recall(ray_session):
+    """IVF with nprobe=4/16 must reach recall@10 >= 0.9 vs brute force —
+    the scale path actually prunes (reads 4 bucket dirs) and still finds
+    the neighbors."""
+    from lucene_7_x_9_x_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.001"
+    brute = ann._brute_force(sf, ann.IVF_QUERY_IDS).to_pandas()
+    small = ann._ivf_search(sf, ann.IVF_QUERY_IDS, nprobe=4).to_pandas()
+    recalls = []
+    for q in ann.IVF_QUERY_IDS:
+        b = set(brute[brute.query_id == q].vec_id)
+        s = set(small[small.query_id == q].vec_id)
+        recalls.append(len(b & s) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
