@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiterm_match": flagship.q_multiterm_match,
         "bm25_lang_filtered": flagship.q_bm25_lang_filtered,
         "field_topk": flagship.q_field_topk,  # multi-field (title vs body)
+        "parsed_topk": flagship.q_parsed_topk,  # classic query-parser strings
         "facet_lang": flagship.q_facet_lang,
         "grouped_topk": flagship.q_grouped_topk,
         # --- training-data text ops ---
@@ -101,6 +102,9 @@ def oracle_sql() -> dict[str, str]:
             flagship.LANG_FILTER_K,
         ),
         "field_topk": O.field_topk_sql(flagship.FIELD_TOPK_SPECS),
+        "parsed_topk": O.field_topk_sql(
+            [(qid, kind, cls, k) for qid, _s, kind, cls, k in flagship.PARSED_TOPK_SPECS]
+        ),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "grouped_topk": O.grouped_topk_sql(
             flagship.GROUPED_TOPK_TERMS, flagship.GROUPED_TOPK_PER_GROUP

@@ -204,6 +204,8 @@ def q_phrase_topk(sf_dir: str) -> pa.Table:
 SLOPPY_PHRASE_SPECS: list[tuple[str, list[str], int, int]] = [
     ("sp_key_hash_s2", ["key", "hash"], 2, 10),
     ("sp_row_scan_s3", ["row", "scan"], 3, 10),
+    # repeated term -> the rptGroups matcher path (_sloppy_freq_repeats)
+    ("sp_rpt_the_key_the_s2", ["the", "key", "the"], 2, 10),
 ]
 
 
@@ -255,6 +257,48 @@ def q_field_topk(sf_dir: str) -> pa.Table:
         else:
             query = Q.DisjunctionMaxQuery(queries=tuple(leaves), tie_breaker=0.3)
         td = merged.search(query, k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+# classic-parser gate: each query is a STRING compiled by parse_classic;
+# the oracle spec alongside states the expected semantics in field_topk_sql
+# terms, so the parser's clause model is verified end to end against SQL.
+PARSED_TOPK_SPECS: list[tuple[str, str, str, list[tuple[str, str, float]], int]] = [
+    ("p_or", "key hash", "sum", [("", "key", 1.0), ("", "hash", 1.0)], 10),
+    ("p_and", "key AND hash", "must", [("", "key", 1.0), ("", "hash", 1.0)], 10),
+    ("p_not", "table NOT the", "not", [("", "table", 1.0), ("", "the", 1.0)], 10),
+    (
+        "p_title_boost",
+        "title:table^2 value",
+        "sum",
+        [("title", "table", 2.0), ("", "value", 1.0)],
+        10,
+    ),
+]
+
+
+def q_parsed_topk(sf_dir: str) -> pa.Table:
+    """Classic query-parser strings -> top-k: (query_id, rank, doc_id,
+    score_r). Each string compiles through parse_classic (field:term,
+    AND/OR/NOT, ^boost — QueryParserBase.java:117 surface) and must score
+    identically to the SQL of its declared clause structure."""
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, qstr, _kind, _clauses, k in PARSED_TOPK_SPECS:
+        query = Q.parse_classic(qstr, merged.analyzer)
+        td = merged.search(query, k=k, total_hits_threshold=1 << 30)
         for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
             qids.append(qid)
             ranks.append(r)

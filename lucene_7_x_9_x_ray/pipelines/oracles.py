@@ -391,7 +391,9 @@ def field_topk_sql(
     specs = (query_id, kind, clauses, k) with clauses = [(field, term,
     boost)]; kind "sum" = SHOULD-sum across fields (DOUBLE accumulate, one
     float32 cast — scorers.py discipline), kind "dismax" = float64 max +
-    0.3*(sum-max) cast to float32 (DisjunctionMaxQuery semantics)."""
+    0.3*(sum-max) cast to float32 (DisjunctionMaxQuery semantics), kind
+    "must" = conjunction (all clauses required, score = sum), kind "not" =
+    first clause scored SHOULD, remaining clauses are MUST_NOT."""
     fields = sorted({f for _, _, cls, _ in specs for f, _, _ in cls})
     leaves = sorted({(f, t, b) for _, _, cls, _ in specs for f, t, b in cls})
     ctes = ["lt AS (SELECT unnest(" + LENGTH_TABLE_SQL + ") AS v)"]
@@ -417,6 +419,19 @@ def field_topk_sql(
                                                 COALESCE(y.s, CAST('-inf' AS FLOAT))) AS DOUBLE))
                        AS FLOAT) AS score
            FROM {a} x FULL OUTER JOIN {b2} y ON x.doc_id = y.doc_id)"""
+        elif kind == "must":
+            joins = f"{names[0]} x0"
+            for i in range(1, len(names)):
+                joins += f" JOIN {names[i]} x{i} USING (doc_id)"
+            total = " + ".join(f"CAST(x{i}.s AS DOUBLE)" for i in range(len(names)))
+            scored = f"""(SELECT doc_id, CAST({total} AS FLOAT) AS score FROM {joins})"""
+        elif kind == "not":
+            anti = " AND ".join(
+                f"NOT EXISTS (SELECT 1 FROM {nm} n{i} WHERE n{i}.doc_id = x.doc_id)"
+                for i, nm in enumerate(names[1:])
+            )
+            scored = f"""(SELECT doc_id, CAST(CAST(s AS DOUBLE) AS FLOAT) AS score
+                FROM {names[0]} x WHERE {anti})"""
         else:
             raise ValueError(f"unknown kind {kind!r}")
         selects.append(

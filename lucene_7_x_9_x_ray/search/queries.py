@@ -352,3 +352,126 @@ def parse_query(text: str, analyzer, operator: str = SHOULD, min_should_match: i
     return BooleanQuery.build(
         [(occur, TermQuery(t)) for t in tokens], min_should_match=min_should_match
     )
+
+
+# --- classic query-parser surface (QueryParserBase.java:117 analogue) -------
+
+_CLASSIC_TOKEN_RE = _re.compile(
+    r'[+-]?(?:\w+:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'  # [field:]"phrase"~slop^boost
+    r"|\[\S+ TO \S+\]"                         # [a TO b] inclusive range
+    r"|\{\S+ TO \S+\}"                         # {a TO b} exclusive range
+    r"|\S+"
+)
+_BOOST_RE = _re.compile(r"\^(\d+(?:\.\d+)?)$")
+_FIELD_RE = _re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", _re.DOTALL)
+_PHRASE_RE = _re.compile(r'^"([^"]*)"(?:~(\d+))?$')
+_FUZZY_RE = _re.compile(r"^(\w+)~(\d)?$")
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _classic_single(tok: str, analyzer, field: str, boost: float) -> Query | None:
+    """One clause body -> query node (term / phrase / wildcard / fuzzy /
+    prefix / range), field- and boost-aware."""
+    m = _PHRASE_RE.match(tok)
+    if m is not None:
+        terms = tuple(analyzer.tokens(m.group(1)))
+        slop = int(m.group(2)) if m.group(2) else 0
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return TermQuery(terms[0], boost=boost, field=field)
+        return PhraseQuery(terms=terms, slop=slop, boost=boost, field=field)
+    if (tok.startswith("[") or tok.startswith("{")) and tok.endswith(("]", "}")):
+        if field:
+            raise QueryParseError("range queries support only the primary field")
+        lo, hi = tok[1:-1].split(" TO ")
+        q: Query = TermRangeQuery(
+            lo.lower(), hi.lower(),
+            include_lower=tok.startswith("["), include_upper=tok.endswith("]"),
+        )
+        return BoostQuery(q, boost) if boost != 1.0 else q
+    fz = _FUZZY_RE.match(tok)
+    if fz is not None:
+        if field:
+            raise QueryParseError("fuzzy queries support only the primary field")
+        q = FuzzyQuery(fz.group(1).lower(), max_edits=int(fz.group(2) or 2))
+        return BoostQuery(q, boost) if boost != 1.0 else q
+    if "*" in tok or "?" in tok:
+        if field:
+            raise QueryParseError("wildcard queries support only the primary field")
+        body = tok.lower()
+        if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
+            q = PrefixQuery(body[:-1])
+        else:
+            q = WildcardQuery(body)
+        return BoostQuery(q, boost) if boost != 1.0 else q
+    terms = analyzer.tokens(tok)
+    if not terms:
+        return None
+    if len(terms) == 1:
+        return TermQuery(terms[0], boost=boost, field=field)
+    inner = BooleanQuery.build([(SHOULD, TermQuery(t, field=field)) for t in terms])
+    return BoostQuery(inner, boost) if boost != 1.0 else inner
+
+
+def parse_classic(text: str, analyzer, default_field: str = "") -> Query:
+    """Classic query-parser surface: ``field:term``, quoted phrases with
+    optional ``~slop``, ``AND`` / ``OR`` / ``NOT``, leading ``+``/``-``,
+    ``^boost``, wildcards/prefix/fuzzy/ranges (primary field). Semantics
+    follow the classic parser's clause model (QueryParserBase.java:117):
+    default operator OR (SHOULD); AND upgrades both neighbours to MUST;
+    NOT / ``-`` mark MUST_NOT; ``+`` marks MUST."""
+    clauses: list[tuple[str, Query]] = []
+    pending_must = False
+    pending_not = False
+    for tok in _CLASSIC_TOKEN_RE.findall(text):
+        if tok == "AND" or tok == "&&":
+            if clauses and clauses[-1][0] == SHOULD:
+                clauses[-1] = (MUST, clauses[-1][1])
+            pending_must = True
+            continue
+        if tok == "OR" or tok == "||":
+            pending_must = False
+            continue
+        if tok == "NOT" or tok == "!":
+            pending_not = True
+            continue
+        occur = SHOULD
+        if tok.startswith("+") and len(tok) > 1:
+            occur = MUST
+            tok = tok[1:]
+        elif tok.startswith("-") and len(tok) > 1:
+            occur = MUST_NOT
+            tok = tok[1:]
+        if pending_not:
+            occur = MUST_NOT
+        elif pending_must and occur == SHOULD:
+            occur = MUST
+        pending_must = pending_not = False
+
+        boost = 1.0
+        if not tok.startswith('"'):
+            bm = _BOOST_RE.search(tok)
+            if bm is not None:
+                boost = float(bm.group(1))
+                tok = tok[: bm.start()]
+        else:
+            bm = _BOOST_RE.search(tok)
+            if bm is not None and not tok.endswith('"'):
+                boost = float(bm.group(1))
+                tok = tok[: bm.start()]
+        field = default_field
+        fm = _FIELD_RE.match(tok)
+        if fm is not None and not tok.startswith('"'):
+            field, tok = fm.group(1), fm.group(2)
+        q = _classic_single(tok, analyzer, field, boost)
+        if q is not None:
+            clauses.append((occur, q))
+    if not clauses:
+        return MatchNoDocsQuery()
+    if len(clauses) == 1 and clauses[0][0] == SHOULD:
+        return clauses[0][1]
+    return BooleanQuery.build(clauses)

@@ -326,6 +326,145 @@ def _sloppy_freq(adj_lists: list[np.ndarray], slop: int) -> float:
     return float(freq)
 
 
+class _PP:
+    """PhrasePositions analogue: adj = term positions minus query offset, so
+    equal .position across pps means an in-order phrase alignment
+    (PhrasePositions.java:52-58)."""
+
+    __slots__ = ("adj", "i", "position", "offset", "ord", "rpt_group", "rpt_ind")
+
+    def __init__(self, adj, offset):
+        self.adj = adj
+        self.offset = offset
+        self.ord = offset
+        self.rpt_group = -1
+        self.rpt_ind = 0
+        self.i = -1
+        self.position = 0
+
+    def first_position(self) -> bool:
+        self.i = -1
+        return self.next_position()
+
+    def next_position(self) -> bool:
+        self.i += 1
+        if self.i < len(self.adj):
+            self.position = int(self.adj[self.i])
+            return True
+        return False
+
+
+def _pp_key(pp: _PP):
+    # PhraseQueue.lessThan order: (position, offset, ord)
+    return (pp.position, pp.offset, pp.ord)
+
+
+def _sloppy_freq_repeats(adj_lists: list[np.ndarray], terms, slop: int) -> float:
+    """Sloppy phrase frequency WITH repeated terms — a faithful
+    transcription of SloppyPhraseMatcher's rptGroups machinery for the
+    single-term-per-position case (SloppyPhraseMatcher.java:279-358 group
+    detection + advanceRepeatGroups:433-465 + advanceRpts:278-318):
+    same-term PhrasePositions form a group sorted by query offset; per doc
+    the j-th member starts j positions in; whenever an advance makes two
+    group members land on the same token (tpPos = position + offset), the
+    LESSER of the pair advances until the collision clears. The traversal
+    and float32 sloppyWeight accumulation match nextMatch:165-196."""
+    pps = [_PP(adj_lists[o], o) for o in range(len(adj_lists))]
+    by_term: dict = {}
+    for pp, t in zip(pps, terms):
+        by_term.setdefault(t, []).append(pp)
+    rpt_groups = [g for g in by_term.values() if len(g) > 1]  # offset-sorted
+    for gi, g in enumerate(rpt_groups):
+        for j, pp in enumerate(g):
+            pp.rpt_group = gi
+            pp.rpt_ind = j
+
+    end = -(1 << 62)
+
+    def advance_pp(pp: _PP) -> bool:
+        nonlocal end
+        if not pp.next_position():
+            return False
+        if pp.position > end:
+            end = pp.position
+        return True
+
+    def collide(pp: _PP) -> _PP | None:
+        tp = pp.position + pp.offset
+        for pp2 in rpt_groups[pp.rpt_group]:
+            if pp2 is not pp and pp2.position + pp2.offset == tp:
+                return pp2
+        return None
+
+    def lesser(a: _PP, b: _PP) -> _PP:
+        if a.position < b.position or (a.position == b.position and a.offset < b.offset):
+            return a
+        return b
+
+    def advance_rpts(pp: _PP) -> bool:
+        if pp.rpt_group < 0:
+            return True
+        while True:
+            other = collide(pp)
+            if other is None:
+                return True
+            loser = lesser(pp, other)
+            if not advance_pp(loser):
+                return False
+            # (re-queue bookkeeping is unnecessary here: the queue below
+            # derives order from live pp state at every pop)
+
+    # init: place first positions, then stagger each repeat group
+    for pp in pps:
+        pp.first_position()
+    for g in rpt_groups:
+        for j in range(1, len(g)):
+            for _ in range(j):
+                if not g[j].next_position():
+                    return 0.0
+    queue = list(pps)
+    for pp in pps:
+        if pp.position > end:
+            end = pp.position
+
+    def pq_pop() -> _PP:
+        m = min(queue, key=_pp_key)
+        queue.remove(m)
+        return m
+
+    one = np.float32(1.0)
+    freq = np.float32(0.0)
+    positioned = True
+    while positioned:
+        pp = pq_pop()
+        match_length = end - pp.position
+        next_pos = min(queue, key=_pp_key).position
+        emitted = False
+        while True:
+            if not advance_pp(pp):
+                positioned = False
+                break
+            if rpt_groups and not advance_rpts(pp):
+                positioned = False
+                break
+            if pp.position > next_pos:
+                queue.append(pp)
+                if match_length <= slop:
+                    freq = np.float32(freq + one / np.float32(1 + match_length))
+                    emitted = True
+                    break
+                pp = pq_pop()
+                next_pos = min(queue, key=_pp_key).position
+                match_length = end - pp.position
+            else:
+                ml2 = end - pp.position
+                if ml2 < match_length:
+                    match_length = ml2
+        if not positioned and not emitted and match_length <= slop:
+            freq = np.float32(freq + one / np.float32(1 + match_length))
+    return float(freq)
+
+
 def _eval_phrase(
     reader, query: Q.PhraseQuery, stats: CollectionStats, bm25: BM25
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -333,9 +472,9 @@ def _eval_phrase(
 
     slop=0: ExactPhraseMatcher semantics — a doc matches when some
     position p has term_i at p+i for every i; freq = number of such p.
-    slop>0: SloppyPhraseMatcher traversal (_sloppy_freq) with float
-    sloppy frequency; phrases with REPEATED terms are not implemented
-    (the rptGroups machinery — SloppyPhraseMatcher.java:279-358).
+    slop>0: SloppyPhraseMatcher traversal with float sloppy frequency —
+    _sloppy_freq for the common no-repeats case, _sloppy_freq_repeats
+    (the rptGroups machinery) when a term occurs more than once.
     Scoring follows PhraseWeight: one SimScorer whose idf is the DOUBLE
     sum of the per-term float idfs (BM25Similarity idfExplain over
     TermStatistics[]), freq = (sloppy) phrase freq."""
@@ -344,10 +483,7 @@ def _eval_phrase(
         # (s84 search/PhraseQuery.java rewrite), so slop never reaches the
         # matcher; scoring is plain TermQuery scoring
         return term_scores(reader, query.terms[0], stats, bm25, query.boost, query.field)
-    if query.slop != 0 and len(set(query.terms)) != len(query.terms):
-        raise NotImplementedError(
-            "sloppy PhraseQuery with repeated terms not implemented"
-        )
+    has_repeats = len(set(query.terms)) != len(query.terms)
     fr = _view(reader, query.field)
     if not getattr(fr, "has_positions", False):
         raise ValueError(
@@ -393,7 +529,10 @@ def _eval_phrase(
                 adj_lists.append(
                     per_term[ti][2][offs[ti][li] : offs[ti][li + 1]] - ti
                 )
-            freqs[ci] = _sloppy_freq(adj_lists, query.slop)
+            if has_repeats:
+                freqs[ci] = _sloppy_freq_repeats(adj_lists, query.terms, query.slop)
+            else:
+                freqs[ci] = _sloppy_freq(adj_lists, query.slop)
     keep = freqs > 0
     cand, freqs = cand[keep], freqs[keep]
     if len(cand) == 0:

@@ -242,3 +242,122 @@ def test_single_term_phrase_rewrites_to_term(idx):
                         total_hits_threshold=1 << 30)
         assert list(td.doc_ids) == list(base.doc_ids)
         assert np.array_equal(td.scores, base.scores)
+
+
+def test_parse_classic_surface():
+    """Classic parser: field:term, phrases+slop, AND/OR/NOT, +/-, ^boost,
+    wildcard/prefix/fuzzy/range tokens (QueryParserBase.java:117 surface)."""
+    from lucene_7_x_9_x_ray.functions.analysis import get_analyzer
+    from lucene_7_x_9_x_ray.search import queries as Q
+
+    an = get_analyzer("standard")
+    P = lambda s: Q.parse_classic(s, an)
+
+    assert P("table") == Q.TermQuery("table")
+    assert P("Key Hash") == Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery("key")), (Q.SHOULD, Q.TermQuery("hash"))]
+    )
+    assert P("key AND hash") == Q.BooleanQuery.build(
+        [(Q.MUST, Q.TermQuery("key")), (Q.MUST, Q.TermQuery("hash"))]
+    )
+    assert P("table NOT the") == Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery("table")), (Q.MUST_NOT, Q.TermQuery("the"))]
+    )
+    assert P("+key -hash") == Q.BooleanQuery.build(
+        [(Q.MUST, Q.TermQuery("key")), (Q.MUST_NOT, Q.TermQuery("hash"))]
+    )
+    assert P("title:table^2 value") == Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery("table", boost=2.0, field="title")),
+         (Q.SHOULD, Q.TermQuery("value"))]
+    )
+    assert P('"key hash"~2') == Q.PhraseQuery(terms=("key", "hash"), slop=2)
+    assert P('title:"key hash"') == Q.PhraseQuery(terms=("key", "hash"), field="title")
+    assert P("ta*") == Q.PrefixQuery("ta")
+    assert P("s*w") == Q.WildcardQuery("s*w")
+    assert P("tabel~1") == Q.FuzzyQuery("tabel", max_edits=1)
+    assert P("[q TO t]") == Q.TermRangeQuery("q", "t")
+    assert P("{q TO t}") == Q.TermRangeQuery("q", "t", include_lower=False, include_upper=False)
+    assert P("") == Q.MatchNoDocsQuery()
+    # AND upgrades BOTH neighbours; trailing term stays SHOULD
+    assert P("a AND b c") == Q.BooleanQuery.build(
+        [(Q.MUST, Q.TermQuery("a")), (Q.MUST, Q.TermQuery("b")), (Q.SHOULD, Q.TermQuery("c"))]
+    )
+
+
+def test_sloppy_repeats_hand_traced():
+    """Repeated-term sloppy freq pinned to hand-traces of the
+    SloppyPhraseMatcher rptGroups algorithm (group staggering at init,
+    lesser-pp collision advance)."""
+    from lucene_7_x_9_x_ray.search.scorers import _sloppy_freq_repeats
+
+    # phrase "the cat the"~2 over doc "the cat the cat the"
+    # (the@0,2,4; cat@1,3): exact match at 0 (w=1) + final ml=0 match (w=1)
+    adj = [np.array([0, 2, 4]), np.array([0, 2]), np.array([-2, 0, 2])]
+    assert _sloppy_freq_repeats(adj, ("the", "cat", "the"), 2) == 2.0
+
+    # phrase "the the"~1 over doc "the cat the" (the@0,2): one ml=1 match
+    adj = [np.array([0, 2]), np.array([-1, 1])]
+    assert _sloppy_freq_repeats(adj, ("the", "the"), 1) == 0.5
+
+    # adjacent repeat that does exist: "the the"~0 over "x the the"
+    adj = [np.array([1, 2]), np.array([0, 1])]
+    assert _sloppy_freq_repeats(adj, ("the", "the"), 0) == 1.0
+
+
+def test_sloppy_repeats_reduces_to_norepeats():
+    """With all-distinct terms the rptGroups path must equal the pinned
+    no-repeats matcher on random position lists."""
+    import numpy.random as npr
+
+    from lucene_7_x_9_x_ray.search.scorers import _sloppy_freq, _sloppy_freq_repeats
+
+    rng = npr.default_rng(9)
+    for trial in range(200):
+        n_terms = int(rng.integers(2, 5))
+        adj = []
+        for t in range(n_terms):
+            k = int(rng.integers(1, 6))
+            pos = np.unique(rng.integers(0, 25, size=k)).astype(np.int64)
+            adj.append(pos - t)
+        slop = int(rng.integers(0, 6))
+        terms = tuple(f"t{t}" for t in range(n_terms))
+        a = _sloppy_freq(adj, slop)
+        b = _sloppy_freq_repeats(adj, terms, slop)
+        assert abs(a - b) < 1e-6, (trial, adj, slop, a, b)
+
+
+def test_sloppy_repeats_end_to_end(tmp_path):
+    """PhraseQuery with a repeated term no longer raises; the doc with the
+    exact repeated pattern ranks."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import wrap_html
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    texts = [
+        "the cat the cat the",
+        "cat the dog",
+        "the dog cat sat the",
+        "nothing here at all",
+    ]
+    t = pa_.table(
+        {
+            "url": pa_.array([f"u{i}" for i in range(len(texts))]),
+            "warc_ts": pa_.array([0] * len(texts), pa_.timestamp("us")),
+            "text": pa_.array(texts),
+            "lang": pa_.array(["en"] * len(texts)),
+        }
+    )
+    path = str(tmp_path / "p.parquet")
+    pq_.write_table(t, path)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx, BuildConfig(target_docs_per_segment=10))
+    s = IndexSearcher(idx)
+    td = s.search(Q.PhraseQuery(terms=("the", "cat", "the"), slop=2), k=10,
+                  total_hits_threshold=1 << 30)
+    # doc 0 = exact repeated pattern (best); doc 2 = "the . cat . the"
+    # (distance-2 sloppy match); docs 1/3 lack a valid alignment
+    assert list(td.doc_ids) == [0, 2]
+    assert td.scores[0] > td.scores[1]
