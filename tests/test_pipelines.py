@@ -525,11 +525,10 @@ def test_sloppy_phrase_javadoc_examples(ray_session, tmp_path):
     q2 = Q.PhraseQuery(terms=("t00000", "t00001"), slop=3)
     sloppy = s.search(q2, k=500, total_hits_threshold=1 << 30)
     assert set(int(x) for x in exact.doc_ids) <= set(int(x) for x in sloppy.doc_ids)
-    # repeated-term sloppy phrases are explicitly unimplemented
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError):
-        s.search(Q.PhraseQuery(terms=("t00000", "t00000"), slop=1), k=5)
+    # repeated-term sloppy phrases run through the rptGroups matcher
+    # (test_search.py::test_sloppy_repeats_hand_traced pins its semantics)
+    td_rpt = s.search(Q.PhraseQuery(terms=("t00000", "t00000"), slop=1), k=5)
+    assert all(float(sc) > 0 for sc in td_rpt.scores)
 
 
 def test_delete_by_url_and_update_flow(ray_session, tmp_path):
