@@ -319,3 +319,264 @@ def compact_index(
     # matches and the pull merge would rebuild it anyway
     shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# delete reclamation (deletesPct merge)
+# ---------------------------------------------------------------------------
+
+RECLAIM_DELETES_PCT = 0.33  # TieredMergePolicy deletesPct<=33 default spirit
+
+
+def _reclaim_field(view, keep: np.ndarray, remap: np.ndarray, tmp: str, prefix: str) -> dict:
+    """Rewrite ONE field's term table/postings/positions/norms keeping only
+    the ``keep`` local docIDs (sorted), renumbered via ``remap``. Terms
+    whose postings empty out are dropped (df=0 terms don't survive a
+    reclaiming merge). Returns the field's new stats."""
+    has_pos = view.has_positions
+    d_cat, f_cat, n_cat, p_cat = [], [], [], []
+    kept_terms: list = []
+    term_starts: list[int] = []
+    off = 0
+    norms_new = view.norms[keep]
+    for ti in range(len(view.terms)):
+        tp = view.postings_by_ord(ti)
+        d, f = tp.decode()
+        m = np.isin(d, keep)
+        if not m.any():
+            continue
+        d2 = remap[d[m]]
+        kept_terms.append(view.terms[ti])
+        term_starts.append(off)
+        d_cat.append(d2)
+        f_cat.append(f[m])
+        n_cat.append(norms_new[d2])
+        if has_pos:
+            pos = view.positions_by_ord(ti, f)
+            p_cat.append(pos[np.repeat(m, f)])
+        off += int(m.sum())
+    kt = np.asarray(kept_terms, dtype=object)
+    term_starts_a = np.asarray(term_starts, dtype=np.int64)
+    term_ends = np.append(term_starts_a[1:], off)
+    docs = np.concatenate(d_cat) if d_cat else np.empty(0, np.int64)
+    freqs = np.concatenate(f_cat) if f_cat else np.empty(0, np.int64)
+    norms_aligned = np.concatenate(n_cat) if n_cat else np.empty(0, np.uint8)
+    pos_stream = np.concatenate(p_cat) if has_pos and p_cat else None
+    enc = encode_segment_terms(docs, freqs, norms_aligned, term_starts_a, term_ends,
+                               pos_stream=pos_stream)
+    n_t = len(kt)
+    pos = ppos = 0
+    regions = []
+    meta = (np.zeros(n_t, np.int64), np.zeros(n_t, np.int32), np.zeros(n_t, np.int32),
+            np.zeros(n_t, np.int64), np.zeros(n_t, np.int64))
+    pos_meta = (
+        (np.zeros(n_t, np.int64), np.zeros(n_t, np.uint8), np.zeros(n_t, np.int64))
+        if has_pos else None
+    )
+    pos_blobs = []
+    for ti in range(n_t):
+        region, nb, ni, ld, lf = enc.term_region(ti)
+        regions.append(region)
+        meta[0][ti] = pos
+        meta[1][ti] = nb
+        meta[2][ti] = ni
+        meta[3][ti] = ld
+        meta[4][ti] = lf
+        pos += len(region)
+        if has_pos:
+            pb, pw, pl = enc.term_positions_blob(ti)
+            pos_blobs.append(pb)
+            pos_meta[0][ti] = ppos
+            pos_meta[1][ti] = pw
+            pos_meta[2][ti] = pl
+            ppos += pl
+    with open(os.path.join(tmp, prefix + POSTINGS_FILE), "wb") as f:
+        for rg in regions:
+            f.write(rg)
+    if has_pos:
+        with open(os.path.join(tmp, prefix + POSITIONS_FILE), "wb") as f:
+            for b in pos_blobs:
+                f.write(b)
+    dfs = (term_ends - term_starts_a).astype(np.int64)
+    pq.write_table(
+        encode_term_table(kt, dfs, enc.ttfs, meta, pos_meta=pos_meta),
+        os.path.join(tmp, prefix + TERMS_FILE),
+        row_group_size=65536,
+    )
+    with open(os.path.join(tmp, prefix + NORMS_FILE), "wb") as f:
+        f.write(norms_new.tobytes())
+    return {
+        "unique_terms": int(n_t),
+        "sum_doc_freq": int(dfs.sum()),
+        "sum_total_term_freq": int(freqs.sum()),
+        "doc_count": int((norms_new > 0).sum()),
+        "index_positions": bool(has_pos),
+    }
+
+
+def reclaim_segment(index_dir: str, seg_name: str, new_name: str,
+                    new_doc_base: int, deleted_global: np.ndarray) -> dict:
+    """Rewrite one segment without its tombstoned docs, at a new doc_base.
+
+    The docID-renumbering half of a reclaiming merge
+    (index/TieredMergePolicy.java:99-106 deletesPct): local ids compact to
+    the kept rows, global ids re-derive from the new prefix sums."""
+    import hashlib
+    import uuid
+
+    seg_root = os.path.join(index_dir, "segments")
+    r = SegmentReader(os.path.join(seg_root, seg_name))
+    lo, hi = r.doc_base, r.doc_base + r.doc_count
+    local_del = (
+        deleted_global[(deleted_global >= lo) & (deleted_global < hi)] - r.doc_base
+    )
+    keep = np.setdiff1d(np.arange(r.doc_count, dtype=np.int64), local_del)
+    remap = np.full(r.doc_count, -1, dtype=np.int64)
+    remap[keep] = np.arange(len(keep), dtype=np.int64)
+
+    tmp = os.path.join(seg_root, f".{new_name}.tmp-{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        primary = _reclaim_field(r, keep, remap, tmp, "")
+        field_stats: dict = {}
+        for fname in sorted((r.stats.field_stats or {}).keys()):
+            field_stats[fname] = _reclaim_field(
+                r.field_view(fname), keep, remap, tmp, field_prefix(fname)
+            )
+        dm = r.docmap().take(pa.array(keep))
+        pq.write_table(dm, os.path.join(tmp, DOCMAP_FILE), row_group_size=65536)
+        h = hashlib.sha256()
+        h.update(str(r.stats.lineage_fingerprint).encode())
+        h.update(keep.tobytes())
+        st = SegmentStats(
+            seg_name=new_name,
+            doc_base=new_doc_base,
+            doc_count=int(len(keep)),
+            sum_total_term_freq=primary["sum_total_term_freq"],
+            sum_doc_freq=primary["sum_doc_freq"],
+            unique_terms=primary["unique_terms"],
+            lineage_file=r.stats.lineage_file,
+            lineage_rg_start=r.stats.lineage_rg_start,
+            lineage_rg_end=r.stats.lineage_rg_end,
+            lineage_fingerprint=h.hexdigest(),
+            analyzer=r.stats.analyzer,
+            field_stats=field_stats,
+            elapsed_sec=0.0,
+        )
+        atomic_write_json(os.path.join(tmp, STATS_NAME), st.to_dict())
+        from ..state.manifest import fsync_dir_files
+
+        fsync_dir_files(tmp)
+        out_dir = os.path.join(seg_root, new_name)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
+        return st.to_dict()
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def reclaim_deletes(
+    index_dir: str,
+    deletes_pct_threshold: float = RECLAIM_DELETES_PCT,
+    use_ray: bool = True,
+    force: bool = False,
+) -> IndexManifest:
+    """deletesPct-triggered reclaiming merge: rewrite every segment without
+    its tombstoned docs and renumber the global docID space.
+
+    No-op below the threshold (deleted/doc_count <= deletes_pct_threshold,
+    TieredMergePolicy deletesPct spirit) unless ``force``. Afterwards the
+    tombstone file is cleared, collection statistics reflect only live
+    docs, and any term-sharded merged index (now stale by fingerprint) is
+    dropped. Each segment rewrites in its own Ray task; the manifest is
+    the single commit point (old segments remain until it flips).
+    """
+    from ..state.livedocs import TOMBSTONES_FILE, load_tombstones
+
+    manifest = IndexManifest.load(index_dir)
+    deleted = load_tombstones(index_dir)
+    if len(deleted) == 0:
+        return manifest
+    if not force and len(deleted) / max(1, manifest.doc_count) <= deletes_pct_threshold:
+        return manifest
+
+    segs = sorted(manifest.segments, key=lambda s: s["doc_base"])
+    # new doc_base prefix sums from per-segment kept counts (driver-side,
+    # tiny: one searchsorted per segment over the sorted tombstones)
+    jobs = []
+    new_base = 0
+    gen = sum(1 for s in segs if s["seg_name"].endswith("_rc")) + 1
+    for s in segs:
+        lo, hi = s["doc_base"], s["doc_base"] + s["doc_count"]
+        n_del = int(np.searchsorted(deleted, hi) - np.searchsorted(deleted, lo))
+        base = s["seg_name"].split("_rc")[0]
+        jobs.append(
+            {"seg_name": s["seg_name"], "new_name": f"{base}_rc{gen}",
+             "new_doc_base": new_base}
+        )
+        new_base += s["doc_count"] - n_del
+
+    if use_ray:
+        import ray
+        import ray.data as rd
+
+        del_ref = ray.put(deleted)
+
+        def run(batch: pa.Table) -> pa.Table:
+            import json as _json
+
+            dels = ray.get(del_ref)
+            out = []
+            for row in batch.to_pylist():
+                d = reclaim_segment(
+                    index_dir, row["seg_name"], row["new_name"],
+                    row["new_doc_base"], dels,
+                )
+                d["field_stats"] = _json.dumps(d.get("field_stats") or {})
+                out.append(d)
+            return pa.Table.from_pylist(out)
+
+        import json as _json
+
+        new_stats = (
+            rd.from_items(jobs, override_num_blocks=len(jobs))
+            .map_batches(run, batch_size=1, batch_format="pyarrow")
+            .take_all()
+        )
+        for r in new_stats:
+            if isinstance(r.get("field_stats"), str):
+                r["field_stats"] = _json.loads(r["field_stats"])
+    else:
+        new_stats = [
+            reclaim_segment(index_dir, j["seg_name"], j["new_name"],
+                            j["new_doc_base"], deleted)
+            for j in jobs
+        ]
+
+    new_stats.sort(key=lambda s: s["doc_base"])
+    manifest.segments = new_stats
+    manifest.doc_count = sum(s["doc_count"] for s in new_stats)
+    manifest.sum_total_term_freq = sum(s["sum_total_term_freq"] for s in new_stats)
+    agg: dict[str, dict] = {}
+    for s in new_stats:
+        for fname, fs in (s.get("field_stats") or {}).items():
+            a = agg.setdefault(fname, {"sum_total_term_freq": 0, "doc_count": 0})
+            a["sum_total_term_freq"] += int(fs["sum_total_term_freq"])
+            a["doc_count"] += int(fs["doc_count"])
+    manifest.field_stats = agg
+    manifest.merged = False
+    manifest.save()
+    # only after the manifest commit: clear tombstones, drop old segments
+    # and the now-stale merged index
+    tpath = os.path.join(index_dir, TOMBSTONES_FILE)
+    if os.path.exists(tpath):
+        os.unlink(tpath)
+    for j in jobs:
+        if j["seg_name"] != j["new_name"]:
+            shutil.rmtree(
+                os.path.join(index_dir, "segments", j["seg_name"]), ignore_errors=True
+            )
+    shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)
+    return manifest

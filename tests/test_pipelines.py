@@ -713,3 +713,71 @@ def test_ivf_small_nprobe_recall(ray_session):
         s = set(small[small.query_id == q].vec_id)
         recalls.append(len(b & s) / len(b))
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_reclaim_deletes_renumbers_and_matches_fresh_build(ray_session, tmp_path):
+    """Delete 40% -> reclaim_deletes: doc_count shrinks, tombstones file
+    gone, and every query path scores IDENTICALLY to a fresh index built
+    from only the surviving rows (docID renumbering = compaction order)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, FieldSpec, build_index
+    from lucene_7_x_9_x_ray.stages.compact import reclaim_deletes
+    from lucene_7_x_9_x_ray.state.livedocs import delete_docs, load_tombstones
+
+    pages = generate_pages(400, vocab_size=60, mean_tokens=20, seed=61, dup_url_frac=0)
+    path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    cfg = BuildConfig(
+        target_docs_per_segment=100,
+        extra_fields=(FieldSpec("title", "title", index_positions=True),),
+    )
+    idx = str(tmp_path / "idx")
+    build_index([path], idx, cfg)
+
+    dead = list(range(0, 400, 5)) + list(range(1, 200, 2)) + list(range(200, 260))
+    dead = sorted(set(dead))  # 40%-ish spread over all segments
+    delete_docs(idx, dead)
+
+    # below-threshold no-op guard
+    m0 = reclaim_deletes(idx, deletes_pct_threshold=0.99)
+    assert m0.doc_count == 400 and len(load_tombstones(idx)) == len(dead)
+
+    m = reclaim_deletes(idx)  # 40% > 33% threshold -> runs
+    keep = [i for i in range(400) if i not in set(dead)]
+    assert m.doc_count == len(keep)
+    assert len(load_tombstones(idx)) == 0
+    assert not os.path.exists(os.path.join(idx, "tombstones.json"))
+
+    # fresh index over only the surviving rows = ground truth
+    fresh_pages = pages.take(keep)
+    fpath = str(tmp_path / "fresh.parquet")
+    write_pages_parquet(fresh_pages, fpath, rows_per_row_group=100)
+    fidx = str(tmp_path / "fidx")
+    build_index([fpath], fidx, cfg)
+
+    sr, sf = IndexSearcher(idx), IndexSearcher(fidx)
+    assert sr.doc_count == sf.doc_count
+    assert sr.sum_total_term_freq == sf.sum_total_term_freq
+    assert sr.manifest.field_stats == sf.manifest.field_stats
+    probes = [
+        Q.TermQuery("t00000"),
+        Q.BooleanQuery.build(
+            [(Q.SHOULD, Q.TermQuery("t00002")), (Q.SHOULD, Q.TermQuery("t00010"))]
+        ),
+        Q.PhraseQuery(terms=("t00000", "t00001")),
+        Q.PhraseQuery(terms=("t00000", "t00001"), slop=2),
+        Q.TermQuery("t00001", field="title"),
+        Q.PhraseQuery(terms=("t00000", "t00001"), field="title"),
+    ]
+    for q in probes:
+        tr = sr.search(q, k=50, total_hits_threshold=1 << 30)
+        tf = sf.search(q, k=50, total_hits_threshold=1 << 30)
+        assert list(tr.doc_ids) == list(tf.doc_ids), q
+        assert np.array_equal(tr.scores, tf.scores), q
+        assert sr.count(q) == sf.count(q)
