@@ -47,6 +47,42 @@ class FragmentedPostings:
         return docs, freqs
 
 
+class SegmentedNorms:
+    """Global-docID-indexed norms view over lazily memory-mapped PER-SEGMENT
+    norms files. Replaces the merged norms.bin the driver used to write by
+    streaming every segment (a single-writer 1-byte-per-doc step — 1 TB at
+    10^12 docs): readers resolve a global id to (segment, local) via the
+    doc_base prefix sums and read the segment's own file."""
+
+    def __init__(self, seg_dirs: list[str], doc_bases: list[int], total_docs: int):
+        self._dirs = seg_dirs
+        self._bases = np.asarray(doc_bases, dtype=np.int64)
+        self._total = int(total_docs)
+        self._maps: list[np.ndarray | None] = [None] * len(seg_dirs)
+
+    def __len__(self) -> int:
+        return self._total
+
+    def _seg(self, i: int) -> np.ndarray:
+        m = self._maps[i]
+        if m is None:
+            m = np.memmap(os.path.join(self._dirs[i], NORMS_FILE), dtype=np.uint8, mode="r")
+            self._maps[i] = m
+        return m
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, np.integer)):
+            si = int(np.searchsorted(self._bases, idx, side="right")) - 1
+            return self._seg(si)[int(idx) - int(self._bases[si])]
+        idx = np.asarray(idx, dtype=np.int64)
+        out = np.empty(len(idx), dtype=np.uint8)
+        si = np.searchsorted(self._bases, idx, side="right") - 1
+        for s in np.unique(si):
+            m = si == s
+            out[m] = self._seg(int(s))[idx[m] - int(self._bases[s])]
+        return out
+
+
 class MergedReader:
     """Virtual whole-index reader (doc_base=0, global docIDs)."""
 
@@ -58,7 +94,13 @@ class MergedReader:
         self.hot_rank = {t: i for i, t in enumerate(self.meta["hot_terms"])}
         self.doc_count = self.meta["doc_count"]
         self.doc_base = 0
-        self.norms = np.fromfile(os.path.join(merged_dir, NORMS_FILE), dtype=np.uint8)
+        man = IndexManifest.load(index_dir)
+        segs = sorted(man.segments, key=lambda s: s["doc_base"])
+        self.norms = SegmentedNorms(
+            [os.path.join(index_dir, "segments", s["seg_name"]) for s in segs],
+            [s["doc_base"] for s in segs],
+            sum(s["doc_count"] for s in segs),
+        )
         self._merged_dir = merged_dir
         self._shards: dict[int, _Shard] = {}
         self._have = {s["shard_id"] for s in self.meta["shards"]}

@@ -141,6 +141,116 @@ def collect_term_stats(manifest: IndexManifest, max_workers: int = 16):
     return vocab[order], dfs[order]
 
 
+def plan_merge_sampled(
+    manifest: IndexManifest, cfg: MergeConfig, samples_per_segment: int = 256
+) -> tuple[list[str], list[str]]:
+    """(hot_terms, boundaries) WITHOUT materializing the global vocabulary
+    on the driver (the default scale path; collect_term_stats +
+    plan_merge_ranges remain as strategy="pull-exact").
+
+    Pass 1 (Ray, per segment): each segment's sorted dictionary emits (a)
+    ~samples_per_segment df-mass quantile samples (term, df-mass since the
+    previous sample) and (b) its LOCALLY HEAVY terms (df >= hot_threshold /
+    n_segments) — any globally hot term must be locally heavy somewhere
+    (pigeonhole), so the candidate set is exact-superset and tiny.
+    Pass 2 (Ray, per segment): exact global df for the candidates via
+    per-dictionary binary-search lookups; driver sums |candidates| ints.
+    Boundaries: weighted merge of the samples, equal-df-mass cuts — the
+    RangePartitioner-style approximation; balance error is bounded by the
+    per-segment sample spacing and hot terms are salted separately anyway.
+    Driver state: O(n_segments * samples + |candidates|)."""
+    import ray
+    import ray.data as rd
+
+    seg_dirs = manifest.segment_dirs()
+    n_segs = len(seg_dirs)
+    local_thr = max(1, cfg.hot_df_threshold // max(1, n_segs))
+
+    def sample_one(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            t = pq.read_table(
+                os.path.join(row["seg_dir"], TERMS_FILE), columns=["term", "doc_freq"]
+            )
+            terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
+            dfs = t["doc_freq"].to_numpy()
+            if len(terms) == 0:
+                continue
+            cum = np.cumsum(dfs)
+            k = min(samples_per_segment, len(terms))
+            targets = cum[-1] * (np.arange(1, k + 1) / k)
+            cuts = np.unique(np.minimum(np.searchsorted(cum, targets), len(terms) - 1))
+            prev = 0
+            for c in cuts:
+                out.append(
+                    {"kind": "s", "term": str(terms[c]), "w": int(cum[c] - prev)}
+                )
+                prev = int(cum[c])
+            for i in np.flatnonzero(dfs >= local_thr):
+                out.append({"kind": "h", "term": str(terms[i]), "w": int(dfs[i])})
+        if not out:
+            return pa.table(
+                {"kind": pa.array([], pa.string()), "term": pa.array([], pa.string()),
+                 "w": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pylist(out)
+
+    rows = (
+        rd.from_items([{"seg_dir": d} for d in seg_dirs], override_num_blocks=n_segs)
+        .map_batches(sample_one, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    samples = sorted(
+        ((r["term"], r["w"]) for r in rows if r["kind"] == "s"), key=lambda x: x[0]
+    )
+    candidates = sorted({r["term"] for r in rows if r["kind"] == "h"})
+
+    hot_terms: list[str] = []
+    if candidates:
+        cand_ref = ray.put(candidates)
+
+        def exact_df(batch: pa.Table) -> pa.Table:
+            cand = ray.get(cand_ref)
+            out = []
+            for row in batch.to_pylist():
+                t = pq.read_table(
+                    os.path.join(row["seg_dir"], TERMS_FILE), columns=["term", "doc_freq"]
+                )
+                terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
+                dfs = t["doc_freq"].to_numpy()
+                pos = np.searchsorted(terms, cand)
+                for ci, p in enumerate(pos):
+                    if p < len(terms) and terms[p] == cand[ci]:
+                        out.append({"term": cand[ci], "df": int(dfs[p])})
+            if not out:
+                return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+            return pa.Table.from_pylist(out)
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            rd.from_items([{"seg_dir": d} for d in seg_dirs], override_num_blocks=n_segs)
+            .map_batches(exact_df, batch_size=1, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+            .take_all()
+        )
+        hot_terms = sorted(r["term"] for r in agg if r["df"] > cfg.hot_df_threshold)
+
+    hot_set = set(hot_terms)
+    cold = [(t, w) for t, w in samples if t not in hot_set]
+    if not cold:
+        return hot_terms, [""] if samples else []
+    ws = np.array([w for _, w in cold], dtype=np.float64)
+    cum = np.cumsum(ws)
+    n = min(cfg.n_shards, len(cold))
+    targets = cum[-1] * (np.arange(n) / n)
+    cuts = np.unique(np.minimum(np.searchsorted(cum, targets, side="left"), len(cold) - 1))
+    boundaries = [cold[c][0] for c in cuts]
+    boundaries[0] = ""
+    return hot_terms, boundaries
+
+
 def plan_merge_ranges(
     terms_sorted: np.ndarray, dfs: np.ndarray, cfg: MergeConfig
 ) -> tuple[list[str], list[str]]:
@@ -344,14 +454,20 @@ def assemble_hot_group(
     return _frag_table(cols)
 
 
-def merge_index_pull(index_dir: str, cfg: MergeConfig | None = None) -> dict:
+def merge_index_pull(
+    index_dir: str, cfg: MergeConfig | None = None, boundaries: str = "sampled"
+) -> dict:
     """Range-partitioned pull merge (default strategy).
 
     One Ray task per output shard assembles its term range (or salted hot
     bucket) by contiguous ranged reads from the sorted segment files on
     shared storage, then re-encodes — no all-to-all exchange, no shuffle
-    machinery on the critical path. Equal-df range boundaries bound each
-    task's work (measured, not expected, balance).
+    machinery on the critical path. Range boundaries bound each task's
+    work; ``boundaries="sampled"`` (default) plans them from distributed
+    per-segment df-quantile samples with O(n_segments) driver state
+    (plan_merge_sampled); ``boundaries="exact"`` keeps the round-1
+    whole-vocabulary driver aggregate (exact equal-df cuts, driver RAM
+    bound by |vocabulary|).
     """
     import ray.data as rd
 
@@ -360,8 +476,11 @@ def merge_index_pull(index_dir: str, cfg: MergeConfig | None = None) -> dict:
     merged_dir = os.path.join(index_dir, "merged")
     os.makedirs(merged_dir, exist_ok=True)
 
-    terms_sorted, dfs = collect_term_stats(manifest)
-    hot_terms, boundaries = plan_merge_ranges(terms_sorted, dfs, cfg)
+    if boundaries == "sampled":
+        hot_terms, boundaries = plan_merge_sampled(manifest, cfg)
+    else:
+        terms_sorted, dfs = collect_term_stats(manifest)
+        hot_terms, boundaries = plan_merge_ranges(terms_sorted, dfs, cfg)
     hot_set = frozenset(hot_terms)
     fp = _fingerprint(manifest)
     seg_dirs = manifest.segment_dirs()
@@ -652,19 +771,10 @@ def _fingerprint(manifest: IndexManifest) -> str:
 def _finalize(index_dir: str, merged_dir: str, manifest: IndexManifest,
               cfg: MergeConfig, hot_terms: list[str], shard_stats: list[dict],
               boundaries: list[str] | None = None) -> dict:
-    # global norms: concatenation of segment norms in doc_base order (the
-    # merged .nvd). Kept as one file here; at cluster scale query actors
-    # mmap only their doc-range slice.
-    norms_path = os.path.join(merged_dir, NORMS_FILE)
-    with open(norms_path, "wb") as f:
-        for d in manifest.segment_dirs():
-            with open(os.path.join(d, NORMS_FILE), "rb") as src:
-                shutil.copyfileobj(src, f)
-        f.flush()
-        from ..state.manifest import fsync_enabled
-
-        if fsync_enabled():
-            os.fsync(f.fileno())
+    # norms are NOT re-written at merge: readers resolve global docIDs to
+    # per-segment norms files via doc_base offsets (SegmentedNorms in
+    # search/merged.py) — the driver-side whole-corpus norms concat was a
+    # 1-byte-per-doc single-writer bottleneck at scale
     merged = {
         "n_shards": cfg.n_shards,
         "hot_buckets": cfg.hot_buckets,
@@ -688,13 +798,17 @@ def merge_index(
 ) -> dict:
     """Distributed segment merge (Ray must be initialised).
 
-    strategy="pull" (default): range-partitioned ranged-read merge — see
-    merge_index_pull. strategy="groupby": the Ray Data groupby-on-term
-    shuffle — the true all-to-all path, kept for segment counts too large
-    for per-reducer fan-in reads.
+    strategy="pull" (default): range-partitioned ranged-read merge with
+    SAMPLED boundaries — see merge_index_pull. strategy="pull-exact":
+    same, with the exact whole-vocabulary driver aggregate for boundary
+    planning. strategy="groupby": the Ray Data groupby-on-term shuffle —
+    the true all-to-all path, kept for segment counts too large for
+    per-reducer fan-in reads.
     """
     if strategy == "pull":
         return merge_index_pull(index_dir, cfg)
+    if strategy == "pull-exact":
+        return merge_index_pull(index_dir, cfg, boundaries="exact")
     return merge_index_groupby(index_dir, cfg)
 
 

@@ -174,3 +174,47 @@ def test_groupby_strategy_carries_positions_and_duels(ray_session, tmp_path):
     e = cfgs["groupby"].search(q, k=10, mode="exhaustive")
     assert list(w.doc_ids) == list(e.doc_ids)
     assert np.array_equal(w.scores, e.scores)
+
+
+def test_sampled_boundaries_match_exact_results(ray_session, tmp_path):
+    """Sampled boundary planning (no driver vocabulary) produces a merged
+    index with IDENTICAL search results to the exact-boundary plan, and
+    detects the same hot-term set."""
+    import json
+    import os
+    import shutil
+
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index
+
+    pages = generate_pages(800, vocab_size=300, mean_tokens=30, seed=81)
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx_a = str(tmp_path / "a")
+    build_index([path], idx_a, BuildConfig(target_docs_per_segment=100))
+    idx_b = str(tmp_path / "b")
+    shutil.copytree(idx_a, idx_b)
+
+    cfg = MergeConfig(n_shards=6, hot_df_threshold=200)
+    ma = merge_index(idx_a, cfg, strategy="pull")        # sampled (default)
+    mb = merge_index(idx_b, cfg, strategy="pull-exact")  # whole-vocab driver
+    assert ma["hot_terms"] == mb["hot_terms"] and ma["hot_terms"]  # head detected
+
+    sa, sb = open_searcher(idx_a), open_searcher(idx_b)
+    probes = [
+        Q.TermQuery("t00000"),
+        Q.BooleanQuery.build(
+            [(Q.SHOULD, Q.TermQuery("t00005")), (Q.SHOULD, Q.TermQuery("t00100"))]
+        ),
+        Q.PhraseQuery(terms=("t00000", "t00001")),
+    ]
+    for q in probes:
+        ta = sa.search(q, k=30, total_hits_threshold=1 << 30)
+        tb = sb.search(q, k=30, total_hits_threshold=1 << 30)
+        assert list(ta.doc_ids) == list(tb.doc_ids)
+        assert np.array_equal(ta.scores, tb.scores)
+    # no merged norms file is written any more (SegmentedNorms serves reads)
+    assert not os.path.exists(os.path.join(idx_a, "merged", "norms.bin"))
