@@ -479,6 +479,81 @@ def _unpack_all(
     return out
 
 
+def _unpack_subset(
+    blob, widths: np.ndarray, counts: np.ndarray, offsets: np.ndarray, sel: np.ndarray
+) -> np.ndarray:
+    """_unpack_all over an ARBITRARY sorted subset of blocks: full blocks
+    group by width and decode in one gather each; the only per-block Python
+    work is the (at most one) tail block. Returns the subset's raw values
+    concatenated in block order."""
+    n = len(sel)
+    sub_counts = counts[sel]
+    total = int(sub_counts.sum())
+    out = np.empty(total, dtype=np.int64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(sub_counts[:-1], out=starts[1:])
+    raw = np.frombuffer(blob, dtype=np.uint8, count=int(offsets[-1]))
+    full_rows = np.flatnonzero(sub_counts == BLOCK_SIZE)
+    w_arr = widths[sel[full_rows]].astype(np.int64)
+    for w in np.unique(w_arr):
+        rows = full_rows[w_arr == w]
+        dst = (starts[rows][:, None] + np.arange(BLOCK_SIZE)[None, :]).ravel()
+        if w == 0:
+            out[dst] = 0
+            continue
+        bpb = BLOCK_SIZE * int(w) // 8
+        gather = raw[(offsets[sel[rows]][:, None] + np.arange(bpb)[None, :])]
+        if w == 8:
+            out[dst] = gather.ravel()
+            continue
+        if w == 16:
+            out[dst] = gather.view(np.uint16).ravel()
+            continue
+        bits = np.unpackbits(gather, axis=1, bitorder="little")
+        weights = np.exp2(np.arange(w, dtype=np.float64))
+        vals = bits.reshape(len(rows) * BLOCK_SIZE, int(w)).astype(np.float64) @ weights
+        out[dst] = vals.astype(np.int64)
+    for r in np.flatnonzero(sub_counts != BLOCK_SIZE):  # tail block (<=1)
+        bi = int(sel[r])
+        vals = _unpack_block(
+            memoryview(blob)[int(offsets[bi]) :], int(counts[bi]), int(widths[bi])
+        )
+        out[int(starts[r]) : int(starts[r]) + int(counts[bi])] = vals.astype(np.int64)
+    return out
+
+
+def decode_docs_blocks(
+    docs_blob, doc_widths: np.ndarray, doc_freq: int, last_docs: np.ndarray,
+    block_ids: np.ndarray,
+) -> np.ndarray:
+    """Decode docIDs of an arbitrary sorted subset of blocks in one
+    vectorized pass — the scattered-candidate lookup path of the MaxScore
+    scorer. Per-block delta cumsums rebase on last_docs[b-1]."""
+    nblocks, counts = block_bounds(doc_freq)
+    offsets = _block_offsets(counts, doc_widths)
+    sel = np.asarray(block_ids, dtype=np.int64)
+    deltas = _unpack_subset(docs_blob, doc_widths, counts, offsets, sel) + 1
+    bases = np.where(sel > 0, last_docs[np.maximum(sel - 1, 0)], -1)
+    sub_counts = counts[sel]
+    ends = np.cumsum(sub_counts)
+    starts = ends - sub_counts
+    docs = np.cumsum(deltas)
+    # per-block rebase: subtract the running total at each block start, add base
+    seg_offset = np.repeat(docs[starts] - deltas[starts] - bases, sub_counts)
+    return docs - seg_offset
+
+
+def decode_freqs_blocks(
+    freqs_blob, freq_widths: np.ndarray, doc_freq: int, block_ids: np.ndarray
+) -> np.ndarray:
+    nblocks, counts = block_bounds(doc_freq)
+    offsets = _block_offsets(counts, freq_widths)
+    sel = np.asarray(block_ids, dtype=np.int64)
+    return (_unpack_subset(freqs_blob, freq_widths, counts, offsets, sel) + 1).astype(
+        np.int32
+    )
+
+
 def decode_docs(
     docs_blob,
     doc_widths: np.ndarray,
@@ -502,14 +577,18 @@ def decode_docs(
         deltas = _unpack_all(docs_blob, doc_widths, counts, offsets)
         deltas += 1
         return np.cumsum(deltas) + base
-    mv = memoryview(docs_blob)
-    parts = []
-    for bi in range(first_block, last_block):
-        d = _unpack_block(mv[offsets[bi] :], int(counts[bi]), int(doc_widths[bi]))
-        parts.append(d.astype(np.int64) + 1)
-    if not parts:
+    if first_block >= last_block:
         return np.empty(0, dtype=np.int64)
-    deltas = np.concatenate(parts)
+    # ranged decode down the same width-grouped vectorized path: slice the
+    # blob at the range's byte offsets and rebase the per-block offsets
+    mv = memoryview(docs_blob)
+    sl = slice(first_block, last_block)
+    rel = offsets[first_block : last_block + 1] - offsets[first_block]
+    deltas = _unpack_all(
+        mv[offsets[first_block] : offsets[last_block]],
+        doc_widths[sl], counts[sl], rel,
+    )
+    deltas += 1
     return np.cumsum(deltas) + base
 
 
@@ -523,11 +602,13 @@ def decode_freqs(
     if first_block == 0 and last_block == nblocks:
         vals = _unpack_all(freqs_blob, freq_widths, counts, offsets)
         return (vals + 1).astype(np.int32)
-    mv = memoryview(freqs_blob)
-    parts = []
-    for bi in range(first_block, last_block):
-        f = _unpack_block(mv[offsets[bi] :], int(counts[bi]), int(freq_widths[bi]))
-        parts.append(f.astype(np.int32) + 1)
-    if not parts:
+    if first_block >= last_block:
         return np.empty(0, dtype=np.int32)
-    return np.concatenate(parts)
+    mv = memoryview(freqs_blob)
+    sl = slice(first_block, last_block)
+    rel = offsets[first_block : last_block + 1] - offsets[first_block]
+    vals = _unpack_all(
+        mv[offsets[first_block] : offsets[last_block]],
+        freq_widths[sl], counts[sl], rel,
+    )
+    return (vals + 1).astype(np.int32)

@@ -143,25 +143,26 @@ def q_lineitem_pricing(sf_dir: str) -> pa.Table:
                     "p_n": pa.array([], pa.int64()),
                 }
             )
-        import pandas as pd
-
-        df = pd.DataFrame(
+        # Arrow-native partial groupby (no pandas copy of the batch)
+        disc_price = pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"]),
+        )
+        t = pa.table(
             {
-                "l_returnflag": b["l_returnflag"].to_pandas(),
-                "l_linestatus": b["l_linestatus"].to_pandas(),
-                "qty": b["l_quantity"].to_numpy(),
-                "price": b["l_extendedprice"].to_numpy(),
-                "disc_price": b["l_extendedprice"].to_numpy()
-                * (1.0 - b["l_discount"].to_numpy()),
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"],
+                "price": b["l_extendedprice"],
+                "disc_price": disc_price,
             }
         )
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
-            p_qty=("qty", "sum"),
-            p_price=("price", "sum"),
-            p_disc_price=("disc_price", "sum"),
-            p_n=("qty", "size"),
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_price", "p_disc_price", "p_n"]
+        )
 
     ds = (
         rd.read_parquet(

@@ -153,14 +153,35 @@ class IndexSearcher:
             query = Q.rewrite(query, self.term_dict_union())
         stats = self.collection_stats(Q.collect_field_terms(query))
 
-        # mode "wand" = document-at-a-time block-max WAND (the pruning scale
-        # path, duel-verified rank-identical). "auto"/"exhaustive" = the
-        # vectorized bulk scorer, which numpy makes faster at these segment
-        # sizes (measured in bench.py; see BENCH/BASELINE.md).
-        # deletes are applied as a post-match live filter; WAND's internal
-        # collector has no filter hook, so fall back to the bulk scorer
-        if mode == "wand" and len(self.tombstones):
+        # mode "wand" = document-at-a-time block-max WAND (duel-verified
+        # rank-identical). "maxscore" = the vectorized essential-list
+        # MaxScore scorer. "auto" runs MaxScore when the optimistic
+        # essential-set simulation predicts most postings are never decoded
+        # (measured 4-11x on head+rare disjunctions; the dense bulk scorer
+        # wins otherwise), else the exhaustive bulk scorer.
+        # deletes are applied as a post-match live filter; the pruning
+        # collectors have no filter hook, so fall back to the bulk scorer
+        if mode in ("wand", "maxscore") and len(self.tombstones):
             mode = "exhaustive"
+        if mode in ("auto", "maxscore") and not len(self.tombstones):
+            ms_disj = _as_term_disjunction(query)
+            if ms_disj is not None and len(ms_disj) >= 2:
+                from .wand import MAXSCORE_MIN_SAVED_DF, maxscore_saved_fraction, maxscore_topk
+
+                use = mode == "maxscore" or (
+                    maxscore_saved_fraction(self.readers[0], ms_disj, stats, self.bm25)
+                    >= MAXSCORE_MIN_SAVED_DF
+                )
+                if use:
+                    coll = TopKCollector(k, total_hits_threshold)
+                    for r in self.readers:
+                        maxscore_topk(
+                            r, ms_disj, k, stats, self.bm25,
+                            total_hits_threshold=total_hits_threshold,
+                            collector=coll,
+                            doc_base=r.doc_base,
+                        )
+                    return coll.result()
         disj = _as_term_disjunction(query) if mode == "wand" else None
         if disj is not None:
             coll = TopKCollector(k, total_hits_threshold)

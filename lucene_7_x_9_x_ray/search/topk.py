@@ -49,6 +49,26 @@ class TopKCollector:
         elif entry > self.heap[0]:
             heapq.heapreplace(self.heap, entry)
 
+    def collect_batch(self, docs: np.ndarray, scores: np.ndarray) -> None:
+        """Vectorized collect: count every hit, heap-push only entries that
+        can compete (score >= current heap-min) — same resulting heap as
+        per-doc collect() in any order, since heap CONTENT depends only on
+        the (score, -doc) multiset."""
+        n = len(docs)
+        self.total_hits += n
+        if n == 0:
+            return
+        if len(self.heap) >= self.k:
+            floor = self.heap[0][0]
+            m = scores >= floor  # candidates; exact tie-break re-checked below
+            docs, scores = docs[m], scores[m]
+        for d, s in zip(docs, scores):
+            entry = (float(s), -int(d))
+            if len(self.heap) < self.k:
+                heapq.heappush(self.heap, entry)
+            elif entry > self.heap[0]:
+                heapq.heapreplace(self.heap, entry)
+
     def min_competitive(self) -> float:
         """nextUp(heap min) once full + threshold reached, else 0."""
         if len(self.heap) >= self.k and self.total_hits >= self.threshold:

@@ -156,6 +156,194 @@ def _make_iter(tp, tw, norms, sf):
     return TermIterator(tp, tw, norms, sf)
 
 
+class _MSClause:
+    """One disjunction clause for the vectorized MaxScore scorer: global
+    max score (impact frontiers scored in ONE kernel call), whole-list
+    decode+score (cached), and block-targeted contribution lookups that
+    decode ONLY the 128-doc blocks containing candidate docs."""
+
+    __slots__ = ("tp", "tw", "norms", "max_score", "df", "_full")
+
+    def __init__(self, tp: TermPostings, tw: BM25TermWeight, norms):
+        self.tp = tp
+        self.tw = tw
+        self.norms = norms
+        self.df = tp.doc_freq
+        self.max_score = (
+            float(tw.score(tp.imp_freqs, tp.imp_norms).max())
+            if len(tp.imp_freqs)
+            else 0.0
+        )
+        self._full = None
+
+    def full(self):
+        """(docs, float32 scores) of the whole list, decoded once."""
+        if self._full is None:
+            docs, freqs = self.tp.decode()
+            self._full = (docs, self.tw.score(freqs, self.norms[docs]))
+        return self._full
+
+    def scores_at(self, cand: np.ndarray) -> np.ndarray:
+        """float32 contribution of this clause at the sorted candidate docs
+        (0 where absent). Decodes only the blocks candidates fall into, all
+        in ONE vectorized subset pass (codec.decode_docs_blocks) — the
+        "non-essential clause lookup" of MaxScore; cost tracks |candidate
+        blocks|, not df."""
+        from ..functions.codec import decode_docs_blocks, decode_freqs_blocks
+
+        out = np.zeros(len(cand), dtype=np.float32)
+        tp = self.tp
+        if self._full is not None:
+            d, s = self._full
+            idx = np.searchsorted(d, cand)
+            idx_c = np.minimum(idx, len(d) - 1)
+            m = d[idx_c] == cand
+            out[m] = s[idx_c[m]]
+            return out
+        last = tp.last_docs
+        nblocks = len(last)
+        bis = np.searchsorted(last, cand)
+        bis = np.unique(bis[bis < nblocks])
+        if len(bis) == 0:
+            return out
+        if len(bis) * 2 >= nblocks:
+            # most blocks touched anyway: decode the whole list (and cache)
+            d, s = self.full()
+            f = None
+        else:
+            d = decode_docs_blocks(tp.docs_blob, tp.doc_widths, tp.doc_freq, last, bis)
+            f = decode_freqs_blocks(tp.freqs_blob, tp.freq_widths, tp.doc_freq, bis)
+            s = None
+        idx = np.searchsorted(d, cand)
+        idx_c = np.minimum(idx, len(d) - 1)
+        m = d[idx_c] == cand
+        if not m.any():
+            return out
+        if s is not None:
+            out[m] = s[idx_c[m]]
+        else:
+            out[m] = self.tw.score(f[idx_c[m]], self.norms[cand[m]])
+        return out
+
+
+# auto-dispatch: run MaxScore only when the optimistic essential-set
+# simulation predicts at least this fraction of postings are never decoded
+MAXSCORE_MIN_SAVED_DF = 0.8
+
+
+def _build_ms_clauses(reader, term_boosts, stats, bm25) -> list[_MSClause]:
+    clauses: list[_MSClause] = []
+    for term, boost in term_boosts:
+        tp = reader.term_postings(term)
+        if tp is None:
+            continue
+        tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost)
+        parts = getattr(tp, "parts", None) or [tp]
+        for part in parts:
+            clauses.append(_MSClause(part, tw, reader.norms))
+    clauses.sort(key=lambda c: -c.max_score)
+    return clauses
+
+
+def maxscore_saved_fraction(reader, term_boosts, stats, bm25) -> float:
+    """Predicted fraction of postings MaxScore never decodes, from the
+    OPTIMISTIC simulation θ = best clause max (real θ is at most that, so
+    the real essential set is at least as large — this only ever
+    over-predicts savings; the caller gates on a high threshold)."""
+    clauses = _build_ms_clauses(reader, term_boosts, stats, bm25)
+    if len(clauses) < 2:
+        return 0.0
+    theta_opt = clauses[0].max_score
+    suffix = 0.0
+    n_ess = len(clauses)
+    for i in range(len(clauses) - 1, 0, -1):
+        if suffix + clauses[i].max_score >= theta_opt:
+            n_ess = i + 1
+            break
+        suffix += clauses[i].max_score
+        n_ess = i
+    total = sum(c.df for c in clauses)
+    saved = sum(c.df for c in clauses[n_ess:])
+    return saved / total if total else 0.0
+
+
+def maxscore_topk(
+    reader,
+    term_boosts: list[tuple[str, float]],
+    k: int,
+    stats: CollectionStats,
+    bm25: BM25,
+    total_hits_threshold: int = DEFAULT_TOTAL_HITS_THRESHOLD,
+    collector: TopKCollector | None = None,
+    doc_base: int = 0,
+) -> TopDocs:
+    """Vectorized MaxScore disjunction top-k — the block-max pruning idea
+    re-expressed for batch execution (WANDScorer.java:45-326 semantics;
+    Lucene 9.x moved top-k disjunctions to the same essential-list design
+    in MaxScoreBulkScorer):
+
+    1. clauses sort by impact-derived max score DESCENDING; the ESSENTIAL
+       prefix is fully decoded + scored (vectorized); candidates = union of
+       essential docs.
+    2. every NON-essential clause contributes via block-targeted lookups at
+       the candidates only (scores_at — decodes just the blocks candidates
+       land in).
+    3. a doc matched ONLY by non-essential clauses scores <= Σ their maxes;
+       if that bound is STRICTLY below the kth-best fully-scored candidate
+       (or the cross-segment collector's min-competitive score), those docs
+       can never enter the top-k — the essential set stops growing and the
+       rest of the head clause lists are never decoded.
+
+    Candidates are scored exactly, pruning is strict — results are
+    rank-identical to the exhaustive scorer. Worst case (bound never
+    binds) every clause ends up decoded once, i.e. exhaustive cost plus a
+    union/lookup overhead."""
+    clauses = _build_ms_clauses(reader, term_boosts, stats, bm25)
+    coll = collector if collector is not None else TopKCollector(k, total_hits_threshold)
+    if not clauses:
+        return coll.result()
+    suffix_max = np.zeros(len(clauses) + 1)
+    for i in range(len(clauses) - 1, -1, -1):
+        suffix_max[i] = suffix_max[i + 1] + clauses[i].max_score
+
+    n_clauses = len(clauses)
+    n_ess = 1
+    while True:
+        cand = (
+            clauses[0].full()[0]
+            if n_ess == 1
+            else np.unique(np.concatenate([clauses[i].full()[0] for i in range(n_ess)]))
+        )
+        acc = np.zeros(len(cand), dtype=np.float64)
+        for i in range(n_ess):
+            d, s = clauses[i].full()
+            if n_ess == 1:
+                acc += s.astype(np.float64)
+            else:
+                pos = np.searchsorted(cand, d)
+                acc[pos] += s.astype(np.float64)
+        ne_bound = float(suffix_max[n_ess])
+        if n_ess >= n_clauses:
+            scores32 = acc.astype(np.float32)
+            break
+        # pre-check on the PARTIAL kth (full scores only grow it): if the
+        # non-essential bound is already below it, the essential set is
+        # final and the lookups below run exactly once
+        if len(cand) >= k:
+            kth_p = float(np.partition(acc, len(acc) - k)[len(acc) - k].astype(np.float32))
+        else:
+            kth_p = 0.0
+        theta_p = max(kth_p, coll.min_competitive())
+        if ne_bound < theta_p:
+            for i in range(n_ess, n_clauses):
+                acc += clauses[i].scores_at(cand).astype(np.float64)
+            scores32 = acc.astype(np.float32)
+            break
+        n_ess += 1
+    coll.collect_batch(cand + doc_base, scores32)
+    return coll.result()
+
+
 def conjunction_topk(
     reader,
     term_boosts: list[tuple[str, float]],

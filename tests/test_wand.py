@@ -174,3 +174,57 @@ def test_conjunction_blockmax_duel(tmp_path):
                 c = searcher.search(q, k=k, mode="wand", total_hits_threshold=1)
                 assert list(a.doc_ids) == list(c.doc_ids), (terms, k)
                 assert np.array_equal(a.scores, c.scores), (terms, k)
+
+
+def test_maxscore_duels_exhaustive(tmp_path):
+    """Vectorized MaxScore == exhaustive, rank- and score-identical, across
+    corpus shapes, k values, segment counts, and the merged (salted) index."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher, _as_term_disjunction
+    from lucene_7_x_9_x_ray.search.topk import TopKCollector
+    from lucene_7_x_9_x_ray.search.wand import maxscore_topk
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index_local
+
+    pages = generate_pages(1500, vocab_size=400, mean_tokens=60, seed=17)
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=300)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx, BuildConfig(target_docs_per_segment=300,
+                                               index_positions=False))
+    merge_index_local(idx, MergeConfig(n_shards=4, hot_df_threshold=400))
+
+    seg = IndexSearcher(idx)
+    mrg = open_searcher(idx)
+    rng = np.random.default_rng(23)
+    shapes = [
+        ["t00000", "t00300"],               # head + rare
+        ["t00000", "t00001", "t00350"],     # 2 head + rare
+        ["t00005", "t00050", "t00200"],     # mixed
+        ["t00399", "t00398"],               # two rare
+        ["t00000", "t00001"],               # dense pair (worst case)
+    ]
+    for _ in range(10):
+        ts = sorted(rng.choice([f"t{i:05d}" for i in range(400)], size=3, replace=False))
+        shapes.append(list(ts))
+    for terms in shapes:
+        for k in (3, 10, 40):
+            q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
+            disj = _as_term_disjunction(q)
+            for searcher in (seg, mrg):
+                stats = searcher.collection_stats(Q.collect_field_terms(q))
+                te = searcher.search(q, k=k, mode="exhaustive",
+                                     total_hits_threshold=1 << 30)
+                coll = TopKCollector(k, 1000)
+                for r in searcher.readers:
+                    maxscore_topk(r, disj, k, stats, searcher.bm25,
+                                  collector=coll, doc_base=r.doc_base)
+                tm = coll.result()
+                assert list(te.doc_ids) == list(tm.doc_ids), (terms, k)
+                assert np.array_equal(te.scores, tm.scores), (terms, k)
+                # the auto path must agree too, whichever scorer it picks
+                ta = searcher.search(q, k=k, total_hits_threshold=1 << 30)
+                assert list(te.doc_ids) == list(ta.doc_ids), (terms, k)
+                assert np.array_equal(te.scores, ta.scores), (terms, k)
