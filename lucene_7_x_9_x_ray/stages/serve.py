@@ -251,7 +251,13 @@ class ServingPool:
                 ]
                 self.tombstones = load_tombstones(index_dir)
 
-            def topk(self, terms, k, stats_tuple):
+            def topk(self, terms, k, stats_tuple, floor: float = 0.0):
+                """Per-shard top-k. ``floor`` is the cross-shard
+                min-competitive seed (MaxScoreAccumulator analogue,
+                IndexSearcher.java:432): a LOWER bound of the global kth
+                score, letting every shard skip blocks/clauses that cannot
+                reach the global top-k — without it each shard does full-k
+                work on its whole doc range."""
                 import numpy as _np
 
                 from lucene_7_x_9_x_ray.functions.bm25 import BM25
@@ -260,13 +266,43 @@ class ServingPool:
                     CollectionStats,
                     eval_query,
                 )
-                from lucene_7_x_9_x_ray.search.topk import topk_from_arrays
+                from lucene_7_x_9_x_ray.search.topk import TopKCollector, topk_from_arrays
+                from lucene_7_x_9_x_ray.search.wand import maxscore_topk, term_impact_topk
+
+                from lucene_7_x_9_x_ray.search.wand import (
+                    MAXSCORE_MIN_SAVED_DF,
+                    maxscore_saved_fraction,
+                )
 
                 stats = CollectionStats(*stats_tuple)
+                bm25 = BM25()
+                tb = [(t, 1.0) for t in terms]
+                pruned_ok = floor > 0.0 and not len(self.tombstones)
+                if pruned_ok and len(terms) > 1:
+                    # same dispatch rule as the searcher: MaxScore only when
+                    # the essential-set simulation predicts real savings
+                    pruned_ok = (
+                        maxscore_saved_fraction(self.readers[0], tb, stats, bm25)
+                        >= MAXSCORE_MIN_SAVED_DF
+                    )
+                if pruned_ok:
+                    coll = TopKCollector(k, total_hits_threshold=1)
+                    for r in self.readers:
+                        if len(terms) == 1:
+                            term_impact_topk(
+                                r, terms[0], 1.0, k, stats, bm25, floor=floor,
+                                collector=coll, doc_base=r.doc_base,
+                            )
+                        else:
+                            maxscore_topk(
+                                r, tb, k, stats, bm25,
+                                collector=coll, doc_base=r.doc_base, floor=floor,
+                            )
+                    td = coll.result()
+                    return [(td.doc_ids.tolist(), td.scores.tolist())]
                 query = Q.BooleanQuery.build(
                     [(Q.SHOULD, Q.TermQuery(t)) for t in terms]
                 )
-                bm25 = BM25()
                 out = []
                 for r in self.readers:
                     d, s = eval_query(r, query, stats, bm25)
@@ -287,16 +323,29 @@ class ServingPool:
         ]
         self._searcher = IndexSearcher(index_dir)
 
-    def search(self, terms: list[str], k: int = 10):
-        """Global top-k: fan out to every shard actor, reduce locally."""
+    def search(self, terms: list[str], k: int = 10, share_min_score: bool = True):
+        """Global top-k: fan out to every shard actor, reduce locally.
+
+        ``share_min_score`` seeds every shard with a driver-probed lower
+        bound of the global kth score (probe_score_floor — a handful of
+        highest-impact blocks decoded once), so shards prune from the
+        first block instead of each doing full-k work — the cross-shard
+        MaxScoreAccumulator exchange (IndexSearcher.java:432)."""
         import numpy as np
         import ray
 
         from ..search.topk import TopDocs, merge_topk
+        from ..search.wand import probe_score_floor
 
         stats = self._searcher.collection_stats(set(terms))
         st = (stats.doc_count, stats.sum_total_term_freq, stats.term_df, stats.term_ttf)
-        futs = [a.topk.remote(terms, k, st) for a in self._actors]
+        floor = 0.0
+        if share_min_score and not len(self._searcher.tombstones):
+            floor = probe_score_floor(
+                self._searcher.readers[0], [(t, 1.0) for t in terms], k,
+                stats, self._searcher.bm25,
+            )
+        futs = [a.topk.remote(terms, k, st, floor) for a in self._actors]
         parts = []
         for res in ray.get(futs):
             for docs, scores in res:

@@ -228,3 +228,38 @@ def test_maxscore_duels_exhaustive(tmp_path):
                 ta = searcher.search(q, k=k, total_hits_threshold=1 << 30)
                 assert list(te.doc_ids) == list(ta.doc_ids), (terms, k)
                 assert np.array_equal(te.scores, ta.scores), (terms, k)
+
+
+def test_term_impact_pruning_and_floor(tmp_path):
+    """Impact-level block skipping with a probed kth-score floor is
+    rank-identical to exhaustive for single-term queries; the probe floor
+    is a valid lower bound of the kth-best score."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.search.topk import TopKCollector
+    from lucene_7_x_9_x_ray.search.wand import probe_score_floor, term_impact_topk
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+    pages = generate_pages(3000, vocab_size=200, mean_tokens=80, seed=29)
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=600)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx, BuildConfig(target_docs_per_segment=600,
+                                               index_positions=False))
+    s = IndexSearcher(idx)
+    for term in ["t00000", "t00010", "t00100", "t00199"]:
+        for k in (5, 10, 50):
+            q = Q.TermQuery(term)
+            stats = s.collection_stats(Q.collect_field_terms(q))
+            te = s.search(q, k=k, mode="exhaustive", total_hits_threshold=1 << 30)
+            floor = probe_score_floor(s.readers[0], [(term, 1.0)], k, stats, s.bm25)
+            if len(te.scores) >= k:
+                assert floor <= float(te.scores[k - 1]) + 1e-7
+            coll = TopKCollector(k, 1)
+            for r in s.readers:
+                term_impact_topk(r, term, 1.0, k, stats, s.bm25, floor=floor,
+                                 collector=coll, doc_base=r.doc_base)
+            ti = coll.result()
+            assert list(te.doc_ids) == list(ti.doc_ids), (term, k)
+            assert np.array_equal(te.scores, ti.scores), (term, k)
