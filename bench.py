@@ -142,6 +142,36 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
                 pool.search(terms, k)
                 pool_lat_ms.append((time.perf_counter() - ts) * 1000)
 
+    # impact-pruning scorers (MaxScore / single-term block skipping) vs the
+    # exhaustive bulk scorer, on the shapes where auto picks pruning
+    prune: dict[str, float] = {}
+    if os.environ.get("GRAFT_BENCH_PRUNE", "1") != "0":
+        union = searcher.term_dict_union()
+        rare = None
+        rare_cap = max(300, searcher.doc_count // 200)
+        for t in union[:: max(1, len(union) // 2048)]:
+            d, _ = searcher.readers[0].term_stats(str(t))
+            if 10 <= d <= rare_cap:
+                rare = str(t)
+                break
+        shapes = {"term_the": ["the"]}
+        if rare:
+            shapes["dj_the_rare"] = ["the", rare]
+        for name, terms in shapes.items():
+            q = (
+                Q.TermQuery(terms[0])
+                if len(terms) == 1
+                else Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
+            )
+            for mode in ("auto", "exhaustive"):
+                searcher.search(q, k=10, mode=mode)
+                ts = time.perf_counter()
+                for _ in range(iters):
+                    searcher.search(q, k=10, mode=mode)
+                prune[f"{name}_{mode}_ms"] = round(
+                    (time.perf_counter() - ts) / iters * 1000, 3
+                )
+
     # training-data operator timings over the raw sf tables (the quick
     # subset; exact all-pairs Jaccard is quadratic and benched separately)
     if os.environ.get("GRAFT_BENCH_OPS", "1") != "0":
@@ -151,6 +181,7 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
             ("op_doc_stats", textops.q_doc_stats),
             ("op_fingerprint", textops.q_fingerprint),
             ("op_exact_dedup", dedup.q_exact_dedup),
+            ("op_minhash_lsh", dedup.q_minhash_lsh_pairs),
             ("op_ann_brute_topk", ann.q_ann_brute_topk),
             ("op_lineitem_pricing", relational.q_lineitem_pricing),
         ):
@@ -178,6 +209,7 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
         "pool_query_p99_ms": (
             round(float(np.percentile(pool_lat_ms, 99)), 3) if pool_lat_ms else None
         ),
+        "prune_vs_exhaustive_ms": prune,
         "timings": {k: round(v, 3) for k, v in timings.items()},
     }
 

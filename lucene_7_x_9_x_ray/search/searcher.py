@@ -168,11 +168,11 @@ class IndexSearcher:
             if (
                 ms_disj is not None
                 and len(ms_disj) == 1
-                and stats.df(ms_disj[0][0]) >= (1 << 17)
+                and stats.df(ms_disj[0][0]) >= (1 << 16)
             ):
                 # big single-term query: impact-level block skipping with a
-                # probed kth-score floor (2-4x over exhaustive at >=128k df;
-                # below that the probe overhead dominates)
+                # probed kth-score floor (2-4x over exhaustive at >=100k df;
+                # below ~64k df the probe overhead dominates)
                 from .wand import probe_score_floor, term_impact_topk
 
                 term, boost = ms_disj[0]
