@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": flagship.q_doc_lengths,
         "multiterm_match": flagship.q_multiterm_match,
         "bm25_lang_filtered": flagship.q_bm25_lang_filtered,
+        "bm25_ts_filtered": flagship.q_bm25_ts_filtered,  # numeric-range FILTER clause
         "field_topk": flagship.q_field_topk,  # multi-field (title vs body)
         "parsed_topk": flagship.q_parsed_topk,  # classic query-parser strings
         "facet_lang": flagship.q_facet_lang,
@@ -100,6 +101,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_lang_filtered": O.lang_filtered_topk_sql(
             list(flagship.LANG_FILTER_TERMS), flagship.LANG_FILTER_LANG,
             flagship.LANG_FILTER_K,
+        ),
+        "bm25_ts_filtered": O.filtered_topk_sql(
+            list(flagship.TS_FILTER_TERMS), flagship.TS_FILTER_WHERE_SQL,
+            flagship.TS_FILTER_K,
         ),
         "field_topk": O.field_topk_sql(flagship.FIELD_TOPK_SPECS),
         "parsed_topk": O.field_topk_sql(

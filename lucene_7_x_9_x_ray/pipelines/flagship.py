@@ -349,6 +349,48 @@ def q_bm25_lang_filtered(sf_dir: str) -> pa.Table:
     )
 
 
+# numeric-range FILTER gate: docs 64..~20% of the corpus by warc_ts.
+# pages derive warc_ts = EPOCH_2025 + doc_id * 1e6 (sources/pages.py), so
+# a timestamp range maps exactly to a doc_id range the SQL oracle can state.
+TS_FILTER_TERMS = ("key", "table")
+TS_FILTER_LO_DOC = 64
+TS_FILTER_K = 10
+
+
+def q_bm25_ts_filtered(sf_dir: str) -> pa.Table:
+    """BM25 disjunction restricted by a NUMERIC range predicate evaluated
+    as a query clause: NumericRangeQuery over the stored warc_ts doc-values
+    column (the PointRangeQuery / IndexOrDocValuesQuery numeric plan inside
+    the searcher, not a relational pre-filter): (rank, doc_id, score_r)."""
+    from ..sources.pages import EPOCH_2025
+
+    merged, seg = get_searchers(sf_dir)
+    hi_doc = max(TS_FILTER_LO_DOC + 10, seg.doc_count // 5)
+    lo_ts = EPOCH_2025 + TS_FILTER_LO_DOC * 1_000_000
+    hi_ts = EPOCH_2025 + hi_doc * 1_000_000
+    query = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery(t)) for t in TS_FILTER_TERMS]
+        + [(Q.FILTER, Q.NumericRangeQuery("warc_ts", lo_ts, hi_ts))]
+    )
+    td = merged.search(query, k=TS_FILTER_K)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(td.doc_ids) + 1), pa.int64()),
+            "doc_id": pa.array([int(d) for d in td.doc_ids], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in td.scores], pa.float64()
+            ),
+        }
+    )
+
+
+# the matching oracle predicate, scale-adaptive inside the SQL itself
+TS_FILTER_WHERE_SQL = (
+    f"doc_id BETWEEN {TS_FILTER_LO_DOC} AND "
+    f"greatest({TS_FILTER_LO_DOC + 10}, (SELECT count(*) FROM documents) // 5)"
+)
+
+
 SCORING_VARIANT_TERMS = ("key", "hash")
 SCORING_VARIANTS_K = 10
 

@@ -217,6 +217,13 @@ mustopt AS (SELECT x.doc_id,
 def lang_filtered_topk_sql(
     terms: list[str], lang: str, k: int, relation: str = "documents"
 ) -> str:
+    """BM25 disjunction + lang FILTER (see filtered_topk_sql)."""
+    return filtered_topk_sql(terms, f"lang = '{lang}'", k, relation)
+
+
+def filtered_topk_sql(
+    terms: list[str], where_sql: str, k: int, relation: str = "documents"
+) -> str:
     """BM25 disjunction + metadata FILTER oracle: every doc of the filtered
     set matches (FILTER-side score contribution is 0), scored by the sum of
     its matching SHOULD leaves: (rank, doc_id, score_r)."""
@@ -224,7 +231,7 @@ def lang_filtered_topk_sql(
     ctes += [term_leaf_ctes(t) for t in sorted(set(terms))]
     union = "\n      UNION ALL ".join(f"SELECT doc_id, s FROM s_{_ident(t)}" for t in terms)
     ctes.append(f"""
-flt AS (SELECT doc_id FROM {relation} WHERE lang = '{lang}'),
+flt AS (SELECT doc_id FROM {relation} WHERE {where_sql}),
 scf AS (SELECT flt.doc_id,
                CAST(COALESCE(SUM(CAST(u.s AS DOUBLE)), 0) AS FLOAT) AS score
         FROM flt LEFT JOIN ({union}) u USING (doc_id)

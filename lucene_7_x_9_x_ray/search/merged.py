@@ -102,6 +102,10 @@ class MergedReader:
             sum(s["doc_count"] for s in segs),
         )
         self._merged_dir = merged_dir
+        self._seg_dirs = [
+            os.path.join(index_dir, "segments", s["seg_name"]) for s in segs
+        ]
+        self._dv_cache: dict[str, np.ndarray] = {}
         self._shards: dict[int, _Shard] = {}
         self._have = {s["shard_id"] for s in self.meta["shards"]}
         # range-merged index: shard i covers [boundaries[i], boundaries[i+1])
@@ -197,6 +201,17 @@ class MergedReader:
             if sh is not None:
                 return bool(getattr(sh, "has_positions", False))
         return False
+
+    def doc_values(self, col: str) -> np.ndarray:
+        """Global-docID-aligned doc-values column: per-segment docmap
+        columns concatenated in doc_base order (cached)."""
+        arr = self._dv_cache.get(col)
+        if arr is None:
+            from ..state.segment import read_doc_values
+
+            arr = np.concatenate([read_doc_values(d, col) for d in self._seg_dirs])
+            self._dv_cache[col] = arr
+        return arr
 
     @property
     def terms(self) -> np.ndarray:

@@ -103,6 +103,22 @@ class DocSetQuery(Query):
 
 
 @dataclass(frozen=True)
+class NumericRangeQuery(Query):
+    """Constant-score (0) range predicate over a stored NUMERIC per-doc
+    column — the PointRangeQuery/NumericDocValues plan integrated into the
+    query tree (s84 search/PointRangeQuery.java:428 semantics via the
+    doc-values side of IndexOrDocValuesQuery): evaluated per segment as a
+    vectorized mask over SegmentReader.doc_values(col), cacheable by the
+    per-reader FilterCache. Timestamps compare as int64 microseconds."""
+
+    col: str
+    lower: int | float | None = None
+    upper: int | float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: tuple[str, ...]
     boost: float = 1.0

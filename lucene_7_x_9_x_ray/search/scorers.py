@@ -206,6 +206,17 @@ def eval_query(
         ids = ids[(ids >= lo) & (ids < hi)] - reader.doc_base
         return ids, np.zeros(len(ids), dtype=np.float32)
 
+    if isinstance(query, Q.NumericRangeQuery):
+        # vectorized doc-values range mask; constant score 0 (FILTER-side)
+        vals = reader.doc_values(query.col)
+        mask = np.ones(len(vals), dtype=bool)
+        if query.lower is not None:
+            mask &= (vals >= query.lower) if query.include_lower else (vals > query.lower)
+        if query.upper is not None:
+            mask &= (vals <= query.upper) if query.include_upper else (vals < query.upper)
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.zeros(len(docs), dtype=np.float32)
+
     if isinstance(query, Q.BoostQuery):
         # BoostQuery multiplies the sub-score (BoostQuery.java:130)
         docs, scores = eval_query(reader, query.query, stats, bm25)

@@ -196,46 +196,33 @@ def plan_merge_sampled(
         return pa.Table.from_pylist(out)
 
     rows = (
-        rd.from_items([{"seg_dir": d} for d in seg_dirs], override_num_blocks=n_segs)
-        .map_batches(sample_one, batch_size=1, batch_format="pyarrow")
+        rd.from_items(
+            [{"seg_dir": d} for d in seg_dirs],
+            override_num_blocks=max(1, n_segs // 8),
+        )
+        .map_batches(sample_one, batch_size=8, batch_format="pyarrow")
         .take_all()
     )
     samples = sorted(
         ((r["term"], r["w"]) for r in rows if r["kind"] == "s"), key=lambda x: x[0]
     )
-    candidates = sorted({r["term"] for r in rows if r["kind"] == "h"})
-
-    hot_terms: list[str] = []
-    if candidates:
-        cand_ref = ray.put(candidates)
-
-        def exact_df(batch: pa.Table) -> pa.Table:
-            cand = ray.get(cand_ref)
-            out = []
-            for row in batch.to_pylist():
-                t = pq.read_table(
-                    os.path.join(row["seg_dir"], TERMS_FILE), columns=["term", "doc_freq"]
-                )
-                terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
-                dfs = t["doc_freq"].to_numpy()
-                pos = np.searchsorted(terms, cand)
-                for ci, p in enumerate(pos):
-                    if p < len(terms) and terms[p] == cand[ci]:
-                        out.append({"term": cand[ci], "df": int(dfs[p])})
-            if not out:
-                return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
-            return pa.Table.from_pylist(out)
-
-        from ray.data.aggregate import Sum
-
-        agg = (
-            rd.from_items([{"seg_dir": d} for d in seg_dirs], override_num_blocks=n_segs)
-            .map_batches(exact_df, batch_size=1, batch_format="pyarrow")
-            .groupby("term")
-            .aggregate(Sum("df", alias_name="df"))
-            .take_all()
-        )
-        hot_terms = sorted(r["term"] for r in agg if r["df"] > cfg.hot_df_threshold)
+    # conservative hot detection from the single pass: a term's unobserved
+    # per-segment dfs are each < local_thr, so observed_sum + (n_segs -
+    # n_observed) * (local_thr - 1) bounds its global df from above. Any
+    # term whose BOUND clears the threshold is salted — a small superset of
+    # the true hot set (over-salting only adds a few bucket tasks; it never
+    # affects results), and it saves the second cluster pass.
+    obs_sum: dict[str, int] = {}
+    obs_n: dict[str, int] = {}
+    for r in rows:
+        if r["kind"] == "h":
+            obs_sum[r["term"]] = obs_sum.get(r["term"], 0) + int(r["w"])
+            obs_n[r["term"]] = obs_n.get(r["term"], 0) + 1
+    hot_terms = sorted(
+        t
+        for t, s_ in obs_sum.items()
+        if s_ + (n_segs - obs_n[t]) * max(0, local_thr - 1) > cfg.hot_df_threshold
+    )
 
     hot_set = set(hot_terms)
     cold = [(t, w) for t, w in samples if t not in hot_set]
@@ -455,7 +442,7 @@ def assemble_hot_group(
 
 
 def merge_index_pull(
-    index_dir: str, cfg: MergeConfig | None = None, boundaries: str = "sampled"
+    index_dir: str, cfg: MergeConfig | None = None, boundaries: str = "auto"
 ) -> dict:
     """Range-partitioned pull merge (default strategy).
 
@@ -463,11 +450,12 @@ def merge_index_pull(
     bucket) by contiguous ranged reads from the sorted segment files on
     shared storage, then re-encodes — no all-to-all exchange, no shuffle
     machinery on the critical path. Range boundaries bound each task's
-    work; ``boundaries="sampled"`` (default) plans them from distributed
-    per-segment df-quantile samples with O(n_segments) driver state
-    (plan_merge_sampled); ``boundaries="exact"`` keeps the round-1
-    whole-vocabulary driver aggregate (exact equal-df cuts, driver RAM
-    bound by |vocabulary|).
+    work; ``boundaries="auto"`` (default) uses the exact whole-vocabulary
+    driver aggregate while the segment count is small (<= 64: one threaded
+    dictionary read, no extra Ray stage) and switches to distributed
+    per-segment df-quantile SAMPLING with O(n_segments) driver state
+    (plan_merge_sampled) beyond that — the web-scale regime where the
+    vocabulary cannot live on the driver. "sampled"/"exact" force a plan.
     """
     import ray.data as rd
 
@@ -476,6 +464,12 @@ def merge_index_pull(
     merged_dir = os.path.join(index_dir, "merged")
     os.makedirs(merged_dir, exist_ok=True)
 
+    if boundaries == "auto":
+        # the exact driver aggregate is one threaded dictionary read — fine
+        # while segment count (and so driver vocab memory) is bounded; the
+        # sampled plan takes over where the vocabulary would not fit a
+        # driver (its fixed Ray-stage latency only amortizes there)
+        boundaries = "sampled" if len(manifest.segments) > 64 else "exact"
     if boundaries == "sampled":
         hot_terms, boundaries = plan_merge_sampled(manifest, cfg)
     else:

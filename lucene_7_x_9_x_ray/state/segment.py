@@ -687,3 +687,33 @@ class SegmentReader(TermTableReader):
         if self._docmap is None:
             self._docmap = pq.read_table(os.path.join(self.seg_dir, DOCMAP_FILE))
         return self._docmap
+
+    def doc_values(self, col: str) -> np.ndarray:
+        """Columnar per-doc values by segment-local docID — the query-time
+        doc-values structure (NUMERIC/SORTED DocValues analogue, s84
+        index/DocValuesType.java): the docmap column decoded once per
+        reader into a numpy array (timestamps -> int64 micros) and cached,
+        so range/facet queries touch columns, not stored-field rows."""
+        cache = getattr(self, "_dv_cache", None)
+        if cache is None:
+            cache = self._dv_cache = {}
+        arr = cache.get(col)
+        if arr is None:
+            arr = read_doc_values(self.seg_dir, col)
+            cache[col] = arr
+        return arr
+
+
+def read_doc_values(seg_dir: str, col: str) -> np.ndarray:
+    """One docmap column of one segment as a numpy array (column-pruned
+    parquet read; timestamps -> int64 micros)."""
+    import pyarrow.types as pat
+
+    c = pq.read_table(os.path.join(seg_dir, DOCMAP_FILE), columns=[col])[
+        col
+    ].combine_chunks()
+    if pat.is_timestamp(c.type):
+        return c.cast(pa.int64()).to_numpy()
+    if pat.is_integer(c.type) or pat.is_floating(c.type):
+        return c.to_numpy()
+    return np.asarray(c.to_numpy(zero_copy_only=False), dtype=object)

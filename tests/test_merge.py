@@ -198,10 +198,13 @@ def test_sampled_boundaries_match_exact_results(ray_session, tmp_path):
     idx_b = str(tmp_path / "b")
     shutil.copytree(idx_a, idx_b)
 
+    from lucene_7_x_9_x_ray.stages.merge import merge_index_pull
+
     cfg = MergeConfig(n_shards=6, hot_df_threshold=200)
-    ma = merge_index(idx_a, cfg, strategy="pull")        # sampled (default)
-    mb = merge_index(idx_b, cfg, strategy="pull-exact")  # whole-vocab driver
-    assert ma["hot_terms"] == mb["hot_terms"] and ma["hot_terms"]  # head detected
+    ma = merge_index_pull(idx_a, cfg, boundaries="sampled")  # force the scale plan
+    mb = merge_index(idx_b, cfg, strategy="pull-exact")      # whole-vocab driver
+    # single-pass hot detection salts a conservative SUPERSET of the true set
+    assert set(mb["hot_terms"]) <= set(ma["hot_terms"]) and mb["hot_terms"]
 
     sa, sb = open_searcher(idx_a), open_searcher(idx_b)
     probes = [

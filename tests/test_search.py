@@ -361,3 +361,43 @@ def test_sloppy_repeats_end_to_end(tmp_path):
     # (distance-2 sloppy match); docs 1/3 lack a valid alignment
     assert list(td.doc_ids) == [0, 2]
     assert td.scores[0] > td.scores[1]
+
+
+def test_numeric_range_query_clause(tmp_path):
+    """NumericRangeQuery composes as a FILTER clause over doc-values
+    (PointRangeQuery / IndexOrDocValuesQuery numeric plan) on both the
+    segment and merged searchers; bounds and exclusivity honored."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import EPOCH_2025, generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index_local
+
+    pages = generate_pages(400, vocab_size=50, mean_tokens=20, seed=33, dup_url_frac=0)
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx, BuildConfig(target_docs_per_segment=100))
+    merge_index_local(idx, MergeConfig(n_shards=2, hot_df_threshold=10**9))
+
+    lo = EPOCH_2025 + 50 * 1_000_000   # docs 50..149 (ts = EPOCH + i*1e6)
+    hi = EPOCH_2025 + 149 * 1_000_000
+    rng_q = Q.NumericRangeQuery("warc_ts", lo, hi)
+    for s in (IndexSearcher(idx), open_searcher(idx)):
+        n = s.count(Q.BooleanQuery.build([(Q.FILTER, rng_q)]))
+        assert n == 100
+        # exclusive bounds
+        excl = Q.NumericRangeQuery("warc_ts", lo, hi, include_lower=False,
+                                   include_upper=False)
+        assert s.count(Q.BooleanQuery.build([(Q.FILTER, excl)])) == 98
+        # composed with scoring clauses: results == lang-filter-style brute
+        q = Q.BooleanQuery.build(
+            [(Q.SHOULD, Q.TermQuery("t00000")), (Q.FILTER, rng_q)]
+        )
+        td = s.search(q, k=400, total_hits_threshold=1 << 30)
+        assert all(50 <= int(d) <= 149 for d in td.doc_ids)
+        assert len(td.doc_ids) == 100  # FILTER-only docs match at score 0+term
+        # open-ended range
+        ge = Q.NumericRangeQuery("warc_ts", lower=hi)
+        assert s.count(Q.BooleanQuery.build([(Q.FILTER, ge)])) == 400 - 149
