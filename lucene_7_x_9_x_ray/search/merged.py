@@ -54,10 +54,12 @@ class SegmentedNorms:
     10^12 docs): readers resolve a global id to (segment, local) via the
     doc_base prefix sums and read the segment's own file."""
 
-    def __init__(self, seg_dirs: list[str], doc_bases: list[int], total_docs: int):
+    def __init__(self, seg_dirs: list[str], doc_bases: list[int], total_docs: int,
+                 filename: str = NORMS_FILE):
         self._dirs = seg_dirs
         self._bases = np.asarray(doc_bases, dtype=np.int64)
         self._total = int(total_docs)
+        self._filename = filename
         self._maps: list[np.ndarray | None] = [None] * len(seg_dirs)
 
     def __len__(self) -> int:
@@ -66,7 +68,7 @@ class SegmentedNorms:
     def _seg(self, i: int) -> np.ndarray:
         m = self._maps[i]
         if m is None:
-            m = np.memmap(os.path.join(self._dirs[i], NORMS_FILE), dtype=np.uint8, mode="r")
+            m = np.memmap(os.path.join(self._dirs[i], self._filename), dtype=np.uint8, mode="r")
             self._maps[i] = m
         return m
 
@@ -83,34 +85,26 @@ class SegmentedNorms:
         return out
 
 
-class MergedReader:
-    """Virtual whole-index reader (doc_base=0, global docIDs)."""
+class _ShardedTermLookup:
+    """Shared term lookup over one field's merged shard set (cold ranges +
+    salted hot buckets): the per-field Terms reader of the merged tier."""
 
-    def __init__(self, index_dir: str):
-        merged_dir = os.path.join(index_dir, "merged")
-        self.meta = load_json(os.path.join(merged_dir, MERGED_MANIFEST))
-        self.n_shards = self.meta["n_shards"]
-        self.hot_buckets = self.meta["hot_buckets"]
-        self.hot_rank = {t: i for i, t in enumerate(self.meta["hot_terms"])}
-        self.doc_count = self.meta["doc_count"]
-        self.doc_base = 0
-        man = IndexManifest.load(index_dir)
-        segs = sorted(man.segments, key=lambda s: s["doc_base"])
-        self.norms = SegmentedNorms(
-            [os.path.join(index_dir, "segments", s["seg_name"]) for s in segs],
-            [s["doc_base"] for s in segs],
-            sum(s["doc_count"] for s in segs),
-        )
-        self._merged_dir = merged_dir
-        self._seg_dirs = [
-            os.path.join(index_dir, "segments", s["seg_name"]) for s in segs
-        ]
-        self._dv_cache: dict[str, np.ndarray] = {}
+    def _init_shards(
+        self, shard_dir: str, n_shards: int, hot_buckets: int,
+        hot_terms: list[str], boundaries, shard_infos: list[dict],
+    ) -> None:
+        self.n_shards = n_shards
+        self.hot_buckets = hot_buckets
+        self.hot_rank = {t: i for i, t in enumerate(hot_terms)}
+        self._merged_dir = shard_dir
         self._shards: dict[int, _Shard] = {}
-        self._have = {s["shard_id"] for s in self.meta["shards"]}
+        self._shard_infos = shard_infos
+        self._have = {s["shard_id"] for s in shard_infos}
         # range-merged index: shard i covers [boundaries[i], boundaries[i+1])
-        b = self.meta.get("boundaries")
-        self._boundaries = np.asarray(b, dtype=object) if b else None
+        self._boundaries = (
+            np.asarray(boundaries, dtype=object) if boundaries else None
+        )
+
 
     def _cold_shard_id(self, term: str) -> int:
         if self._boundaries is not None:
@@ -196,11 +190,83 @@ class MergedReader:
 
     @property
     def has_positions(self) -> bool:
-        for s in self.meta["shards"]:
+        for s in self._shard_infos:
             sh = self._shard(s["shard_id"])
             if sh is not None:
                 return bool(getattr(sh, "has_positions", False))
         return False
+
+
+class _MergedFieldView(_ShardedTermLookup):
+    """Merged-tier reader for one EXTRA field: its own shard set + the
+    per-segment field norms, aligned to global docIDs."""
+
+    def __init__(self, index_dir: str, field: str, fmeta: dict,
+                 seg_dirs: list[str], doc_bases: list[int], doc_count: int):
+        from ..state.segment import NORMS_FILE as _N, field_prefix
+
+        self.field = field
+        self.doc_count = doc_count
+        self.doc_base = 0
+        self._init_shards(
+            os.path.join(index_dir, "merged", f"f_{field}"),
+            fmeta["n_shards"], fmeta["hot_buckets"],
+            fmeta.get("hot_terms") or [],
+            fmeta.get("boundaries"), fmeta.get("shards") or [],
+        )
+        self.norms = SegmentedNorms(
+            seg_dirs, doc_bases, doc_count, filename=field_prefix(field) + _N
+        )
+
+
+class MergedReader(_ShardedTermLookup):
+    """Virtual whole-index reader (doc_base=0, global docIDs)."""
+
+    def __init__(self, index_dir: str):
+        merged_dir = os.path.join(index_dir, "merged")
+        self.meta = load_json(os.path.join(merged_dir, MERGED_MANIFEST))
+        self.doc_count = self.meta["doc_count"]
+        self.doc_base = 0
+        self.index_dir = index_dir
+        man = IndexManifest.load(index_dir)
+        segs = sorted(man.segments, key=lambda s: s["doc_base"])
+        self._seg_dirs = [
+            os.path.join(index_dir, "segments", s["seg_name"]) for s in segs
+        ]
+        self._doc_bases = [s["doc_base"] for s in segs]
+        self.norms = SegmentedNorms(
+            self._seg_dirs, self._doc_bases, sum(s["doc_count"] for s in segs)
+        )
+        self._init_shards(
+            merged_dir, self.meta["n_shards"], self.meta["hot_buckets"],
+            self.meta["hot_terms"], self.meta.get("boundaries"),
+            self.meta["shards"],
+        )
+        self._dv_cache: dict[str, np.ndarray] = {}
+        self._field_views: dict[str, _MergedFieldView] = {}
+        self._field_doc_counts = {
+            k: int(v.get("doc_count", self.doc_count))
+            for k, v in (man.field_stats or {}).items()
+        }
+
+    def field_view(self, field: str):
+        """Per-field merged reader ("" = primary = self). Raises if the
+        merged index was built before the field existed."""
+        if not field:
+            return self
+        fv = self._field_views.get(field)
+        if fv is None:
+            fmeta = (self.meta.get("fields") or {}).get(field)
+            if fmeta is None:
+                raise ValueError(
+                    f"merged index at {self._merged_dir} has no field {field!r}"
+                )
+            fv = _MergedFieldView(
+                self.index_dir, field, fmeta, self._seg_dirs, self._doc_bases,
+                self._field_doc_counts.get(field, self.doc_count),
+            )
+            self._field_views[field] = fv
+        return fv
 
     def doc_values(self, col: str) -> np.ndarray:
         """Global-docID-aligned doc-values column: per-segment docmap
@@ -219,7 +285,7 @@ class MergedReader:
         cached after the first use."""
         cached = getattr(self, "_terms_cache", None)
         if cached is None:
-            parts = [self._shard(s["shard_id"]).terms for s in self.meta["shards"]]
+            parts = [self._shard(s["shard_id"]).terms for s in self._shard_infos]
             cached = (
                 np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
             )
@@ -258,13 +324,17 @@ class MergedIndexSearcher(IndexSearcher):
         return self._seg_searcher
 
     def _route(self, query):
-        """The term-sharded merged index holds only the PRIMARY field, so
-        queries scoring extra fields run on the per-segment searcher (which
-        has the per-field artifacts). Returns (query, searcher-or-None)."""
+        """Queries scoring extra fields run on the merged index when its
+        per-field shard sets exist (merges now carry every field); older
+        merged dirs without them fall back to the per-segment searcher.
+        Returns (query, searcher-or-None)."""
         from . import queries as Q
 
         q = self.parse(query) if isinstance(query, str) else query
-        return q, (self._seg() if Q.uses_extra_fields(q) else None)
+        used = {f for f, _ in Q.collect_field_terms(q) if f}
+        if used and not used <= set(self._merged.meta.get("fields") or {}):
+            return q, self._seg()
+        return q, None
 
     def search(self, query, k=10, mode="auto", total_hits_threshold=None, **kw):
         from .topk import DEFAULT_TOTAL_HITS_THRESHOLD

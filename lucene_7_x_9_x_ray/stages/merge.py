@@ -111,7 +111,7 @@ def compute_hot_terms_local(manifest: IndexManifest, cfg: MergeConfig) -> list[s
 # ---------------------------------------------------------------------------
 
 
-def collect_term_stats(manifest: IndexManifest, max_workers: int = 16):
+def collect_term_stats(manifest: IndexManifest, max_workers: int = 16, prefix: str = ""):
     """Driver-side global (term, df) aggregate from per-segment dictionaries.
 
     Per-segment dicts are already partial aggregates, so this reads only
@@ -122,7 +122,7 @@ def collect_term_stats(manifest: IndexManifest, max_workers: int = 16):
     from concurrent.futures import ThreadPoolExecutor
 
     def read_one(d):
-        t = pq.read_table(os.path.join(d, TERMS_FILE), columns=["term", "doc_freq"])
+        t = pq.read_table(os.path.join(d, prefix + TERMS_FILE), columns=["term", "doc_freq"])
         return (
             np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object),
             t["doc_freq"].to_numpy(),
@@ -142,7 +142,8 @@ def collect_term_stats(manifest: IndexManifest, max_workers: int = 16):
 
 
 def plan_merge_sampled(
-    manifest: IndexManifest, cfg: MergeConfig, samples_per_segment: int = 256
+    manifest: IndexManifest, cfg: MergeConfig, samples_per_segment: int = 256,
+    prefix: str = "",
 ) -> tuple[list[str], list[str]]:
     """(hot_terms, boundaries) WITHOUT materializing the global vocabulary
     on the driver (the default scale path; collect_term_stats +
@@ -170,7 +171,8 @@ def plan_merge_sampled(
         out = []
         for row in batch.to_pylist():
             t = pq.read_table(
-                os.path.join(row["seg_dir"], TERMS_FILE), columns=["term", "doc_freq"]
+                os.path.join(row["seg_dir"], prefix + TERMS_FILE),
+                columns=["term", "doc_freq"],
             )
             terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
             dfs = t["doc_freq"].to_numpy()
@@ -309,6 +311,7 @@ def assemble_range_group(
     hi: str | None,
     hot_set: frozenset,
     shard_id: int,
+    prefix: str = "",
 ) -> pa.Table:
     """Pull one term-range's fragments from every segment (ranged reads).
 
@@ -320,7 +323,7 @@ def assemble_range_group(
     parts = []
     has_pos = False
     for seg_dir, doc_base in zip(seg_dirs, doc_bases):
-        t = pq.read_table(os.path.join(seg_dir, TERMS_FILE))
+        t = pq.read_table(os.path.join(seg_dir, prefix + TERMS_FILE))
         terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
         a = int(np.searchsorted(terms, lo, side="left"))
         b = len(terms) if hi is None else int(np.searchsorted(terms, hi, side="left"))
@@ -332,7 +335,7 @@ def assemble_range_group(
                 if terms[i] in hot_set:
                     keep[i - a] = False
         off = t["off"].to_numpy()
-        post = np.memmap(os.path.join(seg_dir, POSTINGS_FILE), dtype=np.uint8, mode="r")
+        post = np.memmap(os.path.join(seg_dir, prefix + POSTINGS_FILE), dtype=np.uint8, mode="r")
         ends = np.empty(len(terms), dtype=np.int64)
         ends[:-1] = off[1:]
         if len(terms):
@@ -358,7 +361,7 @@ def assemble_range_group(
             pos_off = t["pos_off"].to_numpy()
             len_pos = t["len_pos"].to_numpy()
             posf = np.memmap(
-                os.path.join(seg_dir, POSITIONS_FILE), dtype=np.uint8, mode="r"
+                os.path.join(seg_dir, prefix + POSITIONS_FILE), dtype=np.uint8, mode="r"
             )
             cols["pos_width"] = t["pos_width"].take(idx)
             cols["pos_blob"] = pa.array(
@@ -380,6 +383,7 @@ def assemble_hot_group(
     bucket: int,
     cfg: MergeConfig,
     shard_id: int,
+    prefix: str = "",
 ) -> pa.Table:
     """Pull one salted hot term's fragments for one doc-range bucket."""
     sel = [
@@ -390,13 +394,13 @@ def assemble_hot_group(
     rows = []
     has_pos = False
     for seg_dir, doc_base in sel:
-        t = pq.read_table(os.path.join(seg_dir, TERMS_FILE))
+        t = pq.read_table(os.path.join(seg_dir, prefix + TERMS_FILE))
         terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
         i = int(np.searchsorted(terms, term))
         if i >= len(terms) or terms[i] != term:
             continue
         off = t["off"].to_numpy()
-        post = np.memmap(os.path.join(seg_dir, POSTINGS_FILE), dtype=np.uint8, mode="r")
+        post = np.memmap(os.path.join(seg_dir, prefix + POSTINGS_FILE), dtype=np.uint8, mode="r")
         end = int(off[i + 1]) if i + 1 < len(terms) else len(post)
         row = {
             "term": term,
@@ -416,7 +420,7 @@ def assemble_hot_group(
             po = int(t["pos_off"][i].as_py())
             lp = int(t["len_pos"][i].as_py())
             posf = np.memmap(
-                os.path.join(seg_dir, POSITIONS_FILE), dtype=np.uint8, mode="r"
+                os.path.join(seg_dir, prefix + POSITIONS_FILE), dtype=np.uint8, mode="r"
             )
             row["pos_width"] = int(t["pos_width"][i].as_py())
             row["pos_blob"] = bytes(posf[po : po + lp])
@@ -451,11 +455,13 @@ def merge_index_pull(
     shared storage, then re-encodes — no all-to-all exchange, no shuffle
     machinery on the critical path. Range boundaries bound each task's
     work; ``boundaries="auto"`` (default) uses the exact whole-vocabulary
-    driver aggregate while the segment count is small (<= 64: one threaded
-    dictionary read, no extra Ray stage) and switches to distributed
+    driver aggregate while the segment count is bounded (<= 1024: a
+    threaded dictionary read whose driver memory is n_segments x per-seg
+    vocab rows — no extra Ray stage) and switches to distributed
     per-segment df-quantile SAMPLING with O(n_segments) driver state
     (plan_merge_sampled) beyond that — the web-scale regime where the
-    vocabulary cannot live on the driver. "sampled"/"exact" force a plan.
+    union vocabulary cannot live on the driver. "sampled"/"exact" force a
+    plan.
     """
     import ray.data as rd
 
@@ -469,60 +475,91 @@ def merge_index_pull(
         # while segment count (and so driver vocab memory) is bounded; the
         # sampled plan takes over where the vocabulary would not fit a
         # driver (its fixed Ray-stage latency only amortizes there)
-        boundaries = "sampled" if len(manifest.segments) > 64 else "exact"
-    if boundaries == "sampled":
-        hot_terms, boundaries = plan_merge_sampled(manifest, cfg)
-    else:
-        terms_sorted, dfs = collect_term_stats(manifest)
-        hot_terms, boundaries = plan_merge_ranges(terms_sorted, dfs, cfg)
-    hot_set = frozenset(hot_terms)
-    fp = _fingerprint(manifest)
-    seg_dirs = manifest.segment_dirs()
-    doc_bases = [s["doc_base"] for s in sorted(manifest.segments, key=lambda s: s["doc_base"])]
-    n_segs = len(seg_dirs)
+        boundaries = "sampled" if len(manifest.segments) > 1024 else "exact"
 
-    specs: list[dict] = []
-    for si, lo in enumerate(boundaries):
-        hi = boundaries[si + 1] if si + 1 < len(boundaries) else None
-        specs.append({"kind": "range", "shard_id": si, "lo": lo, "hi": hi})
-    for hr, term in enumerate(hot_terms):
-        for bucket in range(cfg.hot_buckets):
-            specs.append(
-                {
-                    "kind": "hot",
-                    "shard_id": _hot_shard_id(cfg, hr, bucket),
-                    "term": term,
-                    "bucket": bucket,
-                }
-            )
+    def merge_one_field(prefix: str, out_dir: str):
+        """Plan + run the range/hot pull merge for one field's term space."""
+        if boundaries == "sampled":
+            hot_terms, bnds = plan_merge_sampled(manifest, cfg, prefix=prefix)
+        else:
+            terms_sorted, dfs = collect_term_stats(manifest, prefix=prefix)
+            hot_terms, bnds = plan_merge_ranges(terms_sorted, dfs, cfg)
+        hot_set = frozenset(hot_terms)
+        fp = _fingerprint(manifest)
+        seg_dirs = manifest.segment_dirs()
+        doc_bases = [
+            s["doc_base"] for s in sorted(manifest.segments, key=lambda s: s["doc_base"])
+        ]
+        n_segs = len(seg_dirs)
+        os.makedirs(out_dir, exist_ok=True)
 
-    def run_spec(batch: pa.Table) -> pa.Table:
-        out = []
-        for spec in batch.to_pylist():
-            if spec["kind"] == "range":
-                group = assemble_range_group(
-                    seg_dirs, doc_bases, spec["lo"], spec["hi"], hot_set, spec["shard_id"]
+        specs: list[dict] = []
+        for si, lo in enumerate(bnds):
+            hi = bnds[si + 1] if si + 1 < len(bnds) else None
+            specs.append({"kind": "range", "shard_id": si, "lo": lo, "hi": hi})
+        for hr, term in enumerate(hot_terms):
+            for bucket in range(cfg.hot_buckets):
+                specs.append(
+                    {
+                        "kind": "hot",
+                        "shard_id": _hot_shard_id(cfg, hr, bucket),
+                        "term": term,
+                        "bucket": bucket,
+                    }
                 )
-            else:
-                group = assemble_hot_group(
-                    seg_dirs, doc_bases, list(range(n_segs)), n_segs,
-                    spec["term"], spec["bucket"], cfg, spec["shard_id"],
-                )
-            if group.num_rows == 0:
-                continue
-            out.append(write_merged_shard(group, merged_dir, fp, shard_id=spec["shard_id"]))
-        return pa.Table.from_pylist(out) if out else pa.Table.from_pylist(
-            [{"shard_id": -1, "shard_name": "", "n_terms": 0, "sum_doc_freq": 0,
-              "fingerprint": fp, "resumed": False}]
-        ).slice(0, 0)
 
-    shard_stats = (
-        rd.from_items(specs, override_num_blocks=len(specs))
-        .map_batches(run_spec, batch_size=1, batch_format="pyarrow")
-        .take_all()
-    )
+        def run_spec(batch: pa.Table) -> pa.Table:
+            out = []
+            for spec in batch.to_pylist():
+                if spec["kind"] == "range":
+                    group = assemble_range_group(
+                        seg_dirs, doc_bases, spec["lo"], spec["hi"], hot_set,
+                        spec["shard_id"], prefix=prefix,
+                    )
+                else:
+                    group = assemble_hot_group(
+                        seg_dirs, doc_bases, list(range(n_segs)), n_segs,
+                        spec["term"], spec["bucket"], cfg, spec["shard_id"],
+                        prefix=prefix,
+                    )
+                if group.num_rows == 0:
+                    continue
+                out.append(write_merged_shard(group, out_dir, fp, shard_id=spec["shard_id"]))
+            return pa.Table.from_pylist(out) if out else pa.Table.from_pylist(
+                [{"shard_id": -1, "shard_name": "", "n_terms": 0, "sum_doc_freq": 0,
+                  "fingerprint": fp, "resumed": False}]
+            ).slice(0, 0)
+
+        shard_stats = (
+            rd.from_items(specs, override_num_blocks=len(specs))
+            .map_batches(run_spec, batch_size=1, batch_format="pyarrow")
+            .take_all()
+        )
+        return hot_terms, bnds, shard_stats
+
+    hot_terms, bnds, shard_stats = merge_one_field("", merged_dir)
+
+    # extra fields: same range/hot pull merge over each field's own term
+    # space, shards under merged/f_<name>/ (the per-field structures the
+    # per-segment FieldReaders hold, now at the merged tier too)
+    from ..state.segment import field_prefix
+
+    field_meta: dict[str, dict] = {}
+    for fname in sorted((manifest.field_stats or {}).keys()):
+        f_hot, f_bnds, f_stats = merge_one_field(
+            field_prefix(fname), os.path.join(merged_dir, f"f_{fname}")
+        )
+        field_meta[fname] = {
+            "n_shards": cfg.n_shards,
+            "hot_buckets": cfg.hot_buckets,
+            "hot_terms": f_hot,
+            "boundaries": f_bnds,
+            "shards": sorted(f_stats, key=lambda s: s["shard_id"]),
+        }
+
     return _finalize(
-        index_dir, merged_dir, manifest, cfg, hot_terms, shard_stats, boundaries=boundaries
+        index_dir, merged_dir, manifest, cfg, hot_terms, shard_stats,
+        boundaries=bnds, field_meta=field_meta,
     )
 
 
@@ -764,7 +801,8 @@ def _fingerprint(manifest: IndexManifest) -> str:
 
 def _finalize(index_dir: str, merged_dir: str, manifest: IndexManifest,
               cfg: MergeConfig, hot_terms: list[str], shard_stats: list[dict],
-              boundaries: list[str] | None = None) -> dict:
+              boundaries: list[str] | None = None,
+              field_meta: dict | None = None) -> dict:
     # norms are NOT re-written at merge: readers resolve global docIDs to
     # per-segment norms files via doc_base offsets (SegmentedNorms in
     # search/merged.py) — the driver-side whole-corpus norms concat was a
@@ -780,6 +818,7 @@ def _finalize(index_dir: str, merged_dir: str, manifest: IndexManifest,
         # range strategy: shard i covers terms [boundaries[i], boundaries[i+1])
         "strategy": "range" if boundaries is not None else "hash",
         "boundaries": boundaries,
+        "fields": field_meta or {},
     }
     atomic_write_json(os.path.join(merged_dir, MERGED_MANIFEST), merged)
     manifest.merged = True

@@ -152,3 +152,41 @@ def test_compaction_carries_fields(mf_index, tmp_path):
         td1 = s1.search(q, k=50, total_hits_threshold=1 << 30)
         assert list(td0.doc_ids) == list(td1.doc_ids)
         assert np.array_equal(td0.scores, td1.scores)
+
+
+def test_merged_index_serves_field_queries(mf_index, tmp_path):
+    """The term-sharded merge now carries every field: field queries on the
+    merged searcher score via the per-field shard sets and match the
+    per-segment searcher exactly (incl. salted-hot and phrase paths)."""
+    import shutil
+
+    from lucene_7_x_9_x_ray.search.merged import MergedIndexSearcher, _MergedFieldView
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index
+
+    idx, path = mf_index
+    idx2 = str(tmp_path / "m")
+    shutil.copytree(idx, idx2)
+    merge_index(idx2, MergeConfig(n_shards=3, hot_df_threshold=150))
+
+    seg = IndexSearcher(idx2)
+    mrg = MergedIndexSearcher(idx2)
+    # field queries must NOT be routed away: the merged reader owns them
+    q_probe, delegate = mrg._route(Q.TermQuery("t00001", field="title"))
+    assert delegate is None
+    assert isinstance(mrg._merged.field_view("title"), _MergedFieldView)
+
+    probes = [
+        Q.TermQuery("t00001", field="title"),
+        Q.BooleanQuery.build(
+            [(Q.SHOULD, Q.TermQuery("t00003", boost=2.0, field="title")),
+             (Q.SHOULD, Q.TermQuery("t00003"))]
+        ),
+        Q.PhraseQuery(terms=("t00000", "t00001"), field="title"),
+        Q.SynonymQuery(terms=("t00000", "t00002"), field="title"),
+    ]
+    for q in probes:
+        ts = seg.search(q, k=60, total_hits_threshold=1 << 30)
+        tm = mrg.search(q, k=60, total_hits_threshold=1 << 30)
+        assert list(ts.doc_ids) == list(tm.doc_ids), q
+        assert np.array_equal(ts.scores, tm.scores), q
+        assert seg.count(q) == mrg.count(q)
