@@ -28,7 +28,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lucene_7_x_9_x_ray.pipelines import ann, dedup, flagship, multimodal, relational, textops
+    from lucene_7_x_9_x_ray.pipelines import ann, corpus, dedup, flagship, multimodal, relational, textops
 
     return {
         # --- full-text engine (index-backed) ---
@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": flagship.q_facet_lang,
         "grouped_topk": flagship.q_grouped_topk,
         # --- training-data text ops ---
+        "corpus_clean": corpus.q_corpus_clean,  # composed dedup+quality+lang pass
         "doc_stats": textops.q_doc_stats,
         "lang_id": textops.q_lang_id,
         "fingerprint": textops.q_fingerprint,
@@ -75,7 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from lucene_7_x_9_x_ray.pipelines import ann, dedup, flagship, multimodal, relational, textops
+    from lucene_7_x_9_x_ray.pipelines import ann, corpus, dedup, flagship, multimodal, relational, textops
     from lucene_7_x_9_x_ray.pipelines import oracles as O
 
     multiterm_specs = [
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_topk": O.grouped_topk_sql(
             flagship.GROUPED_TOPK_TERMS, flagship.GROUPED_TOPK_PER_GROUP
         ),
+        "corpus_clean": corpus.oracle_corpus_clean_sql(),
         "doc_stats": textops.oracle_doc_stats_sql(),
         "lang_id": textops.oracle_lang_id_sql(),
         "fingerprint": textops.oracle_fingerprint_sql(),

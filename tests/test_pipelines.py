@@ -781,3 +781,26 @@ def test_reclaim_deletes_renumbers_and_matches_fresh_build(ray_session, tmp_path
         assert list(tr.doc_ids) == list(tf.doc_ids), q
         assert np.array_equal(tr.scores, tf.scores), q
         assert sr.count(q) == sf.count(q)
+
+
+def test_corpus_clean_composition(ray_session):
+    """The composed clean pass on the driver corpus: non-vacuous
+    survivorship, dup collapse to min doc_id, thresholds enforced."""
+    import duckdb as _dd
+
+    from lucene_7_x_9_x_ray.pipelines import corpus
+
+    t = corpus.q_corpus_clean(SF)
+    assert 0 < t.num_rows < 500  # filters bite, corpus survives
+    ids = t["doc_id"].to_pylist()
+    assert ids == sorted(ids)
+    for n in t["n_tokens"].to_pylist():
+        assert n >= corpus.CLEAN_MIN_TOKENS
+    for l in t["lang"].to_pylist():
+        assert l in corpus.CLEAN_LANGS
+    # exact-dup semantics (keep = min doc_id) are pinned by the
+    # exact_dedup oracle; here just confirm the SQL oracle agrees fully
+    con = _dd.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    want = con.sql(corpus.oracle_corpus_clean_sql()).df()
+    assert len(want) == t.num_rows
