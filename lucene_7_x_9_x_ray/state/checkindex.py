@@ -99,6 +99,9 @@ def check_index(index_dir: str, sample_every: int = 1) -> dict:
     manifest = IndexManifest.load(index_dir)
     seg_doc_total = 0
     seg_term_stats: dict[str, tuple[int, int]] = {}
+    field_term_stats: dict[str, dict[str, tuple[int, int]]] = {}
+    field_sttf: dict[str, int] = {}
+    field_doc_count: dict[str, int] = {}
     n_terms = 0
     for s in sorted(manifest.segments, key=lambda x: x["doc_base"]):
         seg_dir = os.path.join(index_dir, "segments", s["seg_name"])
@@ -112,7 +115,31 @@ def check_index(index_dir: str, sample_every: int = 1) -> dict:
             seg_term_stats[t] = (a + int(df), b + int(ttf))
         seg_doc_total += r.doc_count
         n_terms += len(r.terms)
+        # extra fields: same structural invariants + stats roll-up
+        for fname, fs in (r.stats.field_stats or {}).items():
+            fv = r.field_view(fname)
+            _check(len(fv.norms) == r.doc_count, f"{s['seg_name']}/f_{fname}: norms length")
+            _check_reader_terms(fv, f"{s['seg_name']}/f_{fname}", r.doc_count, sample_every)
+            _check(
+                int(fv.ttfs.sum()) == int(fs["sum_total_term_freq"]),
+                f"{s['seg_name']}/f_{fname}: Σttf != recorded sum_total_term_freq",
+            )
+            _check(
+                int((fv.norms > 0).sum()) == int(fs["doc_count"]),
+                f"{s['seg_name']}/f_{fname}: docsWithField != recorded doc_count",
+            )
+            acc = field_term_stats.setdefault(fname, {})
+            for t, df, ttf in zip(fv.terms, fv.doc_freqs, fv.ttfs):
+                a, b = acc.get(t, (0, 0))
+                acc[t] = (a + int(df), b + int(ttf))
+            field_sttf[fname] = field_sttf.get(fname, 0) + int(fs["sum_total_term_freq"])
+            field_doc_count[fname] = field_doc_count.get(fname, 0) + int(fs["doc_count"])
     _check(seg_doc_total == manifest.doc_count, "manifest doc_count != Σ segments")
+    for fname, fs in (manifest.field_stats or {}).items():
+        _check(field_sttf.get(fname, 0) == int(fs["sum_total_term_freq"]),
+               f"manifest field_stats[{fname}].sum_total_term_freq != Σ segments")
+        _check(field_doc_count.get(fname, 0) == int(fs["doc_count"]),
+               f"manifest field_stats[{fname}].doc_count != Σ segments")
 
     merged_stats = None
     merged_path = os.path.join(index_dir, "merged", "merged.json")
@@ -135,6 +162,18 @@ def check_index(index_dir: str, sample_every: int = 1) -> dict:
                 _check((docs[1:] > docs[:-1]).all(), f"merged/{t}: global docs not increasing")
             _check(int(freqs.sum()) == ttf, f"merged/{t}: freq sum != ttf")
         merged_stats = {"n_terms": len(merged_terms)}
+        # merged per-field shard sets (if this merge carried fields)
+        for fname in sorted((mr.meta.get("fields") or {}).keys()):
+            fv = mr.field_view(fname)
+            want = field_term_stats.get(fname, {})
+            got_terms = fv.terms
+            _check(set(map(str, got_terms)) == set(map(str, want)),
+                   f"merged f_{fname} term dict != union of segment field dicts")
+            for t in got_terms:
+                df, ttf = fv.term_stats(str(t))
+                _check((df, ttf) == want[str(t)],
+                       f"merged f_{fname} stats mismatch for {t}")
+            merged_stats[f"f_{fname}_terms"] = len(got_terms)
 
     return {
         "segments": len(manifest.segments),

@@ -190,3 +190,9 @@ def test_merged_index_serves_field_queries(mf_index, tmp_path):
         assert list(ts.doc_ids) == list(tm.doc_ids), q
         assert np.array_equal(ts.scores, tm.scores), q
         assert seg.count(q) == mrg.count(q)
+
+    # checkindex validates field artifacts + merged field shard stats
+    from lucene_7_x_9_x_ray.state.checkindex import check_index
+
+    out = check_index(idx2, sample_every=7)
+    assert out["merged"]["f_title_terms"] > 0
