@@ -197,6 +197,21 @@ class _ShardedTermLookup:
         return False
 
 
+    @property
+    def terms(self) -> np.ndarray:
+        """Union sorted dictionary across shards (multi-term rewrites),
+        cached after the first use."""
+        cached = getattr(self, "_terms_cache", None)
+        if cached is None:
+            parts = [self._shard(s["shard_id"]).terms for s in self._shard_infos]
+            cached = (
+                np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
+            )
+            self._terms_cache = cached
+        return cached
+
+
+
 class _MergedFieldView(_ShardedTermLookup):
     """Merged-tier reader for one EXTRA field: its own shard set + the
     per-segment field norms, aligned to global docIDs."""
@@ -278,20 +293,6 @@ class MergedReader(_ShardedTermLookup):
             arr = np.concatenate([read_doc_values(d, col) for d in self._seg_dirs])
             self._dv_cache[col] = arr
         return arr
-
-    @property
-    def terms(self) -> np.ndarray:
-        """Union sorted dictionary across shards (multi-term rewrites),
-        cached after the first use."""
-        cached = getattr(self, "_terms_cache", None)
-        if cached is None:
-            parts = [self._shard(s["shard_id"]).terms for s in self._shard_infos]
-            cached = (
-                np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
-            )
-            self._terms_cache = cached
-        return cached
-
 
 class MergedIndexSearcher(IndexSearcher):
     """IndexSearcher API over the merged index.
