@@ -84,6 +84,8 @@ def oracle_sql() -> dict[str, str]:
         ("wildcard_s_w", "t.term LIKE 's%w'"),
         ("fuzzy_tabel_1", "levenshtein(t.term, 'tabel') <= 1"),
         ("range_q_to_t", "t.term >= 'q' AND t.term <= 't'"),
+        ("regexp_av", "regexp_full_match(t.term, '[av].*e')"),
+        ("inset_3", "t.term IN ('table', 'key', 'zzznosuch')"),
     ]
     return {
         "bm25_topk": O.bm25_topk_sql(flagship.BM25_QUERY_SPECS),

@@ -549,6 +549,8 @@ def q_multiterm_match(sf_dir: str) -> pa.Table:
         ("wildcard_s_w", Q.WildcardQuery("s*w")),
         ("fuzzy_tabel_1", Q.FuzzyQuery("tabel", max_edits=1)),
         ("range_q_to_t", Q.TermRangeQuery("q", "t")),
+        ("regexp_av", Q.RegexpQuery("[av].*e")),
+        ("inset_3", Q.TermInSetQuery(("table", "key", "zzznosuch"))),
     ]
     kinds, docs = [], []
     for kind, query in specs:
