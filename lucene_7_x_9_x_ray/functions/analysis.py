@@ -158,6 +158,7 @@ class Analyzer:
                 tokens = np.array(out_t, dtype=object)
                 doc_idx = np.array(out_d, dtype=np.int64)
 
+        tokens = self._map_pre_stop(tokens)
         if self._stop_arr is not None and len(tokens):
             # vectorized membership: binary-search the sorted stop array
             loc = np.searchsorted(self._stop_arr, tokens)
@@ -165,7 +166,16 @@ class Analyzer:
             is_stop = self._stop_arr[loc] == tokens
             keep = ~is_stop
             tokens, doc_idx = tokens[keep], doc_idx[keep]
+        tokens = self._map_post_stop(tokens)
         return tokens, doc_idx
+
+    # chain hooks: token-to-token maps applied before/after the stop filter
+    # (the TokenFilter slots of the reference's analyzer chains)
+    def _map_pre_stop(self, tokens: np.ndarray) -> np.ndarray:
+        return tokens
+
+    def _map_post_stop(self, tokens: np.ndarray) -> np.ndarray:
+        return tokens
 
     def doc_token_counts(self, texts: Sequence[str]) -> np.ndarray:
         """Per-row token count (the BM25 doc-length statistic input)."""
@@ -198,9 +208,48 @@ class SimpleAnalyzer(Analyzer):
         return _SIMPLE_PATTERN.findall(text)
 
 
+class EnglishAnalyzer(StandardAnalyzer):
+    """EnglishAnalyzer-equivalent chain (s84 analysis/common/.../en/
+    EnglishAnalyzer.java:108-117): StandardTokenizer -> possessive strip
+    ('s removal, EnglishPossessiveFilter) -> LowerCase -> classic-33 stop
+    set -> Porter stemmer. Stemming runs at VOCAB level: unique tokens are
+    stemmed once and mapped back (vocab << token stream)."""
+
+    name = "english"
+
+    def __init__(self, stopwords: Iterable[str] | None = None):
+        super().__init__(
+            stopwords=ENGLISH_STOP_WORDS if stopwords is None else stopwords
+        )
+
+    def _map_pre_stop(self, tokens: np.ndarray) -> np.ndarray:
+        if len(tokens) == 0:
+            return tokens
+        # EnglishPossessiveFilter: trailing 's (tokenizer keeps "john's"
+        # as one token via the MidLetter apostrophe rule)
+        out = tokens
+        mask = np.array(
+            [t.endswith("'s") or t.endswith("’s") for t in tokens], dtype=bool
+        )
+        if mask.any():
+            out = tokens.copy()
+            out[mask] = [t[:-2] for t in out[mask]]
+        return out
+
+    def _map_post_stop(self, tokens: np.ndarray) -> np.ndarray:
+        if len(tokens) == 0:
+            return tokens
+        from .porter import porter_stem
+
+        vocab, inv = np.unique(tokens, return_inverse=True)
+        stemmed = np.array([porter_stem(v) for v in vocab], dtype=object)
+        return stemmed[inv]
+
+
 _REGISTRY = {
     "standard": StandardAnalyzer,
     "simple": SimpleAnalyzer,
+    "english": EnglishAnalyzer,
 }
 
 

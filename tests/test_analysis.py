@@ -166,3 +166,101 @@ def test_ascii_fast_path_equivalence():
     alone, _ = an.tokenize_batch([doc])
     mixed, idx = an.tokenize_batch([doc, "café"])
     assert alone.tolist() == mixed[idx == 0].tolist()
+
+
+def test_porter_stemmer_paper_vectors():
+    """Porter (1980) algorithm: full-pipeline outputs for the paper's
+    example words (per-step table entries composed through all steps)."""
+    from lucene_7_x_9_x_ray.functions.porter import porter_stem
+
+    pairs = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed", "agreed": "agre",
+        "plastered": "plaster", "bled": "bled", "motoring": "motor",
+        "sing": "sing", "conflated": "conflat", "troubled": "troubl",
+        "sized": "size", "hopping": "hop", "tanned": "tan",
+        "falling": "fall", "hissing": "hiss", "fizzed": "fizz",
+        "failing": "fail", "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "conformabli": "conform", "radicalli": "radic",
+        "differentli": "differ",  # full algorithm: step 2 then step 4 (-ent)
+        "vileli": "vile", "analogousli": "analog",
+        "vietnamization": "vietnam", "predication": "predic",
+        "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "triplicate": "triplic",
+        "formative": "form", "formalize": "formal", "electriciti": "electr",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "homologou": "homolog",
+        "communism": "commun", "activate": "activ",
+        "angulariti": "angular", "homologous": "homolog",
+        "effective": "effect", "bowdlerize": "bowdler", "probate": "probat",
+        "rate": "rate", "cease": "ceas", "controll": "control",
+        "roll": "roll",
+    }
+    bad = {w: (porter_stem(w), e) for w, e in pairs.items() if porter_stem(w) != e}
+    assert not bad, bad
+
+
+def test_english_analyzer_chain():
+    """EnglishAnalyzer chain: tokenize -> possessive strip -> stop (classic
+    list) -> Porter stem; vocab-level stemming equals per-token stemming."""
+    from lucene_7_x_9_x_ray.functions.analysis import get_analyzer
+    from lucene_7_x_9_x_ray.functions.porter import porter_stem
+
+    an = get_analyzer("english")
+    # ("were" is not in the classic-33 stop list)
+    assert an.tokens("The runner's shoes were running quickly") == [
+        "runner", "shoe", "were", "run", "quickli",
+    ]
+    # "it's" -> possessive strip -> "it" -> stopped
+    assert an.tokens("It's a test of the system") == ["test", "system"]
+    toks, idx = an.tokenize_batch(["connecting connected connection", ""])
+    assert list(toks) == ["connect", "connect", "connect"]
+    assert list(idx) == [0, 0, 0]
+    std = get_analyzer("standard")
+    for t in std.tokens("relational engineering of analogously sized systems"):
+        assert porter_stem(t) in an.tokens(t) or t in ("of",)
+
+
+def test_english_analyzer_end_to_end(tmp_path):
+    """Index built with analyzer='english' matches stemmed variants: a
+    query for 'connect' finds docs containing 'connecting'/'connection',
+    and parse() stems the query text with the same chain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+    texts = [
+        "connecting the cables",
+        "a connection was made",
+        "disconnected entirely",
+        "nothing relevant here",
+    ]
+    t = pa.table(
+        {
+            "url": [f"u{i}" for i in range(len(texts))],
+            "warc_ts": pa.array(range(len(texts)), pa.timestamp("us")),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+        }
+    )
+    path = str(tmp_path / "p.parquet")
+    pq.write_table(t, path)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx, BuildConfig(analyzer="english"))
+    s = IndexSearcher(idx)
+    td = s.search(Q.TermQuery("connect"), k=10, total_hits_threshold=1 << 30)
+    assert sorted(int(d) for d in td.doc_ids) == [0, 1]
+    # query-side analysis uses the index's analyzer (manifest round-trip)
+    td2 = s.search("connections", k=10, total_hits_threshold=1 << 30)
+    assert sorted(int(d) for d in td2.doc_ids) == [0, 1]
