@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_brute_topk": ann.q_ann_brute_topk,
         "ann_ivf_topk": ann.q_ann_ivf_topk,
+        "ann_hnsw_topk": ann.q_ann_hnsw_topk,  # rows-only (graph recall)
         # --- relational companions ---
         "semi_join": relational.q_semi_join,
         "lineitem_pricing": relational.q_lineitem_pricing,

@@ -340,6 +340,177 @@ def _ivf_search(sf_dir: str, query_ids: list[int], nprobe: int) -> pa.Table:
     )
 
 
+# --- HNSW: per-partition graphs (the Lucene per-segment KNN model) ----------
+
+HNSW_EF_SEARCH = 64
+HNSW_QUERY_IDS = [10, 11, 12, 13, 14]
+
+
+def _hnsw_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"{_IVF_CACHE_ROOT}/hnsw_{key}_v1"
+
+
+def build_hnsw_index(sf_dir: str, target_rows: int = 4096) -> str:
+    """Per-partition HNSW graphs, built in parallel Ray tasks — the Lucene
+    per-segment KNN build (each segment flushes its own graph;
+    LuceneDemo9.1.0 TestKNNQuery.java model). Each task builds the graph
+    for ONE row-group range of the embeddings table and persists it as
+    npz + a normalized vector matrix; a query searches every partition
+    graph and merges top-k (the per-leaf KNN + reduce)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    out = _hnsw_dir(sf_dir)
+    meta_path = os.path.join(out, "meta.json")
+    if os.path.exists(meta_path):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    md = pf.metadata
+    rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+    specs = []
+    start = 0
+    while start < len(rg_rows):
+        rows = 0
+        end = start
+        while end < len(rg_rows) and (rows == 0 or rows + rg_rows[end] <= target_rows):
+            rows += rg_rows[end]
+            end += 1
+        specs.append({"part": len(specs), "rg_start": start, "rg_end": end})
+        start = end
+
+    src = f"{sf_dir}/embeddings.parquet"
+
+    def build_one(batch: pa.Table) -> pa.Table:
+        from ..functions.hnsw import build_hnsw
+
+        out_rows = []
+        for spec in batch.to_pylist():
+            pf_ = pq.ParquetFile(src)
+            t = pf_.read_row_groups(
+                list(range(spec["rg_start"], spec["rg_end"])),
+                columns=["vec_id", "embedding"], use_threads=False,
+            )
+            ids = t["vec_id"].to_numpy()
+            v = _normalize(
+                np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            ).astype(np.float32)
+            g = build_hnsw(v)
+            import os as _os
+
+            pdir = _os.path.join(out, f"part_{spec['part']:04d}")
+            _os.makedirs(pdir, exist_ok=True)
+            np.savez(_os.path.join(pdir, "graph.npz"), **g.to_arrays())
+            np.save(_os.path.join(pdir, "vecs.npy"), v)
+            np.save(_os.path.join(pdir, "ids.npy"), ids.astype(np.int64))
+            out_rows.append({"part": spec["part"], "n": int(len(ids))})
+        return pa.Table.from_pylist(out_rows)
+
+    parts = (
+        rd.from_items(specs, override_num_blocks=len(specs))
+        .map_batches(build_one, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"parts": sorted(p["part"] for p in parts)}, f)
+    import os
+
+    os.replace(tmp, meta_path)
+    return out
+
+
+def _hnsw_search(sf_dir: str, query_ids: list[int], k: int = ANN_K,
+                 ef: int = HNSW_EF_SEARCH) -> pa.Table:
+    """Search every partition graph (one Ray task per partition, graph
+    mmap-loaded per task), merge per-partition top-k on the driver."""
+    import json
+    import os
+
+    import duckdb
+    import ray
+    import ray.data as rd
+
+    root = build_hnsw_index(sf_dir)
+    meta = json.load(open(os.path.join(root, "meta.json")))
+
+    con = duckdb.connect()
+    ids_sql = ",".join(str(q) for q in query_ids)
+    qrows = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id IN ({ids_sql}) ORDER BY vec_id"
+    ).fetchall()
+    qmap = {int(v): np.asarray(e, dtype=np.float64) for v, e in qrows}
+    qmat = _normalize(np.stack([qmap[q] for q in query_ids])).astype(np.float32)
+    qref = ray.put(qmat)
+
+    def search_part(batch: pa.Table) -> pa.Table:
+        from ..functions.hnsw import HNSWGraph
+
+        qm = ray.get(qref)
+        out_qi, out_v, out_s = [], [], []
+        for row in batch.to_pylist():
+            pdir = os.path.join(root, f"part_{row['part']:04d}")
+            vecs = np.load(os.path.join(pdir, "vecs.npy"), mmap_mode="r")
+            ids = np.load(os.path.join(pdir, "ids.npy"))
+            with np.load(os.path.join(pdir, "graph.npz")) as z:
+                g = HNSWGraph.from_arrays(np.asarray(vecs), dict(z))
+            for qi in range(len(qm)):
+                lids, sims = g.search(qm[qi], k, ef=ef)
+                out_qi.append(np.full(len(lids), qi, dtype=np.int64))
+                out_v.append(ids[lids])
+                out_s.append(sims)
+        if not out_qi:
+            return pa.table(
+                {"qi": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_qi)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    parts = (
+        rd.from_items([{"part": p} for p in meta["parts"]],
+                      override_num_blocks=len(meta["parts"]))
+        .map_batches(search_part, batch_size=1, batch_format="pyarrow")
+    )
+    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    nq = len(query_ids)
+    per_q_ids = [[np.empty(0, np.int64)] for _ in range(nq)]
+    per_q_sims = [[np.empty(0)] for _ in range(nq)]
+    for t in tbls:
+        qi = t["qi"].to_numpy()
+        for i in range(nq):
+            m = qi == i
+            per_q_ids[i].append(t["vec_id"].to_numpy()[m])
+            per_q_sims[i].append(t["sim"].to_numpy()[m])
+    return _topk_table(
+        query_ids,
+        [np.concatenate(per_q_ids[i]) for i in range(nq)],
+        [np.concatenate(per_q_sims[i]) for i in range(nq)],
+    )
+
+
+def q_ann_hnsw_topk(sf_dir: str) -> pa.Table:
+    """HNSW top-k (KnnVectorQuery analogue): per-partition graph search +
+    merge. Approximate (graph recall) — rows-only driver check; recall@10
+    vs brute force is pinned by tests (>= 0.9 at ef=64)."""
+    return _hnsw_search(sf_dir, HNSW_QUERY_IDS)
+
+
 def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
     """IVF with FULL probe (exact — shares the brute-force SQL oracle).
 

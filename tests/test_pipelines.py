@@ -804,3 +804,19 @@ def test_corpus_clean_composition(ray_session):
     con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
     want = con.sql(corpus.oracle_corpus_clean_sql()).df()
     assert len(want) == t.num_rows
+
+
+def test_hnsw_recall_vs_brute(ray_session):
+    """Per-partition HNSW graphs reach recall@10 >= 0.9 vs brute force at
+    ef=64 (the KnnVectorQuery analogue; Malkov-Yashunin graph)."""
+    from lucene_7_x_9_x_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.001"
+    brute = ann._brute_force(sf, ann.HNSW_QUERY_IDS).to_pandas()
+    hnsw = ann._hnsw_search(sf, ann.HNSW_QUERY_IDS).to_pandas()
+    recalls = []
+    for q in ann.HNSW_QUERY_IDS:
+        b = set(brute[brute.query_id == q].vec_id)
+        h = set(hnsw[hnsw.query_id == q].vec_id)
+        recalls.append(len(b & h) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
