@@ -136,6 +136,18 @@ class CollectionStats:
             return self.doc_count
         return self.field_doc_count.get(field, 0)
 
+    def to_tuple(self) -> tuple:
+        """Broadcastable form (ray.put / actor args) incl. field stats."""
+        return (
+            self.doc_count, self.sum_total_term_freq, self.term_df,
+            self.term_ttf, self.field_df, self.field_ttf, self.field_sttf,
+            self.field_doc_count,
+        )
+
+    @classmethod
+    def from_tuple(cls, t: tuple) -> "CollectionStats":
+        return cls(*t)
+
 
 def _in_sorted(a: np.ndarray, b_sorted: np.ndarray) -> np.ndarray:
     """Boolean mask: which elements of a occur in sorted array b."""

@@ -318,6 +318,37 @@ class ServingPool:
                     out.append((td.doc_ids.tolist(), td.scores.tolist()))
                 return out
 
+            def topk_query(self, query, k, stats_tuple):
+                """Per-shard top-k for an ARBITRARY (rewritten) query tree
+                — the query dataclasses pickle through Ray, so phrases,
+                boolean trees, field-scoped and numeric-range clauses all
+                serve from the same shard actors."""
+                import numpy as _np
+
+                from lucene_7_x_9_x_ray.functions.bm25 import BM25
+                from lucene_7_x_9_x_ray.search.scorers import (
+                    CollectionStats,
+                    eval_query,
+                )
+                from lucene_7_x_9_x_ray.search.topk import topk_from_arrays
+
+                stats = CollectionStats.from_tuple(stats_tuple)
+                bm25 = BM25()
+                out = []
+                for r in self.readers:
+                    d, s = eval_query(r, query, stats, bm25)
+                    gdocs = d + r.doc_base
+                    if len(self.tombstones):
+                        idx = _np.minimum(
+                            _np.searchsorted(self.tombstones, gdocs),
+                            len(self.tombstones) - 1,
+                        )
+                        live = self.tombstones[idx] != gdocs
+                        gdocs, s = gdocs[live], s[live]
+                    td = topk_from_arrays(gdocs, s, k)
+                    out.append((td.doc_ids.tolist(), td.scores.tolist()))
+                return out
+
         self._actors = [
             _Shard.remote(index_dir, names) for names in shard_segs
         ]
@@ -346,6 +377,33 @@ class ServingPool:
                 stats, self._searcher.bm25,
             )
         futs = [a.topk.remote(terms, k, st, floor) for a in self._actors]
+        return self._reduce(futs, k)
+
+    def search_query(self, query, k: int = 10):
+        """Global top-k for an arbitrary query — a string (classic parser)
+        or any Query tree: phrases, field-scoped clauses, numeric ranges,
+        multi-term rewrites. createWeight runs on the driver (parse,
+        dictionary rewrite, global stats); shards evaluate leaves."""
+        import ray
+
+        from ..search import queries as Q
+
+        if isinstance(query, str):
+            query = Q.parse_classic(query, self._searcher.analyzer)
+        if Q.needs_rewrite(query):
+            query = Q.rewrite(query, self._searcher.term_dict_union())
+        stats = self._searcher.collection_stats(Q.collect_field_terms(query))
+        futs = [
+            a.topk_query.remote(query, k, stats.to_tuple()) for a in self._actors
+        ]
+        return self._reduce(futs, k)
+
+    def _reduce(self, futs, k: int):
+        import numpy as np
+        import ray
+
+        from ..search.topk import TopDocs, merge_topk
+
         parts = []
         for res in ray.get(futs):
             for docs, scores in res:

@@ -820,3 +820,50 @@ def test_hnsw_recall_vs_brute(ray_session):
         h = set(hnsw[hnsw.query_id == q].vec_id)
         recalls.append(len(b & h) / len(b))
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_serving_pool_arbitrary_queries(ray_session, tmp_path):
+    """ServingPool.search_query serves phrases, field-scoped clauses,
+    parsed strings, and numeric ranges — identical to the driver-side
+    searcher on every probe."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import EPOCH_2025, generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, FieldSpec, build_index
+    from lucene_7_x_9_x_ray.stages.serve import ServingPool
+
+    pages = generate_pages(500, vocab_size=80, mean_tokens=25, seed=91, dup_url_frac=0)
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "i")
+    build_index(
+        [path], idx,
+        BuildConfig(
+            target_docs_per_segment=100,
+            extra_fields=(FieldSpec("title", "title", index_positions=True),),
+        ),
+    )
+    s = IndexSearcher(idx)
+    pool = ServingPool(idx, n_shards=3)
+    probes = [
+        Q.PhraseQuery(terms=("t00000", "t00001")),
+        Q.BooleanQuery.build(
+            [(Q.MUST, Q.TermQuery("t00002")), (Q.MUST_NOT, Q.TermQuery("t00000"))]
+        ),
+        Q.TermQuery("t00001", field="title"),
+        'title:t00003^2 t00003',
+        Q.BooleanQuery.build(
+            [(Q.SHOULD, Q.TermQuery("t00004")),
+             (Q.FILTER, Q.NumericRangeQuery("warc_ts", EPOCH_2025,
+                                            EPOCH_2025 + 250 * 1_000_000))]
+        ),
+        Q.PrefixQuery("t0000"),
+    ]
+    from lucene_7_x_9_x_ray.search.queries import parse_classic
+
+    for q in probes:
+        qq = parse_classic(q, s.analyzer) if isinstance(q, str) else q
+        td_ref = s.search(qq, k=40, total_hits_threshold=1 << 30)
+        td_pool = pool.search_query(q, k=40)
+        assert list(td_ref.doc_ids) == list(td_pool.doc_ids), q
+        assert np.array_equal(td_ref.scores, td_pool.scores), q
