@@ -415,12 +415,18 @@ def _reclaim_field(view, keep: np.ndarray, remap: np.ndarray, tmp: str, prefix: 
 
 
 def reclaim_segment(index_dir: str, seg_name: str, new_name: str,
-                    new_doc_base: int, deleted_global: np.ndarray) -> dict:
+                    new_doc_base: int, deleted_global: np.ndarray,
+                    retention_query=None) -> dict:
     """Rewrite one segment without its tombstoned docs, at a new doc_base.
 
     The docID-renumbering half of a reclaiming merge
     (index/TieredMergePolicy.java:99-106 deletesPct): local ids compact to
-    the kept rows, global ids re-derive from the new prefix sums."""
+    the kept rows, global ids re-derive from the new prefix sums.
+
+    ``retention_query`` (SoftDeletesRetentionMergePolicy.java:47 analogue):
+    tombstoned docs MATCHING it are physically RETAINED (still hidden from
+    search — their renumbered ids come back under "retained" in the result
+    and stay tombstoned); only non-matching deletes are reclaimed."""
     import hashlib
     import uuid
 
@@ -430,9 +436,22 @@ def reclaim_segment(index_dir: str, seg_name: str, new_name: str,
     local_del = (
         deleted_global[(deleted_global >= lo) & (deleted_global < hi)] - r.doc_base
     )
-    keep = np.setdiff1d(np.arange(r.doc_count, dtype=np.int64), local_del)
+    retained_local = np.empty(0, dtype=np.int64)
+    if retention_query is not None and len(local_del):
+        from ..functions.bm25 import BM25
+        from ..search.scorers import CollectionStats, eval_query
+
+        matches, _ = eval_query(
+            r, retention_query, CollectionStats(r.doc_count, 1, {}, {}), BM25()
+        )
+        retained_local = np.intersect1d(local_del, matches, assume_unique=False)
+    keep = np.setdiff1d(
+        np.arange(r.doc_count, dtype=np.int64),
+        np.setdiff1d(local_del, retained_local),
+    )
     remap = np.full(r.doc_count, -1, dtype=np.int64)
     remap[keep] = np.arange(len(keep), dtype=np.int64)
+    retained_new = (remap[retained_local] + new_doc_base).tolist()
 
     tmp = os.path.join(seg_root, f".{new_name}.tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
@@ -471,10 +490,70 @@ def reclaim_segment(index_dir: str, seg_name: str, new_name: str,
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)
         os.rename(tmp, out_dir)
-        return st.to_dict()
+        d = st.to_dict()
+        d["retained"] = retained_new
+        return d
     finally:
         if os.path.exists(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _retained_counts(index_dir: str, segs: list[dict], deleted: np.ndarray,
+                     retention_query, use_ray: bool) -> dict[str, int]:
+    """Per-segment count of tombstoned docs the retention query keeps —
+    the pre-pass that fixes the renumbering prefix sums (one cheap Ray map
+    over segments; no rewrite)."""
+    def count_one(seg_name: str) -> int:
+        from ..functions.bm25 import BM25
+        from ..search.scorers import CollectionStats, eval_query
+
+        r = SegmentReader(os.path.join(index_dir, "segments", seg_name))
+        lo, hi = r.doc_base, r.doc_base + r.doc_count
+        local_del = deleted[(deleted >= lo) & (deleted < hi)] - r.doc_base
+        if len(local_del) == 0:
+            return 0
+        matches, _ = eval_query(
+            r, retention_query, CollectionStats(r.doc_count, 1, {}, {}), BM25()
+        )
+        return int(len(np.intersect1d(local_del, matches)))
+
+    if not use_ray:
+        return {s["seg_name"]: count_one(s["seg_name"]) for s in segs}
+    import ray
+    import ray.data as rd
+
+    del_ref = ray.put(deleted)
+    q_ref = ray.put(retention_query)
+
+    def run(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        dels = _ray.get(del_ref)
+        rq = _ray.get(q_ref)
+        out = []
+        for row in batch.to_pylist():
+            from ..functions.bm25 import BM25
+            from ..search.scorers import CollectionStats, eval_query
+
+            r = SegmentReader(os.path.join(index_dir, "segments", row["seg_name"]))
+            lo, hi = r.doc_base, r.doc_base + r.doc_count
+            local_del = dels[(dels >= lo) & (dels < hi)] - r.doc_base
+            n = 0
+            if len(local_del):
+                matches, _ = eval_query(
+                    r, rq, CollectionStats(r.doc_count, 1, {}, {}), BM25()
+                )
+                n = int(len(np.intersect1d(local_del, matches)))
+            out.append({"seg_name": row["seg_name"], "n": n})
+        return pa.Table.from_pylist(out)
+
+    rows = (
+        rd.from_items([{"seg_name": s["seg_name"]} for s in segs],
+                      override_num_blocks=len(segs))
+        .map_batches(run, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    return {r["seg_name"]: int(r["n"]) for r in rows}
 
 
 def reclaim_deletes(
@@ -482,16 +561,23 @@ def reclaim_deletes(
     deletes_pct_threshold: float = RECLAIM_DELETES_PCT,
     use_ray: bool = True,
     force: bool = False,
+    retention_query=None,
 ) -> IndexManifest:
     """deletesPct-triggered reclaiming merge: rewrite every segment without
     its tombstoned docs and renumber the global docID space.
 
     No-op below the threshold (deleted/doc_count <= deletes_pct_threshold,
     TieredMergePolicy deletesPct spirit) unless ``force``. Afterwards the
-    tombstone file is cleared, collection statistics reflect only live
-    docs, and any term-sharded merged index (now stale by fingerprint) is
-    dropped. Each segment rewrites in its own Ray task; the manifest is
-    the single commit point (old segments remain until it flips).
+    tombstone file holds only RETAINED soft deletes (empty without a
+    retention query), collection statistics reflect the kept rows, and any
+    term-sharded merged index (now stale by fingerprint) is dropped. Each
+    segment rewrites in its own Ray task; the manifest is the single
+    commit point (old segments remain until it flips).
+
+    ``retention_query`` = the SoftDeletesRetentionMergePolicy.java:47
+    analogue: tombstoned docs matching it survive the rewrite physically
+    but STAY tombstoned (hidden) under their renumbered ids — deletes age
+    out only once the retention query stops matching them.
     """
     from ..state.livedocs import TOMBSTONES_FILE, load_tombstones
 
@@ -503,8 +589,14 @@ def reclaim_deletes(
         return manifest
 
     segs = sorted(manifest.segments, key=lambda s: s["doc_base"])
+    retained_counts = (
+        _retained_counts(index_dir, segs, deleted, retention_query, use_ray)
+        if retention_query is not None
+        else {}
+    )
     # new doc_base prefix sums from per-segment kept counts (driver-side,
-    # tiny: one searchsorted per segment over the sorted tombstones)
+    # tiny: one searchsorted per segment over the sorted tombstones, plus
+    # the retained counts from the pre-pass)
     jobs = []
     new_base = 0
     gen = sum(1 for s in segs if s["seg_name"].endswith("_rc")) + 1
@@ -516,7 +608,7 @@ def reclaim_deletes(
             {"seg_name": s["seg_name"], "new_name": f"{base}_rc{gen}",
              "new_doc_base": new_base}
         )
-        new_base += s["doc_count"] - n_del
+        new_base += s["doc_count"] - n_del + retained_counts.get(s["seg_name"], 0)
 
     if use_ray:
         import ray
@@ -524,17 +616,21 @@ def reclaim_deletes(
 
         del_ref = ray.put(deleted)
 
+        rq_ref = ray.put(retention_query)
+
         def run(batch: pa.Table) -> pa.Table:
             import json as _json
 
             dels = ray.get(del_ref)
+            rq = ray.get(rq_ref)
             out = []
             for row in batch.to_pylist():
                 d = reclaim_segment(
                     index_dir, row["seg_name"], row["new_name"],
-                    row["new_doc_base"], dels,
+                    row["new_doc_base"], dels, retention_query=rq,
                 )
                 d["field_stats"] = _json.dumps(d.get("field_stats") or {})
+                d["retained"] = _json.dumps(d.get("retained") or [])
                 out.append(d)
             return pa.Table.from_pylist(out)
 
@@ -548,14 +644,17 @@ def reclaim_deletes(
         for r in new_stats:
             if isinstance(r.get("field_stats"), str):
                 r["field_stats"] = _json.loads(r["field_stats"])
+            if isinstance(r.get("retained"), str):
+                r["retained"] = _json.loads(r["retained"])
     else:
         new_stats = [
             reclaim_segment(index_dir, j["seg_name"], j["new_name"],
-                            j["new_doc_base"], deleted)
+                            j["new_doc_base"], deleted, retention_query=retention_query)
             for j in jobs
         ]
 
     new_stats.sort(key=lambda s: s["doc_base"])
+    retained_all = sorted(int(x) for st in new_stats for x in st.pop("retained", []))
     manifest.segments = new_stats
     manifest.doc_count = sum(s["doc_count"] for s in new_stats)
     manifest.sum_total_term_freq = sum(s["sum_total_term_freq"] for s in new_stats)
@@ -568,10 +667,13 @@ def reclaim_deletes(
     manifest.field_stats = agg
     manifest.merged = False
     manifest.save()
-    # only after the manifest commit: clear tombstones, drop old segments
-    # and the now-stale merged index
+    # only after the manifest commit: rewrite tombstones (retained soft
+    # deletes under their NEW ids; empty without retention), drop old
+    # segments and the now-stale merged index
     tpath = os.path.join(index_dir, TOMBSTONES_FILE)
-    if os.path.exists(tpath):
+    if retained_all:
+        atomic_write_json(tpath, {"deleted": retained_all})
+    elif os.path.exists(tpath):
         os.unlink(tpath)
     for j in jobs:
         if j["seg_name"] != j["new_name"]:

@@ -867,3 +867,51 @@ def test_serving_pool_arbitrary_queries(ray_session, tmp_path):
         td_pool = pool.search_query(q, k=40)
         assert list(td_ref.doc_ids) == list(td_pool.doc_ids), q
         assert np.array_equal(td_ref.scores, td_pool.scores), q
+
+
+def test_reclaim_with_soft_delete_retention(ray_session, tmp_path):
+    """SoftDeletesRetentionMergePolicy analogue: tombstoned docs matching
+    the retention query survive the reclaim physically but stay hidden;
+    they age out on a later reclaim without retention."""
+    import os
+
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import EPOCH_2025, generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.compact import reclaim_deletes
+    from lucene_7_x_9_x_ray.state.livedocs import delete_docs, load_tombstones
+
+    pages = generate_pages(400, vocab_size=50, mean_tokens=20, seed=71, dup_url_frac=0)
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "i")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=100))
+
+    dead = sorted(set(range(0, 400, 3)) | set(range(100, 160)))  # ~45%
+    delete_docs(idx, dead)
+    # retain deletes with warc_ts >= doc 150 (ts = EPOCH + id*1e6)
+    cutoff = EPOCH_2025 + 150 * 1_000_000
+    retention = Q.NumericRangeQuery("warc_ts", lower=cutoff)
+    n_retained = sum(1 for d in dead if d >= 150)
+
+    m = reclaim_deletes(idx, retention_query=retention)
+    assert m.doc_count == 400 - (len(dead) - n_retained)
+    tombs = load_tombstones(idx)
+    assert len(tombs) == n_retained  # retained soft deletes, renumbered
+
+    s = IndexSearcher(idx)
+    # hidden from every search path
+    td = s.search(Q.TermQuery("t00000"), k=400, total_hits_threshold=1 << 30)
+    urls = {r["url"] for r in s.lookup_docs([int(d) for d in td.doc_ids])}
+    dead_urls = {f"https://site{d % 211}.example/p/{d}" for d in dead}
+    assert not (urls & dead_urls)
+    # but physically present: retained rows still resolve via docmap
+    ret_rows = s.lookup_docs([int(t) for t in tombs[:5]])
+    assert all(int(r["url"].rsplit("/", 1)[1]) >= 150 for r in ret_rows)
+
+    # aging out: a later reclaim WITHOUT retention drops the remainder
+    m2 = reclaim_deletes(idx, force=True)
+    assert m2.doc_count == 400 - len(dead)
+    assert len(load_tombstones(idx)) == 0
+    assert not os.path.exists(os.path.join(idx, "tombstones.json"))
