@@ -72,16 +72,32 @@ class SegmentedNorms:
             self._maps[i] = m
         return m
 
+    # below this corpus size, materialize one dense array on first use —
+    # the exact cost of the old single norms file (64 MB), without any
+    # driver write step; above it, per-segment gathers keep memory bounded
+    _DENSE_MAX = 1 << 26
+    _dense: np.ndarray | None = None
+
     def __getitem__(self, idx):
+        if self._total <= self._DENSE_MAX:
+            if self._dense is None:
+                self._dense = np.concatenate(
+                    [np.asarray(self._seg(i)) for i in range(len(self._dirs))]
+                ) if self._dirs else np.empty(0, dtype=np.uint8)
+            return self._dense[idx]
         if isinstance(idx, (int, np.integer)):
             si = int(np.searchsorted(self._bases, idx, side="right")) - 1
             return self._seg(si)[int(idx) - int(self._bases[si])]
         idx = np.asarray(idx, dtype=np.int64)
         out = np.empty(len(idx), dtype=np.uint8)
-        si = np.searchsorted(self._bases, idx, side="right") - 1
-        for s in np.unique(si):
-            m = si == s
-            out[m] = self._seg(int(s))[idx[m] - int(self._bases[s])]
+        # posting doc arrays arrive sorted: one boundary cut per segment,
+        # contiguous slices instead of per-element searchsorted + masks
+        cuts = np.searchsorted(idx, self._bases)
+        ends = np.append(cuts[1:], len(idx))
+        for s in range(len(self._dirs)):
+            a, b = int(cuts[s]), int(ends[s])
+            if a < b:
+                out[a:b] = self._seg(s)[idx[a:b] - int(self._bases[s])]
         return out
 
 
