@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_ts_filtered": flagship.q_bm25_ts_filtered,  # numeric-range FILTER clause
         "field_topk": flagship.q_field_topk,  # multi-field (title vs body)
         "parsed_topk": flagship.q_parsed_topk,  # classic query-parser strings
+        "function_topk": flagship.q_function_topk,  # FunctionScoreQuery (log1p dl boost)
         "facet_lang": flagship.q_facet_lang,
         "grouped_topk": flagship.q_grouped_topk,
         # --- training-data text ops ---
@@ -111,6 +112,9 @@ def oracle_sql() -> dict[str, str]:
             flagship.TS_FILTER_K,
         ),
         "field_topk": O.field_topk_sql(flagship.FIELD_TOPK_SPECS),
+        "function_topk": O.function_topk_sql(
+            list(flagship.FUNCTION_TOPK_TERMS), flagship.FUNCTION_TOPK_K
+        ),
         "parsed_topk": O.field_topk_sql(
             [(qid, kind, cls, k) for qid, _s, kind, cls, k in flagship.PARSED_TOPK_SPECS]
         ),

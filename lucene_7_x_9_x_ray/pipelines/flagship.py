@@ -391,6 +391,33 @@ TS_FILTER_WHERE_SQL = (
 )
 
 
+FUNCTION_TOPK_TERMS = ("key", "table")
+FUNCTION_TOPK_K = 10
+
+
+def q_function_topk(sf_dir: str) -> pa.Table:
+    """FunctionScoreQuery (FunctionScoreQuery.java:47 analogue): BM25
+    disjunction boosted by log1p(doc length) from the doc-values column:
+    (rank, doc_id, score_r). Uses the SEGMENT searcher (doc-values live on
+    segment docmaps; the merged reader serves them identically)."""
+    merged, _ = get_searchers(sf_dir)
+    inner = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery(t)) for t in FUNCTION_TOPK_TERMS]
+    )
+    query = Q.FunctionScoreQuery(inner, source_col="length", function="log1p",
+                                 combine="multiply")
+    td = merged.search(query, k=FUNCTION_TOPK_K)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(td.doc_ids) + 1), pa.int64()),
+            "doc_id": pa.array([int(d) for d in td.doc_ids], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in td.scores], pa.float64()
+            ),
+        }
+    )
+
+
 SCORING_VARIANT_TERMS = ("key", "hash")
 SCORING_VARIANTS_K = 10
 

@@ -244,6 +244,24 @@ FROM scf ORDER BY score DESC, doc_id LIMIT {k}"""
     )
 
 
+def function_topk_sql(terms: list[str], k: int, relation: str = "documents") -> str:
+    """FunctionScoreQuery oracle: BM25 disjunction re-scored by
+    log1p(doc length) — score = float32(double(bm25) * ln(1 + dl)),
+    matching the engine's float64-multiply-then-float32-cast order."""
+    ctes = [base_ctes(relation)]
+    ctes += [term_leaf_ctes(t) for t in sorted(set(terms))]
+    ctes += [disjunction_scored_cte("f", terms)]
+    return (
+        "WITH " + ",".join(ctes) + f"""
+SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(CAST(fscore AS DOUBLE), 4) AS score_r
+FROM (SELECT s.doc_id,
+             CAST(CAST(s.score AS DOUBLE) * ln(1 + dl.dl) AS FLOAT) AS fscore
+      FROM scored_f s JOIN dl USING (doc_id))
+ORDER BY fscore DESC, doc_id LIMIT {k}"""
+    )
+
+
 def term_stats_sql(relation: str = "documents") -> str:
     """Full term dictionary: (term, doc_freq, total_term_freq)."""
     return f"""WITH {base_ctes(relation)}

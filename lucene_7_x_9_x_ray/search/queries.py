@@ -119,6 +119,22 @@ class NumericRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class FunctionScoreQuery(Query):
+    """Re-score a query from a per-doc VALUE source (s84 queries/.../
+    function/FunctionScoreQuery.java:47 — DoubleValuesSource semantics):
+    combine="replace" makes the value the score (the class's base
+    behavior); "multiply" is the boostByValue composition. ``function``
+    maps the raw doc-values column ("identity" | "log1p"); arithmetic is
+    float64 with one final float32 cast (SQL-oracle-matched)."""
+
+    query: Query
+    source_col: str
+    function: str = "log1p"
+    combine: str = "multiply"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: tuple[str, ...]
     boost: float = 1.0
@@ -281,7 +297,7 @@ def rewrite(query: Query, term_dict: np.ndarray) -> Query:
             ),
             min_should_match=query.min_should_match,
         )
-    if isinstance(query, (BoostQuery, ConstantScoreQuery)):
+    if isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery)):
         return type(query)(**{**query.__dict__, "query": rewrite(query.query, term_dict)})
     if isinstance(query, DisjunctionMaxQuery):
         return DisjunctionMaxQuery(
@@ -304,7 +320,7 @@ def needs_rewrite(query: Query) -> bool:
         return True
     if isinstance(query, BooleanQuery):
         return any(needs_rewrite(c.query) for c in query.clauses)
-    if isinstance(query, (BoostQuery, ConstantScoreQuery)):
+    if isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery)):
         return needs_rewrite(query.query)
     if isinstance(query, DisjunctionMaxQuery):
         return any(needs_rewrite(q) for q in query.queries)
@@ -323,7 +339,7 @@ def collect_terms(query: Query) -> set[str]:
     elif isinstance(query, BooleanQuery):
         for c in query.clauses:
             out |= collect_terms(c.query)
-    elif isinstance(query, (BoostQuery, ConstantScoreQuery)):
+    elif isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery)):
         out |= collect_terms(query.query)
     elif isinstance(query, DisjunctionMaxQuery):
         for q in query.queries:
@@ -343,7 +359,7 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
     elif isinstance(query, BooleanQuery):
         for c in query.clauses:
             out |= collect_field_terms(c.query)
-    elif isinstance(query, (BoostQuery, ConstantScoreQuery)):
+    elif isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery)):
         out |= collect_field_terms(query.query)
     elif isinstance(query, DisjunctionMaxQuery):
         for q in query.queries:

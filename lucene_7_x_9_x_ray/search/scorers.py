@@ -229,6 +229,25 @@ def eval_query(
         docs = np.flatnonzero(mask).astype(np.int64)
         return docs, np.zeros(len(docs), dtype=np.float32)
 
+    if isinstance(query, Q.FunctionScoreQuery):
+        docs, base = eval_query(reader, query.query, stats, bm25)
+        if len(docs) == 0:
+            return docs, base
+        vals = np.asarray(reader.doc_values(query.source_col)[docs], dtype=np.float64)
+        if query.function == "log1p":
+            vals = np.log1p(vals)
+        elif query.function != "identity":
+            raise ValueError(f"unknown score function {query.function!r}")
+        if query.combine == "multiply":
+            out = base.astype(np.float64) * vals
+        elif query.combine == "replace":
+            out = vals
+        else:
+            raise ValueError(f"unknown combine {query.combine!r}")
+        if query.boost != 1.0:
+            out = out * np.float64(query.boost)
+        return docs, out.astype(np.float32)
+
     if isinstance(query, Q.BoostQuery):
         # BoostQuery multiplies the sub-score (BoostQuery.java:130)
         docs, scores = eval_query(reader, query.query, stats, bm25)

@@ -401,3 +401,45 @@ def test_numeric_range_query_clause(tmp_path):
         # open-ended range
         ge = Q.NumericRangeQuery("warc_ts", lower=hi)
         assert s.count(Q.BooleanQuery.build([(Q.FILTER, ge)])) == 400 - 149
+
+
+def test_function_score_query(tmp_path):
+    """FunctionScoreQuery: replace/multiply combines over a doc-values
+    source, float64-then-float32 discipline."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+    texts = ["a a a", "a b", "a b c d e f", "b c"]
+    t = pa_.table(
+        {
+            "url": [f"u{i}" for i in range(4)],
+            "warc_ts": pa_.array(range(4), pa_.timestamp("us")),
+            "text": texts,
+            "lang": ["en"] * 4,
+        }
+    )
+    path = str(tmp_path / "p.parquet")
+    pq_.write_table(t, path)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx, BuildConfig())
+    s = IndexSearcher(idx)
+
+    # replace: score == log1p(length) for every match of "a"
+    q = Q.FunctionScoreQuery(Q.TermQuery("a"), source_col="length",
+                             function="log1p", combine="replace")
+    td = s.search(q, k=10, total_hits_threshold=1 << 30)
+    lens = {0: 3, 1: 2, 2: 6}
+    for d, sc in zip(td.doc_ids, td.scores):
+        assert sc == np.float32(np.log1p(np.float64(lens[int(d)])))
+    # multiply: base * identity(value)
+    base = s.search(Q.TermQuery("a"), k=10, total_hits_threshold=1 << 30)
+    base_map = {int(d): float(sc) for d, sc in zip(base.doc_ids, base.scores)}
+    q2 = Q.FunctionScoreQuery(Q.TermQuery("a"), source_col="length",
+                              function="identity", combine="multiply")
+    td2 = s.search(q2, k=10, total_hits_threshold=1 << 30)
+    for d, sc in zip(td2.doc_ids, td2.scores):
+        assert sc == np.float32(np.float64(base_map[int(d)]) * lens[int(d)])
