@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_topk": flagship.q_field_topk,  # multi-field (title vs body)
         "parsed_topk": flagship.q_parsed_topk,  # classic query-parser strings
         "function_topk": flagship.q_function_topk,  # FunctionScoreQuery (log1p dl boost)
+        "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
         "grouped_topk": flagship.q_grouped_topk,
         # --- training-data text ops ---
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
             flagship.TS_FILTER_K,
         ),
         "field_topk": O.field_topk_sql(flagship.FIELD_TOPK_SPECS),
+        "mlt_topk": O.mlt_topk_sql(flagship.MLT_SRC_DOC, flagship.MLT_K),
         "function_topk": O.function_topk_sql(
             list(flagship.FUNCTION_TOPK_TERMS), flagship.FUNCTION_TOPK_K
         ),

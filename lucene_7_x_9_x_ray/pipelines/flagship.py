@@ -391,6 +391,36 @@ TS_FILTER_WHERE_SQL = (
 )
 
 
+MLT_SRC_DOC = 7
+MLT_K = 10
+
+
+def q_mlt_topk(sf_dir: str) -> pa.Table:
+    """MoreLikeThis (query-by-document): interesting terms of doc 7's text
+    (tf x idf ranking, MLT defaults) -> SHOULD disjunction -> BM25 top-k:
+    (rank, doc_id, score_r). The liked doc itself ranks (MLT like(text)
+    semantics; callers typically drop it)."""
+    import duckdb
+
+    from ..search.mlt import mlt_query
+
+    merged, _ = get_searchers(sf_dir)
+    like_text = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet' WHERE doc_id = {MLT_SRC_DOC}"
+    ).fetchone()[0]
+    query = mlt_query(merged, like_text)
+    td = merged.search(query, k=MLT_K)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(td.doc_ids) + 1), pa.int64()),
+            "doc_id": pa.array([int(d) for d in td.doc_ids], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in td.scores], pa.float64()
+            ),
+        }
+    )
+
+
 FUNCTION_TOPK_TERMS = ("key", "table")
 FUNCTION_TOPK_K = 10
 

@@ -262,6 +262,46 @@ ORDER BY fscore DESC, doc_id LIMIT {k}"""
     )
 
 
+def mlt_topk_sql(
+    src_doc_id: int, k: int, min_tf: int = 2, min_df: int = 5,
+    max_terms: int = 25, relation: str = "documents",
+) -> str:
+    """MoreLikeThis oracle, fully in SQL: interesting-term selection
+    (tf x (1 + ln(n/(df+1))), filters, top max_terms by score then term)
+    followed by GENERIC float32 BM25 leaf scoring of the selected terms
+    and the disjunction double-sum — no per-term CTEs, so the selection
+    stays dynamic like the engine's."""
+    ninv = (
+        f"({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})"
+        f" + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))"
+    )
+    return f"""WITH {base_ctes(relation)},
+qtf AS (SELECT x AS term, count(*) AS tf
+        FROM (SELECT unnest(string_split(
+                 (SELECT text FROM {relation} WHERE doc_id = {src_doc_id}), ' ')) AS x)
+        GROUP BY x HAVING count(*) >= {min_tf}),
+qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        WHERE term IN (SELECT term FROM qtf) GROUP BY term),
+sel AS (SELECT q.term, d.df,
+               q.tf * (1 + ln((SELECT n_docs FROM cs) / (d.df + 1.0))) AS mscore
+        FROM qtf q JOIN qdf d USING (term)
+        WHERE d.df >= {min_df}
+        ORDER BY mscore DESC, q.term LIMIT {max_terms}),
+w AS (SELECT term,
+             CAST(ln(1 + ((SELECT n_docs FROM cs) - df + 0.5) / (df + 0.5)) AS FLOAT) AS w
+      FROM sel),
+leaf AS (SELECT tk.doc_id,
+                w.w - w.w / ({ONE_F} + CAST(tk.freq AS FLOAT) * {ninv}) AS s
+         FROM (SELECT doc_id, term, count(*) AS freq FROM tok
+               WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term) tk
+         JOIN w USING (term) JOIN normlen nl USING (doc_id)),
+scored AS (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+           FROM leaf GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def term_stats_sql(relation: str = "documents") -> str:
     """Full term dictionary: (term, doc_freq, total_term_freq)."""
     return f"""WITH {base_ctes(relation)}

@@ -443,3 +443,46 @@ def test_function_score_query(tmp_path):
     td2 = s.search(q2, k=10, total_hits_threshold=1 << 30)
     for d, sc in zip(td2.doc_ids, td2.scores):
         assert sc == np.float32(np.float64(base_map[int(d)]) * lens[int(d)])
+
+
+def test_more_like_this_selection(tmp_path):
+    """MLT term selection: minTermFreq/minDocFreq filters, tf*idf ranking,
+    maxQueryTerms cap, boost=score/best mode."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from lucene_7_x_9_x_ray.search.mlt import mlt_query
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+    # corpus: "rare" df=5 (passes minDocFreq), "common" everywhere,
+    # "single" df=1 (filtered), "once" tf=1 in the like text (filtered)
+    texts = (["rare common x"] * 5) + (["common y"] * 15)
+    t = pa_.table(
+        {
+            "url": [f"u{i}" for i in range(len(texts))],
+            "warc_ts": pa_.array(range(len(texts)), pa_.timestamp("us")),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+        }
+    )
+    path = str(tmp_path / "p.parquet")
+    pq_.write_table(t, path)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx, BuildConfig())
+    s = IndexSearcher(idx)
+
+    like = "rare rare common common once"
+    q = mlt_query(s, like)
+    terms = [c.query.term for c in q.clauses]
+    assert set(terms) == {"rare", "common"}  # "once" tf=1 filtered
+    # rare has higher tf*idf -> first; boost mode normalizes by best
+    qb = mlt_query(s, like, boost=True)
+    boosts = {c.query.term: c.query.boost for c in qb.clauses}
+    assert boosts["rare"] == 1.0 and 0 < boosts["common"] < 1.0
+    # minDocFreq filters singletons
+    q2 = mlt_query(s, "single single common common")
+    assert [c.query.term for c in q2.clauses] == ["common"]
+    # maxQueryTerms caps
+    q3 = mlt_query(s, like, max_query_terms=1)
+    assert len(q3.clauses) == 1 and q3.clauses[0].query.term == "rare"
