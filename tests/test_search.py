@@ -486,3 +486,28 @@ def test_more_like_this_selection(tmp_path):
     # maxQueryTerms caps
     q3 = mlt_query(s, like, max_query_terms=1)
     assert len(q3.clauses) == 1 and q3.clauses[0].query.term == "rare"
+
+
+def test_memory_index_percolation():
+    """MemoryIndex: one in-RAM doc, every query type runs against it —
+    the percolator primitive (MemoryIndex.java:177 role)."""
+    from lucene_7_x_9_x_ray.state.memindex import MemoryIndex
+
+    mi = MemoryIndex("the quick brown fox jumps over the lazy dog")
+    assert mi.match(Q.TermQuery("fox")) is not None
+    assert mi.match(Q.TermQuery("cat")) is None
+    assert mi.match(Q.PhraseQuery(terms=("quick", "brown", "fox"))) is not None
+    assert mi.match(Q.PhraseQuery(terms=("brown", "quick"))) is None
+    assert mi.match(Q.PhraseQuery(terms=("quick", "fox"), slop=1)) is not None
+    assert mi.match('"lazy dog" AND quick') is not None
+    assert mi.match("+fox -dog") is None
+    assert mi.match(Q.PrefixQuery("jum")) is not None
+    # score sanity: tf=2 term scores higher than tf=1 at same df
+    s_the = mi.match(Q.TermQuery("the"))
+    s_fox = mi.match(Q.TermQuery("fox"))
+    assert s_the > s_fox > 0
+    # extra fields
+    mi2 = MemoryIndex("body words here").add_field("title", "breaking news")
+    assert mi2.match(Q.TermQuery("breaking", field="title")) is not None
+    assert mi2.match(Q.TermQuery("words", field="title")) is None
+    assert mi2.match(Q.PhraseQuery(terms=("breaking", "news"), field="title")) is not None
