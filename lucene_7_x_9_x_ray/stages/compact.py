@@ -597,13 +597,22 @@ def reclaim_deletes(
     # new doc_base prefix sums from per-segment kept counts (driver-side,
     # tiny: one searchsorted per segment over the sorted tombstones, plus
     # the retained counts from the pre-pass)
+    import re as _re
+
     jobs = []
     new_base = 0
-    gen = sum(1 for s in segs if s["seg_name"].endswith("_rc")) + 1
+    # monotonic reclaim generation: never reuse a live segment dir name
+    # (rewriting in place would lean on unlink-with-open-mmap semantics)
+    gens = [
+        int(m.group(1))
+        for seg in segs
+        if (m := _re.search(r"_rc(\d+)$", seg["seg_name"]))
+    ]
+    gen = max(gens, default=0) + 1
     for s in segs:
         lo, hi = s["doc_base"], s["doc_base"] + s["doc_count"]
         n_del = int(np.searchsorted(deleted, hi) - np.searchsorted(deleted, lo))
-        base = s["seg_name"].split("_rc")[0]
+        base = _re.sub(r"(_rc\d+)+$", "", s["seg_name"])
         jobs.append(
             {"seg_name": s["seg_name"], "new_name": f"{base}_rc{gen}",
              "new_doc_base": new_base}

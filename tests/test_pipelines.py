@@ -915,3 +915,33 @@ def test_reclaim_with_soft_delete_retention(ray_session, tmp_path):
     assert m2.doc_count == 400 - len(dead)
     assert len(load_tombstones(idx)) == 0
     assert not os.path.exists(os.path.join(idx, "tombstones.json"))
+
+
+def test_reclaim_generations_are_monotonic(ray_session, tmp_path):
+    """Successive reclaims write NEW segment dir names (never rewrite a
+    live dir in place)."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.compact import reclaim_deletes
+    from lucene_7_x_9_x_ray.state.livedocs import delete_docs
+
+    pages = generate_pages(200, vocab_size=40, mean_tokens=15, seed=77, dup_url_frac=0)
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "i")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=100))
+
+    delete_docs(idx, list(range(0, 200, 2)))
+    m1 = reclaim_deletes(idx, force=True)
+    names1 = [s["seg_name"] for s in m1.segments]
+    assert all(n.endswith("_rc1") for n in names1)
+
+    delete_docs(idx, list(range(0, m1.doc_count, 3)))
+    m2 = reclaim_deletes(idx, force=True)
+    names2 = [s["seg_name"] for s in m2.segments]
+    assert all(n.endswith("_rc2") for n in names2)
+    assert not (set(names1) & set(names2))
+    s = IndexSearcher(idx)
+    assert s.count(Q.MatchAllDocsQuery()) == m2.doc_count
