@@ -26,7 +26,7 @@ CONSTANT_SCORE_REWRITE default), so scorers only ever see primitives.
 from __future__ import annotations
 
 import re as _re
-from dataclasses import dataclass, field as _field
+from dataclasses import dataclass
 
 import numpy as np
 

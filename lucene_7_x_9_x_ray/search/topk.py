@@ -14,7 +14,7 @@ TopScoreDocCollector.java:51-102 and IndexSearcher.java:105,440:
 from __future__ import annotations
 
 import heapq
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -34,7 +34,6 @@ segment-set fingerprint; re-running skips completed shards.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import shutil
 import uuid

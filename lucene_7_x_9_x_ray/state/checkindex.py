@@ -26,7 +26,6 @@ from __future__ import annotations
 import os
 import sys
 
-import numpy as np
 
 from .manifest import IndexManifest
 from .segment import SegmentReader
