@@ -433,50 +433,11 @@ def _block_offsets(counts: np.ndarray, widths: np.ndarray) -> np.ndarray:
 def _unpack_all(
     blob, widths: np.ndarray, counts: np.ndarray, offsets: np.ndarray
 ) -> np.ndarray:
-    """Unpack every block of a region into one int64 array, vectorized.
-
-    Full 128-entry blocks are grouped BY WIDTH and each group decodes in a
-    single unpackbits + weighted-sum over a (n_blocks, bytes) gather — the
-    per-block Python loop only runs over the handful of distinct widths
-    (plus the one tail block). This is the bulk-decode fast path the
-    exhaustive scorer sits on.
-    """
-    nblocks = len(counts)
-    total = int(counts.sum())
-    out = np.empty(total, dtype=np.int64)
-    starts = np.zeros(nblocks, dtype=np.int64)
-    np.cumsum(counts[:-1], out=starts[1:])
-    raw = np.frombuffer(blob, dtype=np.uint8, count=int(offsets[-1]))
-
-    full = nblocks - 1 if counts[-1] != BLOCK_SIZE else nblocks
-    w_arr = widths[:full].astype(np.int64)
-    for w in np.unique(w_arr):
-        sel = np.flatnonzero(w_arr == w)
-        dst = (starts[sel][:, None] + np.arange(BLOCK_SIZE)[None, :]).ravel()
-        if w == 0:
-            out[dst] = 0
-            continue
-        bpb = BLOCK_SIZE * int(w) // 8
-        gather = raw[(offsets[sel][:, None] + np.arange(bpb)[None, :])]
-        if w == 8:
-            out[dst] = gather.ravel()
-            continue
-        if w == 16:
-            out[dst] = gather.view(np.uint16).ravel()
-            continue
-        bits = np.unpackbits(gather, axis=1, bitorder="little")
-        # float64 matmul hits BLAS and is exact below 2^53 (w <= 52 always
-        # holds: widths are docID-delta/freq bit lengths)
-        weights = np.exp2(np.arange(w, dtype=np.float64))
-        vals = bits.reshape(len(sel) * BLOCK_SIZE, int(w)).astype(np.float64) @ weights
-        out[dst] = vals.astype(np.int64)
-    if full < nblocks:  # tail block
-        bi = nblocks - 1
-        tail = _unpack_block(
-            memoryview(blob)[int(offsets[bi]) :], int(counts[bi]), int(widths[bi])
-        )
-        out[int(starts[bi]) :] = tail.astype(np.int64)
-    return out
+    """Unpack every block of a region into one int64 array, vectorized —
+    the sel=everything case of _unpack_subset (one width-grouped gather
+    per distinct width; only the tail block decodes individually). This is
+    the bulk-decode fast path the exhaustive scorer sits on."""
+    return _unpack_subset(blob, widths, counts, offsets, np.arange(len(counts), dtype=np.int64))
 
 
 def _unpack_subset(

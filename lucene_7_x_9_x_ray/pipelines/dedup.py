@@ -140,6 +140,28 @@ def _shingle_dataset(sf_dir: str, n: int, with_bucket: bool = False):
 
 PAIR_BUCKETS = 256  # shingle-hash buckets per pair-emit group
 
+def _expand_candidate_runs(run_key: np.ndarray, docs: np.ndarray):
+    """Shared candidate-pair expansion: sort rows by (run_key, doc), find
+    equal-key runs, fan each length-L run out to its L*(L-1)/2 index pairs
+    (vectorized per distinct run length). Returns (order, ai, bi) — indices
+    into the SORTED arrays — or None when no run has >= 2 members."""
+    order = np.lexsort((docs, run_key))
+    rk = run_key[order]
+    run_start = np.flatnonzero(np.r_[True, rk[1:] != rk[:-1]])
+    run_len = np.diff(np.r_[run_start, len(rk)])
+    keep = run_len > 1
+    starts, lens = run_start[keep], run_len[keep]
+    if len(starts) == 0:
+        return None
+    a_idx, b_idx = [], []
+    for L in np.unique(lens):
+        ii, jj = np.triu_indices(int(L), k=1)
+        base = starts[lens == L]
+        a_idx.append((base[:, None] + ii[None, :]).ravel())
+        b_idx.append((base[:, None] + jj[None, :]).ravel())
+    return order, np.concatenate(a_idx), np.concatenate(b_idx)
+
+
 
 def _emit_pairs_vectorized(group: pa.Table) -> pa.Table:
     """All intra-shingle doc pairs of one bucket, numpy run-length style.
@@ -150,25 +172,13 @@ def _emit_pairs_vectorized(group: pa.Table) -> pa.Table:
     """
     sh = group["shingle"].to_numpy()
     docs = group["doc_id"].to_numpy()
-    order = np.lexsort((docs, sh))
-    sh, docs = sh[order], docs[order]
-    run_start = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
-    run_len = np.diff(np.r_[run_start, len(sh)])
-    keep = run_len > 1
-    starts, lens = run_start[keep], run_len[keep]
-    if len(starts) == 0:
+    expanded = _expand_candidate_runs(sh, docs)
+    if expanded is None:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    n_pairs = lens * (lens - 1) // 2
-    # per run: local (i, j) upper-triangle index pairs
-    a_idx, b_idx = [], []
-    for L in np.unique(lens):
-        ii, jj = np.triu_indices(int(L), k=1)
-        sel = lens == L
-        base = starts[sel]
-        a_idx.append((base[:, None] + ii[None, :]).ravel())
-        b_idx.append((base[:, None] + jj[None, :]).ravel())
-    a = docs[np.concatenate(a_idx)]
-    b = docs[np.concatenate(b_idx)]
+    order, ai, bi = expanded
+    docs = docs[order]
+    a = docs[ai]
+    b = docs[bi]
     lo, hi = np.minimum(a, b), np.maximum(a, b)
     # partial aggregation (combiner): count per pair INSIDE the group so the
     # downstream combine only sees one row per (pair, bucket). Pair identity
@@ -351,23 +361,13 @@ def _emit_bucket_pairs(group: pa.Table) -> pa.Table:
     key = group["key"].to_numpy()
     docs = group["doc_id"].to_numpy()
     run_key = key ^ (np.uint64(0x9E3779B97F4A7C15) * band)  # (band, key) fold
-    order = np.lexsort((docs, run_key))
-    rk, docs = run_key[order], docs[order]
-    run_start = np.flatnonzero(np.r_[True, rk[1:] != rk[:-1]])
-    run_len = np.diff(np.r_[run_start, len(rk)])
-    keep = run_len > 1
-    starts, lens = run_start[keep], run_len[keep]
-    if len(starts) == 0:
+    expanded = _expand_candidate_runs(run_key, docs)
+    if expanded is None:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    a_idx, b_idx = [], []
-    for L in np.unique(lens):
-        ii, jj = np.triu_indices(int(L), k=1)
-        sel = lens == L
-        base = starts[sel]
-        a_idx.append((base[:, None] + ii[None, :]).ravel())
-        b_idx.append((base[:, None] + jj[None, :]).ravel())
-    a = docs[np.concatenate(a_idx)]
-    b = docs[np.concatenate(b_idx)]
+    order, ai, bi = expanded
+    docs = docs[order]
+    a = docs[ai]
+    b = docs[bi]
     lo, hi = np.minimum(a, b), np.maximum(a, b)
     # per-bucket pair dedup (combiner) before the tiny (a, b) groupby
     u = np.unique(np.stack([lo, hi], axis=1), axis=0)
@@ -505,26 +505,14 @@ def _emit_simhash_pairs(group: pa.Table) -> pa.Table:
     docs = group["doc_id"].to_numpy()
     sims = group["simhash"].to_numpy().astype(np.uint64)
     run_key = (band << 16) | key
-    order = np.lexsort((docs, run_key))
-    rk, docs, sims = run_key[order], docs[order], sims[order]
-    run_start = np.flatnonzero(np.r_[True, rk[1:] != rk[:-1]])
-    run_len = np.diff(np.r_[run_start, len(rk)])
-    keep = run_len > 1
-    starts, lens = run_start[keep], run_len[keep]
-    if len(starts) == 0:
+    expanded = _expand_candidate_runs(run_key.astype(np.uint64), docs)
+    if expanded is None:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
              "hamming": pa.array([], pa.int64())}
         )
-    a_idx, b_idx = [], []
-    for L in np.unique(lens):
-        ii, jj = np.triu_indices(int(L), k=1)
-        sel = lens == L
-        base = starts[sel]
-        a_idx.append((base[:, None] + ii[None, :]).ravel())
-        b_idx.append((base[:, None] + jj[None, :]).ravel())
-    ai = np.concatenate(a_idx)
-    bi = np.concatenate(b_idx)
+    order, ai, bi = expanded
+    docs, sims = docs[order], sims[order]
     # vectorized popcount of the XOR (bit_count arrived in numpy 2; unpackbits works everywhere)
     x = (sims[ai] ^ sims[bi]).view(np.uint8).reshape(-1, 8)
     ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)

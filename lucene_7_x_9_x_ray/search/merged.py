@@ -90,6 +90,14 @@ class SegmentedNorms:
             return self._seg(si)[int(idx) - int(self._bases[si])]
         idx = np.asarray(idx, dtype=np.int64)
         out = np.empty(len(idx), dtype=np.uint8)
+        if len(idx) > 1 and not bool((idx[1:] >= idx[:-1]).all()):
+            # every engine call site passes sorted posting/candidate docs;
+            # guard the invariant instead of silently gathering garbage
+            si = np.searchsorted(self._bases, idx, side="right") - 1
+            for seg in np.unique(si):
+                m = si == seg
+                out[m] = self._seg(int(seg))[idx[m] - int(self._bases[seg])]
+            return out
         # posting doc arrays arrive sorted: one boundary cut per segment,
         # contiguous slices instead of per-element searchsorted + masks
         cuts = np.searchsorted(idx, self._bases)

@@ -367,12 +367,6 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
     return out
 
 
-def uses_extra_fields(query: Query) -> bool:
-    """True iff any leaf scores a non-primary field (routes merged-index
-    searches back to the per-segment searcher, which holds field data)."""
-    return any(f != "" for f, _ in collect_field_terms(query))
-
-
 def parse_query(text: str, analyzer, operator: str = SHOULD, min_should_match: int = 0) -> Query:
     """QueryBuilder.createBooleanQuery equivalent: analyze -> boolean."""
     tokens = analyzer.tokens(text)

@@ -163,6 +163,12 @@ class IndexSearcher:
         # collectors have no filter hook, so fall back to the bulk scorer
         if mode in ("wand", "maxscore") and len(self.tombstones):
             mode = "exhaustive"
+        # the TOP_SCORES vs COMPLETE ScoreMode split: a caller raising
+        # total_hits_threshold asks for accurate counts, which pruning
+        # scorers cannot give (they skip blocks/clauses below the bound and
+        # report GREATER_THAN_OR_EQUAL counts) — run exhaustive instead
+        if mode == "auto" and total_hits_threshold > DEFAULT_TOTAL_HITS_THRESHOLD:
+            mode = "exhaustive"
         if mode in ("auto", "maxscore") and not len(self.tombstones):
             ms_disj = _as_term_disjunction(query)
             if (
@@ -186,20 +192,29 @@ class IndexSearcher:
                     )
                 return coll.result()
             if ms_disj is not None and len(ms_disj) >= 2:
-                from .wand import MAXSCORE_MIN_SAVED_DF, maxscore_saved_fraction, maxscore_topk
+                from .wand import (
+                    MAXSCORE_MIN_SAVED_DF,
+                    _build_ms_clauses,
+                    maxscore_saved_fraction,
+                    maxscore_topk,
+                )
 
+                clauses0 = _build_ms_clauses(self.readers[0], ms_disj, stats, self.bm25)
                 use = mode == "maxscore" or (
-                    maxscore_saved_fraction(self.readers[0], ms_disj, stats, self.bm25)
+                    maxscore_saved_fraction(
+                        self.readers[0], ms_disj, stats, self.bm25, clauses=clauses0
+                    )
                     >= MAXSCORE_MIN_SAVED_DF
                 )
                 if use:
                     coll = TopKCollector(k, total_hits_threshold)
-                    for r in self.readers:
+                    for ri, r in enumerate(self.readers):
                         maxscore_topk(
                             r, ms_disj, k, stats, self.bm25,
                             total_hits_threshold=total_hits_threshold,
                             collector=coll,
                             doc_base=r.doc_base,
+                            clauses=clauses0 if ri == 0 else None,
                         )
                     return coll.result()
         disj = _as_term_disjunction(query) if mode == "wand" else None

@@ -40,6 +40,9 @@ class TopKCollector:
         self.threshold = total_hits_threshold
         self.heap: list[tuple[float, int]] = []  # (score, -doc): root == worst
         self.total_hits = 0
+        # set by pruning scorers that skipped uncounted matches: the count
+        # is then GREATER_THAN_OR_EQUAL regardless of the threshold
+        self.force_lower_bound = False
 
     def collect(self, doc: int, score: float) -> None:
         self.total_hits += 1
@@ -84,7 +87,9 @@ class TopKCollector:
             doc_ids=np.array([-d for _, d in ordered], dtype=np.int64),
             scores=np.array([s for s, _ in ordered], dtype=np.float32),
             total_hits=self.total_hits,
-            total_hits_is_lower_bound=self.total_hits >= self.threshold,
+            total_hits_is_lower_bound=(
+                self.force_lower_bound or self.total_hits >= self.threshold
+            ),
         )
 
 

@@ -245,12 +245,15 @@ def _build_ms_clauses(reader, term_boosts, stats, bm25) -> list[_MSClause]:
     return clauses
 
 
-def maxscore_saved_fraction(reader, term_boosts, stats, bm25) -> float:
+def maxscore_saved_fraction(reader, term_boosts, stats, bm25,
+                            clauses: list | None = None) -> float:
     """Predicted fraction of postings MaxScore never decodes, from the
     OPTIMISTIC simulation θ = best clause max (real θ is at most that, so
     the real essential set is at least as large — this only ever
-    over-predicts savings; the caller gates on a high threshold)."""
-    clauses = _build_ms_clauses(reader, term_boosts, stats, bm25)
+    over-predicts savings; the caller gates on a high threshold). Pass
+    prebuilt ``clauses`` to share the build with maxscore_topk."""
+    if clauses is None:
+        clauses = _build_ms_clauses(reader, term_boosts, stats, bm25)
     if len(clauses) < 2:
         return 0.0
     theta_opt = clauses[0].max_score
@@ -348,6 +351,8 @@ def term_impact_topk(
         bms = _block_max_scores(part, tw)
         theta = max(floor, coll.min_competitive())
         sel = np.flatnonzero(bms >= np.float32(theta)).astype(np.int64) if theta > 0 else np.arange(len(bms), dtype=np.int64)
+        if len(sel) < len(bms):
+            coll.force_lower_bound = True  # skipped blocks held uncounted matches
         if len(sel) == 0:
             continue
         d = decode_docs_blocks(part.docs_blob, part.doc_widths, part.doc_freq, part.last_docs, sel)
@@ -367,6 +372,7 @@ def maxscore_topk(
     collector: TopKCollector | None = None,
     doc_base: int = 0,
     floor: float = 0.0,
+    clauses: list | None = None,
 ) -> TopDocs:
     """Vectorized MaxScore disjunction top-k — the block-max pruning idea
     re-expressed for batch execution (WANDScorer.java:45-326 semantics;
@@ -388,8 +394,10 @@ def maxscore_topk(
     Candidates are scored exactly, pruning is strict — results are
     rank-identical to the exhaustive scorer. Worst case (bound never
     binds) every clause ends up decoded once, i.e. exhaustive cost plus a
-    union/lookup overhead."""
-    clauses = _build_ms_clauses(reader, term_boosts, stats, bm25)
+    union/lookup overhead. ``clauses`` may be passed prebuilt (the auto
+    dispatcher shares them with its prediction pass)."""
+    if clauses is None:
+        clauses = _build_ms_clauses(reader, term_boosts, stats, bm25)
     coll = collector if collector is not None else TopKCollector(k, total_hits_threshold)
     if not clauses:
         return coll.result()
@@ -429,6 +437,9 @@ def maxscore_topk(
             for i in range(n_ess, n_clauses):
                 acc += clauses[i].scores_at(cand).astype(np.float64)
             scores32 = acc.astype(np.float32)
+            # docs matched ONLY by non-essential clauses were pruned and
+            # never counted — the total is a lower bound
+            coll.force_lower_bound = True
             break
         n_ess += 1
     coll.collect_batch(cand + doc_base, scores32)

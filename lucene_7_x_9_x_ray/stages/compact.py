@@ -179,6 +179,14 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
             f"refusing to merge segments with differing field sets: {seg_names}"
         )
     extra_names = sorted(field_sets.pop())
+    for fname in extra_names:
+        flags = {bool(r.stats.field_stats[fname].get("index_positions")) for r in readers}
+        if len(flags) > 1:
+            # same silent-.pos-loss hazard as the primary field, per field
+            raise ValueError(
+                f"refusing to merge segments with mixed has_positions for "
+                f"field {fname!r}: {seg_names}"
+            )
     rebases = [r.doc_base - base for r in readers]
 
     import uuid
@@ -191,7 +199,7 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
         field_stats: dict = {}
         for fname in extra_names:
             views = [r.field_view(fname) for r in readers]
-            f_has_pos = all(v.has_positions for v in views)
+            f_has_pos = views[0].has_positions  # homogeneous (guard above)
             fres = _merge_field_views(
                 views, rebases, f_has_pos, tmp, field_prefix(fname)
             )
@@ -229,10 +237,12 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
         from ..state.manifest import fsync_dir_files
 
         fsync_dir_files(tmp)
+        from ..state.manifest import durable_rename
+
         out_dir = os.path.join(seg_root, out_name)
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)
-        os.rename(tmp, out_dir)
+        durable_rename(tmp, out_dir)
         return st.to_dict()
     finally:
         if os.path.exists(tmp):
@@ -251,12 +261,20 @@ def compact_index(
     policy = policy or CompactionPolicy()
     manifest = IndexManifest.load(index_dir)
     groups = plan_compactions(manifest, policy)
-    # split any group at has_positions boundaries: mixed merges would drop
-    # .pos data, so positioned and position-less segments stay in separate
-    # (still doc_base-adjacent) tiers
-    def _has_pos(name: str) -> bool:
-        return os.path.exists(
-            os.path.join(index_dir, "segments", name, POSITIONS_FILE)
+    # split any group at positions-signature boundaries: mixed merges would
+    # drop .pos data (primary or any field), so differing segments stay in
+    # separate (still doc_base-adjacent) tiers
+    def _has_pos(name: str):
+        seg_dir = os.path.join(index_dir, "segments", name)
+        from ..state.manifest import load_json
+
+        try:
+            fs = load_json(os.path.join(seg_dir, STATS_NAME)).get("field_stats") or {}
+        except FileNotFoundError:
+            fs = {}
+        return (
+            os.path.exists(os.path.join(seg_dir, POSITIONS_FILE)),
+            tuple(sorted((k, bool(v.get("index_positions"))) for k, v in fs.items())),
         )
 
     split_groups: list[list[str]] = []
@@ -486,10 +504,12 @@ def reclaim_segment(index_dir: str, seg_name: str, new_name: str,
         from ..state.manifest import fsync_dir_files
 
         fsync_dir_files(tmp)
+        from ..state.manifest import durable_rename
+
         out_dir = os.path.join(seg_root, new_name)
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)
-        os.rename(tmp, out_dir)
+        durable_rename(tmp, out_dir)
         d = st.to_dict()
         d["retained"] = retained_new
         return d
@@ -664,6 +684,17 @@ def reclaim_deletes(
 
     new_stats.sort(key=lambda s: s["doc_base"])
     retained_all = sorted(int(x) for st in new_stats for x in st.pop("retained", []))
+    # tombstones commit ATOMICALLY with the renumbered docID space: the
+    # retained set goes into a NEW generation file first, and the manifest
+    # save below switches both together (a crash in between leaves the old
+    # manifest + old tombstones — a consistent pre-reclaim view)
+    old_tpath = os.path.join(index_dir, manifest.tombstones_file or TOMBSTONES_FILE)
+    new_tname = f"tombstones_rc{gen}.json"
+    if retained_all:
+        atomic_write_json(os.path.join(index_dir, new_tname), {"deleted": retained_all})
+        manifest.tombstones_file = new_tname
+    else:
+        manifest.tombstones_file = new_tname  # generation exists but is empty
     manifest.segments = new_stats
     manifest.doc_count = sum(s["doc_count"] for s in new_stats)
     manifest.sum_total_term_freq = sum(s["sum_total_term_freq"] for s in new_stats)
@@ -676,14 +707,12 @@ def reclaim_deletes(
     manifest.field_stats = agg
     manifest.merged = False
     manifest.save()
-    # only after the manifest commit: rewrite tombstones (retained soft
-    # deletes under their NEW ids; empty without retention), drop old
-    # segments and the now-stale merged index
-    tpath = os.path.join(index_dir, TOMBSTONES_FILE)
-    if retained_all:
-        atomic_write_json(tpath, {"deleted": retained_all})
-    elif os.path.exists(tpath):
-        os.unlink(tpath)
+    # only after the manifest commit: drop the previous tombstone
+    # generation, old segments, and the now-stale merged index
+    if os.path.abspath(old_tpath) != os.path.abspath(
+        os.path.join(index_dir, manifest.tombstones_file)
+    ) and os.path.exists(old_tpath):
+        os.unlink(old_tpath)
     for j in jobs:
         if j["seg_name"] != j["new_name"]:
             shutil.rmtree(

@@ -778,12 +778,16 @@ def write_merged_shard(
             if same:
                 shutil.rmtree(tmp)
             else:
+                from ..state.manifest import durable_rename
+
                 old = out_dir + f".stale-{uuid.uuid4().hex[:8]}"
                 os.rename(out_dir, old)
-                os.rename(tmp, out_dir)
+                durable_rename(tmp, out_dir)
                 shutil.rmtree(old, ignore_errors=True)
         else:
-            os.rename(tmp, out_dir)
+            from ..state.manifest import durable_rename
+
+            durable_rename(tmp, out_dir)
         return st
     finally:
         if os.path.exists(tmp):

@@ -300,23 +300,11 @@ class ServingPool:
                             )
                     td = coll.result()
                     return [(td.doc_ids.tolist(), td.scores.tolist())]
+                # exhaustive fallback: same reader loop as topk_query
                 query = Q.BooleanQuery.build(
                     [(Q.SHOULD, Q.TermQuery(t)) for t in terms]
                 )
-                out = []
-                for r in self.readers:
-                    d, s = eval_query(r, query, stats, bm25)
-                    gdocs = d + r.doc_base
-                    if len(self.tombstones):
-                        idx = _np.minimum(
-                            _np.searchsorted(self.tombstones, gdocs),
-                            len(self.tombstones) - 1,
-                        )
-                        live = self.tombstones[idx] != gdocs
-                        gdocs, s = gdocs[live], s[live]
-                    td = topk_from_arrays(gdocs, s, k)
-                    out.append((td.doc_ids.tolist(), td.scores.tolist()))
-                return out
+                return self.topk_query(query, k, stats.to_tuple())
 
             def topk_query(self, query, k, stats_tuple):
                 """Per-shard top-k for an ARBITRARY (rewritten) query tree

@@ -20,9 +20,20 @@ from .manifest import IndexManifest, atomic_write_json, load_json
 TOMBSTONES_FILE = "tombstones.json"
 
 
+def tombstones_path(index_dir: str) -> str:
+    """The CURRENT tombstone generation file, per the manifest — the
+    manifest commit switches generations atomically with the docID space
+    they refer to (renumbering merges write a new generation)."""
+    try:
+        name = IndexManifest.load(index_dir).tombstones_file
+    except FileNotFoundError:
+        name = TOMBSTONES_FILE
+    return os.path.join(index_dir, name or TOMBSTONES_FILE)
+
+
 def load_tombstones(index_dir: str) -> np.ndarray:
     """Sorted global docIDs of deleted documents (empty if none)."""
-    path = os.path.join(index_dir, TOMBSTONES_FILE)
+    path = tombstones_path(index_dir)
     if not os.path.exists(path):
         return np.empty(0, dtype=np.int64)
     return np.asarray(sorted(load_json(path)["deleted"]), dtype=np.int64)
@@ -32,9 +43,7 @@ def delete_docs(index_dir: str, global_doc_ids) -> int:
     """Add docIDs to the tombstone set; returns the new deleted count."""
     cur = set(int(d) for d in load_tombstones(index_dir))
     cur.update(int(d) for d in global_doc_ids)
-    atomic_write_json(
-        os.path.join(index_dir, TOMBSTONES_FILE), {"deleted": sorted(cur)}
-    )
+    atomic_write_json(tombstones_path(index_dir), {"deleted": sorted(cur)})
     return len(cur)
 
 

@@ -28,7 +28,9 @@ STATS_NAME = "stats.json"
 
 
 def atomic_write_json(path: str, obj: Any) -> None:
-    """Write JSON durably: temp file in the same dir + fsync + rename."""
+    """Write JSON durably: temp file in the same dir + fsync + rename +
+    parent-directory fsync (the rename itself lives in the parent dir's
+    pages — without syncing it a power loss can undo the replace)."""
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
@@ -38,6 +40,8 @@ def atomic_write_json(path: str, obj: Any) -> None:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        if fsync_enabled():
+            fsync_path(d)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -63,6 +67,16 @@ def fsync_path(path: str) -> None:
         os.fsync(fd)
     finally:
         os.close(fd)
+
+
+def durable_rename(src: str, dst: str) -> None:
+    """os.rename + fsync of the PARENT directory: the rename record lives
+    in the parent dir's pages, so without the directory fsync a power loss
+    can make a committed manifest reference a segment dir whose rename
+    never reached disk (the full IndexWriter.commit sync discipline)."""
+    os.rename(src, dst)
+    if fsync_enabled():
+        fsync_path(os.path.dirname(os.path.abspath(dst)))
 
 
 def fsync_dir_files(dir_path: str) -> None:
@@ -132,6 +146,10 @@ class IndexManifest:
     # {sum_total_term_freq, doc_count} (per-field avgdl/idf inputs — the
     # global FieldInfos + FieldSummary record, tim&&tip.md:152-163)
     field_stats: dict = _dc_field(default_factory=dict)
+    # live tombstone file name (the .liv generation): renumbering merges
+    # write a NEW generation file and switch it HERE, so tombstones and the
+    # docID space they refer to always commit atomically together
+    tombstones_file: str = "tombstones.json"
 
     @property
     def avgdl_inputs(self) -> tuple[int, int]:

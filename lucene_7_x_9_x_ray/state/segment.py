@@ -448,12 +448,16 @@ def write_segment(
             if existing is not None:
                 shutil.rmtree(tmp)
             else:
+                from .manifest import durable_rename
+
                 old = out_dir + f".stale-{uuid.uuid4().hex[:8]}"
                 os.rename(out_dir, old)
-                os.rename(tmp, out_dir)
+                durable_rename(tmp, out_dir)
                 shutil.rmtree(old, ignore_errors=True)
         else:
-            os.rename(tmp, out_dir)
+            from .manifest import durable_rename
+
+            durable_rename(tmp, out_dir)
         return stats
     finally:
         if os.path.exists(tmp):

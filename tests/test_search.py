@@ -511,3 +511,35 @@ def test_memory_index_percolation():
     assert mi2.match(Q.TermQuery("breaking", field="title")) is not None
     assert mi2.match(Q.TermQuery("words", field="title")) is None
     assert mi2.match(Q.PhraseQuery(terms=("breaking", "news"), field="title")) is not None
+
+
+def test_total_hits_contract_under_pruning(tmp_path):
+    """Raising total_hits_threshold demands accurate counts: auto mode
+    must fall back to exhaustive; pruned modes flag lower-bound counts."""
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+    pages = generate_pages(3000, vocab_size=50, mean_tokens=60, seed=13)
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=1000)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx, BuildConfig(target_docs_per_segment=3000,
+                                               index_positions=False))
+    s = IndexSearcher(idx)
+    q = Q.TermQuery("t00000")
+    true_count = s.count(q)
+    assert true_count >= (1 << 16) * 0  # df below impact threshold here; use disjunction
+    qd = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery("t00000")), (Q.SHOULD, Q.TermQuery("t00049"))]
+    )
+    true_d = s.count(qd)
+    # high threshold -> exhaustive -> exact count, not a lower bound
+    td = s.search(qd, k=5, total_hits_threshold=1 << 30)
+    assert td.total_hits == true_d and not td.total_hits_is_lower_bound
+    # default threshold with forced pruning -> count flagged as lower bound
+    tm = s.search(qd, k=5, mode="maxscore")
+    assert tm.total_hits <= true_d
+    if tm.total_hits < true_d:
+        assert tm.total_hits_is_lower_bound
