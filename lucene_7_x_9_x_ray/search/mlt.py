@@ -20,18 +20,10 @@ MLT_MIN_DOC_FREQ = 5    # MoreLikeThis.DEFAULT_MIN_DOC_FREQ
 MLT_MAX_QUERY_TERMS = 25  # MoreLikeThis.DEFAULT_MAX_QUERY_TERMS
 
 
-def mlt_query(
-    searcher,
-    like_text: str,
-    min_term_freq: int = MLT_MIN_TERM_FREQ,
-    min_doc_freq: int = MLT_MIN_DOC_FREQ,
-    max_query_terms: int = MLT_MAX_QUERY_TERMS,
-    boost: bool = False,
+def _mlt_from_tf(
+    searcher, tf: Counter, min_term_freq: int, min_doc_freq: int,
+    max_query_terms: int, boost: bool,
 ) -> Q.Query:
-    """Build the MLT query for ``like_text`` against ``searcher``'s corpus
-    statistics. Ties in the interestingness ranking break on term order
-    (deterministic across engine and SQL oracle)."""
-    tf = Counter(searcher.analyzer.tokens(like_text))
     cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
     if not cand:
         return Q.MatchNoDocsQuery()
@@ -54,3 +46,47 @@ def mlt_query(
         for s, t in top
     ]
     return Q.BooleanQuery.build(clauses)
+
+
+def mlt_query(
+    searcher,
+    like_text: str,
+    min_term_freq: int = MLT_MIN_TERM_FREQ,
+    min_doc_freq: int = MLT_MIN_DOC_FREQ,
+    max_query_terms: int = MLT_MAX_QUERY_TERMS,
+    boost: bool = False,
+) -> Q.Query:
+    """Build the MLT query for ``like_text`` against ``searcher``'s corpus
+    statistics (the like(String) path). Ties in the interestingness
+    ranking break on term order (deterministic across engine and SQL
+    oracle)."""
+    tf = Counter(searcher.analyzer.tokens(like_text))
+    return _mlt_from_tf(searcher, tf, min_term_freq, min_doc_freq,
+                        max_query_terms, boost)
+
+
+def mlt_query_from_doc(
+    searcher,
+    global_doc_id: int,
+    min_term_freq: int = MLT_MIN_TERM_FREQ,
+    min_doc_freq: int = MLT_MIN_DOC_FREQ,
+    max_query_terms: int = MLT_MAX_QUERY_TERMS,
+    boost: bool = False,
+) -> Q.Query:
+    """MLT's like(docID) path: the liked doc's term frequencies come from
+    its stored TERM VECTOR (BuildConfig.term_vectors=True), so no stored
+    text is needed — the MoreLikeThis.retrieveTerms(int) role."""
+    import numpy as np
+
+    bases = [r.doc_base for r in searcher.readers]
+    si = int(np.searchsorted(bases, global_doc_id, side="right")) - 1
+    r = searcher.readers[si]
+    if not getattr(r, "has_term_vectors", False):
+        raise ValueError(
+            "mlt_query_from_doc needs an index built with "
+            "BuildConfig.term_vectors=True"
+        )
+    terms, freqs = r.term_vector(int(global_doc_id) - r.doc_base)
+    tf = Counter(dict(zip((str(t) for t in terms), (int(f) for f in freqs))))
+    return _mlt_from_tf(searcher, tf, min_term_freq, min_doc_freq,
+                        max_query_terms, boost)

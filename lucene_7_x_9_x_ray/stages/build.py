@@ -79,6 +79,9 @@ class BuildConfig:
     # additional indexed fields beyond text_col (the multi-field schema —
     # FieldInfos accretes per-field postings/norms/stats in the reference)
     extra_fields: tuple = ()
+    # per-doc term vectors for the primary field (.tvx/.tvd analogue;
+    # enables term_vector(doc) / MLT-by-docID without stored text)
+    term_vectors: bool = False
 
 
 def plan_partitions(
@@ -196,6 +199,7 @@ def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> Segmen
         elapsed_sec=time.perf_counter() - t0,
         index_positions=cfg.index_positions,
         extra_fields=extra or None,
+        term_vectors=cfg.term_vectors,
     )
     return stats
 

@@ -173,6 +173,11 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
             f"refusing to merge segments with mixed has_positions: {seg_names}"
         )
     has_pos = pos_flags.pop()
+    if any(getattr(r, "has_term_vectors", False) for r in readers):
+        raise ValueError(
+            "compaction does not carry term vectors yet; rebuild instead "
+            f"of compacting: {seg_names}"
+        )
     field_sets = {frozenset((r.stats.field_stats or {}).keys()) for r in readers}
     if len(field_sets) > 1:
         raise ValueError(
@@ -450,6 +455,11 @@ def reclaim_segment(index_dir: str, seg_name: str, new_name: str,
 
     seg_root = os.path.join(index_dir, "segments")
     r = SegmentReader(os.path.join(seg_root, seg_name))
+    if getattr(r, "has_term_vectors", False):
+        raise ValueError(
+            f"reclaim does not carry term vectors yet ({seg_name}); "
+            "rebuild from source instead"
+        )
     lo, hi = r.doc_base, r.doc_base + r.doc_count
     local_del = (
         deleted_global[(deleted_global >= lo) & (deleted_global < hi)] - r.doc_base

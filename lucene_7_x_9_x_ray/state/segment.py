@@ -46,6 +46,7 @@ POSTINGS_FILE = "postings.bin"
 NORMS_FILE = "norms.bin"
 DOCMAP_FILE = "docmap.parquet"
 POSITIONS_FILE = "positions.bin"  # the .pos analogue (optional, per IndexOptions)
+TERMVECTORS_FILE = "tvx.parquet"  # the .tvx/.tvd analogue (optional per-doc vectors)
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +218,8 @@ def field_prefix(field: str) -> str:
 
 
 def _write_field_artifacts(
-    tmp: str, prefix: str, texts, analyzer: Analyzer, index_positions: bool
+    tmp: str, prefix: str, texts, analyzer: Analyzer, index_positions: bool,
+    term_vectors: bool = False,
 ) -> dict:
     """Invert + encode + write ONE field's term dict/postings/positions/norms
     into ``tmp`` under ``prefix``. Returns the field's stats (plus the raw
@@ -329,6 +331,21 @@ def _write_field_artifacts(
     with open(os.path.join(tmp, prefix + NORMS_FILE), "wb") as f:
         f.write(norms.astype(np.uint8).tobytes())
 
+    if term_vectors and len(uniq_terms):
+        # .tvx/.tvd analogue: per-doc (term_ord, freq) vectors as a parquet
+        # CSR sorted by (doc, term_ord); term_ord indexes THIS segment's
+        # sorted dictionary (blog/Lucene/索引文件/tvx&&tvd role)
+        tv_order = np.lexsort((inv_s, docs_s))
+        tv = pa.table(
+            {
+                "doc": pa.array(docs_s[tv_order].astype(np.int32)),
+                "term_ord": pa.array(inv_s[tv_order].astype(np.int32)),
+                "freq": pa.array(freqs_s[tv_order].astype(np.int32)),
+            }
+        )
+        pq.write_table(tv, os.path.join(tmp, prefix + TERMVECTORS_FILE),
+                       row_group_size=65536)
+
     return {
         "lengths": lengths,
         "sum_total_term_freq": int(lengths.sum()),
@@ -357,6 +374,7 @@ def write_segment(
     elapsed_sec: float = 0.0,
     index_positions: bool = False,
     extra_fields: dict | None = None,
+    term_vectors: bool = False,
 ) -> SegmentStats:
     """Build + atomically commit one segment from a partition of pages.
 
@@ -377,7 +395,9 @@ def write_segment(
     tmp = os.path.join(os.path.dirname(out_dir), f".{seg_name}.tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
     try:
-        primary = _write_field_artifacts(tmp, "", texts, analyzer, index_positions)
+        primary = _write_field_artifacts(
+            tmp, "", texts, analyzer, index_positions, term_vectors=term_vectors
+        )
         lengths = primary["lengths"]
         field_stats: dict[str, dict] = {}
         for fname, (ftexts, fpos) in (extra_fields or {}).items():
@@ -691,6 +711,24 @@ class SegmentReader(TermTableReader):
         if self._docmap is None:
             self._docmap = pq.read_table(os.path.join(self.seg_dir, DOCMAP_FILE))
         return self._docmap
+
+    @property
+    def has_term_vectors(self) -> bool:
+        return os.path.exists(os.path.join(self.seg_dir, TERMVECTORS_FILE))
+
+    def term_vector(self, local_doc: int) -> tuple[np.ndarray, np.ndarray]:
+        """One doc's (terms, freqs) — the TermVectorsReader.get(doc) role.
+        The per-doc CSR loads once per reader; lookup is two searchsorteds."""
+        tv = getattr(self, "_tv", None)
+        if tv is None:
+            t = pq.read_table(os.path.join(self.seg_dir, TERMVECTORS_FILE))
+            tv = self._tv = (
+                t["doc"].to_numpy(), t["term_ord"].to_numpy(), t["freq"].to_numpy()
+            )
+        docs, ords, freqs = tv
+        a = int(np.searchsorted(docs, local_doc, side="left"))
+        b = int(np.searchsorted(docs, local_doc, side="right"))
+        return self.terms[ords[a:b]], freqs[a:b].astype(np.int64)
 
     def doc_values(self, col: str) -> np.ndarray:
         """Columnar per-doc values by segment-local docID — the query-time

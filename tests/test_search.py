@@ -543,3 +543,41 @@ def test_total_hits_contract_under_pruning(tmp_path):
     assert tm.total_hits <= true_d
     if tm.total_hits < true_d:
         assert tm.total_hits_is_lower_bound
+
+
+def test_term_vectors_and_mlt_by_doc(tmp_path):
+    """BuildConfig.term_vectors stores per-doc vectors (.tvx/.tvd role);
+    term_vector(doc) matches the analyzer counts and MLT-by-docID equals
+    MLT-by-text of the same document."""
+    from collections import Counter
+
+    from lucene_7_x_9_x_ray.search.mlt import mlt_query, mlt_query_from_doc
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+    pages = generate_pages(300, vocab_size=40, mean_tokens=30, seed=3, dup_url_frac=0)
+    path = str(tmp_path / "p.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx,
+                      BuildConfig(target_docs_per_segment=100, term_vectors=True))
+    s = IndexSearcher(idx)
+    texts = pages["text"].to_pylist()
+    for gid in (0, 150, 299):
+        r = s.readers[gid // 100]
+        terms, freqs = r.term_vector(gid % 100)
+        assert dict(zip(map(str, terms), map(int, freqs))) == Counter(texts[gid].split())
+    q_doc = mlt_query_from_doc(s, 42)
+    q_txt = mlt_query(s, texts[42])
+    assert q_doc == q_txt
+    td = s.search(q_doc, k=10)
+    assert 42 in set(int(d) for d in td.doc_ids)  # the liked doc ranks
+
+    # guards: compaction/reclaim refuse to silently drop vectors
+    import pytest as _pytest
+
+    from lucene_7_x_9_x_ray.stages.compact import CompactionPolicy, compact_index
+
+    with _pytest.raises(ValueError, match="term vectors"):
+        compact_index(idx, CompactionPolicy(max_merge_at_once=3), use_ray=False)
