@@ -24,7 +24,7 @@ import numpy as np
 
 from .smallfloat import BYTE4_DECODE_TABLE
 
-__all__ = ["BM25", "BM25TermWeight", "LENGTH_TABLE"]
+__all__ = ["BM25", "BM25TermWeight", "LENGTH_TABLE", "get_similarity"]
 
 # float32 decode of the 256 norm bytes (doc lengths)
 LENGTH_TABLE = BYTE4_DECODE_TABLE.astype(np.float32)
@@ -100,3 +100,29 @@ class BM25:
         weight = np.float32(boost) * idf
         cache = self.norm_cache(self.avgdl(sum_total_term_freq, doc_count))
         return BM25TermWeight(weight=weight, cache=cache)
+
+
+def get_similarity(spec: str = "bm25") -> BM25:
+    """Similarity registry — the pluggable-Similarity hook (SURVEY.md
+    §2.10; IndexSearcher.setSimilarity role). Specs:
+
+      "bm25"                   -> BM25 defaults (k1=1.2, b=0.75)
+      "bm25(k1=1.5, b=0.6)"    -> parameterized BM25
+
+    Searchers accept the returned object via their ``bm25`` argument."""
+    import re
+
+    spec = spec.strip()
+    if spec == "bm25":
+        return BM25()
+    m = re.fullmatch(r"bm25\(([^)]*)\)", spec)
+    if m is None:
+        raise ValueError(f"unknown similarity spec {spec!r}")
+    kwargs = {}
+    for part in filter(None, (p.strip() for p in m.group(1).split(","))):
+        key, _, val = part.partition("=")
+        key = key.strip()
+        if key not in ("k1", "b"):
+            raise ValueError(f"unknown BM25 parameter {key!r} in {spec!r}")
+        kwargs[key] = float(val)
+    return BM25(**kwargs)

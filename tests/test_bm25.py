@@ -100,3 +100,28 @@ def test_k1_zero_degenerates_to_idf_weight():
     # k1=0 -> normInverse = inf -> score saturates to weight
     s = tw.score(np.array([1, 10]), np.array([20, 20], dtype=np.uint8))
     assert np.allclose(s, tw.weight)
+
+
+def test_similarity_registry():
+    """get_similarity: the pluggable-Similarity hook; parameterized BM25
+    flows through the searcher and changes scores as k1/b dictate."""
+    import pytest
+
+    from lucene_7_x_9_x_ray.functions.bm25 import BM25, get_similarity
+
+    assert get_similarity().k1 == np.float32(1.2)
+    sim = get_similarity("bm25(k1=1.5, b=0.6)")
+    assert sim.k1 == np.float32(1.5) and sim.b == np.float32(0.6)
+    with pytest.raises(ValueError):
+        get_similarity("tfidf")
+    with pytest.raises(ValueError):
+        get_similarity("bm25(z=1)")
+    # b=0 removes length normalization: scores equal for same tf
+    flat = get_similarity("bm25(k1=1.2, b=0)")
+    tw = flat.term_weight(5, 100, 5000)
+    s_short = tw.score(np.array([2]), np.array([10]))[0]
+    s_long = tw.score(np.array([2]), np.array([200]))[0]
+    assert s_short == s_long
+    # default b: longer doc scores lower at equal tf
+    tw2 = BM25().term_weight(5, 100, 5000)
+    assert tw2.score(np.array([2]), np.array([10]))[0] > tw2.score(np.array([2]), np.array([200]))[0]
