@@ -32,6 +32,7 @@ from ..functions.codec import encode_segment_terms
 from ..state.manifest import IndexManifest, SegmentStats, atomic_write_json
 from ..state.segment import (
     DOCMAP_FILE,
+    TERMVECTORS_FILE,
     field_prefix,
     NORMS_FILE,
     POSITIONS_FILE,
@@ -173,11 +174,12 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
             f"refusing to merge segments with mixed has_positions: {seg_names}"
         )
     has_pos = pos_flags.pop()
-    if any(getattr(r, "has_term_vectors", False) for r in readers):
+    tv_flags = {bool(getattr(r, "has_term_vectors", False)) for r in readers}
+    if len(tv_flags) > 1:
         raise ValueError(
-            "compaction does not carry term vectors yet; rebuild instead "
-            f"of compacting: {seg_names}"
+            f"refusing to merge segments with mixed term_vectors: {seg_names}"
         )
+    has_tv = tv_flags.pop()
     field_sets = {frozenset((r.stats.field_stats or {}).keys()) for r in readers}
     if len(field_sets) > 1:
         raise ValueError(
@@ -218,6 +220,33 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
             os.path.join(tmp, DOCMAP_FILE),
             row_group_size=65536,
         )
+        if has_tv:
+            # carry term vectors: local docs rebase to the merged segment's
+            # space; term_ords remap old dictionary -> merged dictionary
+            # (docs stay sorted because readers concatenate in doc_base
+            # order and each reader's vectors are already doc-sorted)
+            merged_terms = pq.read_table(
+                os.path.join(tmp, TERMS_FILE), columns=["term"]
+            )["term"].to_numpy(zero_copy_only=False).astype(object)
+            tv_parts = []
+            for r, rb in zip(readers, rebases):
+                t = pq.read_table(os.path.join(r.seg_dir, TERMVECTORS_FILE))
+                ords_old = t["term_ord"].to_numpy()
+                new_ord = np.searchsorted(merged_terms, r.terms[ords_old])
+                tv_parts.append(
+                    pa.table(
+                        {
+                            "doc": pa.array((t["doc"].to_numpy() + rb).astype(np.int32)),
+                            "term_ord": pa.array(new_ord.astype(np.int32)),
+                            "freq": t["freq"],
+                        }
+                    )
+                )
+            pq.write_table(
+                pa.concat_tables(tv_parts),
+                os.path.join(tmp, TERMVECTORS_FILE),
+                row_group_size=65536,
+            )
         import hashlib
 
         h = hashlib.sha256()
@@ -455,11 +484,6 @@ def reclaim_segment(index_dir: str, seg_name: str, new_name: str,
 
     seg_root = os.path.join(index_dir, "segments")
     r = SegmentReader(os.path.join(seg_root, seg_name))
-    if getattr(r, "has_term_vectors", False):
-        raise ValueError(
-            f"reclaim does not carry term vectors yet ({seg_name}); "
-            "rebuild from source instead"
-        )
     lo, hi = r.doc_base, r.doc_base + r.doc_count
     local_del = (
         deleted_global[(deleted_global >= lo) & (deleted_global < hi)] - r.doc_base
@@ -492,6 +516,29 @@ def reclaim_segment(index_dir: str, seg_name: str, new_name: str,
             )
         dm = r.docmap().take(pa.array(keep))
         pq.write_table(dm, os.path.join(tmp, DOCMAP_FILE), row_group_size=65536)
+        if getattr(r, "has_term_vectors", False):
+            # carry term vectors for the KEPT docs: local ids compact via
+            # remap; term_ords remap to the post-reclaim dictionary (rows
+            # of dropped docs vanish, and with them every reference to a
+            # df=0-dropped term)
+            new_terms = pq.read_table(
+                os.path.join(tmp, TERMS_FILE), columns=["term"]
+            )["term"].to_numpy(zero_copy_only=False).astype(object)
+            t = pq.read_table(os.path.join(r.seg_dir, TERMVECTORS_FILE))
+            tv_docs = t["doc"].to_numpy()
+            m = np.isin(tv_docs, keep)
+            ords_old = t["term_ord"].to_numpy()[m]
+            tv = pa.table(
+                {
+                    "doc": pa.array(remap[tv_docs[m]].astype(np.int32)),
+                    "term_ord": pa.array(
+                        np.searchsorted(new_terms, r.terms[ords_old]).astype(np.int32)
+                    ),
+                    "freq": t["freq"].filter(pa.array(m)),
+                }
+            )
+            pq.write_table(tv, os.path.join(tmp, TERMVECTORS_FILE),
+                           row_group_size=65536)
         h = hashlib.sha256()
         h.update(str(r.stats.lineage_fingerprint).encode())
         h.update(keep.tobytes())

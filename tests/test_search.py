@@ -574,10 +574,30 @@ def test_term_vectors_and_mlt_by_doc(tmp_path):
     td = s.search(q_doc, k=10)
     assert 42 in set(int(d) for d in td.doc_ids)  # the liked doc ranks
 
-    # guards: compaction/reclaim refuse to silently drop vectors
-    import pytest as _pytest
+    # term vectors survive compaction (docs rebase, ords remap)
+    from lucene_7_x_9_x_ray.stages.compact import (
+        CompactionPolicy,
+        compact_index,
+        reclaim_deletes,
+    )
 
-    from lucene_7_x_9_x_ray.stages.compact import CompactionPolicy, compact_index
+    compact_index(idx, CompactionPolicy(max_merge_at_once=3), use_ray=False)
+    s2 = IndexSearcher(idx)
+    for gid in (0, 150, 299):
+        r2 = s2.readers[int(np.searchsorted([x.doc_base for x in s2.readers], gid, side="right")) - 1]
+        terms, freqs = r2.term_vector(gid - r2.doc_base)
+        assert dict(zip(map(str, terms), map(int, freqs))) == Counter(texts[gid].split())
+    assert mlt_query_from_doc(s2, 42) == q_txt
 
-    with _pytest.raises(ValueError, match="term vectors"):
-        compact_index(idx, CompactionPolicy(max_merge_at_once=3), use_ray=False)
+    # ...and survive a reclaiming merge (renumbered ids, filtered rows)
+    from lucene_7_x_9_x_ray.state.livedocs import delete_docs
+
+    dead = list(range(0, 300, 2))
+    delete_docs(idx, dead)
+    m = reclaim_deletes(idx, use_ray=False, force=True)
+    s3 = IndexSearcher(idx)
+    keep = [i for i in range(300) if i % 2 == 1]
+    for new_id, old_id in [(0, keep[0]), (75, keep[75]), (149, keep[149])]:
+        r3 = s3.readers[int(np.searchsorted([x.doc_base for x in s3.readers], new_id, side="right")) - 1]
+        terms, freqs = r3.term_vector(new_id - r3.doc_base)
+        assert dict(zip(map(str, terms), map(int, freqs))) == Counter(texts[old_id].split())
