@@ -119,6 +119,23 @@ class NumericRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoDistanceQuery(Query):
+    """Constant-score (0) geo radius predicate over stored lat/lon
+    doc-values columns — the LatLonPoint.newDistanceQuery role
+    (LuceneDemo/.../LatLonPointDistanceQueryTest.java surface): docs whose
+    haversine distance from (lat, lon) is <= radius_m match. Evaluated as
+    a vectorized mask per segment (a bounding-box prefilter cuts the
+    trigonometry to candidate rows); FILTER-cacheable like the other
+    doc-values predicates."""
+
+    lat_col: str
+    lon_col: str
+    lat: float
+    lon: float
+    radius_m: float
+
+
+@dataclass(frozen=True)
 class FunctionScoreQuery(Query):
     """Re-score a query from a per-doc VALUE source (s84 queries/.../
     function/FunctionScoreQuery.java:47 — DoubleValuesSource semantics):

@@ -229,6 +229,29 @@ def eval_query(
         docs = np.flatnonzero(mask).astype(np.int64)
         return docs, np.zeros(len(docs), dtype=np.float32)
 
+    if isinstance(query, Q.GeoDistanceQuery):
+        lat = np.asarray(reader.doc_values(query.lat_col), dtype=np.float64)
+        lon = np.asarray(reader.doc_values(query.lon_col), dtype=np.float64)
+        R = 6_371_008.8  # mean earth radius, meters
+        # bounding-box prefilter: only candidate rows pay the haversine
+        dlat_max = np.degrees(query.radius_m / R)
+        coslat = max(np.cos(np.radians(query.lat)), 1e-12)
+        dlon_max = np.degrees(query.radius_m / (R * coslat))
+        cand = np.flatnonzero(
+            (np.abs(lat - query.lat) <= dlat_max)
+            & (np.abs((lon - query.lon + 180.0) % 360.0 - 180.0) <= dlon_max)
+        )
+        if len(cand) == 0:
+            return _empty()
+        la1 = np.radians(query.lat)
+        la2 = np.radians(lat[cand])
+        dla = la2 - la1
+        dlo = np.radians(lon[cand] - query.lon)
+        a = np.sin(dla / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(dlo / 2) ** 2
+        dist = 2 * R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+        docs = cand[dist <= query.radius_m].astype(np.int64)
+        return docs, np.zeros(len(docs), dtype=np.float32)
+
     if isinstance(query, Q.FunctionScoreQuery):
         docs, base = eval_query(reader, query.query, stats, bm25)
         if len(docs) == 0:

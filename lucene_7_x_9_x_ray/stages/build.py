@@ -82,6 +82,10 @@ class BuildConfig:
     # per-doc term vectors for the primary field (.tvx/.tvd analogue;
     # enables term_vector(doc) / MLT-by-docID without stored text)
     term_vectors: bool = False
+    # extra source columns copied into docmap verbatim — user-defined
+    # stored fields / doc values (queryable via doc_values(col), e.g.
+    # NumericRangeQuery or GeoDistanceQuery over lat/lon columns)
+    store_cols: tuple = ()
 
 
 def plan_partitions(
@@ -143,6 +147,11 @@ def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> Segmen
             raise ValueError(f"extra field {fs.name!r}: column {fs.col!r} not in input")
         if fs.col not in cols:
             cols.append(fs.col)
+    for sc in cfg.store_cols:
+        if sc not in schema_names:
+            raise ValueError(f"store_cols: column {sc!r} not in input")
+        if sc not in cols:
+            cols.append(sc)
     table = pf.read_row_groups(
         list(range(spec["rg_start"], spec["rg_end"])), columns=cols, use_threads=False
     )  # 1-cpu task: arrow's own pool would oversubscribe the node
@@ -200,6 +209,7 @@ def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> Segmen
         index_positions=cfg.index_positions,
         extra_fields=extra or None,
         term_vectors=cfg.term_vectors,
+        extra_docmap={c: table[c] for c in cfg.store_cols} or None,
     )
     return stats
 

@@ -375,6 +375,7 @@ def write_segment(
     index_positions: bool = False,
     extra_fields: dict | None = None,
     term_vectors: bool = False,
+    extra_docmap: dict | None = None,
 ) -> SegmentStats:
     """Build + atomically commit one segment from a partition of pages.
 
@@ -411,14 +412,16 @@ def write_segment(
             fres.pop("lengths")
             field_stats[fname] = fres
 
-        docmap = pa.table(
-            {
-                "url": pa.array(urls, type=pa.string()),
-                "warc_ts": pa.array(warc_ts),
-                "lang": pa.array(langs, type=pa.string()),
-                "length": pa.array(lengths),
-            }
-        )
+        docmap_cols = {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(warc_ts),
+            "lang": pa.array(langs, type=pa.string()),
+            "length": pa.array(lengths),
+        }
+        for col, arr in (extra_docmap or {}).items():
+            # user-defined stored fields / doc values, copied verbatim
+            docmap_cols[col] = arr
+        docmap = pa.table(docmap_cols)
         pq.write_table(docmap, os.path.join(tmp, DOCMAP_FILE), row_group_size=65536)
 
         # content fingerprint for lineage: urls + lengths (cheap, order-sensitive)

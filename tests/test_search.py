@@ -601,3 +601,61 @@ def test_term_vectors_and_mlt_by_doc(tmp_path):
         r3 = s3.readers[int(np.searchsorted([x.doc_base for x in s3.readers], new_id, side="right")) - 1]
         terms, freqs = r3.term_vector(new_id - r3.doc_base)
         assert dict(zip(map(str, terms), map(int, freqs))) == Counter(texts[old_id].split())
+
+
+def test_geo_distance_query_over_stored_cols(tmp_path):
+    """BuildConfig.store_cols carries user columns into docmap;
+    GeoDistanceQuery (LatLonPoint.newDistanceQuery role) filters by
+    haversine radius over them and composes as a FILTER clause."""
+    import math
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+    rng = np.random.default_rng(5)
+    n = 500
+    lats = 48.0 + rng.uniform(-2, 2, n)      # around Paris-ish latitudes
+    lons = 2.0 + rng.uniform(-3, 3, n)
+    t = pa_.table(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "warc_ts": pa_.array(range(n), pa_.timestamp("us")),
+            "text": ["cafe paris" if i % 3 else "cafe lyon" for i in range(n)],
+            "lang": ["fr"] * n,
+            "lat": pa_.array(lats),
+            "lon": pa_.array(lons),
+        }
+    )
+    path = str(tmp_path / "p.parquet")
+    pq_.write_table(t, path)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx,
+                      BuildConfig(target_docs_per_segment=200,
+                                  store_cols=("lat", "lon")))
+    s = IndexSearcher(idx)
+
+    center, radius = (48.8566, 2.3522), 60_000.0  # 60 km around Paris
+    geo = Q.GeoDistanceQuery("lat", "lon", *center, radius)
+    td = s.search(Q.BooleanQuery.build([(Q.FILTER, geo)]), k=n,
+                  total_hits_threshold=1 << 30)
+    got = set(int(d) for d in td.doc_ids)
+
+    def haversine(la1, lo1, la2, lo2):
+        R = 6_371_008.8
+        p1, p2 = math.radians(la1), math.radians(la2)
+        a = (math.sin((p2 - p1) / 2) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin(math.radians(lo2 - lo1) / 2) ** 2)
+        return 2 * R * math.asin(math.sqrt(a))
+
+    want = {i for i in range(n)
+            if haversine(center[0], center[1], lats[i], lons[i]) <= radius}
+    assert got == want and 0 < len(want) < n
+
+    # composes with scoring clauses
+    q = Q.BooleanQuery.build([(Q.MUST, Q.TermQuery("lyon")), (Q.FILTER, geo)])
+    td2 = s.search(q, k=n, total_hits_threshold=1 << 30)
+    assert set(int(d) for d in td2.doc_ids) == {i for i in want if i % 3 == 0}
