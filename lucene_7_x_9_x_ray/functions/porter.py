@@ -1,9 +1,10 @@
-"""Porter stemmer — the published Porter (1980) suffix-stripping algorithm,
-implemented from the paper's step tables (the algorithm Lucene's
-PorterStemFilter/EnglishAnalyzer applies after tokenize/lowercase/stop:
-s84 analysis/common/.../en/EnglishAnalyzer.java:108-117,
-analysis/common/.../en/PorterStemFilter.java). Re-implemented from the
-public specification, not ported.
+"""Porter stemmer — the published Porter (1980) suffix-stripping algorithm
+with the author's two distributed-implementation departures (step 2:
+bli->ble instead of abli->able, and ogi->og), i.e. the exact variant
+Lucene's PorterStemFilter/EnglishAnalyzer applies after
+tokenize/lowercase/stop (s84 analysis/common/.../en/EnglishAnalyzer
+.java:108-117, analysis/common/.../en/PorterStemFilter.java).
+Re-implemented from the public specification, not ported.
 
 Definitions (per the paper): a consonant is a letter other than a, e, i,
 o, u, and other than y preceded by a consonant. A word has the form
@@ -106,14 +107,21 @@ def porter_stem(word: str) -> str:
         w = w[:-1] + "i"
 
     # --- step 2 (m > 0) -------------------------------------------------
+    # Departures from the 1980 paper, matching the author's distributed
+    # implementation (and therefore Lucene's PorterStemFilter token
+    # output): "bli"->"ble" replaces the paper's "abli"->"able" (same
+    # result for -abli words, additionally stems e.g. possibli), and the
+    # logi->log departure is coded as the implementation codes it — suffix
+    # "ogi"->"og" with the measure taken on the stem excluding only "ogi"
+    # (geologi: m("geol")=1 -> geolog, whereas m("geo")=0 would refuse).
     for suf, rep in (
         ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
-        ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+        ("anci", "ance"), ("izer", "ize"), ("bli", "ble"),
         ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
         ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
         ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
         ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
-        ("biliti", "ble"),
+        ("biliti", "ble"), ("ogi", "og"),
     ):
         if w.endswith(suf):
             stem = w[: len(w) - len(suf)]

@@ -25,13 +25,20 @@ IVF_QUERY_IDS = [5, 6, 7, 8, 9]
 IVF_CENTROIDS = 16
 
 
-def _load_embeddings(sf_dir: str):
-    import pyarrow.parquet as pq
+def _query_vectors(sf_dir: str, query_ids: list[int]) -> np.ndarray:
+    """Fetch ONLY the query vectors via a pruned duckdb point lookup over
+    the source parquet (row-group zone-map pruning; never a whole-table
+    driver load) and return them L2-normalized, row-per-query."""
+    import duckdb
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    return ids, mat
+    con = duckdb.connect()
+    ids_sql = ",".join(str(q) for q in query_ids)
+    qrows = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id IN ({ids_sql}) ORDER BY vec_id"
+    ).fetchall()
+    qmap = {int(v): np.asarray(e, dtype=np.float64) for v, e in qrows}
+    return _normalize(np.stack([qmap[q] for q in query_ids]))
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -65,9 +72,7 @@ def _brute_force(sf_dir: str, query_ids: list[int]) -> pa.Table:
     import ray
     import ray.data as rd
 
-    all_ids, all_mat = _load_embeddings(sf_dir)
-    qpos = {int(v): i for i, v in enumerate(all_ids)}
-    qmat = _normalize(np.stack([all_mat[qpos[q]] for q in query_ids]))
+    qmat = _query_vectors(sf_dir, query_ids)
     qref = ray.put(qmat)
 
     class Scorer:
@@ -252,16 +257,7 @@ def _ivf_search(sf_dir: str, query_ids: list[int], nprobe: int) -> pa.Table:
     centroids = np.load(os.path.join(ivf, "centroids.npy"))
 
     # query vectors: pruned point lookup via duckdb over the source parquet
-    import duckdb
-
-    con = duckdb.connect()
-    ids_sql = ",".join(str(q) for q in query_ids)
-    qrows = con.sql(
-        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
-        f"WHERE vec_id IN ({ids_sql}) ORDER BY vec_id"
-    ).fetchall()
-    qmap = {int(v): np.asarray(e, dtype=np.float64) for v, e in qrows}
-    qmat = _normalize(np.stack([qmap[q] for q in query_ids]))
+    qmat = _query_vectors(sf_dir, query_ids)
 
     probe_order = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
     probes_per_q = [set(int(b) for b in row) for row in probe_order]
@@ -436,21 +432,13 @@ def _hnsw_search(sf_dir: str, query_ids: list[int], k: int = ANN_K,
     import json
     import os
 
-    import duckdb
     import ray
     import ray.data as rd
 
     root = build_hnsw_index(sf_dir)
     meta = json.load(open(os.path.join(root, "meta.json")))
 
-    con = duckdb.connect()
-    ids_sql = ",".join(str(q) for q in query_ids)
-    qrows = con.sql(
-        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
-        f"WHERE vec_id IN ({ids_sql}) ORDER BY vec_id"
-    ).fetchall()
-    qmap = {int(v): np.asarray(e, dtype=np.float64) for v, e in qrows}
-    qmat = _normalize(np.stack([qmap[q] for q in query_ids])).astype(np.float32)
+    qmat = _query_vectors(sf_dir, query_ids).astype(np.float32)
     qref = ray.put(qmat)
 
     def search_part(batch: pa.Table) -> pa.Table:

@@ -321,21 +321,15 @@ LANG_FILTER_K = 10
 
 def q_bm25_lang_filtered(sf_dir: str) -> pa.Table:
     """BM25 disjunction restricted by a metadata predicate: the stored
-    ``lang`` column becomes a FILTER-clause doc set (DocSetQuery — the
-    IndexOrDocValuesQuery column-scan plan): (rank, doc_id, score_r)."""
-    import pyarrow.compute as pc
-
-    merged, seg = get_searchers(sf_dir)
-    en_docs: list[int] = []
-    for r in seg.readers:
-        dm = r.docmap()
-        # vectorized per-segment mask (pc.equal), not a per-row Python loop
-        mask = pc.equal(dm["lang"], LANG_FILTER_LANG)
-        urls = dm["url"].filter(mask).to_pylist()
-        en_docs.extend(_doc_ids_from_urls(urls))
+    ``lang`` column evaluated as a per-segment StringDocValuesQuery FILTER
+    clause (the SORTED-doc-values plan of IndexOrDocValuesQuery,
+    IndexOrDocValuesQuery.java:202) — the mask is computed where each
+    segment lives and FilterCache-d; no driver-side doc list:
+    (rank, doc_id, score_r)."""
+    merged, _ = get_searchers(sf_dir)
     query = Q.BooleanQuery.build(
         [(Q.SHOULD, Q.TermQuery(t)) for t in LANG_FILTER_TERMS]
-        + [(Q.FILTER, Q.DocSetQuery(doc_ids=tuple(sorted(en_docs))))]
+        + [(Q.FILTER, Q.StringDocValuesQuery("lang", LANG_FILTER_LANG))]
     )
     td = merged.search(query, k=LANG_FILTER_K)
     return pa.table(
@@ -641,19 +635,25 @@ def _matched_rows_dataset(sf_dir: str, terms: list[str], per_seg_topk_per_lang: 
     from ..search.scorers import CollectionStats, eval_query
     from ..state.segment import SegmentReader
 
+    from ..state.livedocs import load_tombstones
+
     index_dir = build_flagship_index(sf_dir)
     _, seg = get_searchers(sf_dir)
     stats = seg.collection_stats({(("", t)) for t in terms})
+    # tombstones ride the broadcast so the per-segment match tasks apply
+    # the live-docs filter exactly like merged.search does (the .liv mask)
     stats_ref = ray.put(
-        (stats.doc_count, stats.sum_total_term_freq, stats.term_df, stats.term_ttf)
+        (stats.doc_count, stats.sum_total_term_freq, stats.term_df, stats.term_ttf,
+         load_tombstones(index_dir))
     )
     seg_dirs = [
-        {"seg_dir": os.path.join(index_dir, "segments", s["seg_name"])}
+        {"seg_dir": os.path.join(index_dir, "segments", s["seg_name"]),
+         "doc_base": int(s["doc_base"])}
         for s in seg.manifest.segments
     ]
 
     def run(batch: pa.Table) -> pa.Table:
-        dc, sttf, tdf, tttf = ray.get(stats_ref)
+        dc, sttf, tdf, tttf, tombs = ray.get(stats_ref)
         st = CollectionStats(dc, sttf, tdf, tttf)
         bm25 = BM25()
         query = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
@@ -661,6 +661,13 @@ def _matched_rows_dataset(sf_dir: str, terms: list[str], per_seg_topk_per_lang: 
         for row in batch.to_pylist():
             r = SegmentReader(row["seg_dir"])
             docs, scores = eval_query(r, query, st, bm25)
+            if len(docs) and len(tombs):
+                # drop deleted docs (sorted-array membership on global ids)
+                gids_all = docs + row["doc_base"]
+                idx = np.searchsorted(tombs, gids_all)
+                idx = np.minimum(idx, len(tombs) - 1)
+                live = tombs[idx] != gids_all
+                docs, scores = docs[live], scores[live]
             if len(docs) == 0:
                 continue
             dm = r.docmap()

@@ -241,17 +241,41 @@ FROM events GROUP BY date_trunc('day', ts), event_type"""
 
 
 def q_sort_topn_docs(sf_dir: str) -> pa.Table:
-    """TopFieldCollector analogue: top-N docs by (n_chars desc, doc_id asc)."""
+    """TopFieldCollector analogue: top-N docs by (n_chars desc, doc_id asc).
+
+    TopFieldCollector's per-leaf-heap shape (s84 search/TopFieldCollector
+    .java:42): each batch keeps only its OWN top-N inside map_batches (the
+    combiner), so the driver reduce sees <= N rows per block instead of an
+    all-to-all range sort of the whole table keeping 20 rows."""
     import ray.data as rd
 
-    ds = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-        .sort(["n_chars", "doc_id"], descending=[True, False])
-        .limit(SORT_TOPN)
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy()
+        did = batch["doc_id"].to_numpy()
+        order = np.lexsort((did, -nc))[:SORT_TOPN]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[order].astype(np.int64)),
+                "n_chars": batch["n_chars"].take(pa.array(order)),
+            }
+        )
+
+    t = _to_table(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).map_batches(partial_topn, batch_format="pyarrow")
     )
-    t = _to_table(ds)
-    rank = pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64))
-    return pa.table({"rank": rank, "doc_id": t["doc_id"], "n_chars": t["n_chars"]})
+    nc = t["n_chars"].to_numpy()
+    did = t["doc_id"].to_numpy()
+    order = np.lexsort((did, -nc))[:SORT_TOPN]
+    rank = pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+    return pa.table(
+        {
+            "rank": rank,
+            "doc_id": pa.array(did[order]),
+            "n_chars": t["n_chars"].take(pa.array(order)),
+        }
+    )
 
 
 def oracle_sort_topn_sql() -> str:

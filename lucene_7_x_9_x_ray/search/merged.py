@@ -318,6 +318,20 @@ class MergedReader(_ShardedTermLookup):
             self._dv_cache[col] = arr
         return arr
 
+    def doc_values_valid(self, col: str) -> np.ndarray:
+        """Global-docID-aligned validity bitmap (per-segment bitmaps
+        concatenated in doc_base order, cached)."""
+        key = ("__valid__", col)
+        arr = self._dv_cache.get(key)
+        if arr is None:
+            from ..state.segment import read_doc_values_validity
+
+            arr = np.concatenate(
+                [read_doc_values_validity(d, col) for d in self._seg_dirs]
+            )
+            self._dv_cache[key] = arr
+        return arr
+
 class MergedIndexSearcher(IndexSearcher):
     """IndexSearcher API over the merged index.
 

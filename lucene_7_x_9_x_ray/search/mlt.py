@@ -75,12 +75,18 @@ def mlt_query_from_doc(
 ) -> Q.Query:
     """MLT's like(docID) path: the liked doc's term frequencies come from
     its stored TERM VECTOR (BuildConfig.term_vectors=True), so no stored
-    text is needed — the MoreLikeThis.retrieveTerms(int) role."""
+    text is needed — the MoreLikeThis.retrieveTerms(int) role.
+
+    Term vectors live on the per-SEGMENT readers; a MergedIndexSearcher
+    routes through its segment searcher (the same delegation lookup_docs
+    uses) so like(docID) works on merged indexes too."""
     import numpy as np
 
-    bases = [r.doc_base for r in searcher.readers]
+    seg_searcher = getattr(searcher, "_seg", None)
+    resolver = seg_searcher() if callable(seg_searcher) else searcher
+    bases = [r.doc_base for r in resolver.readers]
     si = int(np.searchsorted(bases, global_doc_id, side="right")) - 1
-    r = searcher.readers[si]
+    r = resolver.readers[si]
     if not getattr(r, "has_term_vectors", False):
         raise ValueError(
             "mlt_query_from_doc needs an index built with "

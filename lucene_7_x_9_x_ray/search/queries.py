@@ -119,6 +119,41 @@ class NumericRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class StringDocValuesQuery(Query):
+    """Constant-score (0) equality predicate over a stored STRING per-doc
+    column — the SORTED-doc-values side of IndexOrDocValuesQuery
+    (IndexOrDocValuesQuery.java:202; DocValuesType.SORTED,
+    index/DocValuesType.java:24-56): evaluated per segment as one
+    vectorized ``col == value`` mask over SegmentReader.doc_values(col),
+    FilterCache-able like the numeric twin. No driver-side doc list is
+    ever built (the docmap stays where the segment lives)."""
+
+    col: str
+    value: str
+
+
+@dataclass(frozen=True)
+class DocValuesFieldExistsQuery(Query):
+    """Docs whose stored doc-values column is non-null — the
+    DocValuesFieldExistsQuery role (s84 search/DocValuesFieldExistsQuery
+    .java:125): the docmap column's validity bitmap IS the match set;
+    constant score 0 (FILTER-side)."""
+
+    col: str
+
+
+@dataclass(frozen=True)
+class NormsFieldExistsQuery(Query):
+    """Docs that have >= 1 indexed token in ``field`` — the
+    NormsFieldExistsQuery role (s84 search/NormsFieldExistsQuery.java:94):
+    a doc with no tokens in the field stores norm byte 0
+    (SmallFloat.intToByte4(0) == 0), so the field's norms array answers
+    existence with one vectorized compare; constant score 0."""
+
+    field: str
+
+
+@dataclass(frozen=True)
 class GeoDistanceQuery(Query):
     """Constant-score (0) geo radius predicate over stored lat/lon
     doc-values columns — the LatLonPoint.newDistanceQuery role

@@ -229,6 +229,32 @@ def eval_query(
         docs = np.flatnonzero(mask).astype(np.int64)
         return docs, np.zeros(len(docs), dtype=np.float32)
 
+    if isinstance(query, Q.StringDocValuesQuery):
+        # vectorized per-segment equality mask over the stored string
+        # column; constant score 0 (FILTER-side, FilterCache-able). The
+        # SORTED-doc-values plan of IndexOrDocValuesQuery — no global doc
+        # list ever leaves the segment.
+        vals = reader.doc_values(query.col)
+        docs = np.flatnonzero(vals == query.value).astype(np.int64)
+        return docs, np.zeros(len(docs), dtype=np.float32)
+
+    if isinstance(query, Q.DocValuesFieldExistsQuery):
+        # the docmap column's validity bitmap IS the doc set
+        # (DocValuesFieldExistsQuery.java:125)
+        valid = reader.doc_values_valid(query.col)
+        docs = np.flatnonzero(valid).astype(np.int64)
+        return docs, np.zeros(len(docs), dtype=np.float32)
+
+    if isinstance(query, Q.NormsFieldExistsQuery):
+        # norm byte 0 == no tokens in the field for this doc
+        # (NormsFieldExistsQuery.java:94; intToByte4(0) == 0)
+        fr = _view(reader, query.field)
+        norms = fr.norms
+        if not isinstance(norms, np.ndarray):  # SegmentedNorms view
+            norms = norms[np.arange(len(norms), dtype=np.int64)]
+        docs = np.flatnonzero(norms != 0).astype(np.int64)
+        return docs, np.zeros(len(docs), dtype=np.float32)
+
     if isinstance(query, Q.GeoDistanceQuery):
         lat = np.asarray(reader.doc_values(query.lat_col), dtype=np.float64)
         lon = np.asarray(reader.doc_values(query.lon_col), dtype=np.float64)

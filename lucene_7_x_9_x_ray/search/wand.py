@@ -433,7 +433,13 @@ def maxscore_topk(
         else:
             kth_p = 0.0
         theta_p = max(kth_p, coll.min_competitive(), floor)
-        if ne_bound < theta_p:
+        # prune only when the float32 image of the bound, rounded UP one
+        # ulp, is still strictly below theta: a pruned doc's final score is
+        # float32(sum) and can round up to EXACTLY the kth-best score, in
+        # which case it deserves the docID tie-break (the nextUp round-up
+        # discipline of Lucene's max-score bounds, WANDScorer.java:76-93)
+        ne_bound32_up = float(np.nextafter(np.float32(ne_bound), np.float32(np.inf)))
+        if ne_bound32_up < theta_p:
             for i in range(n_ess, n_clauses):
                 acc += clauses[i].scores_at(cand).astype(np.float64)
             scores32 = acc.astype(np.float32)

@@ -543,6 +543,25 @@ def merge_index_pull(
     # per-segment FieldReaders hold, now at the merged tier too)
     from ..state.segment import field_prefix
 
+    # heterogeneous field sets (an incremental build that later added
+    # extra_fields) cannot range-pull merge: every segment must hold every
+    # merged field's artifacts, or the pull tasks would crash mid-merge on
+    # a missing f_<name>.terms.parquet — fail up front with the same
+    # explicit error compact.py raises for this case
+    for fname in sorted((manifest.field_stats or {}).keys()):
+        missing = [
+            s["seg_name"]
+            for s in manifest.segments
+            if fname not in (s.get("field_stats") or {})
+        ]
+        if missing:
+            raise ValueError(
+                f"refusing to merge segments with differing field sets: field "
+                f"{fname!r} missing from segments {missing[:5]}"
+                f"{'...' if len(missing) > 5 else ''} — compact or rebuild the "
+                f"older segments with the full field set first"
+            )
+
     field_meta: dict[str, dict] = {}
     for fname in sorted((manifest.field_stats or {}).keys()):
         f_hot, f_bnds, f_stats = merge_one_field(

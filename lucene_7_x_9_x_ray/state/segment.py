@@ -748,6 +748,31 @@ class SegmentReader(TermTableReader):
             cache[col] = arr
         return arr
 
+    def doc_values_valid(self, col: str) -> np.ndarray:
+        """Validity bitmap of one docmap column (True = value present) —
+        the IndexedDISI 'which docs have this doc-values field' role
+        (s84 codecs/lucene80/Lucene80DocValuesFormat.java sparse sets);
+        cached alongside the decoded values."""
+        cache = getattr(self, "_dv_cache", None)
+        if cache is None:
+            cache = self._dv_cache = {}
+        key = ("__valid__", col)
+        arr = cache.get(key)
+        if arr is None:
+            arr = read_doc_values_validity(self.seg_dir, col)
+            cache[key] = arr
+        return arr
+
+
+def read_doc_values_validity(seg_dir: str, col: str) -> np.ndarray:
+    """Validity bitmap of one docmap column as a numpy bool array."""
+    import pyarrow.compute as pc
+
+    c = pq.read_table(os.path.join(seg_dir, DOCMAP_FILE), columns=[col])[
+        col
+    ].combine_chunks()
+    return pc.is_valid(c).to_numpy(zero_copy_only=False)
+
 
 def read_doc_values(seg_dir: str, col: str) -> np.ndarray:
     """One docmap column of one segment as a numpy array (column-pruned
