@@ -15,8 +15,11 @@ shingle relation or candidate machinery (round-1 weakness, fixed):
   mins) + 16 band keys computed per doc inside map_batches — shingles
   never shuffle; candidates via groupby(bucket of (band, key)) with
   in-group vectorized pair expansion; global pair dedup via groupby(a, b);
-  exact-Jaccard verify as a distributed map over candidate pairs with
-  broadcast candidate shingle sets. Probabilistic recall -> rows-only.
+  exact-Jaccard verify via a hash-partitioned semi-join of pair-need rows
+  against the document stream (shingle sets attached in the doc-keyed
+  group, Jaccard computed in the pair-keyed group) — ONE lazy Dataset end
+  to end, no take_all/broadcast dict anywhere (see
+  minhash_lsh_pairs_dataset). Probabilistic recall -> rows-only.
 - simhash (exact, oracle-checked): fingerprint + 4-band pigeonhole rows in
   map_batches (any pair within Hamming 3 agrees on >= 1 of 4 disjoint
   16-bit bands); candidates AND the Hamming check evaluate inside the
@@ -374,94 +377,186 @@ def _emit_bucket_pairs(group: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(u[:, 0].astype(np.int64)), "b": pa.array(u[:, 1].astype(np.int64))})
 
 
-def _verify_pairs_exact(sf_dir: str, pairs: np.ndarray, n: int) -> pa.Table:
-    """Distributed exact-Jaccard verification of candidate pairs.
+_PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
 
-    Candidate doc ids broadcast once; a map over documents re-derives ONLY
-    those docs' shingle sets (small by construction); the pair list then
-    verifies in a vectorized map_batches against the broadcast sets."""
-    import ray
+
+def _pair_bucket(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Deterministic pair -> verify-bucket hash (numpy uint64 wraps)."""
+    k = (lo.astype(np.uint64) * _PAIR_MIX) ^ hi.astype(np.uint64)
+    return (k % np.uint64(PAIR_BUCKETS)).astype(np.int64)
+
+
+def _pair_need_rows(batch: pa.Table) -> pa.Table:
+    """Candidate pairs -> two 'shingle-set needed' rows per pair (one per
+    side), keyed by doc_id for the hash-partitioned semi-join with the
+    document stream. text is null on this side (union schema harmony)."""
+    a = batch["a"].to_numpy().astype(np.int64)
+    b = batch["b"].to_numpy().astype(np.int64)
+    doc = np.concatenate([a, b])
+    lo = np.concatenate([a, a])
+    hi = np.concatenate([b, b])
+    return pa.table(
+        {
+            "jbucket": pa.array((doc % PAIR_BUCKETS).astype(np.int64)),
+            "doc_id": pa.array(doc),
+            "text": pa.array([None] * len(doc), pa.string()),
+            "pair_lo": pa.array(lo),
+            "pair_hi": pa.array(hi),
+        }
+    )
+
+
+def _doc_join_rows(batch: pa.Table) -> pa.Table:
+    """Document stream side of the semi-join: (jbucket, doc_id, text) with
+    null pair columns. Shuffles text ONCE, hash-partitioned by doc_id — the
+    promised no-broadcast fallback: memory per task is one bucket's docs,
+    never an O(corpus) driver set."""
+    d = batch["doc_id"].to_numpy().astype(np.int64)
+    nulls = pa.array([None] * len(d), pa.int64())
+    return pa.table(
+        {
+            "jbucket": pa.array((d % PAIR_BUCKETS).astype(np.int64)),
+            "doc_id": pa.array(d),
+            "text": batch["text"].cast(pa.string()),
+            "pair_lo": nulls,
+            "pair_hi": nulls,
+        }
+    )
+
+
+def _attach_shingles(group: pa.Table) -> pa.Table:
+    """One jbucket of the semi-join: shingle ONLY the docs some pair needs
+    (np.isin membership, vectorized shingle_batch) and emit one row per
+    pair-side carrying the doc's packed shingle set (uint64 bytes), keyed
+    by the PAIR's verify bucket."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {"pbucket": pa.array([], pa.int64()), "pair_lo": pa.array([], pa.int64()),
+         "pair_hi": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+         "sh": pa.array([], pa.binary())}
+    )
+    is_need = pc.is_valid(group["pair_lo"])
+    need = group.filter(is_need)
+    if need.num_rows == 0:
+        return empty
+    docs_side = group.filter(pc.invert(is_need))
+    need_ids = np.unique(need["doc_id"].to_numpy())
+    dmask = np.isin(docs_side["doc_id"].to_numpy(), need_ids)
+    sub = docs_side.filter(pa.array(dmask)).select(["doc_id", "text"])
+    sh = shingle_batch(sub, JACCARD_SHINGLE_N)
+    sdocs = sh["doc_id"].to_numpy()
+    svals = sh["shingle"].to_numpy()
+    order = np.argsort(sdocs, kind="stable")
+    sdocs, svals = sdocs[order], svals[order]
+    uniq, starts = np.unique(sdocs, return_index=True)
+    ends = np.r_[starts[1:], len(sdocs)]
+    blob = {int(d): svals[s:e].tobytes() for d, s, e in zip(uniq, starts, ends)}
+    nd = need["doc_id"].to_numpy()
+    lo = need["pair_lo"].to_numpy().astype(np.int64)
+    hi = need["pair_hi"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "pbucket": pa.array(_pair_bucket(lo, hi)),
+            "pair_lo": pa.array(lo),
+            "pair_hi": pa.array(hi),
+            "doc_id": pa.array(nd.astype(np.int64)),
+            "sh": pa.array([blob.get(int(d), b"") for d in nd], pa.binary()),
+        }
+    )
+
+
+def _verify_pair_group(group: pa.Table) -> pa.Table:
+    """One verify bucket: rows arrive two per pair (side a, side b), each
+    carrying its doc's packed shingle set — exact Jaccard computes WHERE
+    the pair lives (the simhash verify-in-group pattern applied to the
+    MinHash path; reference role: updateDocument dedup semantics, s84
+    index/IndexWriter.java:1603)."""
+    lo = group["pair_lo"].to_numpy()
+    hi = group["pair_hi"].to_numpy()
+    docs = group["doc_id"].to_numpy()
+    blobs = group["sh"].to_pylist()
+    order = np.lexsort((docs, hi, lo))
+    out_a, out_b, out_j = [], [], []
+    i = 0
+    while i + 1 < len(order):
+        ra, rb = order[i], order[i + 1]
+        if lo[ra] != lo[rb] or hi[ra] != hi[rb]:  # unpaired row (shouldn't happen)
+            i += 1
+            continue
+        sa = np.frombuffer(blobs[ra], dtype=np.uint64)
+        sb = np.frombuffer(blobs[rb], dtype=np.uint64)
+        inter = len(np.intersect1d(sa, sb)) if len(sa) and len(sb) else 0
+        j = inter / (len(sa) + len(sb) - inter) if inter else 0.0
+        if j >= JACCARD_THRESHOLD:
+            out_a.append(int(lo[ra]))
+            out_b.append(int(hi[ra]))
+            out_j.append(round_half_away(j, 6))
+        i += 2
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard_r": pa.array(out_j, pa.float64()),
+        }
+    )
+
+
+def minhash_lsh_pairs_dataset(sf_dir: str):
+    """The full MinHash+LSH near-dup pipeline as ONE lazy Ray Dataset —
+    no driver-side materialization anywhere on the path (pinned by
+    tests/test_pipelines.py::test_minhash_lsh_distributed_verify, which
+    executes it with Dataset.take_all forbidden).
+
+    Plan: band rows (map_batches; shingles never shuffle) -> candidate
+    pairs via groupby(bucket of (band, key)) with in-group vectorized
+    expansion -> global pair dedup via groupby(a, b) -> exact verify via a
+    hash-partitioned SEMI-JOIN: pair-side 'need' rows union the document
+    stream, groupby(jbucket = hash(doc_id)) attaches each needed doc's
+    packed shingle set to its pair rows, and groupby(pbucket = hash(pair))
+    computes exact Jaccard inside the pair group. Work on the verify leg is
+    proportional to candidate volume; the only corpus-wide cost is one
+    hash-partitioned pass of the text column (the join's doc side) — no
+    broadcast set, no O(corpus) driver state."""
     import ray.data as rd
+    from ray.data.aggregate import Count
 
-    if len(pairs) == 0:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "jaccard_r": pa.array([], pa.float64())}
-        )
-    cand_ids_ref = ray.put(frozenset(int(x) for x in np.unique(pairs)))
-
-    def cand_shingles(batch: pa.Table) -> pa.Table:
-        cand_ids = ray.get(cand_ids_ref)
-        mask = pa.array([int(d) in cand_ids for d in batch["doc_id"].to_pylist()])
-        sub = batch.filter(mask)
-        t = shingle_batch(sub, n)
-        return t
-
-    rows = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(cand_shingles, batch_format="pyarrow")
-        .take_all()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = (
+        docs.map_batches(_band_rows_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_emit_bucket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_bands"))
     )
-    sets: dict[int, set] = {}
-    for r in rows:
-        sets.setdefault(int(r["doc_id"]), set()).add(int(r["shingle"]))
-    sets_ref = ray.put(sets)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        ss = ray.get(sets_ref)
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            sa, sb = ss[int(a)], ss[int(b)]
-            i = len(sa & sb)
-            j = i / (len(sa) + len(sb) - i) if i else 0.0
-            if j >= JACCARD_THRESHOLD:
-                out_a.append(int(a))
-                out_b.append(int(b))
-                out_j.append(round_half_away(j, 6))
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard_r": pa.array(out_j, pa.float64()),
-            }
-        )
-
-    pair_ds = rd.from_arrow(
-        pa.table({"a": pa.array(pairs[:, 0], pa.int64()), "b": pa.array(pairs[:, 1], pa.int64())})
+    need = cand.map_batches(_pair_need_rows, batch_format="pyarrow")
+    doc_side = docs.map_batches(_doc_join_rows, batch_format="pyarrow")
+    return (
+        doc_side.union(need)
+        .groupby("jbucket")
+        .map_groups(_attach_shingles, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(_verify_pair_group, batch_format="pyarrow")
     )
-    t = _to_table(pair_ds.map_batches(verify, batch_format="pyarrow"))
-    if t.num_rows == 0:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "jaccard_r": pa.array([], pa.float64())}
-        )
-    return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup pairs verified by exact Jaccard:
     (doc_a, doc_b, jaccard_r). Probabilistic recall — rows-only check.
 
-    The 100-TB scale path, fully distributed: signatures + band keys in
-    map_batches (no shingle shuffle), candidates via groupby(bucket of
-    (band, key)) with in-group vectorized pair expansion, global pair dedup
-    via groupby(a, b), exact verification as a distributed map over the
-    candidate pairs. Only band-key rows (MINHASH_BANDS ints per doc) and
-    candidate pairs ever move between nodes."""
-    import ray.data as rd
-    from ray.data.aggregate import Count
-
-    cand_rows = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(_band_rows_batch, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_emit_bucket_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .take_all()
-    )
-    pairs = np.array([[r["a"], r["b"]] for r in cand_rows], dtype=np.int64).reshape(-1, 2)
-    return _verify_pairs_exact(sf_dir, pairs, JACCARD_SHINGLE_N)
+    The 100-TB scale path, fully distributed end to end (see
+    minhash_lsh_pairs_dataset): only band-key rows, candidate pairs,
+    hash-partitioned text blocks and packed shingle blobs ever move between
+    nodes; nothing funnels through the driver until this final small
+    result collection."""
+    t = _to_table(minhash_lsh_pairs_dataset(sf_dir))
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard_r": pa.array([], pa.float64())}
+        )
+    t = t.select(["doc_a", "doc_b", "jaccard_r"])
+    return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 # --- SimHash ----------------------------------------------------------------

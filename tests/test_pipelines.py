@@ -114,6 +114,50 @@ def test_jaccard_and_minhash_find_planted_dups(ray_session, planted_dir):
     assert all(j >= dedup.JACCARD_THRESHOLD for j in mh["jaccard_r"].to_pylist())
 
 
+def test_minhash_lsh_distributed_verify(ray_session, tmp_path, monkeypatch):
+    """Dense-dup corpus (>=10% of docs are near-dup pair members): the whole
+    MinHash+LSH path — banding, candidates, exact-Jaccard verify — runs as
+    one lazy Dataset with driver-side materialization FORBIDDEN
+    (Dataset.take_all / take / to_pandas monkeypatched to raise)."""
+    import ray.data as rd
+
+    from lucene_7_x_9_x_ray.pipelines import dedup
+
+    # 40 docs, 10 planted near-dup pairs => 50% of docs in a dup pair.
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    texts, want = [], set()
+    for p in range(10):
+        words = list(rng.choice(vocab, size=30))
+        a = " ".join(words)
+        words[-1] = "zz" + words[-1]  # one-token perturbation
+        b = " ".join(words)
+        want.add((len(texts), len(texts) + 1))
+        texts.extend([a, b])
+    for _ in range(20):
+        texts.append(" ".join(rng.choice(vocab, size=30)))
+    d = tmp_path / "dense"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "documents.parquet"),
+    )
+
+    def _forbidden(self, *a, **k):  # pragma: no cover - should never fire
+        raise AssertionError("driver-side materialization on the LSH path")
+
+    monkeypatch.setattr(rd.Dataset, "take_all", _forbidden)
+    monkeypatch.setattr(rd.Dataset, "take", _forbidden)
+    monkeypatch.setattr(rd.Dataset, "to_pandas", _forbidden)
+
+    ds = dedup.minhash_lsh_pairs_dataset(str(d))
+    got = set()
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        got.update(zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()))
+    assert want <= got  # every planted near-dup pair verified
+
+
 def test_simhash_banding_is_exact(ray_session, planted_dir):
     """4-band pigeonhole blocking finds EXACTLY the hamming<=3 pairs."""
     from lucene_7_x_9_x_ray.pipelines import dedup, textops
