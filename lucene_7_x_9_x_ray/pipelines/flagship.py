@@ -150,20 +150,20 @@ def _doc_ids_from_urls(urls: list[str]) -> list[int]:
     return [int(u.rsplit("/", 1)[1]) for u in urls]
 
 
-def q_bm25_topk(sf_dir: str) -> pa.Table:
-    """Reference query set top-k: (query_id, rank, doc_id, score_r)."""
-    merged, _ = get_searchers(sf_dir)
+def _bm25_query_table(searcher) -> pa.Table:
+    """Run BM25_QUERY_SPECS on any searcher -> (query_id, rank, doc_id,
+    score_r) rows (shared by the merged-index and NRT-append gates)."""
     qids, ranks, docs, scores = [], [], [], []
     for qid, terms, k, offset in BM25_QUERY_SPECS:
         query = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
         if offset == 0:
-            td = merged.search(query, k=k)
+            td = searcher.search(query, k=k)
         else:
-            anchor = merged.search(query, k=offset)
+            anchor = searcher.search(query, k=offset)
             if len(anchor.doc_ids) < offset:
                 continue
             after = (float(anchor.scores[-1]), int(anchor.doc_ids[-1]))
-            td = merged.search_after(query, k=k, after=after)
+            td = searcher.search_after(query, k=k, after=after)
         for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
             qids.append(qid)
             ranks.append(r)
@@ -177,6 +177,69 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
             "score_r": pa.array(scores, pa.float64()),
         }
     )
+
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    """Reference query set top-k: (query_id, rank, doc_id, score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    return _bm25_query_table(merged)
+
+
+def build_flagship_index_nrt(sf_dir: str) -> str:
+    """Two-generation NRT build: the first half of the pages is committed
+    AND merged (generation 1); the second half is then appended as new
+    segments via append_index WITHOUT re-merging (generation 2). The
+    merged artifact is therefore stale — exactly the state a live index
+    is in between an NRT append and the next background merge."""
+    from ..stages.build import FieldSpec, append_index
+
+    root = _cache_dir(sf_dir) + "_nrt"
+    index_dir = os.path.join(root, "index")
+    done_flag = os.path.join(root, "nrt_done.json")
+    if os.path.exists(done_flag):
+        return index_dir
+    os.makedirs(root, exist_ok=True)
+
+    pages = pages_from_documents(sf_dir, with_html=True)
+    half = max(1, pages.num_rows // 2)
+    pa_path = os.path.join(root, "pages_a.parquet")
+    pb_path = os.path.join(root, "pages_b.parquet")
+    write_pages_parquet(pages.slice(0, half), pa_path,
+                        rows_per_row_group=max(128, half // 4))
+    write_pages_parquet(pages.slice(half), pb_path,
+                        rows_per_row_group=max(128, (pages.num_rows - half) // 4))
+
+    cfg = BuildConfig(
+        verify_extract=True,
+        target_docs_per_segment=max(128, half // 4),
+        extra_fields=(FieldSpec("title", "title", index_positions=True),),
+    )
+    build_index([pa_path], index_dir, cfg)
+    merge_index(index_dir, MergeConfig(n_shards=4, hot_df_threshold=10**9))
+    append_index([pb_path], index_dir, cfg)
+
+    from ..state.manifest import atomic_write_json
+
+    atomic_write_json(done_flag, {"doc_count": pages.num_rows})
+    return index_dir
+
+
+def q_bm25_topk_after_append(sf_dir: str) -> pa.Table:
+    """The NRT gate (round-2 VERDICT item #4): reference query set served
+    AFTER an append, through the reopen path — results must equal a
+    from-scratch build of the union, which is exactly what the shared
+    bm25_topk SQL oracle computes over the full documents table.
+
+    open_searcher detects (by segment-set fingerprint) that the merged
+    artifact predates the appended generation and serves from segments;
+    global BM25 stats come from the re-aggregated generation-2 manifest,
+    so scores are identical to the single-build index."""
+    index_dir = build_flagship_index_nrt(sf_dir)
+    key = "nrt:" + os.path.abspath(sf_dir)
+    if key not in _SEARCHERS:
+        s = open_searcher(index_dir)  # stale merged -> per-segment searcher
+        _SEARCHERS[key] = (s, s)
+    return _bm25_query_table(_SEARCHERS[key][0])
 
 
 def q_phrase_topk(sf_dir: str) -> pa.Table:

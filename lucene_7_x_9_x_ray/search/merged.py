@@ -400,9 +400,50 @@ class MergedIndexSearcher(IndexSearcher):
         return self._seg().lookup_docs(global_doc_ids)
 
 
-def open_searcher(index_dir: str, prefer_merged: bool = True) -> IndexSearcher:
-    """Factory: merged searcher when a merged index exists, else segments."""
+def _merged_is_fresh(index_dir: str) -> bool:
+    """True iff a merged index exists AND was built from the CURRENT
+    manifest's segment set. An NRT append bumps the manifest generation
+    without touching merged/, so a stale fingerprint means the merged
+    artifact is missing appended docs and must not serve."""
+    from ..state.manifest import IndexManifest, load_json, segments_fingerprint
+
     merged_path = os.path.join(index_dir, "merged", MERGED_MANIFEST)
-    if prefer_merged and os.path.exists(merged_path):
+    if not os.path.exists(merged_path):
+        return False
+    meta = load_json(merged_path)
+    return meta.get("fingerprint") == segments_fingerprint(IndexManifest.load(index_dir))
+
+
+def open_searcher(index_dir: str, prefer_merged: bool = True) -> IndexSearcher:
+    """Factory: merged searcher when a FRESH merged index exists (built
+    from the current segment generation), else the per-segment searcher —
+    after an NRT append the merged shards are stale and serving falls back
+    to segments until the next merge."""
+    if prefer_merged and _merged_is_fresh(index_dir):
         return MergedIndexSearcher(index_dir)
     return IndexSearcher(index_dir)
+
+
+def open_if_changed(searcher: IndexSearcher) -> IndexSearcher | None:
+    """DirectoryReader.openIfChanged analogue (s84
+    index/DirectoryReader.java:154; blog NRT reopen loop): return a NEW
+    searcher if the index has a newer committed generation, else None.
+
+    The new searcher reuses the old one's SegmentReader objects for every
+    segment dir that is still in the manifest, so a reopen after an append
+    only cold-opens the appended segments. If a fresh merged index exists
+    for the new generation, the merged searcher is returned instead."""
+    from ..state.manifest import IndexManifest
+
+    current = IndexManifest.load(searcher.index_dir)
+    old = searcher.manifest
+    if current.version == old.version and [s["seg_name"] for s in current.segments] == [
+        s["seg_name"] for s in old.segments
+    ]:
+        return None
+    if _merged_is_fresh(searcher.index_dir):
+        return MergedIndexSearcher(searcher.index_dir, searcher.bm25)
+    from ..state.segment import SegmentReader
+
+    reuse = {r.seg_dir: r for r in searcher.readers if isinstance(r, SegmentReader)}
+    return IndexSearcher(searcher.index_dir, searcher.bm25, reuse_readers=reuse)

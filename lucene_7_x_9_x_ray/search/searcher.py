@@ -71,14 +71,27 @@ def _as_term_conjunction(query: Q.Query) -> list[tuple[str, float]] | None:
 
 
 class IndexSearcher:
-    def __init__(self, index_dir: str, bm25: BM25 | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        bm25: BM25 | None = None,
+        reuse_readers: dict | None = None,
+    ):
         self.manifest = IndexManifest.load(index_dir)
         self.index_dir = index_dir
         self.bm25 = bm25 or BM25()
         self.analyzer = get_analyzer(self.manifest.analyzer)
         segs = sorted(self.manifest.segments, key=lambda s: s["doc_base"])
+        # NRT reopen (open_if_changed) passes the previous generation's
+        # readers keyed by segment dir: unchanged segments keep their
+        # already-open reader (mmaps, decoded dictionaries, caches) and
+        # only newly appended segments cold-open — the SegmentReader
+        # sharing DirectoryReader.openIfChanged does (s84
+        # index/StandardDirectoryReader.java:137).
+        reuse = reuse_readers or {}
         self.readers = [
-            SegmentReader(os.path.join(index_dir, "segments", s["seg_name"])) for s in segs
+            reuse.get(d) or SegmentReader(d)
+            for d in (os.path.join(index_dir, "segments", s["seg_name"]) for s in segs)
         ]
         self.doc_count = self.manifest.doc_count
         self.sum_total_term_freq = self.manifest.sum_total_term_freq
@@ -146,9 +159,35 @@ class IndexSearcher:
         k: int = 10,
         mode: str = "auto",
         total_hits_threshold: int = DEFAULT_TOTAL_HITS_THRESHOLD,
+        count_mode: str = "lower_bound",
     ) -> TopDocs:
+        """count_mode="lower_bound" (default, Lucene parity): pruning
+        scorers may report total_hits as a GREATER_THAN_OR_EQUAL bound
+        once total_hits_threshold is reached. count_mode="exact" keeps the
+        pruned top-k but force-counts every clause exhaustively
+        (TotalHitCountCollector alongside TOP_SCORES — the accurate-count
+        opt-in of IndexSearcher.java:105 semantics), so total_hits is the
+        true match count and total_hits_is_lower_bound is False."""
+        if count_mode not in ("lower_bound", "exact"):
+            raise ValueError(f"count_mode must be lower_bound|exact, got {count_mode!r}")
         if isinstance(query, str):
             query = self.parse(query)
+        td = self._search_impl(query, k, mode, total_hits_threshold)
+        if count_mode == "exact" and td.total_hits_is_lower_bound:
+            from dataclasses import replace
+
+            td = replace(
+                td, total_hits=self.count(query), total_hits_is_lower_bound=False
+            )
+        return td
+
+    def _search_impl(
+        self,
+        query: Q.Query,
+        k: int = 10,
+        mode: str = "auto",
+        total_hits_threshold: int = DEFAULT_TOTAL_HITS_THRESHOLD,
+    ) -> TopDocs:
         if Q.needs_rewrite(query):  # multi-term expansion only when needed
             query = Q.rewrite(query, self.term_dict_union())
         stats = self.collection_stats(Q.collect_field_terms(query))

@@ -245,6 +245,29 @@ def build_index(
     if not specs:
         raise ValueError(f"no input rows found in {input_paths}")
 
+    stats_rows = _run_specs_distributed(specs, cfg, segments_dir, concurrency)
+
+    manifest = IndexManifest(
+        index_dir=index_dir,
+        analyzer=cfg.analyzer,
+        field=cfg.text_col,
+        doc_count=sum(r["doc_count"] for r in stats_rows),
+        sum_total_term_freq=sum(r["sum_total_term_freq"] for r in stats_rows),
+        segments=stats_rows,
+        sort_by=cfg.sort_by or "",
+        field_stats=_aggregate_field_stats(stats_rows),
+    )
+    manifest.save()
+    return manifest
+
+
+def _run_specs_distributed(
+    specs: list[dict], cfg: BuildConfig, segments_dir: str, concurrency: int | None
+) -> list[dict]:
+    """Run the partition specs as a Ray Data stage; returns stats rows
+    sorted by doc_base. Shared by build_index and append_index."""
+    import ray.data as rd
+
     def run_specs(batch: pa.Table) -> pa.Table:
         import json as _json
 
@@ -276,17 +299,66 @@ def build_index(
         if isinstance(r.get("field_stats"), str):
             r["field_stats"] = _json.loads(r["field_stats"])
     stats_rows.sort(key=lambda r: r["doc_base"])
+    return stats_rows
 
-    manifest = IndexManifest(
-        index_dir=index_dir,
-        analyzer=cfg.analyzer,
-        field=cfg.text_col,
-        doc_count=sum(r["doc_count"] for r in stats_rows),
-        sum_total_term_freq=sum(r["sum_total_term_freq"] for r in stats_rows),
-        segments=stats_rows,
-        sort_by=cfg.sort_by or "",
-        field_stats=_aggregate_field_stats(stats_rows),
+
+def append_index(
+    input_paths: list[str],
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    concurrency: int | None = None,
+) -> IndexManifest:
+    """NRT append: build NEW segments from ``input_paths`` behind the
+    committed docID space and atomically publish the next manifest
+    generation (the segments_N analogue — only the manifest rename makes
+    the appended docs visible; a crash mid-append leaves the old
+    generation intact and the orphan segment dirs are resumed/reused on
+    retry). Readers pick the new generation up via
+    search.merged.open_if_changed (DirectoryReader.openIfChanged role,
+    s84 index/DirectoryReader.java:154; blog NRT article).
+
+    Appended docs get global docIDs starting at the old doc_count;
+    existing segments and their statistics are untouched. Global BM25
+    stats (doc_count, sum_total_term_freq, per-field aggregates) are
+    re-aggregated over the full segment list, so post-append scores equal
+    a from-scratch build of the union (the bm25_topk_after_append gate).
+    """
+    cfg = cfg or BuildConfig()
+    manifest = IndexManifest.load(index_dir)
+    if manifest.analyzer != cfg.analyzer or manifest.field != cfg.text_col:
+        raise ValueError(
+            f"append config mismatch: index is analyzer={manifest.analyzer!r} "
+            f"field={manifest.field!r}, append wants {cfg.analyzer!r}/{cfg.text_col!r}"
+        )
+    if (manifest.sort_by or "") != (cfg.sort_by or ""):
+        raise ValueError("append config mismatch: index sort differs")
+    want_fields = {f.name for f in cfg.extra_fields}
+    for s in manifest.segments:
+        have = set((s.get("field_stats") or {}).keys())
+        if have != want_fields:
+            raise ValueError(
+                f"append config mismatch: segment {s['seg_name']} has fields "
+                f"{sorted(have)}, append wants {sorted(want_fields)} "
+                "(heterogeneous field sets would poison the merge)"
+            )
+
+    segments_dir = os.path.join(index_dir, "segments")
+    specs = plan_partitions(input_paths, cfg)
+    if not specs:
+        raise ValueError(f"no input rows found in {input_paths}")
+    seg_i0 = 1 + max(
+        (int(s["seg_name"].rsplit("_", 1)[1]) for s in manifest.segments), default=-1
     )
+    for i, sp in enumerate(specs):
+        sp["seg_name"] = f"seg_{seg_i0 + i:06d}"
+        sp["doc_base"] += manifest.doc_count
+
+    new_rows = _run_specs_distributed(specs, cfg, segments_dir, concurrency)
+    manifest.segments = manifest.segments + new_rows
+    manifest.doc_count += sum(r["doc_count"] for r in new_rows)
+    manifest.sum_total_term_freq += sum(r["sum_total_term_freq"] for r in new_rows)
+    manifest.field_stats = _aggregate_field_stats(manifest.segments)
+    manifest.version += 1  # the generation bump readers poll for
     manifest.save()
     return manifest
 

@@ -814,11 +814,9 @@ def write_merged_shard(
 
 
 def _fingerprint(manifest: IndexManifest) -> str:
-    h = hashlib.sha256()
-    for s in manifest.segments:
-        h.update(s["seg_name"].encode())
-        h.update(str(s["lineage_fingerprint"]).encode())
-    return h.hexdigest()[:16]
+    from ..state.manifest import segments_fingerprint
+
+    return segments_fingerprint(manifest)
 
 
 def _finalize(index_dir: str, merged_dir: str, manifest: IndexManifest,

@@ -143,6 +143,15 @@ def check_index(index_dir: str, sample_every: int = 1) -> dict:
     merged_stats = None
     merged_path = os.path.join(index_dir, "merged", "merged.json")
     if os.path.exists(merged_path):
+        # a merged artifact from an OLDER generation (NRT append landed
+        # since the merge) is legitimately stale: readers won't serve it
+        # (open_searcher checks the same fingerprint), so don't cross-check
+        # it against segments it has never seen
+        from .manifest import load_json as _lj, segments_fingerprint
+
+        if _lj(merged_path).get("fingerprint") != segments_fingerprint(manifest):
+            merged_path = None
+    if merged_path and os.path.exists(merged_path):
         from ..search.merged import MergedReader
 
         mr = MergedReader(index_dir)

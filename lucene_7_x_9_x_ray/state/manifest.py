@@ -85,12 +85,28 @@ def fsync_dir_files(dir_path: str) -> None:
     of IndexWriter.commit (s84 index/IndexWriter.java:3180-3467). Called on
     a segment/shard temp dir immediately before its atomic rename so the
     manifest (our segments_N) never references unsynced data. No-op when
-    fsync_enabled() is off."""
+    fsync_enabled() is off.
+
+    File fsyncs run on an io-thread pool: os.fsync releases the GIL, so
+    the per-file device flushes overlap instead of serializing their
+    latencies (a segment dir has ~10 files; sequential fsyncs were ~25%
+    of build+merge wall time at sf0.1 — round-2 VERDICT item #7). The
+    directory fsync stays LAST: it must not be issued before every file
+    flush has completed."""
     if not fsync_enabled():
         return
-    for name in os.listdir(dir_path):
-        p = os.path.join(dir_path, name)
-        if os.path.isfile(p):
+    files = [
+        p
+        for name in os.listdir(dir_path)
+        if os.path.isfile(p := os.path.join(dir_path, name))
+    ]
+    if len(files) > 2:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(files))) as ex:
+            list(ex.map(fsync_path, files))  # list() re-raises any error
+    else:
+        for p in files:
             fsync_path(p)
     fsync_path(dir_path)
 
@@ -188,3 +204,17 @@ def segment_is_complete(seg_dir: str, expect: dict | None = None) -> SegmentStat
         ):
             return None
     return st
+
+
+def segments_fingerprint(manifest: "IndexManifest") -> str:
+    """Content fingerprint of the committed segment set (name + lineage).
+    A merged index records this at merge time; readers compare it against
+    the CURRENT manifest to detect that an NRT append made the merged
+    artifact stale (segments_N vs the merge's source set)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for s in manifest.segments:
+        h.update(s["seg_name"].encode())
+        h.update(str(s["lineage_fingerprint"]).encode())
+    return h.hexdigest()[:16]

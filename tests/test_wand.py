@@ -263,3 +263,31 @@ def test_term_impact_pruning_and_floor(tmp_path):
             ti = coll.result()
             assert list(te.doc_ids) == list(ti.doc_ids), (term, k)
             assert np.array_equal(te.scores, ti.scores), (term, k)
+
+
+def test_exact_count_opt_in_under_pruning(duel_idx):
+    """count_mode="exact": the pruned path returns the TRUE total_hits
+    (equal to exhaustive enumeration) while keeping the pruned top-k."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:03d}" for i in range(30)]
+    for trial in range(20):
+        terms = list(rng.choice(vocab, size=int(rng.integers(2, 6)), replace=False))
+        k = int(rng.choice([1, 5, 10]))
+        q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
+        exh = duel_idx.search(q, k=1 << 20, mode="exhaustive",
+                              total_hits_threshold=1 << 30)
+        for mode in ("wand", "maxscore"):
+            pruned = duel_idx.search(q, k=k, mode=mode, total_hits_threshold=k)
+            exact = duel_idx.search(q, k=k, mode=mode, total_hits_threshold=k,
+                                    count_mode="exact")
+            # same pruned top-k either way
+            assert pruned.to_lists() == exact.to_lists(), (terms, k, mode)
+            assert not exact.total_hits_is_lower_bound
+            assert exact.total_hits == exh.total_hits, (terms, k, mode)
+            # and the default really is a lower bound of the true count
+            assert pruned.total_hits <= exh.total_hits
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="count_mode"):
+        duel_idx.search(Q.TermQuery("w000"), count_mode="bogus")
