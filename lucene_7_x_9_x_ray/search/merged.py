@@ -318,6 +318,42 @@ class MergedReader(_ShardedTermLookup):
             self._dv_cache[col] = arr
         return arr
 
+    def doc_values_range_docs(
+        self, col: str, lower, upper, include_lower: bool, include_upper: bool
+    ) -> np.ndarray:
+        """Global docIDs matching a numeric range via each segment's
+        BKD-analogue block index (docmap row-group min/max stats): whole
+        segments/blocks outside the range cost no IO. Pruning counters
+        accumulate in self.dv_prune_stats."""
+        import pyarrow.parquet as _pq
+
+        from ..state.segment import DOCMAP_FILE, range_docs_pruned
+
+        pfs = self._dv_cache.get(("__pf__", col))
+        if pfs is None:
+            pfs = [_pq.ParquetFile(os.path.join(d, DOCMAP_FILE)) for d in self._seg_dirs]
+            self._dv_cache[("__pf__", col)] = pfs
+        stats = getattr(self, "dv_prune_stats", None)
+        if stats is None:
+            stats = self.dv_prune_stats = {}
+        parts = []
+        for pf, seg_dir, base in zip(pfs, self._seg_dirs, self._doc_bases):
+            docs = range_docs_pruned(
+                pf, col, lower, upper, include_lower, include_upper, prune_stats=stats
+            )
+            if docs is None:  # no usable stats: full scan of this segment
+                from ..state.segment import read_doc_values
+
+                vals = read_doc_values(seg_dir, col)
+                mask = np.ones(len(vals), dtype=bool)
+                if lower is not None:
+                    mask &= (vals >= lower) if include_lower else (vals > lower)
+                if upper is not None:
+                    mask &= (vals <= upper) if include_upper else (vals < upper)
+                docs = np.flatnonzero(mask).astype(np.int64)
+            parts.append(docs + base)
+        return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
     def doc_values_valid(self, col: str) -> np.ndarray:
         """Global-docID-aligned validity bitmap (per-segment bitmaps
         concatenated in doc_base order, cached)."""

@@ -219,7 +219,17 @@ def eval_query(
         return ids, np.zeros(len(ids), dtype=np.float32)
 
     if isinstance(query, Q.NumericRangeQuery):
-        # vectorized doc-values range mask; constant score 0 (FILTER-side)
+        # doc-values range; constant score 0 (FILTER-side). Readers with a
+        # block index (docmap row-group min/max stats — the BKD analogue,
+        # state/segment.py range_docs_pruned) skip/accept whole blocks;
+        # others fall back to the vectorized full-column mask.
+        rng_fn = getattr(reader, "doc_values_range_docs", None)
+        if rng_fn is not None:
+            docs = rng_fn(
+                query.col, query.lower, query.upper,
+                query.include_lower, query.include_upper,
+            )
+            return docs, np.zeros(len(docs), dtype=np.float32)
         vals = reader.doc_values(query.col)
         mask = np.ones(len(vals), dtype=bool)
         if query.lower is not None:

@@ -45,6 +45,11 @@ TERMS_FILE = "terms.parquet"
 POSTINGS_FILE = "postings.bin"
 NORMS_FILE = "norms.bin"
 DOCMAP_FILE = "docmap.parquet"
+# docmap parquet row-group size — the BKD leaf-block analogue: each row
+# group's footer min/max statistics form the per-block index that
+# NumericRangeQuery prunes with (s84 util/bkd/BKDWriter.java:79 cell
+# bounds; PointRangeQuery.java:428 CELL_OUTSIDE/INSIDE/CROSSES visitor)
+DV_BLOCK_ROWS = 65536
 POSITIONS_FILE = "positions.bin"  # the .pos analogue (optional, per IndexOptions)
 TERMVECTORS_FILE = "tvx.parquet"  # the .tvx/.tvd analogue (optional per-doc vectors)
 
@@ -422,7 +427,7 @@ def write_segment(
             # user-defined stored fields / doc values, copied verbatim
             docmap_cols[col] = arr
         docmap = pa.table(docmap_cols)
-        pq.write_table(docmap, os.path.join(tmp, DOCMAP_FILE), row_group_size=65536)
+        pq.write_table(docmap, os.path.join(tmp, DOCMAP_FILE), row_group_size=DV_BLOCK_ROWS)
 
         # content fingerprint for lineage: urls + lengths (cheap, order-sensitive)
         h = hashlib.sha256()
@@ -748,6 +753,35 @@ class SegmentReader(TermTableReader):
             cache[col] = arr
         return arr
 
+    def doc_values_range_docs(
+        self, col: str, lower, upper, include_lower: bool, include_upper: bool
+    ) -> np.ndarray:
+        """Local docIDs matching a numeric range, via the BKD-analogue
+        block index (docmap row-group min/max stats — see
+        range_docs_pruned): blocks fully outside the range cost no IO,
+        blocks fully inside emit docID runs without decoding. Cumulative
+        pruning counters live in self.dv_prune_stats."""
+        pf = getattr(self, "_docmap_pf", None)
+        if pf is None:
+            pf = self._docmap_pf = pq.ParquetFile(os.path.join(self.seg_dir, DOCMAP_FILE))
+        stats = getattr(self, "dv_prune_stats", None)
+        if stats is None:
+            stats = self.dv_prune_stats = {}
+        docs = range_docs_pruned(
+            pf, col, lower, upper, include_lower, include_upper, prune_stats=stats
+        )
+        if docs is not None:
+            return docs
+        # no usable statistics (non-numeric column, stats disabled):
+        # full-column scan, same semantics
+        vals = self.doc_values(col)
+        mask = np.ones(len(vals), dtype=bool)
+        if lower is not None:
+            mask &= (vals >= lower) if include_lower else (vals > lower)
+        if upper is not None:
+            mask &= (vals <= upper) if include_upper else (vals < upper)
+        return np.flatnonzero(mask).astype(np.int64)
+
     def doc_values_valid(self, col: str) -> np.ndarray:
         """Validity bitmap of one docmap column (True = value present) —
         the IndexedDISI 'which docs have this doc-values field' role
@@ -762,6 +796,105 @@ class SegmentReader(TermTableReader):
             arr = read_doc_values_validity(self.seg_dir, col)
             cache[key] = arr
         return arr
+
+
+def _stat_to_int64(v, col_type) -> int | float | None:
+    """Normalize a parquet row-group statistic to the numeric domain
+    read_doc_values exposes (timestamps -> int64 micros). None = can't
+    interpret; caller must treat the block as CROSSES."""
+    import datetime as _dt
+
+    import pyarrow.types as pat
+
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.replace(tzinfo=None)
+        return int(np.datetime64(v, "us").astype(np.int64))
+    if pat.is_timestamp(col_type) and isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return v
+    return None
+
+
+def range_docs_pruned(
+    pf: pq.ParquetFile,
+    col: str,
+    lower,
+    upper,
+    include_lower: bool,
+    include_upper: bool,
+    prune_stats: dict | None = None,
+) -> np.ndarray | None:
+    """BKD-style numeric range over one docmap file: the parquet row-group
+    footer min/max statistics are the per-block index (BKDWriter cell
+    bounds); each block resolves to the PointRangeQuery IntersectVisitor
+    relations — OUTSIDE (skip, no IO), INSIDE (emit the docID run without
+    decoding values), CROSSES (read just that row group and mask). Returns
+    sorted local docIDs, or None when statistics are unavailable (caller
+    falls back to the full column scan). prune_stats, when given,
+    accumulates {"blocks_skipped", "blocks_inside", "blocks_scanned"}."""
+    import pyarrow.types as pat
+
+    md = pf.metadata
+    try:
+        ci = pf.schema_arrow.names.index(col)
+    except ValueError:
+        return None
+    col_type = pf.schema_arrow.types[ci]
+    if not (pat.is_integer(col_type) or pat.is_floating(col_type) or pat.is_timestamp(col_type)):
+        return None
+
+    def passes_lower(v) -> bool:
+        return lower is None or (v >= lower if include_lower else v > lower)
+
+    def passes_upper(v) -> bool:
+        return upper is None or (v <= upper if include_upper else v < upper)
+
+    out: list[np.ndarray] = []
+    offset = 0
+    stats = prune_stats if prune_stats is not None else {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        n = rg.num_rows
+        st = rg.column(ci).statistics
+        mn = _stat_to_int64(st.min, col_type) if st is not None and st.has_min_max else None
+        mx = _stat_to_int64(st.max, col_type) if st is not None and st.has_min_max else None
+        has_nulls = bool(st.null_count) if st is not None and st.null_count is not None else True
+        if mn is None or mx is None:
+            rel = "CROSSES"
+        elif not passes_lower(mx) or not passes_upper(mn):
+            rel = "OUTSIDE"  # whole block out of range
+        elif passes_lower(mn) and passes_upper(mx) and not has_nulls:
+            rel = "INSIDE"  # every doc in the block matches
+        else:
+            rel = "CROSSES"
+        if rel == "OUTSIDE":
+            stats["blocks_skipped"] = stats.get("blocks_skipped", 0) + 1
+        elif rel == "INSIDE":
+            stats["blocks_inside"] = stats.get("blocks_inside", 0) + 1
+            out.append(np.arange(offset, offset + n, dtype=np.int64))
+        else:
+            stats["blocks_scanned"] = stats.get("blocks_scanned", 0) + 1
+            c = pf.read_row_group(rg_i, columns=[col])[col].combine_chunks()
+            if pat.is_timestamp(c.type):
+                vals = c.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            else:
+                vals = c.to_numpy(zero_copy_only=False)
+            mask = np.ones(n, dtype=bool)
+            if c.null_count:
+                mask &= ~np.asarray(pa.compute.is_null(c).to_numpy(zero_copy_only=False))
+            if lower is not None:
+                mask &= (vals >= lower) if include_lower else (vals > lower)
+            if upper is not None:
+                mask &= (vals <= upper) if include_upper else (vals < upper)
+            out.append((np.flatnonzero(mask) + offset).astype(np.int64))
+        offset += n
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(out)
 
 
 def read_doc_values_validity(seg_dir: str, col: str) -> np.ndarray:
