@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": flagship.q_postings,
         "doc_lengths": flagship.q_doc_lengths,
         "multiterm_match": flagship.q_multiterm_match,
+        "field_exists_match": flagship.q_field_exists_match,  # IS NOT NULL twin
         "bm25_lang_filtered": flagship.q_bm25_lang_filtered,
         "bm25_ts_filtered": flagship.q_bm25_ts_filtered,  # numeric-range FILTER clause
         "field_topk": flagship.q_field_topk,  # multi-field (title vs body)
@@ -108,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "postings": O.postings_sql(flagship.POSTINGS_TERMS),
         "doc_lengths": O.doc_lengths_sql(),
         "multiterm_match": O.multiterm_match_sql(multiterm_specs),
+        "field_exists_match": O.field_exists_sql(),
         "bm25_lang_filtered": O.lang_filtered_topk_sql(
             list(flagship.LANG_FILTER_TERMS), flagship.LANG_FILTER_LANG,
             flagship.LANG_FILTER_K,

@@ -68,10 +68,10 @@ _SEARCHERS: dict[str, tuple[IndexSearcher, IndexSearcher]] = {}
 
 
 def _cache_dir(sf_dir: str) -> str:
-    # v3: pages gained the title column; segments gained the per-field
-    # (f_title.*) artifacts (v2 added the positions .pos artifact)
+    # v4: pages gained the nullable score_hint stored column (FieldExists
+    # gate); v3 added the title field, v2 the positions .pos artifact
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(CACHE_ROOT, f"idx_{key}_v3")
+    return os.path.join(CACHE_ROOT, f"idx_{key}_v4")
 
 
 def build_flagship_index(sf_dir: str, use_ray: bool = True) -> str:
@@ -106,6 +106,8 @@ def build_flagship_index(sf_dir: str, use_ray: bool = True) -> str:
         # multi-field schema: title (first TITLE_TOKENS body tokens) indexed
         # as its own field with per-field postings/norms/stats
         extra_fields=(FieldSpec("title", "title", index_positions=True),),
+        # nullable user doc-values column -> DocValuesFieldExistsQuery gate
+        store_cols=("score_hint",),
     )
     # target=1e9 keeps one row-group range per partition spec; the row-group
     # size above is what actually fixes the segment count.
@@ -653,6 +655,34 @@ def q_doc_lengths(sf_dir: str) -> pa.Table:
             "norm_len": pa.array(nlens, pa.int64()),
         }
     )
+
+
+def q_field_exists_match(sf_dir: str) -> pa.Table:
+    """FieldExists matches: (kind, doc_id) — round-2 VERDICT item #6.
+
+    dv_exists_score_hint: DocValuesFieldExistsQuery over the nullable
+    score_hint stored column (validity bitmap IS the doc set,
+    s84 search/DocValuesFieldExistsQuery.java:125); SQL mirror is the
+    IS NOT NULL predicate. dv_exists_lang: the all-valid path.
+    norms_exists_title: NormsFieldExistsQuery over the title field's
+    norms (s84 search/NormsFieldExistsQuery.java:94)."""
+    _, seg = get_searchers(sf_dir)
+    specs: list[tuple[str, Q.Query]] = [
+        ("dv_exists_score_hint", Q.DocValuesFieldExistsQuery("score_hint")),
+        ("dv_exists_lang", Q.DocValuesFieldExistsQuery("lang")),
+        ("norms_exists_title", Q.NormsFieldExistsQuery("title")),
+    ]
+    from ..search.scorers import eval_query
+
+    kinds, docs = [], []
+    for kind, query in specs:
+        stats = seg.collection_stats(Q.collect_field_terms(query))
+        for r in seg.readers:
+            d, _s = eval_query(r, query, stats, seg.bm25)
+            for gd in d + r.doc_base:
+                kinds.append(kind)
+                docs.append(int(gd))
+    return pa.table({"kind": pa.array(kinds, pa.string()), "doc_id": pa.array(docs, pa.int64())})
 
 
 def q_multiterm_match(sf_dir: str) -> pa.Table:

@@ -531,3 +531,22 @@ SELECT lang, rank, doc_id, score_r FROM (
   FROM scored_g s JOIN {relation} d USING (doc_id)
 ) WHERE rank <= {per_group}"""
     )
+
+
+def field_exists_sql(relation: str = "documents") -> str:
+    """FieldExists oracle: the score_hint doc-values column is derived in
+    pages_from_documents as NULL iff doc_id % 3 == 0 (else n_chars), so
+    existence is literally an IS NOT NULL predicate; lang is never null;
+    the title field always has >= 1 token (first body tokens), so its
+    norms-exists set is every doc."""
+    return f"""WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars END AS score_hint
+  FROM {relation})
+SELECT 'dv_exists_score_hint' AS kind, doc_id FROM d WHERE score_hint IS NOT NULL
+UNION ALL
+SELECT 'dv_exists_lang' AS kind, doc_id FROM {relation} WHERE lang IS NOT NULL
+UNION ALL
+SELECT 'norms_exists_title' AS kind, doc_id FROM {relation}
+WHERE len(string_split(text, ' ')) >= 1
+ORDER BY kind, doc_id"""

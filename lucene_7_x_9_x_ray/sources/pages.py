@@ -134,9 +134,19 @@ def pages_from_documents(sf_dir: str, with_html: bool = True, repeat: int = 1) -
     """
     import pyarrow.compute as pc
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    )
     doc_ids = docs["doc_id"].to_numpy()
     n = len(doc_ids)
+
+    # score_hint: a deliberately SPARSE per-doc value (NULL for every
+    # doc_id divisible by 3) — the nullable doc-values fixture behind the
+    # DocValuesFieldExistsQuery gate; its SQL mirror is an IS NOT NULL
+    # predicate over the same CASE expression (oracles.field_exists_sql)
+    score_hint = pa.array(
+        np.where(doc_ids % 3 == 0, None, docs["n_chars"].to_numpy()), type=pa.int64()
+    )
 
     # title = first TITLE_TOKENS body tokens (vectorized split/slice/join),
     # the SQL-expressible per-field fixture for multi-field BM25 oracles
@@ -165,6 +175,7 @@ def pages_from_documents(sf_dir: str, with_html: bool = True, repeat: int = 1) -
         cols["text"] = docs["text"]
         cols["lang"] = docs["lang"]
         cols["title"] = titles
+        cols["score_hint"] = score_hint
         parts.append(pa.table(cols))
     return pa.concat_tables(parts)
 

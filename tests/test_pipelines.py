@@ -1004,3 +1004,26 @@ def test_reclaim_generations_are_monotonic(ray_session, tmp_path):
     assert not (set(names1) & set(names2))
     s = IndexSearcher(idx)
     assert s.count(Q.MatchAllDocsQuery()) == m2.doc_count
+
+
+def test_field_exists_oracle_parity(ray_session):
+    """FieldExists gate == DuckDB IS NOT NULL oracle on the driver corpus
+    (score_hint nullable by construction, lang all-valid, title norms
+    always present)."""
+    import duckdb as _dd
+
+    from lucene_7_x_9_x_ray.pipelines import flagship, oracles
+
+    got = flagship.q_field_exists_match(SF)
+    con = _dd.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    want = con.sql(oracles.field_exists_sql()).arrow()
+    g = got.sort_by([("kind", "ascending"), ("doc_id", "ascending")])
+    w = want.cast(g.schema).sort_by([("kind", "ascending"), ("doc_id", "ascending")])
+    assert g.equals(w)
+    # the nullable column really is sparse: 1/3 of docs lack score_hint
+    n_docs = con.sql("select count(*) from documents").fetchone()[0]
+    n_hint = got.filter(
+        pa.compute.equal(got["kind"], "dv_exists_score_hint")
+    ).num_rows
+    assert 0 < n_hint < n_docs
