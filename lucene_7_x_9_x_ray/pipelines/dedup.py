@@ -377,6 +377,23 @@ def _emit_bucket_pairs(group: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(u[:, 0].astype(np.int64)), "b": pa.array(u[:, 1].astype(np.int64))})
 
 
+def _dedup_shuffle_partitions() -> int:
+    """Shuffle width for the small intermediate dedup streams (candidate
+    pairs, semi-join legs): LUCENE_RAY_DEDUP_PARTITIONS env override, else
+    the cluster CPU count."""
+    import os
+
+    v = os.environ.get("LUCENE_RAY_DEDUP_PARTITIONS")
+    if v:
+        return max(2, int(v))
+    try:
+        import ray
+
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
 _PAIR_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -517,15 +534,26 @@ def minhash_lsh_pairs_dataset(sf_dir: str):
     computes exact Jaccard inside the pair group. Work on the verify leg is
     proportional to candidate volume; the only corpus-wide cost is one
     hash-partitioned pass of the text column (the join's doc side) — no
-    broadcast set, no O(corpus) driver state."""
+    broadcast set, no O(corpus) driver state.
+
+    Physical shuffle width: the candidate/verify streams are orders of
+    magnitude smaller than the corpus, but a groupby inherits its input's
+    block count, so at small scale the plan degenerates into hundreds of
+    KB-sized shuffle tasks (measured: ~3x wall time in pure task-scheduling
+    overhead). The intermediate streams are therefore repartitioned to
+    LUCENE_RAY_DEDUP_PARTITIONS (default: cluster CPU count — the Spark
+    spark.sql.shuffle.partitions precedent; raise to ~corpus_bytes/512MB on
+    a 100-TB deployment so the semi-join legs keep block sizes bounded)."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
+    parts = _dedup_shuffle_partitions()
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     cand = (
         docs.map_batches(_band_rows_batch, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_emit_bucket_pairs, batch_format="pyarrow")
+        .repartition(max(4, parts // 4))
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_bands"))
     )
@@ -533,6 +561,7 @@ def minhash_lsh_pairs_dataset(sf_dir: str):
     doc_side = docs.map_batches(_doc_join_rows, batch_format="pyarrow")
     return (
         doc_side.union(need)
+        .repartition(parts)
         .groupby("jbucket")
         .map_groups(_attach_shingles, batch_format="pyarrow")
         .groupby("pbucket")
