@@ -33,9 +33,189 @@ __all__ = [
     "decode_freqs",
     "compute_impacts",
     "block_bounds",
+    "PostingsFormat",
+    "register_postings_format",
+    "get_postings_format",
+    "format_by_id",
 ]
 
 BLOCK_SIZE = 128  # ForUtil.BLOCK_SIZE
+
+
+# ---------------------------------------------------------------------------
+# postings-format SPI (Codec.java:43 forName/availableCodecs analogue)
+# ---------------------------------------------------------------------------
+
+
+class PostingsFormat:
+    """One packed-ints strategy for doc-delta / freq blocks.
+
+    The pluggable-codec seam (s84 codecs/Codec.java:43 SPI;
+    codecs/lucene84/PForUtil.java:33 is the "pfor" built-in's reference):
+    every postings region starts with this format's ``fmt_id`` byte, so
+    readers, the merge shuffle and compaction dispatch per REGION with no
+    side-channel — mixed-format indexes decode transparently and re-encode
+    at the writer's configured format.
+
+    ``plan(values, bvstart, bcount)`` -> (widths int64[B], masked values,
+    exc) chooses each block's base bit width and, optionally, patch
+    exceptions ``exc = (counts uint8[B], pos uint8[E], high uint8[E])``
+    (None for exception-free formats). ``E`` rows are sorted by (block,
+    pos); ``high`` is the value's bits above the base width.
+    """
+
+    name: str = ""
+    fmt_id: int = -1
+
+    def plan(self, values, bvstart, bcount, widths_full):
+        raise NotImplementedError
+
+
+class ForPostingsFormat(PostingsFormat):
+    """Plain FOR: per-block width = bit width of the block max, no
+    exceptions (ForUtil.java:31 semantics — the default)."""
+
+    name = "for"
+    fmt_id = 0
+
+    def plan(self, values, bvstart, bcount, widths_full):
+        return widths_full, values, None
+
+
+class PForPostingsFormat(PostingsFormat):
+    """Patched FOR: per-block base width chosen so that a few outlier
+    values ("exceptions") store only their low bits in the packed block,
+    with the high bits (one byte each) patched back at decode
+    (s84 codecs/lucene84/PForUtil.java:48-81: (position, highByte) pairs
+    appended after the packed block). Documented deviation: the reference
+    caps at 3 exceptions with width = max(bits(4th-largest), maxBits-8);
+    we allow up to 7 and pick the width minimizing packed bytes +
+    2 bytes/exception — same decode semantics (scores never depend on
+    encoding), strictly never-larger blocks under the cost model.
+    Positions streams stay plain FOR (one width per term), as before."""
+
+    name = "pfor"
+    fmt_id = 1
+    MAX_EXCEPTIONS = 7
+
+    def plan(self, values, bvstart, bcount, widths_full):
+        B = len(bcount)
+        if B == 0 or len(values) == 0:
+            return widths_full, values, (
+                np.zeros(0, np.uint8), np.zeros(0, np.uint8), np.zeros(0, np.uint8)
+            )
+        v = np.asarray(values, dtype=np.int64)
+        bcount = np.asarray(bcount, dtype=np.int64)
+        bvstart = np.asarray(bvstart, dtype=np.int64)
+        # blocks tile `values` contiguously -> one lexsort groups each
+        # block's values ascending; the top-e of a block are its run's tail
+        vblock = np.repeat(np.arange(B, dtype=np.int64), bcount)
+        order = np.lexsort((v, vblock))
+        sv = v[order]
+        ends = np.cumsum(bcount)
+        E = self.MAX_EXCEPTIONS + 1  # e = 0..7 exceptions considered
+        cand_idx = ends[:, None] - 1 - np.arange(E, dtype=np.int64)[None, :]
+        valid = cand_idx >= (ends - bcount)[:, None]
+        cand_w = bit_widths(sv[np.clip(cand_idx, 0, len(sv) - 1)].ravel()).reshape(B, E)
+        blockmax = sv[ends - 1]
+        # an exception's high bits must fit one byte (PForUtil's invariant)
+        ok_high = (blockmax[:, None] >> np.minimum(cand_w, 63)) <= 255
+        sizes = (bcount[:, None] * cand_w + 7) // 8 + 2 * np.arange(E, dtype=np.int64)[None, :]
+        sizes = np.where(valid & ok_high, sizes, np.int64(1) << 60)
+        best_e = np.argmin(sizes, axis=1)  # ties -> fewest exceptions
+        widths = cand_w[np.arange(B), best_e]
+        exc_counts = best_e.astype(np.int64)
+        tot = int(exc_counts.sum())
+        if tot == 0:
+            return widths, v, (
+                exc_counts.astype(np.uint8), np.zeros(0, np.uint8), np.zeros(0, np.uint8)
+            )
+        eoff = np.zeros(B + 1, np.int64)
+        np.cumsum(exc_counts, out=eoff[1:])
+        bidx = np.repeat(np.arange(B, dtype=np.int64), exc_counts)
+        k = np.arange(tot, dtype=np.int64) - eoff[bidx]
+        sorted_pos = ends[bidx] - exc_counts[bidx] + k  # the top-e run, asc
+        orig_idx = order[sorted_pos]
+        w_b = widths[bidx]
+        pos_in_block = orig_idx - bvstart[bidx]
+        masked = v.copy()
+        masked[orig_idx] = v[orig_idx] & ((np.int64(1) << w_b) - 1)
+        high = (v[orig_idx] >> w_b).astype(np.int64)
+        so = np.lexsort((pos_in_block, bidx))  # canonical (block, pos) order
+        return widths, masked, (
+            exc_counts.astype(np.uint8),
+            pos_in_block[so].astype(np.uint8),
+            high[so].astype(np.uint8),
+        )
+
+
+_FORMATS: dict[str, PostingsFormat] = {}
+_FORMATS_BY_ID: dict[int, PostingsFormat] = {}
+
+
+def register_postings_format(fmt: PostingsFormat) -> None:
+    """SPI registration (Codec.forName's NamedSPILoader role); a format
+    registered here is encodable via BuildConfig.postings_format and
+    decodable from any region carrying its fmt_id byte."""
+    if not fmt.name or fmt.fmt_id < 0 or fmt.fmt_id > 255:
+        raise ValueError(f"invalid postings format {fmt.name!r}/{fmt.fmt_id}")
+    existing = _FORMATS_BY_ID.get(fmt.fmt_id)
+    if existing is not None and existing.name != fmt.name:
+        raise ValueError(
+            f"fmt_id {fmt.fmt_id} already registered to {existing.name!r}"
+        )
+    _FORMATS[fmt.name] = fmt
+    _FORMATS_BY_ID[fmt.fmt_id] = fmt
+
+
+def get_postings_format(name: str) -> PostingsFormat:
+    try:
+        return _FORMATS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown postings format {name!r} (registered: {sorted(_FORMATS)})"
+        ) from None
+
+
+def format_by_id(fmt_id: int) -> PostingsFormat:
+    try:
+        return _FORMATS_BY_ID[fmt_id]
+    except KeyError:
+        raise ValueError(f"unknown postings format id {fmt_id}") from None
+
+
+register_postings_format(ForPostingsFormat())
+register_postings_format(PForPostingsFormat())
+
+
+def apply_exceptions(
+    out: np.ndarray,
+    sel: np.ndarray,
+    widths: np.ndarray,
+    exc: tuple,
+    out_starts: np.ndarray,
+) -> None:
+    """Patch PFOR exceptions into decoded base values, in place.
+
+    ``out`` holds the concatenated base-width values of the blocks in
+    ``sel`` (docs: the raw deltas BEFORE +1/cumsum); ``out_starts[i]`` is
+    block sel[i]'s first index in ``out``; ``exc`` = (counts, pos, high)
+    per-TERM arrays. Pure scatter — vectorized, no per-exception Python."""
+    exc_counts, exc_pos, exc_high = exc
+    ec = np.asarray(exc_counts, dtype=np.int64)
+    cnt = ec[sel]
+    tot = int(cnt.sum())
+    if tot == 0:
+        return
+    eoff = np.zeros(len(ec) + 1, np.int64)
+    np.cumsum(ec, out=eoff[1:])
+    soff = np.zeros(len(sel), np.int64)
+    np.cumsum(cnt[:-1], out=soff[1:])
+    srow = np.repeat(np.arange(len(sel), dtype=np.int64), cnt)
+    k = np.arange(tot, dtype=np.int64) - soff[srow]
+    src = eoff[sel[srow]] + k
+    dst = np.asarray(out_starts, dtype=np.int64)[srow] + np.asarray(exc_pos)[src].astype(np.int64)
+    out[dst] |= np.asarray(exc_high)[src].astype(np.int64) << np.asarray(widths)[sel[srow]].astype(np.int64)
 
 
 def _pack_block(values: np.ndarray, width: int) -> bytes:
@@ -279,26 +459,42 @@ class SegmentEncoding:
         "last_docs", "dwidths", "fwidths", "imp_counts", "imp_freqs",
         "imp_norms", "imp_term_off", "docs_packed", "docs_off",
         "freqs_packed", "freqs_off", "pos_packed", "pos_off", "pos_widths",
+        "fmt_id", "dexc", "fexc", "dexc_off", "fexc_off",
     )
 
     def term_region(self, ti: int) -> tuple[bytes, int, int, int, int]:
-        """(region bytes, n_blocks, n_imp, len_docs, len_freqs) for term ti."""
+        """(region bytes, n_blocks, n_imp, len_docs, len_freqs) for term ti.
+        Every region starts with its postings-format id byte (the Codec SPI
+        dispatch point); len_docs/len_freqs are the PACKED blob lengths."""
         b0, b1 = int(self.bstart[ti]), int(self.bstart[ti + 1])
         i0, i1 = int(self.imp_term_off[ti]), int(self.imp_term_off[ti + 1])
         d0, d1 = int(self.docs_off[b0]), int(self.docs_off[b1])
         f0, f1 = int(self.freqs_off[b0]), int(self.freqs_off[b1])
-        region = b"".join(
-            (
-                self.last_docs[b0:b1].tobytes(),
-                self.dwidths[b0:b1].astype(np.uint8).tobytes(),
-                self.fwidths[b0:b1].astype(np.uint8).tobytes(),
-                self.imp_counts[b0:b1].astype(np.uint8).tobytes(),
-                self.imp_freqs[i0:i1].astype(np.int32).tobytes(),
-                self.imp_norms[i0:i1].astype(np.uint8).tobytes(),
-                self.docs_packed[d0:d1].tobytes(),
-                self.freqs_packed[f0:f1].tobytes(),
+        parts = [
+            bytes([self.fmt_id]),
+            self.last_docs[b0:b1].tobytes(),
+            self.dwidths[b0:b1].astype(np.uint8).tobytes(),
+            self.fwidths[b0:b1].astype(np.uint8).tobytes(),
+            self.imp_counts[b0:b1].astype(np.uint8).tobytes(),
+            self.imp_freqs[i0:i1].astype(np.int32).tobytes(),
+            self.imp_norms[i0:i1].astype(np.uint8).tobytes(),
+        ]
+        if self.fmt_id != 0:
+            de0, de1 = int(self.dexc_off[b0]), int(self.dexc_off[b1])
+            fe0, fe1 = int(self.fexc_off[b0]), int(self.fexc_off[b1])
+            parts.extend(
+                (
+                    self.dexc[0][b0:b1].tobytes(),
+                    self.fexc[0][b0:b1].tobytes(),
+                    self.dexc[1][de0:de1].tobytes(),
+                    self.dexc[2][de0:de1].tobytes(),
+                    self.fexc[1][fe0:fe1].tobytes(),
+                    self.fexc[2][fe0:fe1].tobytes(),
+                )
             )
-        )
+        parts.append(self.docs_packed[d0:d1].tobytes())
+        parts.append(self.freqs_packed[f0:f1].tobytes())
+        region = b"".join(parts)
         return region, b1 - b0, i1 - i0, d1 - d0, f1 - f0
 
     def term_positions_blob(self, ti: int) -> tuple[bytes, int, int]:
@@ -314,6 +510,7 @@ def encode_segment_terms(
     term_starts: np.ndarray,
     term_ends: np.ndarray,
     pos_stream: np.ndarray | None = None,
+    postings_format: str = "for",
 ) -> SegmentEncoding:
     """Batch-encode every term of a segment in vectorized passes.
 
@@ -362,12 +559,19 @@ def encode_segment_terms(
         fmax = np.maximum.reduceat(fm1, bvstart)
     else:
         dmax = fmax = np.empty(0, dtype=np.int64)
-    enc.dwidths = bit_widths(dmax)
-    enc.fwidths = bit_widths(fmax)
+    fmt = get_postings_format(postings_format)
+    enc.fmt_id = fmt.fmt_id
+    enc.dwidths, d_store, enc.dexc = fmt.plan(deltas, bvstart, bcount, bit_widths(dmax))
+    enc.fwidths, f_store, enc.fexc = fmt.plan(fm1, bvstart, bcount, bit_widths(fmax))
     enc.last_docs = docs[bvstart + bcount - 1] if B else np.empty(0, np.int64)
+    for attr, e in (("dexc_off", enc.dexc), ("fexc_off", enc.fexc)):
+        off = np.zeros(B + 1, np.int64)
+        if e is not None:
+            np.cumsum(np.asarray(e[0], dtype=np.int64), out=off[1:])
+        setattr(enc, attr, off)
 
-    enc.docs_packed, enc.docs_off = pack_blocks(deltas, bcount, enc.dwidths)
-    enc.freqs_packed, enc.freqs_off = pack_blocks(fm1, bcount, enc.fwidths)
+    enc.docs_packed, enc.docs_off = pack_blocks(d_store, bcount, enc.dwidths)
+    enc.freqs_packed, enc.freqs_off = pack_blocks(f_store, bcount, enc.fwidths)
 
     # per-block competitive (freq, norm) pareto frontiers
     imp_counts = np.empty(B, dtype=np.int64)
@@ -485,15 +689,22 @@ def _unpack_subset(
 
 def decode_docs_blocks(
     docs_blob, doc_widths: np.ndarray, doc_freq: int, last_docs: np.ndarray,
-    block_ids: np.ndarray,
+    block_ids: np.ndarray, exc: tuple | None = None,
 ) -> np.ndarray:
     """Decode docIDs of an arbitrary sorted subset of blocks in one
     vectorized pass — the scattered-candidate lookup path of the MaxScore
-    scorer. Per-block delta cumsums rebase on last_docs[b-1]."""
+    scorer. Per-block delta cumsums rebase on last_docs[b-1]. ``exc``
+    (PFOR) patches delta high bits before the cumsum."""
     nblocks, counts = block_bounds(doc_freq)
     offsets = _block_offsets(counts, doc_widths)
     sel = np.asarray(block_ids, dtype=np.int64)
-    deltas = _unpack_subset(docs_blob, doc_widths, counts, offsets, sel) + 1
+    deltas = _unpack_subset(docs_blob, doc_widths, counts, offsets, sel)
+    if exc is not None:
+        sub = counts[sel]
+        starts0 = np.zeros(len(sel), np.int64)
+        np.cumsum(sub[:-1], out=starts0[1:])
+        apply_exceptions(deltas, sel, doc_widths, exc, starts0)
+    deltas += 1
     bases = np.where(sel > 0, last_docs[np.maximum(sel - 1, 0)], -1)
     sub_counts = counts[sel]
     ends = np.cumsum(sub_counts)
@@ -505,14 +716,19 @@ def decode_docs_blocks(
 
 
 def decode_freqs_blocks(
-    freqs_blob, freq_widths: np.ndarray, doc_freq: int, block_ids: np.ndarray
+    freqs_blob, freq_widths: np.ndarray, doc_freq: int, block_ids: np.ndarray,
+    exc: tuple | None = None,
 ) -> np.ndarray:
     nblocks, counts = block_bounds(doc_freq)
     offsets = _block_offsets(counts, freq_widths)
     sel = np.asarray(block_ids, dtype=np.int64)
-    return (_unpack_subset(freqs_blob, freq_widths, counts, offsets, sel) + 1).astype(
-        np.int32
-    )
+    vals = _unpack_subset(freqs_blob, freq_widths, counts, offsets, sel)
+    if exc is not None:
+        sub = counts[sel]
+        starts0 = np.zeros(len(sel), np.int64)
+        np.cumsum(sub[:-1], out=starts0[1:])
+        apply_exceptions(vals, sel, freq_widths, exc, starts0)
+    return (vals + 1).astype(np.int32)
 
 
 def decode_docs(
@@ -522,13 +738,15 @@ def decode_docs(
     first_block: int = 0,
     last_block: int | None = None,
     base: int = -1,
+    exc: tuple | None = None,
 ) -> np.ndarray:
     """Decode docIDs for blocks [first_block, last_block) -> int64 array.
 
     Each block's first delta is relative to the previous block's last doc,
     so a partial decode starting at ``first_block > 0`` must pass
     ``base = last_docs[first_block - 1]``; the default base of -1 is the
-    virtual previous doc before block 0.
+    virtual previous doc before block 0. ``exc`` (PFOR) patches delta high
+    bits before the cumsum.
     """
     nblocks, counts = block_bounds(doc_freq)
     if last_block is None:
@@ -536,6 +754,11 @@ def decode_docs(
     offsets = _block_offsets(counts, doc_widths)
     if first_block == 0 and last_block == nblocks:
         deltas = _unpack_all(docs_blob, doc_widths, counts, offsets)
+        if exc is not None:
+            starts0 = np.zeros(nblocks, np.int64)
+            np.cumsum(counts[:-1], out=starts0[1:])
+            apply_exceptions(deltas, np.arange(nblocks, dtype=np.int64),
+                             doc_widths, exc, starts0)
         deltas += 1
         return np.cumsum(deltas) + base
     if first_block >= last_block:
@@ -549,12 +772,18 @@ def decode_docs(
         mv[offsets[first_block] : offsets[last_block]],
         doc_widths[sl], counts[sl], rel,
     )
+    if exc is not None:
+        sel = np.arange(first_block, last_block, dtype=np.int64)
+        starts0 = np.zeros(len(sel), np.int64)
+        np.cumsum(counts[sl][:-1], out=starts0[1:])
+        apply_exceptions(deltas, sel, doc_widths, exc, starts0)
     deltas += 1
     return np.cumsum(deltas) + base
 
 
 def decode_freqs(
-    freqs_blob, freq_widths: np.ndarray, doc_freq: int, first_block: int = 0, last_block: int | None = None
+    freqs_blob, freq_widths: np.ndarray, doc_freq: int, first_block: int = 0,
+    last_block: int | None = None, exc: tuple | None = None,
 ) -> np.ndarray:
     nblocks, counts = block_bounds(doc_freq)
     if last_block is None:
@@ -562,6 +791,11 @@ def decode_freqs(
     offsets = _block_offsets(counts, freq_widths)
     if first_block == 0 and last_block == nblocks:
         vals = _unpack_all(freqs_blob, freq_widths, counts, offsets)
+        if exc is not None:
+            starts0 = np.zeros(nblocks, np.int64)
+            np.cumsum(counts[:-1], out=starts0[1:])
+            apply_exceptions(vals, np.arange(nblocks, dtype=np.int64),
+                             freq_widths, exc, starts0)
         return (vals + 1).astype(np.int32)
     if first_block >= last_block:
         return np.empty(0, dtype=np.int32)
@@ -572,4 +806,9 @@ def decode_freqs(
         mv[offsets[first_block] : offsets[last_block]],
         freq_widths[sl], counts[sl], rel,
     )
+    if exc is not None:
+        sel = np.arange(first_block, last_block, dtype=np.int64)
+        starts0 = np.zeros(len(sel), np.int64)
+        np.cumsum(counts[sl][:-1], out=starts0[1:])
+        apply_exceptions(vals, sel, freq_widths, exc, starts0)
     return (vals + 1).astype(np.int32)

@@ -68,10 +68,11 @@ _SEARCHERS: dict[str, tuple[IndexSearcher, IndexSearcher]] = {}
 
 
 def _cache_dir(sf_dir: str) -> str:
-    # v4: pages gained the nullable score_hint stored column (FieldExists
-    # gate); v3 added the title field, v2 the positions .pos artifact
+    # v5: on-disk FORMAT_VERSION 2 (postings regions lead with a fmt_id
+    # byte — codec SPI); v4 added the nullable score_hint stored column,
+    # v3 the title field, v2 the positions .pos artifact
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(CACHE_ROOT, f"idx_{key}_v4")
+    return os.path.join(CACHE_ROOT, f"idx_{key}_v5")
 
 
 def build_flagship_index(sf_dir: str, use_ray: bool = True) -> str:

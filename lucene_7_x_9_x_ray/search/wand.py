@@ -211,8 +211,10 @@ class _MSClause:
             d, s = self.full()
             f = None
         else:
-            d = decode_docs_blocks(tp.docs_blob, tp.doc_widths, tp.doc_freq, last, bis)
-            f = decode_freqs_blocks(tp.freqs_blob, tp.freq_widths, tp.doc_freq, bis)
+            d = decode_docs_blocks(tp.docs_blob, tp.doc_widths, tp.doc_freq, last, bis,
+                                   exc=tp.dexc)
+            f = decode_freqs_blocks(tp.freqs_blob, tp.freq_widths, tp.doc_freq, bis,
+                                    exc=tp.fexc)
             s = None
         idx = np.searchsorted(d, cand)
         idx_c = np.minimum(idx, len(d) - 1)
@@ -309,8 +311,10 @@ def probe_score_floor(reader, term_boosts, k, stats, bm25) -> float:
     n = 0
     for i in range(0, len(order), 8):
         sel = np.sort(order[i : i + 8]).astype(np.int64)
-        d = decode_docs_blocks(tp.docs_blob, tp.doc_widths, tp.doc_freq, tp.last_docs, sel)
-        f = decode_freqs_blocks(tp.freqs_blob, tp.freq_widths, tp.doc_freq, sel)
+        d = decode_docs_blocks(tp.docs_blob, tp.doc_widths, tp.doc_freq, tp.last_docs, sel,
+                               exc=tp.dexc)
+        f = decode_freqs_blocks(tp.freqs_blob, tp.freq_widths, tp.doc_freq, sel,
+                                exc=tp.fexc)
         scores.append(tw.score(f, reader.norms[d]))
         n += len(d)
         if n >= k:
@@ -355,8 +359,10 @@ def term_impact_topk(
             coll.force_lower_bound = True  # skipped blocks held uncounted matches
         if len(sel) == 0:
             continue
-        d = decode_docs_blocks(part.docs_blob, part.doc_widths, part.doc_freq, part.last_docs, sel)
-        f = decode_freqs_blocks(part.freqs_blob, part.freq_widths, part.doc_freq, sel)
+        d = decode_docs_blocks(part.docs_blob, part.doc_widths, part.doc_freq, part.last_docs, sel,
+                               exc=part.dexc)
+        f = decode_freqs_blocks(part.freqs_blob, part.freq_widths, part.doc_freq, sel,
+                                exc=part.fexc)
         s = tw.score(f, reader.norms[d])
         coll.collect_batch(d + doc_base, s)
     return coll.result()

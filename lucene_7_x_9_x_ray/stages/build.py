@@ -86,6 +86,11 @@ class BuildConfig:
     # stored fields / doc values (queryable via doc_values(col), e.g.
     # NumericRangeQuery or GeoDistanceQuery over lat/lon columns)
     store_cols: tuple = ()
+    # postings-format SPI name (codec SPI, s84 codecs/Codec.java:43):
+    # "for" = plain FOR blocks (the default), "pfor" = patched FOR with
+    # ≤7 exceptions/block (codecs/lucene84/PForUtil.java:33). Recorded in
+    # the manifest; merge/compaction re-encode at the index's format.
+    postings_format: str = "for"
 
 
 def plan_partitions(
@@ -210,6 +215,7 @@ def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> Segmen
         extra_fields=extra or None,
         term_vectors=cfg.term_vectors,
         extra_docmap={c: table[c] for c in cfg.store_cols} or None,
+        postings_format=cfg.postings_format,
     )
     return stats
 
@@ -256,6 +262,7 @@ def build_index(
         segments=stats_rows,
         sort_by=cfg.sort_by or "",
         field_stats=_aggregate_field_stats(stats_rows),
+        postings_format=cfg.postings_format,
     )
     manifest.save()
     return manifest
@@ -382,6 +389,7 @@ def build_index_local(
         segments=stats_rows,
         sort_by=cfg.sort_by or "",
         field_stats=_aggregate_field_stats(stats_rows),
+        postings_format=cfg.postings_format,
     )
     manifest.save()
     return manifest

@@ -73,7 +73,8 @@ def plan_compactions(manifest: IndexManifest, policy: CompactionPolicy) -> list[
     return groups
 
 
-def _merge_field_views(views, rebases, has_pos: bool, tmp: str, prefix: str) -> dict:
+def _merge_field_views(views, rebases, has_pos: bool, tmp: str, prefix: str,
+                       postings_format: str = "for") -> dict:
     """k-way merge ONE field's term tables/postings/norms from per-segment
     views (SegmentReader for the primary field, FieldReader for extras) into
     prefixed artifact files under ``tmp``. Returns the merged field stats."""
@@ -101,7 +102,8 @@ def _merge_field_views(views, rebases, has_pos: bool, tmp: str, prefix: str) -> 
     norms_aligned = np.concatenate(n_cat) if n_cat else np.empty(0, np.uint8)
     pos_stream = np.concatenate(p_cat) if has_pos and p_cat else None
     enc = encode_segment_terms(docs, freqs, norms_aligned, term_starts, term_ends,
-                               pos_stream=pos_stream)
+                               pos_stream=pos_stream,
+                               postings_format=postings_format)
 
     pos = ppos = 0
     regions = []
@@ -202,13 +204,16 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
     tmp = os.path.join(seg_root, f".{out_name}.tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
     try:
-        primary = _merge_field_views(readers, rebases, has_pos, tmp, "")
+        pfmt = IndexManifest.load(index_dir).postings_format
+        primary = _merge_field_views(readers, rebases, has_pos, tmp, "",
+                                     postings_format=pfmt)
         field_stats: dict = {}
         for fname in extra_names:
             views = [r.field_view(fname) for r in readers]
             f_has_pos = views[0].has_positions  # homogeneous (guard above)
             fres = _merge_field_views(
-                views, rebases, f_has_pos, tmp, field_prefix(fname)
+                views, rebases, f_has_pos, tmp, field_prefix(fname),
+                postings_format=pfmt,
             )
             fres["doc_count"] = sum(
                 int(r.stats.field_stats[fname]["doc_count"]) for r in readers
@@ -380,7 +385,8 @@ def compact_index(
 RECLAIM_DELETES_PCT = 0.33  # TieredMergePolicy deletesPct<=33 default spirit
 
 
-def _reclaim_field(view, keep: np.ndarray, remap: np.ndarray, tmp: str, prefix: str) -> dict:
+def _reclaim_field(view, keep: np.ndarray, remap: np.ndarray, tmp: str, prefix: str,
+                   postings_format: str = "for") -> dict:
     """Rewrite ONE field's term table/postings/positions/norms keeping only
     the ``keep`` local docIDs (sorted), renumbered via ``remap``. Terms
     whose postings empty out are dropped (df=0 terms don't survive a
@@ -415,7 +421,8 @@ def _reclaim_field(view, keep: np.ndarray, remap: np.ndarray, tmp: str, prefix: 
     norms_aligned = np.concatenate(n_cat) if n_cat else np.empty(0, np.uint8)
     pos_stream = np.concatenate(p_cat) if has_pos and p_cat else None
     enc = encode_segment_terms(docs, freqs, norms_aligned, term_starts_a, term_ends,
-                               pos_stream=pos_stream)
+                               pos_stream=pos_stream,
+                               postings_format=postings_format)
     n_t = len(kt)
     pos = ppos = 0
     regions = []
@@ -508,11 +515,13 @@ def reclaim_segment(index_dir: str, seg_name: str, new_name: str,
     tmp = os.path.join(seg_root, f".{new_name}.tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
     try:
-        primary = _reclaim_field(r, keep, remap, tmp, "")
+        pfmt = IndexManifest.load(index_dir).postings_format
+        primary = _reclaim_field(r, keep, remap, tmp, "", postings_format=pfmt)
         field_stats: dict = {}
         for fname in sorted((r.stats.field_stats or {}).keys()):
             field_stats[fname] = _reclaim_field(
-                r.field_view(fname), keep, remap, tmp, field_prefix(fname)
+                r.field_view(fname), keep, remap, tmp, field_prefix(fname),
+                postings_format=pfmt,
             )
         dm = r.docmap().take(pa.array(keep))
         pq.write_table(dm, os.path.join(tmp, DOCMAP_FILE), row_group_size=65536)

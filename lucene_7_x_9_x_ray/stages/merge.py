@@ -523,7 +523,10 @@ def merge_index_pull(
                     )
                 if group.num_rows == 0:
                     continue
-                out.append(write_merged_shard(group, out_dir, fp, shard_id=spec["shard_id"]))
+                out.append(write_merged_shard(
+                    group, out_dir, fp, shard_id=spec["shard_id"],
+                    postings_format=manifest.postings_format,
+                ))
             return pa.Table.from_pylist(out) if out else pa.Table.from_pylist(
                 [{"shard_id": -1, "shard_name": "", "n_terms": 0, "sum_doc_freq": 0,
                   "fingerprint": fp, "resumed": False}]
@@ -640,7 +643,8 @@ def emit_fragments(
 
 
 def write_merged_shard(
-    group: pa.Table, merged_dir: str, fingerprint: str, shard_id: int | None = None
+    group: pa.Table, merged_dir: str, fingerprint: str, shard_id: int | None = None,
+    postings_format: str = "for",
 ) -> dict:
     """Reduce: merge one shard group's fragments, commit atomically."""
     if shard_id is None:
@@ -734,7 +738,8 @@ def write_merged_shard(
     norms_all = np.concatenate(n_cat) if n_cat else np.empty(0, np.uint8)
     pos_all = np.concatenate(p_cat) if has_pos and p_cat else None
     enc = encode_segment_terms(
-        docs_all, freqs_all, norms_all, term_starts, term_ends, pos_stream=pos_all
+        docs_all, freqs_all, norms_all, term_starts, term_ends, pos_stream=pos_all,
+        postings_format=postings_format,
     )
     pos = 0
     ppos = 0
@@ -887,8 +892,10 @@ def merge_index_groupby(index_dir: str, cfg: MergeConfig | None = None) -> dict:
         for row in batch.to_pylist():
             yield from emit_fragments(row["seg_dir"], row["seg_ord"], n_segs, cfg, hr)
 
+    pfmt = manifest.postings_format
+
     def reduce_shard(group: pa.Table) -> pa.Table:
-        st = write_merged_shard(group, merged_dir, fp)
+        st = write_merged_shard(group, merged_dir, fp, postings_format=pfmt)
         return pa.Table.from_pylist([st])
 
     shard_stats = (
@@ -918,5 +925,6 @@ def merge_index_local(index_dir: str, cfg: MergeConfig | None = None) -> dict:
     shard_stats = []
     for sid in np.unique(all_frags["shard_id"].to_numpy()):
         group = all_frags.filter(pa.compute.equal(all_frags["shard_id"], int(sid)))
-        shard_stats.append(write_merged_shard(group, merged_dir, fp))
+        shard_stats.append(write_merged_shard(
+            group, merged_dir, fp, postings_format=manifest.postings_format))
     return _finalize(index_dir, merged_dir, manifest, cfg, hot_terms, shard_stats)

@@ -25,6 +25,7 @@ from typing import Any
 
 MANIFEST_NAME = "manifest.json"
 STATS_NAME = "stats.json"
+FORMAT_VERSION = 2  # bump on any incompatible artifact-layout change
 
 
 def atomic_write_json(path: str, obj: Any) -> None:
@@ -153,7 +154,12 @@ class IndexManifest:
     sum_total_term_freq: int
     segments: list[dict] = field(default_factory=list)  # SegmentStats dicts, doc_base ascending
     merged: bool = False
-    version: int = 1
+    version: int = 1  # commit generation (segments_N counter; NRT bumps it)
+    # on-disk layout version (the segments_N format header role,
+    # index/SegmentInfos.java:119 VERSION_* checks): 2 = postings regions
+    # lead with a fmt_id byte (codec SPI). load() refuses other layouts
+    # loudly instead of misparsing region bytes.
+    format_version: int = FORMAT_VERSION
     # index-sort column (BuildConfig.sort_by); "" = not sorted. Recorded so
     # sorted_field_topn can refuse a mismatched field instead of silently
     # returning head rows of an unsorted docmap.
@@ -166,6 +172,12 @@ class IndexManifest:
     # write a NEW generation file and switch it HERE, so tombstones and the
     # docID space they refer to always commit atomically together
     tombstones_file: str = "tombstones.json"
+    # postings-format SPI name the index was built with (codec SPI record,
+    # the segments_N codec-name role): merge/compaction re-encode at THIS
+    # format. Regions self-describe via their fmt_id byte, so segments of
+    # mixed formats (e.g. after an append with a different cfg) still
+    # decode transparently; this is the writer-side default.
+    postings_format: str = "for"
 
     @property
     def avgdl_inputs(self) -> tuple[int, int]:
@@ -180,6 +192,13 @@ class IndexManifest:
     @classmethod
     def load(cls, index_dir: str) -> "IndexManifest":
         d = load_json(os.path.join(index_dir, MANIFEST_NAME))
+        got = int(d.get("format_version", 1))
+        if got != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has on-disk format version {got}, "
+                f"this build reads version {FORMAT_VERSION} — rebuild the "
+                "index (v2 added the per-region postings-format id byte)"
+            )
         d["index_dir"] = index_dir  # allow relocated index dirs
         return cls(**{k: d[k] for k in cls.__dataclass_fields__ if k in d})
 

@@ -195,10 +195,13 @@ def invert_tokens_coded(
 
 
 def _region_blobs(enc: codec.EncodedPostings) -> tuple[bytes, int, int]:
-    """Pack one term's encoded postings into its postings.bin region."""
+    """Pack one term's encoded postings into its postings.bin region
+    (plain-FOR reference layout; the leading byte is the postings-format
+    id, 0 = "for")."""
     n_imp = len(enc.imp_norms)
     region = b"".join(
         (
+            b"\x00",
             enc.last_docs,
             enc.doc_widths,
             enc.freq_widths,
@@ -224,7 +227,7 @@ def field_prefix(field: str) -> str:
 
 def _write_field_artifacts(
     tmp: str, prefix: str, texts, analyzer: Analyzer, index_positions: bool,
-    term_vectors: bool = False,
+    term_vectors: bool = False, postings_format: str = "for",
 ) -> dict:
     """Invert + encode + write ONE field's term dict/postings/positions/norms
     into ``tmp`` under ``prefix``. Returns the field's stats (plus the raw
@@ -293,6 +296,7 @@ def _write_field_artifacts(
         docs_s, freqs_s, norms[docs_s] if len(docs_s) else norms[:0],
         starts, ends,
         pos_stream=pos_s if index_positions else None,
+        postings_format=postings_format,
     )
     regions: list[bytes] = []
     pos = 0
@@ -381,6 +385,7 @@ def write_segment(
     extra_fields: dict | None = None,
     term_vectors: bool = False,
     extra_docmap: dict | None = None,
+    postings_format: str = "for",
 ) -> SegmentStats:
     """Build + atomically commit one segment from a partition of pages.
 
@@ -402,7 +407,8 @@ def write_segment(
     os.makedirs(tmp, exist_ok=True)
     try:
         primary = _write_field_artifacts(
-            tmp, "", texts, analyzer, index_positions, term_vectors=term_vectors
+            tmp, "", texts, analyzer, index_positions, term_vectors=term_vectors,
+            postings_format=postings_format,
         )
         lengths = primary["lengths"]
         field_stats: dict[str, dict] = {}
@@ -412,7 +418,8 @@ def write_segment(
                     f"field {fname!r} has {len(ftexts)} values for {n} docs"
                 )
             fres = _write_field_artifacts(
-                tmp, field_prefix(fname), ftexts, analyzer, fpos
+                tmp, field_prefix(fname), ftexts, analyzer, fpos,
+                postings_format=postings_format,
             )
             fres.pop("lengths")
             field_stats[fname] = fres
@@ -511,18 +518,25 @@ class TermPostings:
     imp_norms: np.ndarray  # uint8 concatenated frontiers
     docs_blob: memoryview
     freqs_blob: memoryview
+    # PFOR patch exceptions (None for plain FOR): (counts/blk, pos, high)
+    dexc: tuple | None = None
+    fexc: tuple | None = None
 
     def decode(self) -> tuple[np.ndarray, np.ndarray]:
-        docs = codec.decode_docs(self.docs_blob, self.doc_widths, self.doc_freq)
-        freqs = codec.decode_freqs(self.freqs_blob, self.freq_widths, self.doc_freq)
+        docs = codec.decode_docs(self.docs_blob, self.doc_widths, self.doc_freq,
+                                 exc=self.dexc)
+        freqs = codec.decode_freqs(self.freqs_blob, self.freq_widths, self.doc_freq,
+                                   exc=self.fexc)
         return docs, freqs
 
     def decode_block(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
         base = -1 if bi == 0 else int(self.last_docs[bi - 1])
         docs = codec.decode_docs(
-            self.docs_blob, self.doc_widths, self.doc_freq, bi, bi + 1, base
+            self.docs_blob, self.doc_widths, self.doc_freq, bi, bi + 1, base,
+            exc=self.dexc,
         )
-        freqs = codec.decode_freqs(self.freqs_blob, self.freq_widths, self.doc_freq, bi, bi + 1)
+        freqs = codec.decode_freqs(self.freqs_blob, self.freq_widths, self.doc_freq,
+                                   bi, bi + 1, exc=self.fexc)
         return docs, freqs
 
     def impact_slices(self):
@@ -536,22 +550,39 @@ class TermPostings:
 def parse_region(region, doc_freq: int, n_blocks: int, n_imp: int,
                  len_docs: int, len_freqs: int) -> "TermPostings":
     """Parse one term's postings.bin region from standalone bytes (used by
-    the merge reducer, which receives shuffled fragment rows)."""
+    the merge reducer, which receives shuffled fragment rows). The leading
+    byte is the postings-format id (codec SPI dispatch: 0 = "for",
+    1 = "pfor" with patch-exception sections); regions of different
+    formats can coexist in one index and one merge."""
     mv = memoryview(region)
-    p = 0
+    fmt_id = mv[0]
+    codec.format_by_id(fmt_id)  # validate early: corrupt regions fail loud
+    p = 1
     last_docs = np.frombuffer(mv[p : p + n_blocks * 8], dtype=np.int64); p += n_blocks * 8
     doc_widths = np.frombuffer(mv[p : p + n_blocks], dtype=np.uint8); p += n_blocks
     freq_widths = np.frombuffer(mv[p : p + n_blocks], dtype=np.uint8); p += n_blocks
     imp_counts = np.frombuffer(mv[p : p + n_blocks], dtype=np.uint8); p += n_blocks
     imp_freqs = np.frombuffer(mv[p : p + n_imp * 4], dtype=np.int32); p += n_imp * 4
     imp_norms = np.frombuffer(mv[p : p + n_imp], dtype=np.uint8); p += n_imp
+    dexc = fexc = None
+    if fmt_id != 0:
+        dexc_counts = np.frombuffer(mv[p : p + n_blocks], dtype=np.uint8); p += n_blocks
+        fexc_counts = np.frombuffer(mv[p : p + n_blocks], dtype=np.uint8); p += n_blocks
+        nd = int(dexc_counts.astype(np.int64).sum())
+        nf = int(fexc_counts.astype(np.int64).sum())
+        dexc_pos = np.frombuffer(mv[p : p + nd], dtype=np.uint8); p += nd
+        dexc_high = np.frombuffer(mv[p : p + nd], dtype=np.uint8); p += nd
+        fexc_pos = np.frombuffer(mv[p : p + nf], dtype=np.uint8); p += nf
+        fexc_high = np.frombuffer(mv[p : p + nf], dtype=np.uint8); p += nf
+        dexc = (dexc_counts, dexc_pos, dexc_high)
+        fexc = (fexc_counts, fexc_pos, fexc_high)
     docs_blob = mv[p : p + len_docs]; p += len_docs
     freqs_blob = mv[p : p + len_freqs]
     return TermPostings(
         doc_freq=doc_freq, total_term_freq=-1, last_docs=last_docs,
         doc_widths=doc_widths, freq_widths=freq_widths, imp_counts=imp_counts,
         imp_freqs=imp_freqs, imp_norms=imp_norms, docs_blob=docs_blob,
-        freqs_blob=freqs_blob,
+        freqs_blob=freqs_blob, dexc=dexc, fexc=fexc,
     )
 
 
