@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": flagship.q_bm25_topk,
         "bm25_topk_served": flagship.q_bm25_topk_served,  # actor-pool serving stage
         "bm25_topk_after_append": flagship.q_bm25_topk_after_append,  # NRT reopen path
+        "bm25_topk_pfor": flagship.q_bm25_topk_pfor,  # PFOR codec-SPI variant index
         "phrase_topk": flagship.q_phrase_topk,
         "phrase_sloppy_topk": flagship.q_phrase_sloppy_topk,  # rows-only (non-SQL)
         "scoring_variants": flagship.q_scoring_variants,
@@ -97,6 +98,9 @@ def oracle_sql() -> dict[str, str]:
         # NRT gate: appended index must equal a from-scratch build of the
         # union, i.e. the SAME oracle as bm25_topk over the full table
         "bm25_topk_after_append": O.bm25_topk_sql(flagship.BM25_QUERY_SPECS),
+        # PFOR variant index: encoding never touches scores, so the oracle
+        # is exactly bm25_topk's
+        "bm25_topk_pfor": O.bm25_topk_sql(flagship.BM25_QUERY_SPECS),
         "bm25_topk_served": O.bm25_topk_sql(
             [s for s in flagship.BM25_QUERY_SPECS if s[3] == 0]
         ),

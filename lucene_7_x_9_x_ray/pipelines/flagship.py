@@ -75,15 +75,27 @@ def _cache_dir(sf_dir: str) -> str:
     return os.path.join(CACHE_ROOT, f"idx_{key}_v5")
 
 
-def build_flagship_index(sf_dir: str, use_ray: bool = True) -> str:
+def _variant_cache_dir(sf_dir: str, variant: str) -> str:
+    return _cache_dir(sf_dir) + f"_{variant}"
+
+
+def build_flagship_index(
+    sf_dir: str, use_ray: bool = True, postings_format: str = "for"
+) -> str:
     """documents.parquet -> page-shaped parquet -> segments -> merged index.
 
     Returns the index dir. Exercises the full north-rule chain: html
     wrapping + byte-identical extraction verification (verify_extract),
     multi-partition build with lineage docIDs, and the salted term-shuffle
-    merge.
+    merge. ``postings_format`` selects the codec-SPI postings format
+    ("pfor" builds the patched-FOR variant index in its own cache dir;
+    results must be identical — the encoding never touches scores).
     """
-    root = _cache_dir(sf_dir)
+    root = (
+        _cache_dir(sf_dir)
+        if postings_format == "for"
+        else _variant_cache_dir(sf_dir, postings_format)
+    )
     index_dir = os.path.join(root, "index")
     done_flag = os.path.join(index_dir, "merged", "merged.json")
     if os.path.exists(done_flag):
@@ -109,6 +121,7 @@ def build_flagship_index(sf_dir: str, use_ray: bool = True) -> str:
         extra_fields=(FieldSpec("title", "title", index_positions=True),),
         # nullable user doc-values column -> DocValuesFieldExistsQuery gate
         store_cols=("score_hint",),
+        postings_format=postings_format,
     )
     # target=1e9 keeps one row-group range per partition spec; the row-group
     # size above is what actually fixes the segment count.
@@ -186,6 +199,15 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     """Reference query set top-k: (query_id, rank, doc_id, score_r)."""
     merged, _ = get_searchers(sf_dir)
     return _bm25_query_table(merged)
+
+
+def q_bm25_topk_pfor(sf_dir: str) -> pa.Table:
+    """The same reference query set over an index built with the "pfor"
+    postings format (codec SPI, s84 codecs/lucene84/PForUtil.java:33).
+    Shares bm25_topk's SQL oracle: packing with patched exceptions must
+    never change a docID or a float32 score."""
+    index_dir = build_flagship_index(sf_dir, postings_format="pfor")
+    return _bm25_query_table(open_searcher(index_dir, prefer_merged=True))
 
 
 def build_flagship_index_nrt(sf_dir: str) -> str:
