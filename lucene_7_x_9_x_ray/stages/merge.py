@@ -532,9 +532,28 @@ def merge_index_pull(
                   "fingerprint": fp, "resumed": False}]
             ).slice(0, 0)
 
+        # one Ray task per BLOCK of specs, ~2 blocks per CPU: at toy scale
+        # a block per spec means hundreds of ~50 ms tasks whose scheduling
+        # dwarfs the work; at 100-TB scale each spec is minutes of work and
+        # the min() leaves one spec per block. Specs are interleaved
+        # range/hot round-robin so a block doesn't accumulate one term's
+        # hottest buckets (skew guard).
+        try:
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 32))
+        except Exception:
+            cpus = 32
+        per_cpu = int(os.environ.get("LUCENE_RAY_MERGE_BLOCKS_PER_CPU", "2"))
+        if per_cpu <= 0:  # 0 = one block (task) per spec
+            n_blocks = len(specs)
+        else:
+            n_blocks = max(1, min(len(specs), cpus * per_cpu))
+        interleaved = [specs[i::n_blocks] for i in range(n_blocks)]
+        flat = [s for group in interleaved for s in group]
         shard_stats = (
-            rd.from_items(specs, override_num_blocks=len(specs))
-            .map_batches(run_spec, batch_size=1, batch_format="pyarrow")
+            rd.from_items(flat, override_num_blocks=n_blocks)
+            .map_batches(run_spec, batch_size=None, batch_format="pyarrow")
             .take_all()
         )
         return hot_terms, bnds, shard_stats

@@ -102,14 +102,27 @@ def fsync_dir_files(dir_path: str) -> None:
         if os.path.isfile(p := os.path.join(dir_path, name))
     ]
     if len(files) > 2:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(8, len(files))) as ex:
-            list(ex.map(fsync_path, files))  # list() re-raises any error
+        list(_io_pool().map(fsync_path, files))  # list() re-raises any error
     else:
         for p in files:
             fsync_path(p)
     fsync_path(dir_path)
+
+
+_IO_POOL = None
+
+
+def _io_pool():
+    """Process-wide fsync thread pool: merge reducers flush hundreds of
+    small shard dirs, and spinning up a fresh ThreadPoolExecutor per dir
+    costs ~10 ms of thread startup — comparable to the flushes themselves
+    on a warm page cache."""
+    global _IO_POOL
+    if _IO_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _IO_POOL = ThreadPoolExecutor(max_workers=8, thread_name_prefix="fsync")
+    return _IO_POOL
 
 
 @dataclass
