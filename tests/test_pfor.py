@@ -114,6 +114,40 @@ def test_region_roundtrip_and_subset_decode():
             assert np.array_equal(bf, f[(nb // 2) * 128 : (nb // 2 + 1) * 128])
 
 
+def test_mixed_format_append_serves_and_merges(tmp_path, ray_session):
+    """Regions self-describe via the fmt_id byte: an NRT append with a
+    DIFFERENT postings format than the base index yields a mixed-format
+    segment set that must search identically to a from-scratch build of
+    the union, and a subsequent merge re-encodes everything at the
+    manifest's writer-default format."""
+    import pyarrow.parquet as pq
+
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, append_index, build_index_local
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index_local
+
+    t = generate_pages(800, seed=23, vocab_size=400, mean_tokens=50)
+    p_all = str(tmp_path / "all.parquet")
+    p1, p2 = str(tmp_path / "p1.parquet"), str(tmp_path / "p2.parquet")
+    write_pages_parquet(t, p_all, rows_per_row_group=100)
+    write_pages_parquet(t.slice(0, 400), p1, rows_per_row_group=100)
+    write_pages_parquet(t.slice(400), p2, rows_per_row_group=100)
+
+    union = str(tmp_path / "idx_union")
+    build_index_local([p_all], union, BuildConfig(target_docs_per_segment=200))
+
+    mixed = str(tmp_path / "idx_mixed")
+    build_index_local([p1], mixed, BuildConfig(target_docs_per_segment=200))
+    append_index(
+        [p2], mixed,
+        BuildConfig(target_docs_per_segment=200, postings_format="pfor"),
+    )
+    _duel({"for": union, "pfor": mixed}, n_queries=12)
+
+    merge_index_local(mixed, MergeConfig(n_shards=2, hot_df_threshold=10**9))
+    _duel({"for": union, "pfor": mixed}, n_queries=12)
+
+
 def test_manifest_refuses_older_format_version(duel_indexes, tmp_path):
     """A pre-fmt_id index (FORMAT_VERSION 1) must fail loudly at manifest
     load with a rebuild message, not misparse region bytes downstream."""
