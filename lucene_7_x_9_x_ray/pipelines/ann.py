@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.rounding import round_half_away
+from .common import HEAVY_ROWS_PER_BLOCK, sized_read
 
 ANN_K = 10
 BRUTE_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -105,7 +106,8 @@ def _brute_force(sf_dir: str, query_ids: list[int]) -> pa.Table:
                 }
             )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = sized_read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                    rows_per_block=HEAVY_ROWS_PER_BLOCK)
     parts = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
 
     tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
@@ -207,7 +209,8 @@ def build_ivf(sf_dir: str) -> str:
     for _ in range(IVF_KMEANS_ITERS):
         cref = ray.put(centroids)
         rows = (
-            rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+            sized_read(f"{sf_dir}/embeddings.parquet", columns=["embedding"],
+                   rows_per_block=HEAVY_ROWS_PER_BLOCK)
             .map_batches(
                 lambda b: partial_sums(b, ray.get(cref)), batch_format="pyarrow"
             )
@@ -232,7 +235,8 @@ def build_ivf(sf_dir: str) -> str:
         return batch.append_column("bucket", pa.array(a))
 
     (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        sized_read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                   rows_per_block=HEAVY_ROWS_PER_BLOCK)
         .map_batches(assign, batch_format="pyarrow")
         .write_parquet(os.path.join(out, "buckets"), partition_cols=["bucket"])
     )

@@ -1,0 +1,48 @@
+"""Shared pipeline plumbing.
+
+``sized_read`` is the one read entry point the operator pipelines use:
+``ray.data.read_parquet`` with a block count derived from the table's
+actual row count. Ray's default splits even a 5 000-row file into
+~2x-CPU near-empty blocks, and every downstream ``groupby``/``sort``
+inherits that block count — at benchmark scale the per-task constants
+(scheduling, (de)serialization, per-block aggregate setup) then dwarf
+the useful work by an order of magnitude. Sizing blocks by rows keeps
+each task big enough to amortize its constants while still fanning out
+on real data: the block count grows linearly with the input, capped at
+16x the cluster's CPUs (past that, ``map_batches``' ``batch_size``
+provides intra-block chunking and the streaming executor pipelines
+blocks, so more blocks only add scheduling load).
+"""
+
+from __future__ import annotations
+
+import math
+
+__all__ = ["sized_read", "HEAVY_ROWS_PER_BLOCK", "LIGHT_ROWS_PER_BLOCK"]
+
+# heavy per-row kernels (shingling, minhash, per-doc matmul): small blocks
+# so a handful of rows still spreads across the cluster
+HEAVY_ROWS_PER_BLOCK = 512
+# light columnar kernels (hash, partial aggregates): big blocks, the work
+# per row is nanoseconds and the task constant is the whole cost
+LIGHT_ROWS_PER_BLOCK = 32_768
+
+
+def _cluster_cpus() -> int:
+    try:
+        import ray
+
+        return int(ray.cluster_resources().get("CPU", 32)) or 32
+    except Exception:
+        return 32
+
+
+def sized_read(path: str, columns: list[str] | None = None,
+               rows_per_block: int = LIGHT_ROWS_PER_BLOCK):
+    """``read_parquet`` with ``override_num_blocks`` matched to table size."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    n = pq.read_metadata(path).num_rows
+    blocks = max(1, min(math.ceil(n / rows_per_block), 16 * _cluster_cpus()))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)

@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.rounding import round_half_away_np
+from .common import HEAVY_ROWS_PER_BLOCK, sized_read
 from .textops import LANG_PROFILES, QUALITY_STOPWORDS
 
 CLEAN_MIN_TOKENS = 40
@@ -136,7 +137,8 @@ def corpus_clean_dataset(sf_dir: str):
         fps = [md5_hex(t) for t in batch["text"].to_pylist()]
         return pa.table({"text_md5": pa.array(fps, pa.string()), "doc_id": batch["doc_id"]})
 
-    src = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    src = sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                     rows_per_block=HEAVY_ROWS_PER_BLOCK)
     keep = (
         src.map_batches(add_hash, batch_format="pyarrow")
         .groupby("text_md5")

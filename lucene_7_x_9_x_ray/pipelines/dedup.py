@@ -39,6 +39,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import md5_hex, md5_lower64_array
+from .common import HEAVY_ROWS_PER_BLOCK, sized_read
 from ..functions.rounding import round_half_away, round_half_away_np
 
 JACCARD_SHINGLE_N = 2
@@ -73,7 +74,7 @@ def q_exact_dedup(sf_dir: str) -> pa.Table:
         return pa.table({"text_md5": pa.array(fps, pa.string()), "doc_id": batch["doc_id"]})
 
     ds = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(add_hash, batch_format="pyarrow")
         .groupby("text_md5")
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
@@ -136,7 +137,8 @@ def _shingle_dataset(sf_dir: str, n: int, with_bucket: bool = False):
             t = t.append_column("bucket", bucket)
         return t
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+    return sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                      rows_per_block=HEAVY_ROWS_PER_BLOCK).map_batches(
         fn, batch_format="pyarrow"
     )
 
@@ -296,18 +298,34 @@ def _minhash_params(seed: int = 42):
 
 
 def minhash_signatures(sh_table: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_ids, signatures[n_docs, MINHASH_PERMS]) from (doc, shingle)."""
+    """(doc_ids, signatures[n_docs, MINHASH_PERMS]) from (doc, shingle).
+
+    The per-doc column minima use ``np.minimum.reduceat`` over contiguous
+    doc runs — ``np.minimum.at`` is a scalar inner loop and was ~50% of
+    the whole MinHash pipeline's wall time at sf0.1. Hash-value chunks are
+    cut at DOC boundaries (~2^16 shingle rows each) so every reduceat
+    segment is complete and memory stays bounded."""
     docs = sh_table["doc_id"].to_numpy()
     sh = sh_table["shingle"].to_numpy().astype(np.uint64)
-    uniq_docs, inv = np.unique(docs, return_inverse=True)
+    if len(docs) > 1 and not np.all(docs[1:] >= docs[:-1]):
+        order = np.argsort(docs, kind="stable")
+        docs, sh = docs[order], sh[order]
+    uniq_docs, starts = np.unique(docs, return_index=True)
+    ends = np.append(starts[1:], len(docs))
     a, b = _minhash_params()
-    sig = np.full((len(uniq_docs), MINHASH_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64)
-    # h_i(x) = (a_i * x + b_i) mod 2^61-1, computed blockwise to bound memory
-    block = 1 << 16
-    for s in range(0, len(sh), block):
-        x = sh[s : s + block]
+    # h_i(x) = (a_i * x + b_i) mod 2^61-1
+    parts: list[np.ndarray] = []
+    i, n_docs, block = 0, len(uniq_docs), 1 << 16
+    while i < n_docs:
+        j = max(int(np.searchsorted(starts, starts[i] + block, side="left")), i + 1)
+        lo, hi = int(starts[i]), int(ends[j - 1])
+        x = sh[lo:hi]
         hv = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-        np.minimum.at(sig, inv[s : s + block], hv)
+        parts.append(np.minimum.reduceat(hv, starts[i:j] - lo, axis=0))
+        i = j
+    if not parts:
+        return uniq_docs, np.empty((0, MINHASH_PERMS), dtype=np.uint64)
+    sig = parts[0] if len(parts) == 1 else np.concatenate(parts)
     return uniq_docs, sig
 
 
@@ -548,7 +566,8 @@ def minhash_lsh_pairs_dataset(sf_dir: str):
     from ray.data.aggregate import Count
 
     parts = _dedup_shuffle_partitions()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                      rows_per_block=HEAVY_ROWS_PER_BLOCK)
     cand = (
         docs.map_batches(_band_rows_batch, batch_format="pyarrow")
         .groupby("bucket")
@@ -667,7 +686,8 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Min
 
     t = _to_table(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                   rows_per_block=HEAVY_ROWS_PER_BLOCK)
         .map_batches(_simhash_band_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_emit_simhash_pairs, batch_format="pyarrow")
@@ -739,7 +759,8 @@ def q_embed_dup_pairs(sf_dir: str) -> pa.Table:
                 }
             )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
+    ds = sized_read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                    rows_per_block=HEAVY_ROWS_PER_BLOCK).map_batches(
         PairFinder, batch_format="pyarrow", concurrency=(1, 8)
     )
     return _to_table(ds)
@@ -876,7 +897,8 @@ def q_embed_dup_lsh_pairs(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Max
 
     t = _to_table(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        sized_read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                   rows_per_block=HEAVY_ROWS_PER_BLOCK)
         .map_batches(_plant_near_dups, batch_format="pyarrow")
         .map_batches(_embed_band_rows, batch_format="pyarrow")
         .groupby("bucket")

@@ -17,6 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.rounding import round_half_away_np
+from .common import sized_read
 from .dedup import _to_table
 
 SORT_TOPN = 20
@@ -27,7 +28,7 @@ def q_semi_join(sf_dir: str) -> pa.Table:
     import ray
     import ray.data as rd
 
-    keys = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).unique(
+    keys = sized_read(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).unique(
         "o_custkey"
     )
     key_ref = ray.put(np.asarray(sorted(keys), dtype=np.int64))
@@ -45,7 +46,7 @@ def q_semi_join(sf_dir: str) -> pa.Table:
             mask = self.keys[idx] == ck
             return pa.table({"c_custkey": pa.array(ck[mask].astype(np.int64))})
 
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
+    ds = sized_read(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
         SemiFilter, batch_format="pyarrow", concurrency=2
     )
     return _to_table(ds)
@@ -69,7 +70,7 @@ def q_latest_event_per_user(sf_dir: str) -> pa.Table:
         return group.take([best]).select(["user_id", "event_id", "ts"])
 
     ds = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+        sized_read(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
         .groupby("user_id")
         .map_groups(latest, batch_format="pyarrow")
     )
@@ -90,7 +91,7 @@ def q_event_type_agg(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Sum
 
     ds = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        sized_read(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
         .groupby("event_type")
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
     )
@@ -165,7 +166,7 @@ def q_lineitem_pricing(sf_dir: str) -> pa.Table:
         )
 
     ds = (
-        rd.read_parquet(
+        sized_read(
             f"{sf_dir}/lineitem.parquet",
             columns=[
                 "l_returnflag", "l_linestatus", "l_quantity",
@@ -224,7 +225,7 @@ def q_event_window_agg(sf_dir: str) -> pa.Table:
         return pa.table({"day": day, "event_type": batch["event_type"]})
 
     ds = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        sized_read(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
         .map_batches(add_day, batch_format="pyarrow")
         .groupby(["day", "event_type"])
         .aggregate(Count(alias_name="n"))
@@ -261,7 +262,7 @@ def q_sort_topn_docs(sf_dir: str) -> pa.Table:
         )
 
     t = _to_table(
-        rd.read_parquet(
+        sized_read(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
         ).map_batches(partial_topn, batch_format="pyarrow")
     )

@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import md5_hex, md5_lower64_array
+from .common import HEAVY_ROWS_PER_BLOCK, sized_read
 from ..functions.rounding import round_half_away_np
 
 # stopword list for quality scoring: classic-33-style English function words
@@ -48,8 +49,13 @@ def _tok_arrays(batch: pa.Table, text_col: str = "text"):
 
 
 def _sum_by_parent(values: np.ndarray, parents: np.ndarray, n_rows: int) -> np.ndarray:
+    # parents (list_parent_indices) is nondecreasing -> segmented reduceat,
+    # not the scalar-loop np.add.at
     out = np.zeros(n_rows, dtype=np.int64)
-    np.add.at(out, parents, values.astype(np.int64))
+    if len(parents) == 0:
+        return out
+    starts = np.flatnonzero(np.r_[True, parents[1:] != parents[:-1]])
+    out[parents[starts]] = np.add.reduceat(values.astype(np.int64), starts)
     return out
 
 
@@ -140,7 +146,11 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
     contrib = (bits * 2 - 1) * freq[:, None].astype(np.int64)
     acc = np.zeros((n, 64), dtype=np.int64)
-    np.add.at(acc, up_parent, contrib)
+    # up_parent is sorted (uniq_pair ascending, parent = pair // ncodes):
+    # one reduceat per parent run replaces the scalar-loop np.add.at
+    if len(up_parent):
+        rstarts = np.flatnonzero(np.r_[True, up_parent[1:] != up_parent[:-1]])
+        acc[up_parent[rstarts]] = np.add.reduceat(contrib, rstarts, axis=0)
     simhash = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
         axis=1, dtype=np.uint64
     )
@@ -170,7 +180,8 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 def _run(sf_dir: str, fn, columns=("doc_id", "text")) -> pa.Table:
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    ds = sized_read(f"{sf_dir}/documents.parquet", columns=list(columns),
+                    rows_per_block=HEAVY_ROWS_PER_BLOCK)
     out = ds.map_batches(fn, batch_format="pyarrow")
     import ray
 
