@@ -21,8 +21,11 @@ import math
 __all__ = ["sized_read", "HEAVY_ROWS_PER_BLOCK", "LIGHT_ROWS_PER_BLOCK"]
 
 # heavy per-row kernels (shingling, minhash, per-doc matmul): small blocks
-# so a handful of rows still spreads across the cluster
-HEAVY_ROWS_PER_BLOCK = 512
+# so a handful of rows still spreads across the cluster. 64 rows of
+# shingling is ~ms of kernel work — the same order as the task constant —
+# and 5k docs then fan out to ~80 blocks (>2x a 32-cpu node); 512 was
+# measured to starve the minhash stage to 10 tasks (7x wall-time).
+HEAVY_ROWS_PER_BLOCK = 64
 # light columnar kernels (hash, partial aggregates): big blocks, the work
 # per row is nanoseconds and the task constant is the whole cost
 LIGHT_ROWS_PER_BLOCK = 32_768

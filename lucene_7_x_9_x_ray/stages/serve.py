@@ -403,6 +403,18 @@ class ServingPool:
                 )
         return merge_topk(parts, k)
 
+    def shutdown(self) -> None:
+        """Terminate the shard actor processes. Idle actors hold no CPU
+        slots (Ray actors use 1 CPU for placement, 0 while running), but
+        each shard process keeps its segment mmaps and Python heap alive
+        until ray.shutdown — on a long-lived driver, retiring a pool
+        should release that memory promptly."""
+        import ray
+
+        for a in self._actors:
+            ray.kill(a, no_restart=True)
+        self._actors = []
+
 
 def serve_queries(
     index_dir: str,

@@ -528,6 +528,7 @@ def test_serving_pool_matches_searcher(ray_session, tmp_path):
         b = pool.search(terms, 7)
         assert list(a.doc_ids) == list(b.doc_ids)
         assert np.array_equal(a.scores, b.scores)
+    pool.shutdown()
 
 
 def test_sloppy_phrase_javadoc_examples(ray_session, tmp_path):
@@ -645,6 +646,7 @@ def test_serving_paths_respect_tombstones(ray_session, tmp_path):
     pool = ServingPool(idx, n_shards=2)
     td = pool.search(["t00000"], 200)
     assert victim not in set(int(d) for d in td.doc_ids)
+    pool.shutdown()
 
 
 def test_sorted_field_topn_deletes_and_validation(ray_session, tmp_path):
@@ -926,6 +928,7 @@ def test_serving_pool_arbitrary_queries(ray_session, tmp_path):
         td_pool = pool.search_query(q, k=40)
         assert list(td_ref.doc_ids) == list(td_pool.doc_ids), q
         assert np.array_equal(td_ref.scores, td_pool.scores), q
+    pool.shutdown()
 
 
 def test_reclaim_with_soft_delete_retention(ray_session, tmp_path):
