@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_topk": flagship.q_field_topk,  # multi-field (title vs body)
         "parsed_topk": flagship.q_parsed_topk,  # classic query-parser strings
         "function_topk": flagship.q_function_topk,  # FunctionScoreQuery (log1p dl boost)
+        "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
         "grouped_topk": flagship.q_grouped_topk,
@@ -126,6 +127,9 @@ def oracle_sql() -> dict[str, str]:
         "mlt_topk": O.mlt_topk_sql(flagship.MLT_SRC_DOC, flagship.MLT_K),
         "function_topk": O.function_topk_sql(
             list(flagship.FUNCTION_TOPK_TERMS), flagship.FUNCTION_TOPK_K
+        ),
+        "expr_topk": O.expression_topk_sql(
+            list(flagship.EXPR_TOPK_TERMS), flagship.EXPR_TOPK_K
         ),
         "parsed_topk": O.field_topk_sql(
             [(qid, kind, cls, k) for qid, _s, kind, cls, k in flagship.PARSED_TOPK_SPECS]

@@ -530,6 +530,38 @@ def q_function_topk(sf_dir: str) -> pa.Table:
     )
 
 
+EXPR_TOPK_TERMS = ("table", "hash")
+EXPR_TOPK_K = 10
+# exercises the whole expression grammar: precedence, ternary, comparison,
+# 1- and 2-arg functions, division — over _score and the length doc-values
+EXPR_TOPK_EXPR = (
+    "0.3*_score + ln(1 + length)*(_score > 1 ? 1.5 : 1.0)"
+    " + sqrt(min(length, 64))/8"
+)
+
+
+def q_expr_topk(sf_dir: str) -> pa.Table:
+    """ExpressionScoreQuery (the expressions-module surface,
+    s84 expressions/js/JavascriptCompiler.java grammar): BM25 disjunction
+    re-scored by a compiled arithmetic expression over _score and the
+    length doc-values column: (rank, doc_id, score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    inner = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery(t)) for t in EXPR_TOPK_TERMS]
+    )
+    query = Q.ExpressionScoreQuery(inner, expression=EXPR_TOPK_EXPR)
+    td = merged.search(query, k=EXPR_TOPK_K)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(td.doc_ids) + 1), pa.int64()),
+            "doc_id": pa.array([int(d) for d in td.doc_ids], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in td.scores], pa.float64()
+            ),
+        }
+    )
+
+
 SCORING_VARIANT_TERMS = ("key", "hash")
 SCORING_VARIANTS_K = 10
 

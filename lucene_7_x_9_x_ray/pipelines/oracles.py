@@ -262,6 +262,31 @@ ORDER BY fscore DESC, doc_id LIMIT {k}"""
     )
 
 
+def expression_topk_sql(terms: list[str], k: int, relation: str = "documents") -> str:
+    """ExpressionScoreQuery oracle: BM25 disjunction re-scored by
+    ``0.3*_score + ln(1+length)*(_score>1 ? 1.5 : 1.0) + sqrt(min(length,64))/8``
+    — every operation in DOUBLE (Lucene expression semantics) with one
+    final FLOAT cast, the exact tree the engine's compiled AST evaluates
+    (functions/expressions.py)."""
+    ctes = [base_ctes(relation)]
+    ctes += [term_leaf_ctes(t) for t in sorted(set(terms))]
+    ctes += [disjunction_scored_cte("e", terms)]
+    expr = (
+        "0.3*CAST(s.score AS DOUBLE)"
+        " + ln(1 + dl.dl)"
+        "   * (CASE WHEN CAST(s.score AS DOUBLE) > 1 THEN 1.5 ELSE 1.0 END)"
+        " + sqrt(least(dl.dl, 64))/8"
+    )
+    return (
+        "WITH " + ",".join(ctes) + f"""
+SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(CAST(fscore AS DOUBLE), 4) AS score_r
+FROM (SELECT s.doc_id, CAST({expr} AS FLOAT) AS fscore
+      FROM scored_e s JOIN dl USING (doc_id))
+ORDER BY fscore DESC, doc_id LIMIT {k}"""
+    )
+
+
 def mlt_topk_sql(
     src_doc_id: int, k: int, min_tf: int = 2, min_df: int = 5,
     max_terms: int = 25, relation: str = "documents",

@@ -187,6 +187,23 @@ class FunctionScoreQuery(Query):
 
 
 @dataclass(frozen=True)
+class ExpressionScoreQuery(Query):
+    """Re-score a query with a compiled arithmetic EXPRESSION over
+    ``_score`` and doc-values columns — the ``expressions`` module
+    surface (s84 expressions/js/JavascriptCompiler.java:1 grammar;
+    Expression.getDoubleValuesSource + FunctionScoreQuery composition,
+    expressions/Expression.java:36).  The expression's free variables
+    bind ``_score`` to the sub-query's float32 score and every other
+    name to the like-named doc-values column; arithmetic is float64
+    throughout (Lucene: all expression ops are double) with one final
+    float32 cast, same discipline as FunctionScoreQuery."""
+
+    query: Query
+    expression: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: tuple[str, ...]
     boost: float = 1.0
@@ -349,7 +366,7 @@ def rewrite(query: Query, term_dict: np.ndarray) -> Query:
             ),
             min_should_match=query.min_should_match,
         )
-    if isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery)):
+    if isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery, ExpressionScoreQuery)):
         return type(query)(**{**query.__dict__, "query": rewrite(query.query, term_dict)})
     if isinstance(query, DisjunctionMaxQuery):
         return DisjunctionMaxQuery(
@@ -372,7 +389,7 @@ def needs_rewrite(query: Query) -> bool:
         return True
     if isinstance(query, BooleanQuery):
         return any(needs_rewrite(c.query) for c in query.clauses)
-    if isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery)):
+    if isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery, ExpressionScoreQuery)):
         return needs_rewrite(query.query)
     if isinstance(query, DisjunctionMaxQuery):
         return any(needs_rewrite(q) for q in query.queries)
@@ -391,7 +408,7 @@ def collect_terms(query: Query) -> set[str]:
     elif isinstance(query, BooleanQuery):
         for c in query.clauses:
             out |= collect_terms(c.query)
-    elif isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery)):
+    elif isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery, ExpressionScoreQuery)):
         out |= collect_terms(query.query)
     elif isinstance(query, DisjunctionMaxQuery):
         for q in query.queries:
@@ -411,7 +428,7 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
     elif isinstance(query, BooleanQuery):
         for c in query.clauses:
             out |= collect_field_terms(c.query)
-    elif isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery)):
+    elif isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery, ExpressionScoreQuery)):
         out |= collect_field_terms(query.query)
     elif isinstance(query, DisjunctionMaxQuery):
         for q in query.queries:

@@ -307,6 +307,30 @@ def eval_query(
             out = out * np.float64(query.boost)
         return docs, out.astype(np.float32)
 
+    if isinstance(query, Q.ExpressionScoreQuery):
+        # expressions-module surface: compile once (lru-cached by source),
+        # bind _score + doc-values columns, evaluate vectorized per segment
+        from ..functions.expressions import compile_expression
+
+        docs, base = eval_query(reader, query.query, stats, bm25)
+        if len(docs) == 0:
+            return docs, base
+        expr = compile_expression(query.expression)
+        bind: dict = {}
+        for var in expr.variables:
+            if var == "_score":
+                bind[var] = base.astype(np.float64)
+            else:
+                bind[var] = np.asarray(
+                    reader.doc_values(var)[docs], dtype=np.float64
+                )
+        out = expr.evaluate(bind)
+        if np.isscalar(out) or out.ndim == 0:
+            out = np.full(len(docs), float(out), dtype=np.float64)
+        if query.boost != 1.0:
+            out = out * np.float64(query.boost)
+        return docs, out.astype(np.float32)
+
     if isinstance(query, Q.BoostQuery):
         # BoostQuery multiplies the sub-score (BoostQuery.java:130)
         docs, scores = eval_query(reader, query.query, stats, bm25)
