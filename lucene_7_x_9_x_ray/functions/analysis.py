@@ -37,6 +37,12 @@ __all__ = [
     "Analyzer",
     "StandardAnalyzer",
     "SimpleAnalyzer",
+    "EnglishAnalyzer",
+    "WhitespaceAnalyzer",
+    "KeywordAnalyzer",
+    "LetterAnalyzer",
+    "StopAnalyzer",
+    "CustomAnalyzer",
     "get_analyzer",
     "ENGLISH_STOP_WORDS",
     "MAX_TOKEN_LENGTH",
@@ -97,6 +103,10 @@ class Analyzer:
     """text column -> (tokens, doc_idx) arrays. Subclasses set pattern/stop."""
 
     name = "base"
+    # LowerCaseFilter position: most chains lowercase before matching, so the
+    # tokenizer regexes only need lowercase classes. Case-preserving
+    # tokenizers (Whitespace/Keyword, per their reference chains) set False.
+    lowercase_input = True
 
     def __init__(self, stopwords: Iterable[str] | None = None):
         self.stopwords = frozenset(stopwords) if stopwords else frozenset()
@@ -125,12 +135,31 @@ class Analyzer:
         depend on its batch neighbors). The Python loop is per document —
         token extraction is one C-level findall per doc.
         """
+        tokens, doc_idx = self._tokenize_raw(texts)
+        tokens = self._map_pre_stop(tokens)
+        if self._stop_arr is not None and len(tokens):
+            # vectorized membership: binary-search the sorted stop array
+            loc = np.searchsorted(self._stop_arr, tokens)
+            loc = np.minimum(loc, len(self._stop_arr) - 1)
+            is_stop = self._stop_arr[loc] == tokens
+            keep = ~is_stop
+            tokens, doc_idx = tokens[keep], doc_idx[keep]
+        tokens = self._map_post_stop(tokens)
+        return tokens, doc_idx
+
+    def _tokenize_raw(
+        self, texts: Sequence[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Tokenizer + maxTokenLength stage, before any token filters."""
         n = len(texts)
         if n == 0:
             return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
-        per_doc = [
-            self._findall(("" if t is None else str(t)).lower()) for t in texts
-        ]
+        if self.lowercase_input:
+            per_doc = [
+                self._findall(("" if t is None else str(t)).lower()) for t in texts
+            ]
+        else:
+            per_doc = [self._findall("" if t is None else str(t)) for t in texts]
         counts = np.fromiter(map(len, per_doc), dtype=np.int64, count=n)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
         flat: list[str] = []
@@ -157,16 +186,6 @@ class Analyzer:
                             out_d.append(int(d))
                 tokens = np.array(out_t, dtype=object)
                 doc_idx = np.array(out_d, dtype=np.int64)
-
-        tokens = self._map_pre_stop(tokens)
-        if self._stop_arr is not None and len(tokens):
-            # vectorized membership: binary-search the sorted stop array
-            loc = np.searchsorted(self._stop_arr, tokens)
-            loc = np.minimum(loc, len(self._stop_arr) - 1)
-            is_stop = self._stop_arr[loc] == tokens
-            keep = ~is_stop
-            tokens, doc_idx = tokens[keep], doc_idx[keep]
-        tokens = self._map_post_stop(tokens)
         return tokens, doc_idx
 
     # chain hooks: token-to-token maps applied before/after the stop filter
@@ -246,17 +265,346 @@ class EnglishAnalyzer(StandardAnalyzer):
         return stemmed[inv]
 
 
+class WhitespaceAnalyzer(Analyzer):
+    """WhitespaceTokenizer only: split on Unicode whitespace, case
+    preserved (s84 analysis/core/WhitespaceAnalyzer.java:33 +
+    WhitespaceTokenizer.java:36 — Character.isWhitespace boundaries)."""
+
+    name = "whitespace"
+    lowercase_input = False
+
+    def _findall(self, text: str) -> list[str]:
+        return text.split()
+
+
+class KeywordAnalyzer(Analyzer):
+    """Whole input emitted as ONE untouched token (s84 analysis/core/
+    KeywordAnalyzer.java:28 / KeywordTokenizer.java:32); empty input
+    emits nothing."""
+
+    name = "keyword"
+    lowercase_input = False
+
+    def _findall(self, text: str) -> list[str]:
+        return [text] if text else []
+
+
+_LETTER_PATTERN = re.compile(rf"{_WL}+", re.UNICODE)
+
+
+class LetterAnalyzer(Analyzer):
+    """LowerCaseTokenizer semantics — maximal LETTER runs, lowercased
+    (digits split tokens): the reference's SimpleAnalyzer chain (s84
+    analysis/core/SimpleAnalyzer.java:32 + LetterTokenizer.java:36).
+    Registered as "letter" because this package's "simple" is the
+    SQL-oracle-replicable [a-z0-9]+ variant (documented deviation)."""
+
+    name = "letter"
+
+    def _findall(self, text: str) -> list[str]:
+        return _LETTER_PATTERN.findall(text)
+
+
+class StopAnalyzer(LetterAnalyzer):
+    """LowerCaseTokenizer + StopFilter (s84 analysis/core/StopAnalyzer
+    .java:40). The reference takes the stop set as a constructor arg;
+    default here is the classic-33 English list."""
+
+    name = "stop"
+
+    def __init__(self, stopwords: Iterable[str] | None = None):
+        super().__init__(
+            stopwords=ENGLISH_STOP_WORDS if stopwords is None else stopwords
+        )
+
+
+# --- token-filter library (the TokenFilter chain slots) ---------------------
+# Each filter: (tokens, doc_idx) -> (tokens, doc_idx). Vocab-level filters
+# transform unique tokens once and scatter back (vocab << token stream).
+
+
+def _vocab_map(tokens: np.ndarray, fn) -> np.ndarray:
+    if len(tokens) == 0:
+        return tokens
+    vocab, inv = np.unique(tokens, return_inverse=True)
+    mapped = np.array([fn(v) for v in vocab], dtype=object)
+    return mapped[inv]
+
+
+def _utf8_lower(tokens: np.ndarray) -> np.ndarray:
+    if len(tokens) == 0:
+        return tokens
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    return _pc.utf8_lower(_pa.array(tokens, type=_pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+
+
+# ASCIIFoldingFilter supplements: Latin chars NFKD leaves undecomposed
+# (s84 analysis/miscellaneous/ASCIIFoldingFilter.java:60 table entries).
+_FOLD_EXTRA = str.maketrans(
+    {"æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ß": "ss", "ø": "o",
+     "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D", "þ": "th",
+     "Þ": "TH", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H", "ı": "i",
+     "ŋ": "n", "Ŋ": "N", "ŧ": "t", "Ŧ": "T"}
+)
+
+
+def _fold_token(t: str) -> str:
+    if t.isascii():
+        return t
+    import unicodedata
+
+    t = t.translate(_FOLD_EXTRA)
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", t)
+        if not unicodedata.combining(c)
+    )
+
+
+def _stop_filter(stop_arr: np.ndarray):
+    def f(tokens, doc_idx):
+        if len(tokens) == 0:
+            return tokens, doc_idx
+        loc = np.minimum(np.searchsorted(stop_arr, tokens), len(stop_arr) - 1)
+        keep = stop_arr[loc] != tokens
+        return tokens[keep], doc_idx[keep]
+
+    return f
+
+
+def _length_filter(min_len: int, max_len: int):
+    def f(tokens, doc_idx):
+        if len(tokens) == 0:
+            return tokens, doc_idx
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        lens = _pc.utf8_length(_pa.array(tokens, type=_pa.string())).to_numpy()
+        keep = (lens >= min_len) & (lens <= max_len)
+        return tokens[keep], doc_idx[keep]
+
+    return f
+
+
+def _per_doc_spans(doc_idx: np.ndarray) -> list[tuple[int, int]]:
+    if len(doc_idx) == 0:
+        return []
+    starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+    ends = np.append(starts[1:], len(doc_idx))
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def _shingle_filter(min_size: int = 2, max_size: int = 2,
+                    output_unigrams: bool = True, sep: str = " "):
+    """ShingleFilter (s84 analysis/shingle/ShingleFilter.java:63): at each
+    position emit the unigram (if output_unigrams) then shingles of size
+    min..max joined by the separator. Shingles never cross documents."""
+
+    def f(tokens, doc_idx):
+        if len(tokens) == 0:
+            return tokens, doc_idx
+        out_t: list[str] = []
+        out_d: list[int] = []
+        for s, e in _per_doc_spans(doc_idx):
+            d = int(doc_idx[s])
+            toks = tokens[s:e]
+            for i in range(len(toks)):
+                if output_unigrams:
+                    out_t.append(toks[i])
+                    out_d.append(d)
+                for size in range(min_size, max_size + 1):
+                    if i + size <= len(toks):
+                        out_t.append(sep.join(toks[i : i + size]))
+                        out_d.append(d)
+        return np.array(out_t, dtype=object), np.array(out_d, dtype=np.int64)
+
+    return f
+
+
+def _ngram_filter(min_gram: int = 1, max_gram: int = 2, edge: bool = False):
+    """NGramTokenFilter / EdgeNGramTokenFilter (s84 analysis/ngram/
+    NGramTokenFilter.java:51, EdgeNGramTokenFilter.java:39): per token,
+    grams ordered by start offset then length; edge keeps offset 0 only.
+    Tokens shorter than min_gram are dropped (preserveOriginal=false)."""
+
+    def grams(t: str) -> list[str]:
+        out = []
+        limit = 1 if edge else len(t)
+        for i in range(limit):
+            for g in range(min_gram, max_gram + 1):
+                if i + g <= len(t):
+                    out.append(t[i : i + g])
+        return out
+
+    def f(tokens, doc_idx):
+        if len(tokens) == 0:
+            return tokens, doc_idx
+        per_tok = [grams(t) for t in tokens]
+        counts = np.fromiter(map(len, per_tok), dtype=np.int64, count=len(per_tok))
+        flat: list[str] = []
+        for g in per_tok:
+            flat.extend(g)
+        return (
+            np.array(flat, dtype=object),
+            np.repeat(doc_idx, counts),
+        )
+
+    return f
+
+
+def _possessive_strip(tokens: np.ndarray) -> np.ndarray:
+    if len(tokens) == 0:
+        return tokens
+    mask = np.array(
+        [t.endswith("'s") or t.endswith("’s") for t in tokens], dtype=bool
+    )
+    if mask.any():
+        tokens = tokens.copy()
+        tokens[mask] = [t[:-2] for t in tokens[mask]]
+    return tokens
+
+
+_TOKENIZERS: dict[str, type[Analyzer]] = {}  # filled after CustomAnalyzer
+
+
+class CustomAnalyzer(Analyzer):
+    """Compositional analyzer — the CustomAnalyzer.builder() surface (s84
+    analysis/common/.../custom/CustomAnalyzer.java:87): a named tokenizer
+    plus an ORDERED token-filter chain.
+
+    ``filters`` entries are names or (name, kwargs):
+      "lowercase"      LowerCaseFilter
+      "stop"           StopFilter (kwargs: stopwords=iterable; default English 33)
+      "ascii_folding"  ASCIIFoldingFilter (NFKD + Latin supplement table)
+      "length"         LengthFilter (kwargs: min_len, max_len)
+      "reverse"        ReverseStringFilter
+      "porter"         PorterStemFilter (vocab-level)
+      "possessive"     EnglishPossessiveFilter
+      "shingle"        ShingleFilter (kwargs: min_size, max_size,
+                       output_unigrams, sep)
+      "ngram"          NGramTokenFilter (kwargs: min_gram, max_gram)
+      "edge_ngram"     EdgeNGramTokenFilter (kwargs: min_gram, max_gram)
+    """
+
+    name = "custom"
+
+    def __init__(self, tokenizer: str = "standard",
+                 filters: Sequence[str | tuple[str, dict]] = ()):
+        super().__init__()
+        try:
+            tok_cls = _TOKENIZERS[tokenizer]
+        except KeyError:
+            raise ValueError(
+                f"unknown tokenizer {tokenizer!r}; have {sorted(_TOKENIZERS)}"
+            )
+        self._tok = tok_cls()  # bare tokenizer: no stop set, chain is ours
+        self._tok.stopwords, self._tok._stop_arr = frozenset(), None
+        self.lowercase_input = self._tok.lowercase_input
+        self._chain = [self._make_filter(spec) for spec in filters]
+        self.filter_specs = tuple(
+            spec if isinstance(spec, str) else (spec[0], dict(spec[1]))
+            for spec in filters
+        )
+
+    @staticmethod
+    def _make_filter(spec):
+        name, kw = (spec, {}) if isinstance(spec, str) else (spec[0], dict(spec[1]))
+        if name == "lowercase":
+            return lambda t, d: (_utf8_lower(t), d)
+        if name == "stop":
+            words = sorted(frozenset(kw.get("stopwords", ENGLISH_STOP_WORDS)))
+            return _stop_filter(np.array(words, dtype=object))
+        if name == "ascii_folding":
+            return lambda t, d: (_vocab_map(t, _fold_token), d)
+        if name == "length":
+            return _length_filter(int(kw.get("min_len", 0)),
+                                  int(kw.get("max_len", MAX_TOKEN_LENGTH)))
+        if name == "reverse":
+            return lambda t, d: (_vocab_map(t, lambda s: s[::-1]), d)
+        if name == "porter":
+            from .porter import porter_stem
+
+            return lambda t, d: (_vocab_map(t, porter_stem), d)
+        if name == "possessive":
+            return lambda t, d: (_possessive_strip(t), d)
+        if name == "shingle":
+            return _shingle_filter(**kw)
+        if name == "ngram":
+            return _ngram_filter(int(kw.get("min_gram", 1)),
+                                 int(kw.get("max_gram", 2)), edge=False)
+        if name == "edge_ngram":
+            return _ngram_filter(int(kw.get("min_gram", 1)),
+                                 int(kw.get("max_gram", 1)), edge=True)
+        raise ValueError(f"unknown token filter {name!r}")
+
+    def tokenize_batch(self, texts: Sequence[str]):
+        tokens, doc_idx = self._tok._tokenize_raw(texts)
+        for f in self._chain:
+            tokens, doc_idx = f(tokens, doc_idx)
+        return tokens, doc_idx
+
+    @property
+    def spec_name(self) -> str:
+        """Canonical ``custom:{json}`` name — pass as BuildConfig.analyzer
+        so the chain round-trips through the manifest (stopword sets must
+        be JSON-serializable: pass them as sorted lists)."""
+        import json
+
+        return "custom:" + json.dumps(
+            {
+                "tokenizer": self._tok.name,
+                "filters": [
+                    s if isinstance(s, str)
+                    else [s[0], {k: sorted(v) if isinstance(v, (set, frozenset))
+                                 else v for k, v in s[1].items()}]
+                    for s in self.filter_specs
+                ],
+            },
+            sort_keys=True,
+        )
+
+
 _REGISTRY = {
     "standard": StandardAnalyzer,
     "simple": SimpleAnalyzer,
     "english": EnglishAnalyzer,
+    "whitespace": WhitespaceAnalyzer,
+    "keyword": KeywordAnalyzer,
+    "letter": LetterAnalyzer,
+    "stop": StopAnalyzer,
 }
+
+_TOKENIZERS.update(
+    {
+        "standard": StandardAnalyzer,
+        "simple": SimpleAnalyzer,
+        "whitespace": WhitespaceAnalyzer,
+        "keyword": KeywordAnalyzer,
+        "letter": LetterAnalyzer,
+    }
+)
 
 
 def get_analyzer(name: str, stopwords: Iterable[str] | None = None) -> Analyzer:
-    """Analyzer factory — the pluggable-analyzer hook (SURVEY.md §2.10)."""
+    """Analyzer factory — the pluggable-analyzer hook (SURVEY.md §2.10).
+
+    ``custom:{json}`` names deserialize a CustomAnalyzer chain (the
+    manifest stores the analyzer by NAME, so custom chains round-trip
+    through builds/reopens via ``CustomAnalyzer.spec_name``)."""
     if name == "standard_en":
         return StandardAnalyzer(stopwords=ENGLISH_STOP_WORDS)
+    if name.startswith("custom:"):
+        import json
+
+        spec = json.loads(name[len("custom:"):])
+        filters = [
+            f if isinstance(f, str) else (f[0], dict(f[1]))
+            for f in spec.get("filters", [])
+        ]
+        return CustomAnalyzer(spec.get("tokenizer", "standard"), filters)
     try:
         cls = _REGISTRY[name]
     except KeyError:

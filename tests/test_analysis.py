@@ -267,3 +267,135 @@ def test_english_analyzer_end_to_end(tmp_path):
     # query-side analysis uses the index's analyzer (manifest round-trip)
     td2 = s.search("connections", k=10, total_hits_threshold=1 << 30)
     assert sorted(int(d) for d in td2.doc_ids) == [0, 1]
+
+
+# --- round-3 analyzer surface: core analyzers + CustomAnalyzer chains -------
+
+
+def test_whitespace_analyzer_preserves_case():
+    from lucene_7_x_9_x_ray.functions.analysis import WhitespaceAnalyzer
+
+    a = WhitespaceAnalyzer()
+    assert a.tokens("Foo Bar\tbaz  QUX\n") == ["Foo", "Bar", "baz", "QUX"]
+    assert a.tokens("") == []
+
+
+def test_keyword_analyzer_single_token():
+    from lucene_7_x_9_x_ray.functions.analysis import KeywordAnalyzer
+
+    a = KeywordAnalyzer()
+    assert a.tokens("New York City") == ["New York City"]
+    assert a.tokens("") == []
+
+
+def test_letter_and_stop_analyzers():
+    from lucene_7_x_9_x_ray.functions.analysis import LetterAnalyzer, StopAnalyzer
+
+    # LowerCaseTokenizer semantics: letter runs, digits split (unlike \w)
+    assert LetterAnalyzer().tokens("The Quick2Brown FOXES") == [
+        "the", "quick", "brown", "foxes",
+    ]
+    # StopAnalyzer = letter runs + classic-33 stop set
+    assert StopAnalyzer().tokens("The Quick2Brown Foxes") == [
+        "quick", "brown", "foxes",
+    ]
+    assert StopAnalyzer(stopwords={"quick"}).tokens("the quick fox") == [
+        "the", "fox",
+    ]
+
+
+def test_custom_analyzer_fold_chain():
+    from lucene_7_x_9_x_ray.functions.analysis import CustomAnalyzer
+
+    a = CustomAnalyzer("standard", ["lowercase", "ascii_folding"])
+    assert a.tokens("Élan Café naïve œuvre Straße") == [
+        "elan", "cafe", "naive", "oeuvre", "strasse",
+    ]
+
+
+def test_custom_analyzer_shingles_doc_bounded():
+    import numpy as np
+
+    from lucene_7_x_9_x_ray.functions.analysis import CustomAnalyzer
+
+    a = CustomAnalyzer("whitespace", [("shingle", {"min_size": 2, "max_size": 2})])
+    # ShingleFilter order: at each position the unigram then the shingle
+    assert a.tokens("please divide this") == [
+        "please", "please divide", "divide", "divide this", "this",
+    ]
+    # shingles never cross document boundaries
+    toks, idx = a.tokenize_batch(["a b", "c d"])
+    assert list(toks) == ["a", "a b", "b", "c", "c d", "d"]
+    assert list(idx) == [0, 0, 0, 1, 1, 1]
+    assert isinstance(idx, np.ndarray)
+
+
+def test_custom_analyzer_ngrams():
+    from lucene_7_x_9_x_ray.functions.analysis import CustomAnalyzer
+
+    ng = CustomAnalyzer("whitespace", [("ngram", {"min_gram": 1, "max_gram": 2})])
+    # NGramTokenFilter order: start offset, then gram length
+    assert ng.tokens("abc") == ["a", "ab", "b", "bc", "c"]
+    eg = CustomAnalyzer("whitespace", [("edge_ngram", {"min_gram": 1, "max_gram": 3})])
+    assert eg.tokens("hello") == ["h", "he", "hel"]
+
+
+def test_custom_analyzer_length_reverse_porter():
+    from lucene_7_x_9_x_ray.functions.analysis import CustomAnalyzer
+
+    ln = CustomAnalyzer("letter", [("length", {"min_len": 3, "max_len": 5})])
+    assert ln.tokens("an ant eats elephants") == ["ant", "eats"]
+    rv = CustomAnalyzer("whitespace", ["lowercase", "reverse"])
+    assert rv.tokens("AbC xyz") == ["cba", "zyx"]
+    pt = CustomAnalyzer("standard", ["possessive", "lowercase", "porter"])
+    assert pt.tokens("John's connections") == ["john", "connect"]
+
+
+def test_custom_analyzer_registry_errors():
+    import pytest
+
+    from lucene_7_x_9_x_ray.functions.analysis import CustomAnalyzer, get_analyzer
+
+    with pytest.raises(ValueError):
+        CustomAnalyzer("nosuchtok")
+    with pytest.raises(ValueError):
+        CustomAnalyzer("standard", ["nosuchfilter"])
+    # new core analyzers resolve through the factory hook
+    for name in ("whitespace", "keyword", "letter", "stop"):
+        assert get_analyzer(name).name == name
+
+
+def test_custom_analyzer_index_roundtrip(tmp_path):
+    """A custom chain builds an index via its spec_name and the searcher
+    reopens the SAME chain from the manifest (query-side analysis)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_7_x_9_x_ray.functions.analysis import CustomAnalyzer, get_analyzer
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+    a = CustomAnalyzer("standard", ["lowercase", "ascii_folding",
+                                    ("stop", {"stopwords": ["the"]})])
+    b = get_analyzer(a.spec_name)
+    assert b.tokens("The Café") == a.tokens("The Café") == ["cafe"]
+
+    texts = ["the café opens", "a cafe closed", "nothing else"]
+    t = pa.table(
+        {
+            "url": [f"u{i}" for i in range(len(texts))],
+            "warc_ts": pa.array(range(len(texts)), pa.timestamp("us")),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+        }
+    )
+    path = str(tmp_path / "p.parquet")
+    pq.write_table(t, path)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx, BuildConfig(analyzer=a.spec_name))
+    s = IndexSearcher(idx)
+    td = s.search(Q.TermQuery("cafe"), k=10, total_hits_threshold=1 << 30)
+    assert sorted(int(d) for d in td.doc_ids) == [0, 1]
+    td2 = s.search("Café", k=10, total_hits_threshold=1 << 30)
+    assert sorted(int(d) for d in td2.doc_ids) == [0, 1]
