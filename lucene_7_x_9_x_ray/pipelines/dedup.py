@@ -125,11 +125,21 @@ def shingle_batch(batch: pa.Table, n: int = JACCARD_SHINGLE_N) -> pa.Table:
     )
 
 
-def _shingle_dataset(sf_dir: str, n: int, with_bucket: bool = False):
+def _shingle_dataset(sf_dir: str, n: int, with_bucket: bool = False,
+                     with_sizes: bool = False):
     import ray.data as rd
 
     def fn(b: pa.Table) -> pa.Table:
         t = shingle_batch(b, n)
+        if with_sizes:
+            # each doc's shingles come out of ITS OWN text inside this
+            # batch, so its distinct-shingle count is known right here —
+            # carrying it per row removes the O(N) driver size-dict the
+            # jaccard finalize used to broadcast
+            d = t["doc_id"].to_numpy()
+            rstarts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            rlens = np.diff(np.r_[rstarts, len(d)])
+            t = t.append_column("n_sh", pa.array(np.repeat(rlens, rlens)))
         if with_bucket:
             bucket = pa.array(
                 (t["shingle"].to_numpy() % np.uint64(PAIR_BUCKETS)).astype(np.int64)
@@ -177,20 +187,29 @@ def _emit_pairs_vectorized(group: pa.Table) -> pa.Table:
     """
     sh = group["shingle"].to_numpy()
     docs = group["doc_id"].to_numpy()
+    sizes = group["n_sh"].to_numpy()
     expanded = _expand_candidate_runs(sh, docs)
     if expanded is None:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "inter_part": pa.array([], pa.int64()),
+             "n_a": pa.array([], pa.int64()), "n_b": pa.array([], pa.int64())}
+        )
     order, ai, bi = expanded
-    docs = docs[order]
-    a = docs[ai]
-    b = docs[bi]
-    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    docs, sizes = docs[order], sizes[order]
+    a, b = docs[ai], docs[bi]
+    na, nb = sizes[ai], sizes[bi]
+    swap = a > b
+    lo, hi = np.where(swap, b, a), np.where(swap, a, b)
+    n_lo, n_hi = np.where(swap, nb, na), np.where(swap, na, nb)
     # partial aggregation (combiner): count per pair INSIDE the group so the
     # downstream combine only sees one row per (pair, bucket). Pair identity
     # is kept as two int64 columns (lexsort run-length), NOT packed into one
-    # word — doc_ids at 10^12-doc scale don't fit 32 bits each.
+    # word — doc_ids at 10^12-doc scale don't fit 32 bits each. Each side's
+    # distinct-shingle count rides along (constant per pair) so the final
+    # jaccard needs no broadcast size lookup.
     order = np.lexsort((hi, lo))
-    lo, hi = lo[order], hi[order]
+    lo, hi, n_lo, n_hi = lo[order], hi[order], n_lo[order], n_hi[order]
     change = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
     starts = np.flatnonzero(change)
     cnt = np.diff(np.r_[starts, len(lo)])
@@ -199,57 +218,45 @@ def _emit_pairs_vectorized(group: pa.Table) -> pa.Table:
             "a": pa.array(lo[starts].astype(np.int64)),
             "b": pa.array(hi[starts].astype(np.int64)),
             "inter_part": pa.array(cnt.astype(np.int64)),
+            "n_a": pa.array(n_lo[starts].astype(np.int64)),
+            "n_b": pa.array(n_hi[starts].astype(np.int64)),
         }
     )
-
-
-def _doc_sizes_ref(sf_dir: str, n: int):
-    """Broadcast {doc_id: distinct-shingle count} (one int per doc). The
-    per-doc partial comes out of the same shingle map — only (doc, count)
-    rows shuffle, never shingles."""
-    import ray
-    import ray.data as rd
-    from ray.data.aggregate import Count
-
-    sizes_rows = (
-        _shingle_dataset(sf_dir, n)
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_sh"))
-        .take_all()
-    )
-    return ray.put({int(r["doc_id"]): int(r["n_sh"]) for r in sizes_rows})
 
 
 def q_jaccard_pairs(sf_dir: str) -> pa.Table:
     """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard_r >= θ).
 
-    Fully distributed plan — the shingle relation never materializes on the
-    driver:
-      map_batches(shingle+bucket) -> groupby(bucket).map_groups(pair
-      partials, vectorized) -> groupby(a, b).sum(inter) -> map_batches
-      finalize (broadcast per-doc sizes). Quadratic by nature in duplicate
-      density (documented); MinHash-LSH below is the sub-quadratic path.
+    Fully distributed plan — neither shingles nor per-doc sizes ever
+    materialize on the driver:
+      map_batches(shingle+size+bucket) -> groupby(bucket).map_groups(pair
+      partials carrying both sides' distinct-shingle counts, vectorized)
+      -> groupby(a, b).sum(inter)+min(sizes) -> map_batches finalize (pure
+      column arithmetic). Quadratic by nature in duplicate density
+      (documented); MinHash-LSH below is the sub-quadratic path.
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Min, Sum
 
-    sizes_ref = _doc_sizes_ref(sf_dir, JACCARD_SHINGLE_N)
     inter_ds = (
-        _shingle_dataset(sf_dir, JACCARD_SHINGLE_N, with_bucket=True)
+        _shingle_dataset(sf_dir, JACCARD_SHINGLE_N, with_bucket=True,
+                         with_sizes=True)
         .groupby("bucket")
         .map_groups(_emit_pairs_vectorized, batch_format="pyarrow")
         .groupby(["a", "b"])
-        .aggregate(Sum("inter_part", alias_name="inter"))
+        # n_a/n_b are identical on every partial of a pair; Min is just a
+        # pick-one combine
+        .aggregate(Sum("inter_part", alias_name="inter"),
+                   Min("n_a", alias_name="n_a"), Min("n_b", alias_name="n_b"))
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        sizes = ray.get(sizes_ref)
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
         i = batch["inter"].to_numpy().astype(np.float64)
-        na = np.array([sizes[int(x)] for x in a], dtype=np.float64)
-        nb = np.array([sizes[int(x)] for x in b], dtype=np.float64)
+        na = batch["n_a"].to_numpy().astype(np.float64)
+        nb = batch["n_b"].to_numpy().astype(np.float64)
         j = i / (na + nb - i)
         keep = j >= JACCARD_THRESHOLD
         return pa.table(
