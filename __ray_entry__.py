@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
         "grouped_topk": flagship.q_grouped_topk,
+        "suggest_completion": flagship.q_suggest_completion,  # suggest module
+        "spellcheck": flagship.q_spellcheck,  # DirectSpellChecker
         # --- training-data text ops ---
         "corpus_clean": corpus.q_corpus_clean,  # composed dedup+quality+lang pass
         "doc_stats": textops.q_doc_stats,
@@ -134,6 +136,8 @@ def oracle_sql() -> dict[str, str]:
         "parsed_topk": O.field_topk_sql(
             [(qid, kind, cls, k) for qid, _s, kind, cls, k in flagship.PARSED_TOPK_SPECS]
         ),
+        "suggest_completion": O.completion_sql(flagship.COMPLETION_SPECS),
+        "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "grouped_topk": O.grouped_topk_sql(
             flagship.GROUPED_TOPK_TERMS, flagship.GROUPED_TOPK_PER_GROUP

@@ -911,3 +911,82 @@ def q_grouped_topk(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# --- suggest module gates (search/suggest.py) ------------------------------
+
+# (prefix_id, prefix, n) — prefixes chosen so every sf's 31-word Zipf
+# vocabulary yields multi-term completion lists with distinct weights
+COMPLETION_SPECS: list[tuple[str, str, int]] = [
+    ("c_s", "s", 4),
+    ("c_c", "c", 5),
+    ("c_b", "b", 5),
+    ("c_f", "f", 5),
+    ("c_qu", "qu", 3),
+]
+
+# (query_id, text, n) — misspellings absent from the vocabulary (so the
+# default SUGGEST_WHEN_NOT_IN_INDEX mode proceeds) plus one present term
+# ("table") pinning the mode's empty-result contract. "srot" exercises a
+# transposition (Damerau primitive edit) AND the accuracy=0.5 boundary
+# (slow at distance 2 over min-length 4 scores exactly 0.5 -> kept).
+SPELLCHECK_SPECS: list[tuple[str, str, int]] = [
+    ("sp_tabel", "tabel", 5),
+    ("sp_srot", "srot", 5),
+    ("sp_quary", "quary", 5),
+    ("sp_windwo", "windwo", 5),
+    ("sp_colum", "colum", 5),
+    ("sp_table_present", "table", 5),
+]
+
+
+def q_suggest_completion(sf_dir: str) -> pa.Table:
+    """CompletionSuggester gate: (prefix_id, rank, term, weight) — top-N
+    prefix completions by corpus total_term_freq from the merged term
+    dictionary (shard-range pruned scan)."""
+    from ..search.suggest import CompletionSuggester
+
+    merged, _ = get_searchers(sf_dir)
+    sug = CompletionSuggester(merged)
+    pids, ranks, terms, weights = [], [], [], []
+    for pid, pfx, n in COMPLETION_SPECS:
+        for r, s in enumerate(sug.lookup(pfx, n), start=1):
+            pids.append(pid)
+            ranks.append(r)
+            terms.append(s.term)
+            weights.append(s.freq)
+    return pa.table(
+        {
+            "prefix_id": pa.array(pids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "weight": pa.array(weights, pa.int64()),
+        }
+    )
+
+
+def q_spellcheck(sf_dir: str) -> pa.Table:
+    """DirectSpellChecker gate: (query_id, rank, term, score_r, freq) with
+    reference defaults (maxEdits=2, minPrefix=1, accuracy=0.5,
+    SUGGEST_WHEN_NOT_IN_INDEX)."""
+    from ..search.suggest import DirectSpellChecker
+
+    merged, _ = get_searchers(sf_dir)
+    sc = DirectSpellChecker(merged)
+    qids, ranks, terms, scores, freqs = [], [], [], [], []
+    for qid, text, n in SPELLCHECK_SPECS:
+        for r, s in enumerate(sc.suggest_similar(text, n), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            terms.append(s.term)
+            scores.append(round_half_away(s.score, 4))
+            freqs.append(s.freq)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "score_r": pa.array(scores, pa.float64()),
+            "freq": pa.array(freqs, pa.int64()),
+        }
+    )

@@ -575,3 +575,68 @@ UNION ALL
 SELECT 'norms_exists_title' AS kind, doc_id FROM {relation}
 WHERE len(string_split(text, ' ')) >= 1
 ORDER BY kind, doc_id"""
+
+
+def completion_sql(
+    specs: list[tuple[str, str, int]], relation: str = "documents"
+) -> str:
+    """Prefix-completion oracle: specs = (prefix_id, prefix, n). Weight is
+    the corpus total_term_freq (suggest.CompletionSuggester's
+    LuceneDictionary-style weight); rank by weight desc, term asc."""
+    vals = ",".join(
+        f"('{pid}', '{pfx}', {n})" for pid, pfx, n in specs
+    )
+    return f"""WITH {base_ctes(relation)},
+td AS (SELECT term, count(*) AS weight FROM tok GROUP BY term),
+p(prefix_id, prefix, n) AS (VALUES {vals}),
+ranked AS (
+  SELECT p.prefix_id, t.term, t.weight, p.n,
+         row_number() OVER (PARTITION BY p.prefix_id
+                            ORDER BY t.weight DESC, t.term) AS rank
+  FROM p JOIN td t ON starts_with(t.term, p.prefix))
+SELECT prefix_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(weight AS BIGINT) AS weight
+FROM ranked WHERE rank <= n"""
+
+
+def spellcheck_sql(
+    specs: list[tuple[str, str, int]], relation: str = "documents"
+) -> str:
+    """DirectSpellChecker oracle (defaults: maxEdits=2 Damerau, minPrefix=1,
+    accuracy=0.5, SUGGEST_WHEN_NOT_IN_INDEX): specs = (query_id, text, n).
+
+    Mirrors search/suggest.py bit-for-bit: candidates share the first
+    character, unrestricted damerau_levenshtein <= 2, score =
+    FLOAT(1.0) - FLOAT(ed)/FLOAT(min(len(term), len(query))) (the
+    FuzzyTermsEnum.java:266-270 internal similarity), kept at
+    score >= 0.5, ranked score desc / df desc / term asc
+    (SuggestWordScoreComparator.java)."""
+    vals = ",".join(f"('{qid}', '{q}', {n})" for qid, q, n in specs)
+    return f"""WITH {base_ctes(relation)},
+td AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+q(query_id, qt, n) AS (VALUES {vals}),
+qdf AS (SELECT q.query_id, q.qt, q.n,
+               coalesce((SELECT df FROM td WHERE td.term = q.qt), 0) AS qdf
+        FROM q),
+cand AS (
+  SELECT query_id, qt, n, t.term, t.df,
+         damerau_levenshtein(qt, t.term) AS ed
+  FROM qdf q JOIN td t
+    ON substr(t.term, 1, 1) = substr(q.qt, 1, 1) AND t.term <> q.qt
+  WHERE q.qdf = 0
+    AND abs(length(t.term) - length(q.qt)) <= 2
+    AND damerau_levenshtein(q.qt, t.term) <= 2),
+scored AS (
+  SELECT query_id, n, term, df,
+         CAST(1.0 AS FLOAT)
+           - CAST(ed AS FLOAT)
+             / CAST(least(length(term), length(qt)) AS FLOAT) AS score
+  FROM cand),
+ranked AS (
+  SELECT query_id, n, term, df, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, df DESC, term) AS rank
+  FROM scored WHERE score >= CAST(0.5 AS FLOAT))
+SELECT query_id, CAST(rank AS BIGINT) AS rank, term,
+       ROUND(CAST(score AS DOUBLE), 4) AS score_r, CAST(df AS BIGINT) AS freq
+FROM ranked WHERE rank <= n"""

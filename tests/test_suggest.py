@@ -1,0 +1,144 @@
+"""Suggest-module tests: Damerau distance vs DuckDB, completion lookup on
+the sharded merged dictionary (incl. salted hot terms), DirectSpellChecker
+modes / accuracy boundary / frequency gating."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def test_damerau_levenshtein_matches_duckdb():
+    """The Python DP must match DuckDB's unrestricted damerau_levenshtein
+    (the oracle's metric) on random pairs and the documented corner cases."""
+    import duckdb
+
+    from lucene_7_x_9_x_ray.search.suggest import damerau_levenshtein
+
+    rng = np.random.default_rng(7)
+    alpha = list("abcde")
+    pairs = [("ca", "abc"), ("ab", "ba"), ("abcd", "badc"), ("", "xy"), ("x", "")]
+    for _ in range(300):
+        a = "".join(rng.choice(alpha, size=rng.integers(0, 8)))
+        b = "".join(rng.choice(alpha, size=rng.integers(0, 8)))
+        pairs.append((a, b))
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert damerau_levenshtein(a, b) == want, (a, b)
+
+
+@pytest.fixture(scope="module")
+def small_index(ray_session, tmp_path_factory):
+    """Merged index with salted hot terms (tiny hot_df_threshold) plus the
+    token table to brute-force expected stats."""
+    from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index
+
+    tmp = tmp_path_factory.mktemp("suggest_idx")
+    pages = generate_pages(500, vocab_size=300, mean_tokens=30)
+    path = str(tmp / "pages.parquet")
+    write_pages_parquet(pages, path, rows_per_row_group=100)
+    idx = str(tmp / "idx")
+    build_index([path], idx, BuildConfig(target_docs_per_segment=100))
+    merge_index(idx, MergeConfig(n_shards=4, hot_df_threshold=60))
+
+    toks: dict[int, list[str]] = {
+        i: t.split(" ") for i, t in enumerate(pages["text"].to_pylist())
+    }
+    return idx, toks
+
+
+def _brute_stats(toks: dict[int, list[str]]) -> dict[str, tuple[int, int]]:
+    df: dict[str, int] = {}
+    ttf: dict[str, int] = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+        for t in ts:
+            ttf[t] = ttf.get(t, 0) + 1
+    return {t: (df[t], ttf[t]) for t in df}
+
+
+def test_completion_merged_matches_bruteforce(small_index):
+    """Sharded-dictionary completion == brute force over the corpus, and
+    the merged tier (salted hot terms re-aggregated) == the segment tier."""
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.search.suggest import CompletionSuggester
+
+    idx, toks = small_index
+    stats = _brute_stats(toks)
+    merged = CompletionSuggester(open_searcher(idx))
+    seg = CompletionSuggester(IndexSearcher(idx))
+    for prefix, n in [("t0000", 5), ("t001", 8), ("t", 10), ("zz", 3)]:
+        want = sorted(
+            ((t, w) for t, (_d, w) in stats.items() if t.startswith(prefix)),
+            key=lambda x: (-x[1], x[0]),
+        )[:n]
+        got_m = [(s.term, s.freq) for s in merged.lookup(prefix, n)]
+        got_s = [(s.term, s.freq) for s in seg.lookup(prefix, n)]
+        assert got_m == want, prefix
+        assert got_s == want, prefix
+
+
+def test_spellcheck_modes_and_boundaries(small_index):
+    """WHEN_NOT_IN_INDEX empties on present terms; MORE_POPULAR keeps only
+    strictly-more-frequent candidates; accuracy keeps the exact-0.5
+    boundary; comparator is score desc / df desc / term asc."""
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.search.suggest import (
+        SUGGEST_ALWAYS,
+        SUGGEST_MORE_POPULAR,
+        DirectSpellChecker,
+        damerau_levenshtein,
+    )
+
+    idx, toks = small_index
+    stats = _brute_stats(toks)
+    searcher = open_searcher(idx)
+    # generous query-frequency cap: the synthetic head terms are frequent
+    sc = DirectSpellChecker(searcher, max_query_frequency=10**9)
+
+    present = "t00000"
+    assert sc.suggest_similar(present, 5) == []  # default WHEN_NOT_IN_INDEX
+
+    # absent misspelling of a vocab word: t0001x (ed 1 from t00010..t00019)
+    got = sc.suggest_similar("t0001x", 10, mode=SUGGEST_ALWAYS)
+    assert got, "expected suggestions for t0001x"
+
+    def brute(text, num, min_df=0):
+        out = []
+        for t, (d, _w) in stats.items():
+            if t == text or d <= min_df:
+                continue
+            ed = damerau_levenshtein(text, t)
+            if ed > 2 or t[0] != text[0]:
+                continue
+            score = float(
+                np.float32(1.0) - np.float32(ed) / np.float32(min(len(t), len(text)))
+            )
+            if score < 0.5:
+                continue
+            out.append((t, score, d))
+        out.sort(key=lambda s: (-s[1], -s[2], s[0]))
+        return out[:num]
+
+    assert [(s.term, s.score, s.freq) for s in got] == brute("t0001x", 10)
+
+    # MORE_POPULAR: only candidates with df strictly above the query's df
+    qdf = stats[present][0]
+    got_mp = sc.suggest_similar(present, 10, mode=SUGGEST_MORE_POPULAR)
+    want_mp = brute(present, 10, min_df=qdf)
+    assert [(s.term, s.score, s.freq) for s in got_mp] == want_mp
+    assert all(s.freq > qdf for s in got_mp)
+
+    # maxQueryFrequency gate: default 0.01 of maxDoc silences frequent terms
+    strict = DirectSpellChecker(searcher)
+    assert strict.suggest_similar(present, 5, mode=SUGGEST_MORE_POPULAR) == []
+
+    # min_query_length: short inputs never suggest
+    assert sc.suggest_similar("t0", 5, mode=SUGGEST_ALWAYS) == []
