@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": textops.q_doc_stats,
         "lang_id": textops.q_lang_id,
         "fingerprint": textops.q_fingerprint,
+        "highlight_corpus": textops.q_highlight_corpus,  # UnifiedHighlighter
         # --- dedup suite ---
         "exact_dedup": dedup.q_exact_dedup,
         "jaccard_pairs": dedup.q_jaccard_pairs,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": textops.oracle_doc_stats_sql(),
         "lang_id": textops.oracle_lang_id_sql(),
         "fingerprint": textops.oracle_fingerprint_sql(),
+        "highlight_corpus": textops.oracle_highlight_sql(),
         "exact_dedup": dedup.oracle_exact_dedup_sql(),
         "jaccard_pairs": dedup.oracle_jaccard_pairs_sql(),
         "simhash_pairs": dedup.oracle_simhash_pairs_sql(),

@@ -256,3 +256,112 @@ sh AS (SELECT doc_id,
 SELECT t.doc_id, md5(t.text) AS fp_md5, sim.simhash AS simhash,
        COALESCE(sh.msh, CAST('18446744073709551615' AS UBIGINT)) AS min_shingle_hash
 FROM t JOIN sim USING (doc_id) LEFT JOIN sh USING (doc_id)"""
+
+
+# --- UnifiedHighlighter-equivalent passage highlighting ----------------------
+
+# (query_id, terms) — common vocabulary terms so every sf yields multi-window
+# passages with distinct PassageScorer scores
+HIGHLIGHT_SPECS: list[tuple[str, list[str]]] = [
+    ("hl_join", ["join", "merge"]),
+    ("hl_scan", ["scan", "slow", "fast"]),
+]
+HIGHLIGHT_WINDOW = 16
+HIGHLIGHT_MAX_PASSAGES = 2
+
+
+def q_highlight_corpus(sf_dir: str) -> pa.Table:
+    """Highlight gate: top-``HIGHLIGHT_MAX_PASSAGES`` passages per matching
+    document for each query, corpus-wide via a streaming map_batches stage
+    (search/highlight.py). Columns: (query_id, doc_id, ord, p_start,
+    score_r, snippet)."""
+    from ..search.highlight import HighlightStage
+
+    parts = []
+    for qid, terms in HIGHLIGHT_SPECS:
+        t = _run(
+            sf_dir,
+            HighlightStage(terms, HIGHLIGHT_WINDOW, HIGHLIGHT_MAX_PASSAGES),
+        )
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array([qid] * len(t), pa.string()),
+                    "doc_id": t["doc_id"],
+                    "ord": t["ord"],
+                    "p_start": t["p_start"],
+                    "score_r": pa.array(
+                        round_half_away_np(
+                            t["score"].to_numpy(zero_copy_only=False), 4
+                        ),
+                        pa.float64(),
+                    ),
+                    "snippet": t["snippet"],
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def oracle_highlight_sql(relation: str = "documents") -> str:
+    """Exact SQL mirror of q_highlight_corpus: PassageScorer.java formula
+    in DOUBLE over fixed token windows, bounded passage queue = row_number
+    over (score DESC, p_start DESC), emission ordered by p_start."""
+    W = HIGHLIGHT_WINDOW
+    N = HIGHLIGHT_MAX_PASSAGES
+    ctes = [
+        f"""tokc AS (SELECT doc_id, length(text) AS content_len,
+              string_split(text, ' ') AS arr FROM {relation}),
+tp AS (SELECT doc_id, content_len, i - 1 AS pos, arr[i] AS term,
+              length(arr[i]) AS tlen
+       FROM (SELECT doc_id, content_len, arr,
+                    unnest(generate_series(1, len(arr))) AS i FROM tokc)),
+tc AS (SELECT *, CAST(pos // {W} AS BIGINT) AS win,
+              CAST(coalesce(sum(tlen + 1) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cstart
+       FROM tp),
+geom AS (SELECT doc_id, win, min(cstart) AS p_start,
+                max(cstart + tlen) - min(cstart) AS p_len
+         FROM tc GROUP BY doc_id, win)"""
+    ]
+    selects = []
+    for qid, terms in HIGHLIGHT_SPECS:
+        inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        ctes.append(f"""
+m_{qid} AS (SELECT doc_id, win, term, count(*) AS freq
+            FROM tc WHERE term IN ({inlist}) GROUP BY doc_id, win, term),
+ttf_{qid} AS (SELECT doc_id, term, count(*) AS ttf
+              FROM tc WHERE term IN ({inlist}) GROUP BY doc_id, term),
+ps_{qid} AS (
+  SELECT m.doc_id, m.win, g.p_start,
+         (1.0 + 1.0 / ln(87.0 + g.p_start)) * sum(
+             (m.freq / (m.freq + 1.2 * ((1.0 - 0.75) + 0.75 * (g.p_len / 87.0))))
+             * (2.2 * ln(1.0 + ((1.0 + d.content_len / 87.0) + 0.5)
+                               / (t.ttf + 0.5)))) AS score
+  FROM m_{qid} m
+  JOIN geom g USING (doc_id, win)
+  JOIN ttf_{qid} t ON t.doc_id = m.doc_id AND t.term = m.term
+  JOIN (SELECT DISTINCT doc_id, content_len FROM tc) d ON d.doc_id = m.doc_id
+  GROUP BY m.doc_id, m.win, g.p_start, g.p_len, d.content_len),
+sel_{qid} AS (SELECT doc_id, win, p_start, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, p_start DESC) AS rk
+              FROM ps_{qid}),
+snip_{qid} AS (
+  SELECT tc.doc_id, tc.win,
+         string_agg(CASE WHEN tc.term IN ({inlist})
+                    THEN '<b>' || tc.term || '</b>' ELSE tc.term END,
+                    ' ' ORDER BY tc.pos) AS snippet
+  FROM tc JOIN (SELECT doc_id, win FROM sel_{qid} WHERE rk <= {N}) s
+       ON s.doc_id = tc.doc_id AND s.win = tc.win
+  GROUP BY tc.doc_id, tc.win)""")
+        selects.append(f"""(SELECT '{qid}' AS query_id, s.doc_id,
+        CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.p_start)
+             AS BIGINT) AS ord,
+        CAST(s.p_start AS BIGINT) AS p_start,
+        ROUND(CAST(s.score AS DOUBLE), 4) AS score_r, sn.snippet
+ FROM sel_{qid} s JOIN snip_{qid} sn ON sn.doc_id = s.doc_id AND sn.win = s.win
+ WHERE s.rk <= {N})""")
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
