@@ -110,7 +110,7 @@ def _brute_force(sf_dir: str, query_ids: list[int]) -> pa.Table:
                     rows_per_block=HEAVY_ROWS_PER_BLOCK)
     parts = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
 
-    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    tbls = [t for t in ray.get(parts.materialize().to_arrow_refs()) if t.num_rows]
     nq = len(query_ids)
     per_q_ids = [[np.empty(0, np.int64)] for _ in range(nq)]
     per_q_sims = [[np.empty(0)] for _ in range(nq)]
@@ -321,7 +321,7 @@ def _ivf_search(sf_dir: str, query_ids: list[int], nprobe: int) -> pa.Table:
     parts = rd.read_parquet(paths, include_paths=True).map_batches(
         ProbeScorer, batch_format="pyarrow", concurrency=(1, 8)
     )
-    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    tbls = [t for t in ray.get(parts.materialize().to_arrow_refs()) if t.num_rows]
     nq = len(query_ids)
     per_q_ids = [[np.empty(0, np.int64)] for _ in range(nq)]
     per_q_sims = [[np.empty(0)] for _ in range(nq)]
@@ -479,7 +479,7 @@ def _hnsw_search(sf_dir: str, query_ids: list[int], k: int = ANN_K,
                       override_num_blocks=len(meta["parts"]))
         .map_batches(search_part, batch_size=1, batch_format="pyarrow")
     )
-    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    tbls = [t for t in ray.get(parts.materialize().to_arrow_refs()) if t.num_rows]
     nq = len(query_ids)
     per_q_ids = [[np.empty(0, np.int64)] for _ in range(nq)]
     per_q_sims = [[np.empty(0)] for _ in range(nq)]

@@ -55,7 +55,10 @@ _MERSENNE = (1 << 61) - 1
 def _to_table(ds) -> pa.Table:
     import ray
 
-    parts = ray.get(ds.to_arrow_refs())
+    # materialize() first: to_arrow_refs() on a lazy Dataset runs the plan
+    # TWICE (full pass + a limit-1 re-execution for the schema fetch) —
+    # measured ~3-5 s of duplicated pipeline work per dedup op at sf0.1
+    parts = ray.get(ds.materialize().to_arrow_refs())
     parts = [p for p in parts if p.num_rows] or parts[:1]
     return pa.concat_tables(parts) if parts else pa.table({})
 
@@ -544,6 +547,75 @@ def _verify_pair_group(group: pa.Table) -> pa.Table:
     )
 
 
+def _candidate_pairs_dataset(docs, parts: int):
+    """Distributed candidate generation: band rows (map_batches) ->
+    pairs via groupby(bucket of (band, key)) -> global pair dedup via
+    groupby(a, b). Returns a Dataset of (a, b, n_bands)."""
+    from ray.data.aggregate import Count
+
+    return (
+        docs.map_batches(_band_rows_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_emit_bucket_pairs, batch_format="pyarrow")
+        .repartition(max(4, parts // 4))
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+
+
+def _minhash_driver_verify_max_docs() -> int:
+    import os
+
+    return int(os.environ.get("LUCENE_RAY_MINHASH_DRIVER_VERIFY_MAX_DOCS", "250000"))
+
+
+def _driver_verify_pairs(sf_dir: str, cand: pa.Table) -> pa.Table:
+    """Toy-scale exact-verify fast path: candidate pairs (already small —
+    post-LSH, post-dedup) land on the driver, the needed docs' texts come
+    back via a pruned duckdb semi-join (the ann.py point-lookup pattern),
+    and Jaccard runs locally. O(candidates + needed docs) driver memory —
+    safe ONLY under the corpus-size cutover that routes large corpora to
+    the distributed semi-join in minhash_lsh_pairs_dataset."""
+    import duckdb
+
+    a = cand["a"].to_numpy().astype(np.int64)
+    b = cand["b"].to_numpy().astype(np.int64)
+    need = np.unique(np.concatenate([a, b]))
+    con = duckdb.connect()
+    con.register("need_ids", pa.table({"doc_id": pa.array(need, pa.int64())}))
+    sub = con.execute(
+        f"SELECT d.doc_id, d.text FROM read_parquet('{sf_dir}/documents.parquet') d "
+        "JOIN need_ids USING (doc_id)"
+    ).fetch_arrow_table()
+    sh = shingle_batch(sub.combine_chunks(), JACCARD_SHINGLE_N)
+    sdocs = sh["doc_id"].to_numpy()
+    svals = sh["shingle"].to_numpy()
+    order = np.argsort(sdocs, kind="stable")
+    sdocs, svals = sdocs[order], svals[order]
+    uniq, starts = np.unique(sdocs, return_index=True)
+    ends = np.r_[starts[1:], len(sdocs)]
+    sets = {int(d): svals[s:e] for d, s, e in zip(uniq, starts, ends)}
+    out_a, out_b, out_j = [], [], []
+    for lo, hi in zip(a, b):
+        sa = sets.get(int(lo))
+        sb = sets.get(int(hi))
+        if sa is None or sb is None:
+            continue
+        inter = len(np.intersect1d(sa, sb))
+        j = inter / (len(sa) + len(sb) - inter) if inter else 0.0
+        if j >= JACCARD_THRESHOLD:
+            out_a.append(int(lo))
+            out_b.append(int(hi))
+            out_j.append(round_half_away(j, 6))
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard_r": pa.array(out_j, pa.float64()),
+        }
+    )
+
+
 def minhash_lsh_pairs_dataset(sf_dir: str):
     """The full MinHash+LSH near-dup pipeline as ONE lazy Ray Dataset —
     no driver-side materialization anywhere on the path (pinned by
@@ -569,20 +641,10 @@ def minhash_lsh_pairs_dataset(sf_dir: str):
     LUCENE_RAY_DEDUP_PARTITIONS (default: cluster CPU count — the Spark
     spark.sql.shuffle.partitions precedent; raise to ~corpus_bytes/512MB on
     a 100-TB deployment so the semi-join legs keep block sizes bounded)."""
-    import ray.data as rd
-    from ray.data.aggregate import Count
-
     parts = _dedup_shuffle_partitions()
     docs = sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
                       rows_per_block=HEAVY_ROWS_PER_BLOCK)
-    cand = (
-        docs.map_batches(_band_rows_batch, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_emit_bucket_pairs, batch_format="pyarrow")
-        .repartition(max(4, parts // 4))
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands"))
-    )
+    cand = _candidate_pairs_dataset(docs, parts)
     need = cand.map_batches(_pair_need_rows, batch_format="pyarrow")
     doc_side = docs.map_batches(_doc_join_rows, batch_format="pyarrow")
     return (
@@ -599,12 +661,26 @@ def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup pairs verified by exact Jaccard:
     (doc_a, doc_b, jaccard_r). Probabilistic recall — rows-only check.
 
-    The 100-TB scale path, fully distributed end to end (see
-    minhash_lsh_pairs_dataset): only band-key rows, candidate pairs,
-    hash-partitioned text blocks and packed shingle blobs ever move between
-    nodes; nothing funnels through the driver until this final small
-    result collection."""
-    t = _to_table(minhash_lsh_pairs_dataset(sf_dir))
+    Auto cutover (measured: each distributed verify stage costs ~2 s of
+    fixed task-scheduling latency at toy scale, BASELINE.md round 3):
+    corpora at or under LUCENE_RAY_MINHASH_DRIVER_VERIFY_MAX_DOCS (default
+    250k rows, read from parquet metadata — no execution) verify on the
+    driver via a pruned duckdb text lookup; larger corpora take the 100-TB
+    scale path, fully distributed end to end (minhash_lsh_pairs_dataset):
+    only band-key rows, candidate pairs, hash-partitioned text blocks and
+    packed shingle blobs ever move between nodes. Both paths produce
+    identical pairs (pinned by test_minhash_cutover_paths_agree)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if n_docs <= _minhash_driver_verify_max_docs():
+        docs = sized_read(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"],
+                          rows_per_block=HEAVY_ROWS_PER_BLOCK)
+        cand = _to_table(_candidate_pairs_dataset(docs, _dedup_shuffle_partitions()))
+        t = _driver_verify_pairs(sf_dir, cand) if cand.num_rows else cand
+    else:
+        t = _to_table(minhash_lsh_pairs_dataset(sf_dir))
     if t.num_rows == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),

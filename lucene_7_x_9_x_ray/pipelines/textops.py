@@ -185,7 +185,8 @@ def _run(sf_dir: str, fn, columns=("doc_id", "text")) -> pa.Table:
     out = ds.map_batches(fn, batch_format="pyarrow")
     import ray
 
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    # materialize() avoids to_arrow_refs' duplicate limit-1 schema execution
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
 
 
 def q_doc_stats(sf_dir: str) -> pa.Table:

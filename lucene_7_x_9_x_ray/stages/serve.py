@@ -177,7 +177,7 @@ def serve_queries_sharded(
         batch_size=4,
         concurrency=concurrency,
     )
-    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
     per_query: dict[str, list[TopDocs]] = {}
     ks = {str(qid): k for qid, _t, k in query_specs}
     # rebuild per-(query, shard) TopDocs then reduce
@@ -436,7 +436,7 @@ def serve_queries(
         batch_size=4,
         concurrency=concurrency,
     )
-    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return pa.table(
             {

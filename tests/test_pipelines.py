@@ -114,6 +114,19 @@ def test_jaccard_and_minhash_find_planted_dups(ray_session, planted_dir):
     assert all(j >= dedup.JACCARD_THRESHOLD for j in mh["jaccard_r"].to_pylist())
 
 
+def test_minhash_cutover_paths_agree(ray_session, planted_dir, monkeypatch):
+    """The driver-verify fast path (small corpus) and the distributed
+    semi-join verify produce identical (doc_a, doc_b, jaccard_r) tables."""
+    from lucene_7_x_9_x_ray.pipelines import dedup
+
+    monkeypatch.setenv("LUCENE_RAY_MINHASH_DRIVER_VERIFY_MAX_DOCS", "1000000")
+    fast = dedup.q_minhash_lsh_pairs(planted_dir)
+    monkeypatch.setenv("LUCENE_RAY_MINHASH_DRIVER_VERIFY_MAX_DOCS", "0")
+    dist = dedup.q_minhash_lsh_pairs(planted_dir)
+    assert fast.equals(dist)
+    assert fast.num_rows > 0
+
+
 def test_minhash_lsh_distributed_verify(ray_session, tmp_path, monkeypatch):
     """Dense-dup corpus (>=10% of docs are near-dup pair members): the whole
     MinHash+LSH path — banding, candidates, exact-Jaccard verify — runs as
