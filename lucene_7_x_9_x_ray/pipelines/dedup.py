@@ -42,7 +42,12 @@ from ..functions.hashing import md5_hex, md5_lower64_array
 from .common import HEAVY_ROWS_PER_BLOCK, sized_read
 from ..functions.rounding import round_half_away, round_half_away_np
 
-JACCARD_SHINGLE_N = 2
+# 3-word shingles: the standard near-dup width. 2-word shingles are
+# degenerate on a small vocabulary — at sf0.1 only 931 distinct bigrams
+# exist, so exact-Jaccard's run expansion blew up to 36.5M pair partials
+# (vs 1.27M at n=3, same 25 found pairs at sf0.01) and the candidate
+# shuffle dominated wall time 29x.
+JACCARD_SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.4
 MINHASH_PERMS = 128
 MINHASH_BANDS = 16  # x 8 rows
@@ -216,13 +221,41 @@ def _emit_pairs_vectorized(group: pa.Table) -> pa.Table:
     change = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
     starts = np.flatnonzero(change)
     cnt = np.diff(np.r_[starts, len(lo)])
+    lo, hi = lo[starts].astype(np.int64), hi[starts].astype(np.int64)
     return pa.table(
         {
-            "a": pa.array(lo[starts].astype(np.int64)),
-            "b": pa.array(hi[starts].astype(np.int64)),
+            "pb": pa.array(_pair_bucket(lo, hi)),
+            "a": pa.array(lo),
+            "b": pa.array(hi),
             "inter_part": pa.array(cnt.astype(np.int64)),
             "n_a": pa.array(n_lo[starts].astype(np.int64)),
             "n_b": pa.array(n_hi[starts].astype(np.int64)),
+        }
+    )
+
+
+def _collapse_pair_partials(group: pa.Table) -> pa.Table:
+    """One pair-hash bucket: sum each pair's per-shingle-bucket intersection
+    partials into its final intersection count, vectorized (lexsort +
+    reduceat). Replaces groupby(a, b).aggregate(...): Ray's keyed aggregate
+    walks group boundaries in Python — measured 519 s at sf0.1 for 1.1M
+    tiny groups vs ~3 s for this in-group collapse."""
+    a = group["a"].to_numpy()
+    b = group["b"].to_numpy()
+    ip = group["inter_part"].to_numpy()
+    na = group["n_a"].to_numpy()
+    nb = group["n_b"].to_numpy()
+    order = np.lexsort((b, a))
+    a, b, ip, na, nb = a[order], b[order], ip[order], na[order], nb[order]
+    starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    inter = np.add.reduceat(ip, starts) if len(starts) else ip[:0]
+    return pa.table(
+        {
+            "a": pa.array(a[starts]),
+            "b": pa.array(b[starts]),
+            "inter": pa.array(inter.astype(np.int64)),
+            "n_a": pa.array(na[starts]),
+            "n_b": pa.array(nb[starts]),
         }
     )
 
@@ -234,24 +267,18 @@ def q_jaccard_pairs(sf_dir: str) -> pa.Table:
     materialize on the driver:
       map_batches(shingle+size+bucket) -> groupby(bucket).map_groups(pair
       partials carrying both sides' distinct-shingle counts, vectorized)
-      -> groupby(a, b).sum(inter)+min(sizes) -> map_batches finalize (pure
-      column arithmetic). Quadratic by nature in duplicate density
-      (documented); MinHash-LSH below is the sub-quadratic path.
+      -> groupby(pb = hash(pair)).map_groups(vectorized reduceat collapse)
+      -> map_batches finalize (pure column arithmetic). Quadratic by
+      nature in duplicate density (documented); MinHash-LSH below is the
+      sub-quadratic path.
     """
-    import ray
-    import ray.data as rd
-    from ray.data.aggregate import Min, Sum
-
     inter_ds = (
         _shingle_dataset(sf_dir, JACCARD_SHINGLE_N, with_bucket=True,
                          with_sizes=True)
         .groupby("bucket")
         .map_groups(_emit_pairs_vectorized, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        # n_a/n_b are identical on every partial of a pair; Min is just a
-        # pick-one combine
-        .aggregate(Sum("inter_part", alias_name="inter"),
-                   Min("n_a", alias_name="n_a"), Min("n_b", alias_name="n_b"))
+        .groupby("pb")
+        .map_groups(_collapse_pair_partials, batch_format="pyarrow")
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -400,9 +427,33 @@ def _emit_bucket_pairs(group: pa.Table) -> pa.Table:
     a = docs[ai]
     b = docs[bi]
     lo, hi = np.minimum(a, b), np.maximum(a, b)
-    # per-bucket pair dedup (combiner) before the tiny (a, b) groupby
+    # per-bucket pair dedup (combiner) before the pair-hash collapse
     u = np.unique(np.stack([lo, hi], axis=1), axis=0)
-    return pa.table({"a": pa.array(u[:, 0].astype(np.int64)), "b": pa.array(u[:, 1].astype(np.int64))})
+    lo, hi = u[:, 0].astype(np.int64), u[:, 1].astype(np.int64)
+    return pa.table(
+        {"pb": pa.array(_pair_bucket(lo, hi)),
+         "a": pa.array(lo), "b": pa.array(hi)}
+    )
+
+
+def _dedup_candidate_pairs(group: pa.Table) -> pa.Table:
+    """One pair-hash bucket of LSH candidates: collapse duplicate (a, b)
+    rows (one per colliding band bucket) to a single row carrying the
+    collision count. Vectorized; replaces groupby(a, b).aggregate(Count)
+    — see _collapse_pair_partials for the measured pathology."""
+    a = group["a"].to_numpy()
+    b = group["b"].to_numpy()
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    n = np.diff(np.r_[starts, len(a)])
+    return pa.table(
+        {
+            "a": pa.array(a[starts]),
+            "b": pa.array(b[starts]),
+            "n_bands": pa.array(n.astype(np.int64)),
+        }
+    )
 
 
 def _dedup_shuffle_partitions() -> int:
@@ -550,16 +601,15 @@ def _verify_pair_group(group: pa.Table) -> pa.Table:
 def _candidate_pairs_dataset(docs, parts: int):
     """Distributed candidate generation: band rows (map_batches) ->
     pairs via groupby(bucket of (band, key)) -> global pair dedup via
-    groupby(a, b). Returns a Dataset of (a, b, n_bands)."""
-    from ray.data.aggregate import Count
-
+    groupby(pb = hash(pair)) with an in-group vectorized collapse.
+    Returns a Dataset of (a, b, n_bands)."""
     return (
         docs.map_batches(_band_rows_batch, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_emit_bucket_pairs, batch_format="pyarrow")
         .repartition(max(4, parts // 4))
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands"))
+        .groupby("pb")
+        .map_groups(_dedup_candidate_pairs, batch_format="pyarrow")
     )
 
 
