@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
         "grouped_topk": flagship.q_grouped_topk,
+        "interval_topk": flagship.q_interval_topk,  # queries/intervals module
         "suggest_completion": flagship.q_suggest_completion,  # suggest module
         "spellcheck": flagship.q_spellcheck,  # DirectSpellChecker
         # --- training-data text ops ---
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "parsed_topk": O.field_topk_sql(
             [(qid, kind, cls, k) for qid, _s, kind, cls, k in flagship.PARSED_TOPK_SPECS]
         ),
+        "interval_topk": O.interval_topk_sql(flagship.INTERVAL_TOPK_SPECS),
         "suggest_completion": O.completion_sql(flagship.COMPLETION_SPECS),
         "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),

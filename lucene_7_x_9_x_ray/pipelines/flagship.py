@@ -990,3 +990,57 @@ def q_spellcheck(sf_dir: str) -> pa.Table:
             "freq": pa.array(freqs, pa.int64()),
         }
     )
+
+
+# --- interval queries (queries/intervals module) ----------------------------
+
+# (query_id, kind, terms, max_gaps, k) — kinds: ordered / unordered /
+# maxgaps (2-term ordered filtered to gaps <= max_gaps)
+INTERVAL_TOPK_SPECS: list[tuple[str, str, tuple[str, ...], int | None, int]] = [
+    ("iv_ord2", "ordered", ("join", "merge"), None, 10),
+    ("iv_ord3", "ordered", ("scan", "fast", "key"), None, 10),
+    ("iv_unord2", "unordered", ("window", "batch"), None, 10),
+    ("iv_gap2", "maxgaps", ("table", "row"), 2, 10),
+]
+
+
+def _interval_source(kind: str, terms: tuple[str, ...], max_gaps):
+    from ..search.intervals import (
+        MaxGapsIntervals,
+        OrderedIntervals,
+        TermInterval,
+        UnorderedIntervals,
+    )
+
+    leaves = tuple(TermInterval(t) for t in terms)
+    if kind == "ordered":
+        return OrderedIntervals(leaves)
+    if kind == "unordered":
+        return UnorderedIntervals(leaves)
+    if kind == "maxgaps":
+        return MaxGapsIntervals(max_gaps, OrderedIntervals(leaves))
+    raise ValueError(kind)
+
+
+def q_interval_topk(sf_dir: str) -> pa.Table:
+    """IntervalQuery gate: minimal-interval ordered/unordered/maxgaps
+    ranking (saturation score, pivot=1): (query_id, rank, doc_id,
+    score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, kind, terms, gaps, k in INTERVAL_TOPK_SPECS:
+        query = Q.IntervalQuery(source=_interval_source(kind, terms, gaps))
+        td = merged.search(query, k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )

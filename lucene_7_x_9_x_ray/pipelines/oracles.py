@@ -640,3 +640,67 @@ ranked AS (
 SELECT query_id, CAST(rank AS BIGINT) AS rank, term,
        ROUND(CAST(score AS DOUBLE), 4) AS score_r, CAST(df AS BIGINT) AS freq
 FROM ranked WHERE rank <= n"""
+
+
+def interval_topk_sql(
+    specs: list[tuple[str, str, tuple, int | None, int]],
+    relation: str = "documents",
+) -> str:
+    """IntervalQuery oracle. Minimal intervals = the containment antichain
+    of all ordered/unordered matches (what the lazy Vigna iterators
+    enumerate — pinned against a literal transcription by
+    tests/test_intervals.py); maxgaps filters the antichain (2-term
+    ordered: gaps = e - s - 1); per-doc freq = Σ 1/max(span - minExtent
+    + 1, 1); score = saturation pivot=1 (IntervalScoreFunction.java:66-75)."""
+    ctes = [f"""iv_tpos AS (
+  SELECT doc_id, i - 1 AS pos, arr[i] AS term
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation})))"""]
+    selects = []
+    for qid, kind, terms, gaps, k in specs:
+        kk = len(terms)
+        # per-term position CTEs, named uniquely per query
+        tsel = []
+        for i, t in enumerate(terms):
+            lit = t.replace("'", "''")
+            tsel.append(
+                f"p_{qid}_{i} AS (SELECT doc_id, pos FROM iv_tpos WHERE term = '{lit}')"
+            )
+        ctes.extend(tsel)
+        if kind in ("ordered", "maxgaps"):
+            joins = [f"p_{qid}_0 t0"]
+            conds = []
+            for i in range(1, kk):
+                joins.append(f"p_{qid}_{i} t{i}")
+                conds.append(f"t{i}.doc_id = t0.doc_id AND t{i}.pos > t{i-1}.pos")
+            cond = " AND ".join(conds) if conds else "TRUE"
+            m = (f"SELECT t0.doc_id, t0.pos AS s, t{kk-1}.pos AS e "
+                 f"FROM {', '.join(joins)} WHERE {cond}")
+        else:  # unordered (distinct terms)
+            joins = [f"p_{qid}_0 t0"]
+            conds = []
+            for i in range(1, kk):
+                joins.append(f"p_{qid}_{i} t{i}")
+                conds.append(f"t{i}.doc_id = t0.doc_id")
+            least = "least(" + ", ".join(f"t{i}.pos" for i in range(kk)) + ")"
+            great = "greatest(" + ", ".join(f"t{i}.pos" for i in range(kk)) + ")"
+            m = (f"SELECT t0.doc_id, {least} AS s, {great} AS e "
+                 f"FROM {', '.join(joins)} WHERE {' AND '.join(conds) if conds else 'TRUE'}")
+        gap_filter = f" WHERE e - s - 1 <= {gaps}" if kind == "maxgaps" else ""
+        ctes.append(f"""
+mm_{qid} AS (SELECT DISTINCT doc_id, s, e FROM ({m})),
+min_{qid} AS (SELECT * FROM mm_{qid} m WHERE NOT EXISTS (
+   SELECT 1 FROM mm_{qid} m2 WHERE m2.doc_id = m.doc_id
+     AND m2.s >= m.s AND m2.e <= m.e AND (m2.s > m.s OR m2.e < m.e))),
+f_{qid} AS (SELECT doc_id,
+                   CAST(SUM(1.0 / greatest(e - s + 1 - {kk} + 1, 1)) AS FLOAT) AS freq
+            FROM min_{qid}{gap_filter} GROUP BY doc_id),
+sc_{qid} AS (SELECT doc_id,
+                    CAST(1.0 AS FLOAT)
+                    - CAST(1.0 AS FLOAT) / (CAST(1.0 AS FLOAT) + freq) AS score
+             FROM f_{qid})""")
+        selects.append(f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM sc_{qid} ORDER BY score DESC, doc_id LIMIT {k})""")
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -224,6 +224,20 @@ class PhraseQuery(Query):
     field: str = ""
 
 
+@dataclass(frozen=True)
+class IntervalQuery(Query):
+    """queries/intervals IntervalQuery (s84 IntervalQuery.java:75): ranks
+    docs by the saturation of the minimal-interval sloppy frequency.
+    ``source`` is an IntervalsSource tree from search/intervals.py
+    (TermInterval / OrderedIntervals / UnorderedIntervals / MaxGaps /
+    MaxWidth — the Intervals.* factory surface)."""
+
+    source: object
+    pivot: float = 1.0
+    boost: float = 1.0
+    field: str = ""
+
+
 # --- multi-term (dict-rewritten) queries -----------------------------------
 
 

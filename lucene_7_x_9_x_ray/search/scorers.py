@@ -385,6 +385,11 @@ def eval_query(
     if isinstance(query, Q.PhraseQuery):
         return _eval_phrase(reader, query, stats, bm25)
 
+    if isinstance(query, Q.IntervalQuery):
+        from .intervals import eval_interval_query
+
+        return eval_interval_query(reader, query, stats, bm25)
+
     if isinstance(query, Q.BooleanQuery):
         return _eval_boolean(reader, query, stats, bm25)
 
