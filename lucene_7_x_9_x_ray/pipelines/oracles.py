@@ -648,7 +648,7 @@ def interval_topk_sql(
 ) -> str:
     """IntervalQuery oracle. Minimal intervals = the containment antichain
     of all ordered/unordered matches (what the lazy Vigna iterators
-    enumerate — pinned against a literal transcription by
+    enumerate — duel-pinned against the engine's iterators by
     tests/test_intervals.py); maxgaps filters the antichain (2-term
     ordered: gaps = e - s - 1); per-doc freq = Σ 1/max(span - minExtent
     + 1, 1); score = saturation pivot=1 (IntervalScoreFunction.java:66-75)."""
