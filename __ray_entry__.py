@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": flagship.q_facet_lang,
         "grouped_topk": flagship.q_grouped_topk,
         "interval_topk": flagship.q_interval_topk,  # queries/intervals module
+        "payload_topk": flagship.q_payload_topk,  # queries/payloads module
         "suggest_completion": flagship.q_suggest_completion,  # suggest module
         "spellcheck": flagship.q_spellcheck,  # DirectSpellChecker
         # --- training-data text ops ---
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
             [(qid, kind, cls, k) for qid, _s, kind, cls, k in flagship.PARSED_TOPK_SPECS]
         ),
         "interval_topk": O.interval_topk_sql(flagship.INTERVAL_TOPK_SPECS),
+        "payload_topk": O.payload_topk_sql(flagship.PAYLOAD_TOPK_SPECS),
         "suggest_completion": O.completion_sql(flagship.COMPLETION_SPECS),
         "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),

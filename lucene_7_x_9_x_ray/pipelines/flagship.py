@@ -992,6 +992,109 @@ def q_spellcheck(sf_dir: str) -> pa.Table:
     )
 
 
+# --- payload queries (queries/payloads module) -------------------------------
+
+# (query_id, term, func, include_span_score, k)
+PAYLOAD_TOPK_SPECS: list[tuple[str, str, str, bool, int]] = [
+    ("pay_max_join", "join", "max", True, 10),
+    ("pay_min_merge", "merge", "min", True, 10),
+    ("pay_sum_scan", "scan", "sum", False, 10),
+    ("pay_avg_table", "table", "average", False, 10),
+    ("pay_avg_window", "window", "average", True, 10),
+]
+
+# payload fixture: token at 0-based position pos gets payload
+# ((3*len + pos) % 8) * 0.25 unless pos % 3 == 2 (left bare -> factor 1 at
+# query time, exercising the null-payload path). All values are multiples
+# of 0.25, so float32 sums are exact and order-independent — the SQL
+# mirror (oracles.payload_topk_sql) reproduces scores bit-for-bit.
+_PAY_SUFFIXES = None
+
+
+def decorate_payload_texts(text_col) -> pa.Array:
+    """Vectorized DelimitedPayload decoration of a space-tokenized text
+    column (the batch transform a real ingest would run in map_batches):
+    explode -> per-token payload suffix -> rejoin."""
+    import pyarrow.compute as pc
+
+    global _PAY_SUFFIXES
+    if _PAY_SUFFIXES is None:
+        _PAY_SUFFIXES = np.array([f"|{k * 0.25}" for k in range(8)], dtype=object)
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    lists = pc.split_pattern(text_col, " ")
+    flat = lists.flatten()
+    offs = lists.offsets.to_numpy().astype(np.int64)
+    toks = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+    counts = np.diff(offs)
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    pos = np.arange(len(toks), dtype=np.int64) - offs[:-1][doc_idx]
+    lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+    k = (3 * lens + pos) % 8
+    dec = np.where(pos % 3 != 2, toks + _PAY_SUFFIXES[k], toks)
+    dec_list = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(dec, pa.string()))
+    return pc.binary_join(dec_list, " ")
+
+
+def build_payload_index(sf_dir: str) -> str:
+    """Variant index with per-position payloads: documents text decorated
+    by decorate_payload_texts, whitespace analyzer (the delimiter must
+    survive tokenization — DelimitedPayloadTokenFilter contract), built
+    multi-partition and pull-merged so payload streams cross the merge."""
+    root = _variant_cache_dir(sf_dir, "payload")
+    index_dir = os.path.join(root, "index")
+    done_flag = os.path.join(index_dir, "merged", "merged.json")
+    if os.path.exists(done_flag):
+        return index_dir
+    os.makedirs(root, exist_ok=True)
+    pages_path = os.path.join(root, "pages.parquet")
+    if not os.path.exists(pages_path):
+        pages = pages_from_documents(sf_dir, with_html=False)
+        pages = pages.set_column(
+            pages.column_names.index("text"),
+            "text",
+            decorate_payload_texts(pages["text"]),
+        )
+        write_pages_parquet(
+            pages, pages_path + ".tmp", rows_per_row_group=max(128, pages.num_rows // 8)
+        )
+        os.replace(pages_path + ".tmp", pages_path)
+    cfg = BuildConfig(
+        analyzer="whitespace",
+        payload_delimiter="|",
+        target_docs_per_segment=max(128, _pages_rows(pages_path) // 8),
+    )
+    build_index([pages_path], index_dir, cfg)
+    merge_index(index_dir, MergeConfig(n_shards=8, hot_df_threshold=10**9))
+    return index_dir
+
+
+def q_payload_topk(sf_dir: str) -> pa.Table:
+    """PayloadScoreQuery gate over the payload variant index:
+    (query_id, rank, doc_id, score_r) for min/max/sum/average payload
+    functions, with and without the BM25 span-score multiply."""
+    index_dir = build_payload_index(sf_dir)
+    searcher = open_searcher(index_dir, prefer_merged=True)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, term, func, inc, k in PAYLOAD_TOPK_SPECS:
+        td = searcher.search(
+            Q.PayloadScoreQuery(term, func=func, include_span_score=inc), k=k
+        )
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 # --- interval queries (queries/intervals module) ----------------------------
 
 # (query_id, kind, terms, max_gaps, k) — kinds: ordered / unordered /

@@ -642,6 +642,55 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, term,
 FROM ranked WHERE rank <= n"""
 
 
+def payload_topk_sql(
+    specs: list[tuple[str, str, str, bool, int]],
+    relation: str = "documents",
+) -> str:
+    """PayloadScoreQuery oracle over the payload fixture (flagship.
+    decorate_payload_texts): token at position pos carries payload
+    ((3*len + pos) % 8) * 0.25 unless pos % 3 == 2 (no payload -> factor
+    1.0, counted — s84 PayloadScoreQuery.collectLeaf counts every matching
+    position). Per-doc combine per PayloadFunction; all factors are
+    multiples of 0.25 so DOUBLE aggregation + one FLOAT cast equals the
+    engine's float32 arithmetic. include_span_score multiplies the BM25
+    term leaf (term_leaf_ctes — float32-exact)."""
+    terms = sorted({t for _, t, _, _, _ in specs})
+    ctes = [base_ctes(relation)]
+    ctes.append(f"""
+ptok AS (
+  SELECT doc_id, i - 1 AS pos, arr[i] AS term
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}))),
+pfac AS (
+  SELECT doc_id, term,
+         CASE WHEN pos % 3 <> 2
+              THEN CAST(((3 * length(term) + pos) % 8) * 0.25 AS FLOAT)
+              ELSE CAST(1.0 AS FLOAT) END AS factor
+  FROM ptok)""")
+    ctes += [term_leaf_ctes(t) for t in terms]
+    for t in terms:
+        ti = _ident(t)
+        lit = t.replace("'", "''")
+        ctes.append(f"""
+pagg_{ti} AS (SELECT doc_id,
+                     CAST(min(factor) AS FLOAT) AS f_min,
+                     CAST(max(factor) AS FLOAT) AS f_max,
+                     CAST(SUM(CAST(factor AS DOUBLE)) AS FLOAT) AS f_sum,
+                     CAST(SUM(CAST(factor AS DOUBLE)) / count(*) AS FLOAT) AS f_average
+              FROM pfac WHERE term = '{lit}' GROUP BY doc_id)""")
+    selects = []
+    for qid, t, func, inc, k in specs:
+        ti = _ident(t)
+        base = f"p.f_{func}"
+        score = f"CAST(s.s * {base} AS FLOAT)" if inc else f"{base}"
+        join = f"JOIN s_{ti} s USING (doc_id)" if inc else ""
+        selects.append(f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY {score} DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST({score} AS DOUBLE), 4) AS score_r
+ FROM pagg_{ti} p {join} ORDER BY {score} DESC, doc_id LIMIT {k})""")
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def interval_topk_sql(
     specs: list[tuple[str, str, tuple, int | None, int]],
     relation: str = "documents",

@@ -212,12 +212,49 @@ class _ShardedTermLookup:
             np.concatenate(p_parts),
         )
 
+    def term_positions_payloads(self, term: str):
+        """(global docs, freqs, positions, payloads) or None — payload
+        fragments stitch in the same bucket order as positions."""
+        hr = self.hot_rank.get(term)
+        sids = self._hot_sids(hr) if hr is not None else [self._cold_shard_id(term)]
+        d_parts, f_parts, p_parts, pay_parts = [], [], [], []
+        for sid in sids:
+            sh = self._shard(sid)
+            if sh is None or not (
+                getattr(sh, "has_positions", False) and getattr(sh, "has_payloads", False)
+            ):
+                continue
+            i = sh.lookup(term)
+            if i < 0:
+                continue
+            d, f = sh.postings_by_ord(i).decode()
+            d_parts.append(d)
+            f_parts.append(f)
+            p_parts.append(sh.positions_by_ord(i, f))
+            pay_parts.append(sh.payloads_by_ord(i))
+        if not d_parts:
+            return None
+        return (
+            np.concatenate(d_parts),
+            np.concatenate(f_parts),
+            np.concatenate(p_parts),
+            np.concatenate(pay_parts),
+        )
+
     @property
     def has_positions(self) -> bool:
         for s in self._shard_infos:
             sh = self._shard(s["shard_id"])
             if sh is not None:
                 return bool(getattr(sh, "has_positions", False))
+        return False
+
+    @property
+    def has_payloads(self) -> bool:
+        for s in self._shard_infos:
+            sh = self._shard(s["shard_id"])
+            if sh is not None:
+                return bool(getattr(sh, "has_payloads", False))
         return False
 
 

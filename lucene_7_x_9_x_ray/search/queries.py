@@ -238,6 +238,24 @@ class IntervalQuery(Query):
     field: str = ""
 
 
+@dataclass(frozen=True)
+class PayloadScoreQuery(Query):
+    """queries/payloads PayloadScoreQuery over a single-term span (s84
+    queries/payloads/PayloadScoreQuery.java:47): combines the float32
+    payload factors at the term's matching positions with ``func``
+    (min / max / sum / average — the PayloadFunction implementations);
+    missing payloads contribute factor 1. With ``include_span_score`` the
+    payload score multiplies the BM25 term score (TermSpans width 0 makes
+    the span score exactly BM25 at freq = tf); without it, the payload
+    score stands alone (and boost is ignored, as in the reference)."""
+
+    term: str
+    func: str = "max"
+    include_span_score: bool = True
+    boost: float = 1.0
+    field: str = ""
+
+
 # --- multi-term (dict-rewritten) queries -----------------------------------
 
 
@@ -415,6 +433,8 @@ def collect_terms(query: Query) -> set[str]:
     out: set[str] = set()
     if isinstance(query, TermQuery):
         out.add(query.term)
+    elif isinstance(query, PayloadScoreQuery):
+        out.add(query.term)
     elif isinstance(query, PhraseQuery):
         out.update(query.terms)
     elif isinstance(query, SynonymQuery):
@@ -436,6 +456,8 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
     gathering step of IndexSearcher.createWeight works from this set."""
     out: set[tuple[str, str]] = set()
     if isinstance(query, TermQuery):
+        out.add((query.field, query.term))
+    elif isinstance(query, PayloadScoreQuery):
         out.add((query.field, query.term))
     elif isinstance(query, (PhraseQuery, SynonymQuery)):
         out.update((query.field, t) for t in query.terms)

@@ -390,6 +390,11 @@ def eval_query(
 
         return eval_interval_query(reader, query, stats, bm25)
 
+    if isinstance(query, Q.PayloadScoreQuery):
+        from .payloads import eval_payload_query
+
+        return eval_payload_query(reader, query, stats, bm25)
+
     if isinstance(query, Q.BooleanQuery):
         return _eval_boolean(reader, query, stats, bm25)
 

@@ -91,6 +91,13 @@ class BuildConfig:
     # ≤7 exceptions/block (codecs/lucene84/PForUtil.java:33). Recorded in
     # the manifest; merge/compaction re-encode at the index's format.
     postings_format: str = "for"
+    # DelimitedPayloadTokenFilter + FloatEncoder role (s84 analysis/common/
+    # .../payloads/DelimitedPayloadTokenFilter.java): when set, primary-field
+    # tokens of the form "term<delim><float>" index as "term" with a float32
+    # payload at that position (the .pay stream); tokens without the
+    # delimiter get no payload. Requires index_positions. Pick an analyzer
+    # whose tokenizer does not split on the delimiter (e.g. "whitespace").
+    payload_delimiter: str | None = None
 
 
 def plan_partitions(
@@ -216,6 +223,7 @@ def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> Segmen
         term_vectors=cfg.term_vectors,
         extra_docmap={c: table[c] for c in cfg.store_cols} or None,
         postings_format=cfg.postings_format,
+        payload_delimiter=cfg.payload_delimiter,
     )
     return stats
 
@@ -263,6 +271,7 @@ def build_index(
         sort_by=cfg.sort_by or "",
         field_stats=_aggregate_field_stats(stats_rows),
         postings_format=cfg.postings_format,
+        payload_delimiter=cfg.payload_delimiter or "",
     )
     manifest.save()
     return manifest
@@ -339,6 +348,11 @@ def append_index(
         )
     if (manifest.sort_by or "") != (cfg.sort_by or ""):
         raise ValueError("append config mismatch: index sort differs")
+    if (manifest.payload_delimiter or "") != (cfg.payload_delimiter or ""):
+        raise ValueError(
+            "append config mismatch: index payload_delimiter="
+            f"{manifest.payload_delimiter!r}, append wants {cfg.payload_delimiter!r}"
+        )
     want_fields = {f.name for f in cfg.extra_fields}
     for s in manifest.segments:
         have = set((s.get("field_stats") or {}).keys())
@@ -390,6 +404,7 @@ def build_index_local(
         sort_by=cfg.sort_by or "",
         field_stats=_aggregate_field_stats(stats_rows),
         postings_format=cfg.postings_format,
+        payload_delimiter=cfg.payload_delimiter or "",
     )
     manifest.save()
     return manifest

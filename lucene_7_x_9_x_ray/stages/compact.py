@@ -40,6 +40,7 @@ from ..state.segment import (
     STATS_NAME,
     TERMS_FILE,
     SegmentReader,
+    PAYLOADS_FILE,
     encode_term_table,
 )
 
@@ -77,9 +78,12 @@ def _merge_field_views(views, rebases, has_pos: bool, tmp: str, prefix: str,
                        postings_format: str = "for") -> dict:
     """k-way merge ONE field's term tables/postings/norms from per-segment
     views (SegmentReader for the primary field, FieldReader for extras) into
-    prefixed artifact files under ``tmp``. Returns the merged field stats."""
+    prefixed artifact files under ``tmp``. Returns the merged field stats.
+    Payload streams (when present on every view — _group_segments guards
+    mixing) concatenate in the same (term, view) order as positions."""
+    has_pay = all(getattr(v, "has_payloads", False) for v in views)
     all_terms = np.unique(np.concatenate([v.terms for v in views]))
-    d_cat, f_cat, n_cat, p_cat = [], [], [], []
+    d_cat, f_cat, n_cat, p_cat, pay_cat = [], [], [], [], []
     term_starts = np.zeros(len(all_terms), dtype=np.int64)
     off = 0
     for ti, term in enumerate(all_terms):
@@ -95,6 +99,8 @@ def _merge_field_views(views, rebases, has_pos: bool, tmp: str, prefix: str,
             n_cat.append(v.norms[d])
             if has_pos:
                 p_cat.append(v.positions_by_ord(i, f))
+            if has_pay:
+                pay_cat.append(v.payloads_by_ord(i))
             off += len(d)
     term_ends = np.append(term_starts[1:], off)
     docs = np.concatenate(d_cat) if d_cat else np.empty(0, np.int64)
@@ -138,9 +144,19 @@ def _merge_field_views(views, rebases, has_pos: bool, tmp: str, prefix: str,
         with open(os.path.join(tmp, prefix + POSITIONS_FILE), "wb") as f:
             for b in pos_blobs:
                 f.write(b)
+    pay_off = None
+    if has_pay:
+        pay_all = (
+            np.concatenate(pay_cat) if pay_cat else np.empty(0, np.float32)
+        )
+        with open(os.path.join(tmp, prefix + PAYLOADS_FILE), "wb") as f:
+            f.write(np.ascontiguousarray(pay_all, dtype="<f4").tobytes())
+        pay_off = np.zeros(len(all_terms), dtype=np.int64)
+        np.cumsum(enc.ttfs[:-1], out=pay_off[1:])
     dfs = (term_ends - term_starts).astype(np.int64)
     pq.write_table(
-        encode_term_table(all_terms, dfs, enc.ttfs, meta, pos_meta=pos_meta),
+        encode_term_table(all_terms, dfs, enc.ttfs, meta, pos_meta=pos_meta,
+                          pay_off=pay_off),
         os.path.join(tmp, prefix + TERMS_FILE),
         row_group_size=65536,
     )
@@ -168,6 +184,11 @@ def merge_segment_group(index_dir: str, seg_names: list[str], out_name: str) -> 
     base = readers[0].doc_base
     doc_count = sum(r.doc_count for r in readers)
     pos_flags = {r.has_positions for r in readers}
+    pay_flags = {bool(getattr(r, "has_payloads", False)) for r in readers}
+    if len(pay_flags) > 1:
+        raise ValueError(
+            f"refusing to merge segments with mixed payloads: {seg_names}"
+        )
     if len(pos_flags) > 1:
         # merging a positions segment into a no-positions one would silently
         # drop .pos data (PhraseQuery over those docs would then fail);
@@ -392,7 +413,8 @@ def _reclaim_field(view, keep: np.ndarray, remap: np.ndarray, tmp: str, prefix: 
     whose postings empty out are dropped (df=0 terms don't survive a
     reclaiming merge). Returns the field's new stats."""
     has_pos = view.has_positions
-    d_cat, f_cat, n_cat, p_cat = [], [], [], []
+    has_pay = bool(getattr(view, "has_payloads", False))
+    d_cat, f_cat, n_cat, p_cat, pay_cat = [], [], [], [], []
     kept_terms: list = []
     term_starts: list[int] = []
     off = 0
@@ -412,6 +434,8 @@ def _reclaim_field(view, keep: np.ndarray, remap: np.ndarray, tmp: str, prefix: 
         if has_pos:
             pos = view.positions_by_ord(ti, f)
             p_cat.append(pos[np.repeat(m, f)])
+        if has_pay:
+            pay_cat.append(view.payloads_by_ord(ti)[np.repeat(m, f)])
         off += int(m.sum())
     kt = np.asarray(kept_terms, dtype=object)
     term_starts_a = np.asarray(term_starts, dtype=np.int64)
@@ -456,9 +480,17 @@ def _reclaim_field(view, keep: np.ndarray, remap: np.ndarray, tmp: str, prefix: 
         with open(os.path.join(tmp, prefix + POSITIONS_FILE), "wb") as f:
             for b in pos_blobs:
                 f.write(b)
+    pay_off = None
+    if has_pay:
+        pay_all = np.concatenate(pay_cat) if pay_cat else np.empty(0, np.float32)
+        with open(os.path.join(tmp, prefix + PAYLOADS_FILE), "wb") as f:
+            f.write(np.ascontiguousarray(pay_all, dtype="<f4").tobytes())
+        pay_off = np.zeros(n_t, dtype=np.int64)
+        np.cumsum(enc.ttfs[:-1], out=pay_off[1:])
     dfs = (term_ends - term_starts_a).astype(np.int64)
     pq.write_table(
-        encode_term_table(kt, dfs, enc.ttfs, meta, pos_meta=pos_meta),
+        encode_term_table(kt, dfs, enc.ttfs, meta, pos_meta=pos_meta,
+                          pay_off=pay_off),
         os.path.join(tmp, prefix + TERMS_FILE),
         row_group_size=65536,
     )

@@ -47,6 +47,7 @@ import pyarrow.parquet as pq
 from ..functions.codec import decode_positions, encode_segment_terms
 from ..state.manifest import IndexManifest, atomic_write_json, load_json
 from ..state.segment import (
+    PAYLOADS_FILE,
     NORMS_FILE,
     POSITIONS_FILE,
     POSTINGS_FILE,
@@ -276,10 +277,15 @@ _FRAG_SCHEMA_COLS = (
     "n_blocks", "n_imp", "len_docs", "len_freqs", "region",
 )
 _FRAG_POS_COLS = ("pos_width", "pos_blob")
+_FRAG_PAY_COLS = ("pay_blob",)  # raw float32 payload bytes per term fragment
 
 
 def _frag_table(cols: dict) -> pa.Table:
-    keys = _FRAG_SCHEMA_COLS + (_FRAG_POS_COLS if "pos_blob" in cols else ())
+    keys = (
+        _FRAG_SCHEMA_COLS
+        + (_FRAG_POS_COLS if "pos_blob" in cols else ())
+        + (_FRAG_PAY_COLS if "pay_blob" in cols else ())
+    )
     return pa.table({k: cols[k] for k in keys})
 
 
@@ -367,6 +373,22 @@ def assemble_range_group(
                 [bytes(posf[pos_off[i] : pos_off[i] + len_pos[i]]) for i in idx],
                 type=pa.large_binary(),
             )
+        if "pay_off" in t.column_names:
+            pay_off = t["pay_off"].to_numpy()
+            ttf_arr = t["total_term_freq"].to_numpy()
+            pay_path = os.path.join(seg_dir, prefix + PAYLOADS_FILE)
+            payf = (
+                np.memmap(pay_path, dtype=np.uint8, mode="r")
+                if os.path.getsize(pay_path)
+                else np.empty(0, dtype=np.uint8)
+            )
+            cols["pay_blob"] = pa.array(
+                [
+                    bytes(payf[pay_off[i] * 4 : (pay_off[i] + ttf_arr[i]) * 4])
+                    for i in idx
+                ],
+                type=pa.large_binary(),
+            )
         parts.append(_frag_table(cols))
     if not parts:
         return _empty_frag_table(has_pos)
@@ -423,6 +445,16 @@ def assemble_hot_group(
             )
             row["pos_width"] = int(t["pos_width"][i].as_py())
             row["pos_blob"] = bytes(posf[po : po + lp])
+        if "pay_off" in t.column_names:
+            pao = int(t["pay_off"][i].as_py())
+            ttf_i = int(t["total_term_freq"][i].as_py())
+            pay_path = os.path.join(seg_dir, prefix + PAYLOADS_FILE)
+            payf = (
+                np.memmap(pay_path, dtype=np.uint8, mode="r")
+                if os.path.getsize(pay_path)
+                else np.empty(0, dtype=np.uint8)
+            )
+            row["pay_blob"] = bytes(payf[pao * 4 : (pao + ttf_i) * 4])
         rows.append(row)
     if not rows:
         return _empty_frag_table(False)
@@ -441,6 +473,8 @@ def assemble_hot_group(
     if has_pos:
         cols["pos_width"] = tb["pos_width"].cast(pa.uint8())
         cols["pos_blob"] = tb["pos_blob"].cast(pa.large_binary())
+    if "pay_blob" in tb.column_names:
+        cols["pay_blob"] = tb["pay_blob"].cast(pa.large_binary())
     return _frag_table(cols)
 
 
@@ -658,6 +692,19 @@ def emit_fragments(
                 ],
                 type=pa.large_binary(),
             )
+        if getattr(r, "has_payloads", False):
+            pay_u8 = r._payloads.view(np.uint8) if len(r._payloads) else np.empty(0, np.uint8)
+            cols["pay_blob"] = pa.array(
+                [
+                    bytes(
+                        pay_u8[
+                            int(r._pay_off[ti]) * 4 : (int(r._pay_off[ti]) + int(r.ttfs[ti])) * 4
+                        ]
+                    )
+                    for ti in range(s, e)
+                ],
+                type=pa.large_binary(),
+            )
         yield pa.table(cols)
 
 
@@ -695,6 +742,8 @@ def write_merged_shard(
     has_pos = "pos_blob" in g.column_names
     pos_blobs = g["pos_blob"].to_pylist() if has_pos else None
     pos_widths = g["pos_width"].to_numpy() if has_pos else None
+    has_pay = "pay_blob" in g.column_names
+    pay_blobs = g["pay_blob"].to_pylist() if has_pay else None
 
     # segment norms from shared storage, loaded once per segment per reducer
     # (not shipped through the shuffle)
@@ -730,7 +779,7 @@ def write_merged_shard(
     # decode every fragment, concatenate into whole-shard arrays with term
     # boundaries, then batch-encode all terms in one vectorized pass
     # (codec.encode_segment_terms — the same fast path the segment flush uses)
-    d_cat, f_cat, n_cat, p_cat = [], [], [], []
+    d_cat, f_cat, n_cat, p_cat, pay_cat = [], [], [], [], []
     term_starts = np.zeros(len(uniq), dtype=np.int64)
     off = 0
     for ui in range(len(uniq)):
@@ -749,6 +798,9 @@ def write_merged_shard(
                 # positions are doc-local: fragment streams concatenate in
                 # doc_base order with no remap, then re-pack at the new width
                 p_cat.append(decode_positions(pos_blobs[fi], int(pos_widths[fi]), f))
+            if has_pay:
+                # payloads ride as raw float32 bytes, same concat order
+                pay_cat.append(np.frombuffer(pay_blobs[fi], dtype="<f4"))
             off += len(d)
         out_ttfs[ui] = int(ttfs[s:e].sum())
     term_ends = np.append(term_starts[1:], off)
@@ -790,8 +842,16 @@ def write_merged_shard(
             with open(os.path.join(tmp, POSITIONS_FILE), "wb") as f:
                 for b in out_pos_blobs:
                     f.write(b)
+        pay_off = None
+        if has_pay:
+            pay_all = np.concatenate(pay_cat) if pay_cat else np.empty(0, np.float32)
+            with open(os.path.join(tmp, PAYLOADS_FILE), "wb") as f:
+                f.write(np.ascontiguousarray(pay_all, dtype="<f4").tobytes())
+            pay_off = np.zeros(len(uniq), dtype=np.int64)
+            np.cumsum(out_ttfs[:-1], out=pay_off[1:])
         pq.write_table(
-            encode_term_table(uniq, out_dfs, out_ttfs, meta, pos_meta=pos_meta),
+            encode_term_table(uniq, out_dfs, out_ttfs, meta, pos_meta=pos_meta,
+                              pay_off=pay_off),
             os.path.join(tmp, TERMS_FILE),
             row_group_size=65536,
         )

@@ -191,6 +191,10 @@ class IndexManifest:
     # mixed formats (e.g. after an append with a different cfg) still
     # decode transparently; this is the writer-side default.
     postings_format: str = "for"
+    # BuildConfig.payload_delimiter ("" = no payloads): recorded so NRT
+    # appends refuse a config mismatch (mixed payload/no-payload segments
+    # would poison the merged term table's column set)
+    payload_delimiter: str = ""
 
     @property
     def avgdl_inputs(self) -> tuple[int, int]:

@@ -51,6 +51,12 @@ DOCMAP_FILE = "docmap.parquet"
 # bounds; PointRangeQuery.java:428 CELL_OUTSIDE/INSIDE/CROSSES visitor)
 DV_BLOCK_ROWS = 65536
 POSITIONS_FILE = "positions.bin"  # the .pos analogue (optional, per IndexOptions)
+# the .pay analogue (s84 codecs/lucene50/Lucene50PostingsFormat PAY_EXTENSION):
+# one little-endian float32 per position, in (term, doc, position) stream
+# order — the FloatEncoder/PayloadHelper payload value; NaN = no payload at
+# that position (DelimitedPayloadTokenFilter leaves payloads null for tokens
+# without the delimiter)
+PAYLOADS_FILE = "payloads.bin"
 TERMVECTORS_FILE = "tvx.parquet"  # the .tvx/.tvd analogue (optional per-doc vectors)
 
 
@@ -136,15 +142,43 @@ def invert_texts_coded(
     )
 
 
+def split_payload_tokens(tokens, delimiter: str):
+    """DelimitedPayloadTokenFilter + FloatEncoder (s84 analysis/common/
+    .../payloads/DelimitedPayloadTokenFilter.java:54-69): split each token
+    at the FIRST delimiter occurrence; the prefix is the term, the suffix
+    parses as the float payload. Tokens without the delimiter keep their
+    full text and get no payload (NaN). A non-numeric suffix raises, like
+    FloatEncoder's NumberFormatException.
+
+    Returns (terms object-array, payloads float32-array)."""
+    import pandas as pd
+
+    s = pd.Series(tokens, dtype=object)
+    parts = s.str.partition(delimiter)
+    has = parts[1].to_numpy() == delimiter
+    terms = np.where(has, parts[0].to_numpy(dtype=object), np.asarray(tokens, dtype=object))
+    pays = np.full(len(s), np.nan, dtype=np.float32)
+    if has.any():
+        suffix = parts[2].to_numpy(dtype=object)[has]
+        vals = pd.to_numeric(pd.Series(suffix), errors="coerce").to_numpy()
+        if np.isnan(vals).any():
+            bad = suffix[np.isnan(vals)][:3]
+            raise ValueError(f"non-numeric payload suffix(es): {list(bad)!r}")
+        pays[has] = vals.astype(np.float32)
+    return terms, pays
+
+
 def invert_tokens_coded(
-    texts, analyzer: Analyzer, chunk_rows: int = 8192
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    texts, analyzer: Analyzer, chunk_rows: int = 8192, payload_delimiter: str | None = None
+):
     """Token-level inversion (positions path).
 
     Returns (vocab unsorted, term_codes per token, local_docs per token,
     positions per token [0-based within doc], doc_lengths). Used when
     IndexOptions include positions — the DefaultIndexingChain.invert:806
-    analogue that keeps the position attribute.
+    analogue that keeps the position attribute. With ``payload_delimiter``
+    set, tokens are split by split_payload_tokens and a sixth element (the
+    per-token float32 payload stream, NaN = absent) is appended.
     """
     import pandas as pd
 
@@ -152,10 +186,12 @@ def invert_tokens_coded(
     lengths = np.zeros(n, dtype=np.int64)
     vocab_index: dict = {}
     vocab_list: list = []
-    c_parts, d_parts, p_parts = [], [], []
+    c_parts, d_parts, p_parts, pay_parts = [], [], [], []
     for base in range(0, n, chunk_rows):
         chunk = texts[base : base + chunk_rows]
         tokens, doc_idx = analyzer.tokenize_batch(chunk)
+        if payload_delimiter is not None:
+            tokens, tok_pays = split_payload_tokens(tokens, payload_delimiter)
         m = len(chunk)
         per_doc = np.bincount(doc_idx, minlength=m)
         lengths[base : base + m] = per_doc
@@ -176,17 +212,25 @@ def invert_tokens_coded(
         c_parts.append(remap[local_codes])
         d_parts.append(doc_idx.astype(np.int64) + base)
         p_parts.append(positions)
+        if payload_delimiter is not None:
+            pay_parts.append(tok_pays)
     vocab = np.array(vocab_list, dtype=object)
     if not c_parts:
         empty = np.empty(0, dtype=np.int64)
-        return vocab, empty, empty, empty, lengths
-    return (
+        base_out = (vocab, empty, empty, empty, lengths)
+        if payload_delimiter is not None:
+            return base_out + (np.empty(0, dtype=np.float32),)
+        return base_out
+    out = (
         vocab,
         np.concatenate(c_parts),
         np.concatenate(d_parts),
         np.concatenate(p_parts),
         lengths,
     )
+    if payload_delimiter is not None:
+        return out + (np.concatenate(pay_parts),)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -228,16 +272,25 @@ def field_prefix(field: str) -> str:
 def _write_field_artifacts(
     tmp: str, prefix: str, texts, analyzer: Analyzer, index_positions: bool,
     term_vectors: bool = False, postings_format: str = "for",
+    payload_delimiter: str | None = None,
 ) -> dict:
     """Invert + encode + write ONE field's term dict/postings/positions/norms
     into ``tmp`` under ``prefix``. Returns the field's stats (plus the raw
     per-doc lengths array under "lengths" for the caller's docmap)."""
     n = len(texts)
     pos_s = None
+    pay_tok = pay_s = None
+    if payload_delimiter is not None and not index_positions:
+        raise ValueError("payloads require index_positions=True")
     if index_positions:
         # token-level path: one lexsort of (term rank, doc, position) gives
         # the postings AND the per-term position streams in final order
-        vocab, codes_tok, docs_tok, pos_tok, lengths = invert_tokens_coded(texts, analyzer)
+        if payload_delimiter is not None:
+            vocab, codes_tok, docs_tok, pos_tok, lengths, pay_tok = invert_tokens_coded(
+                texts, analyzer, payload_delimiter=payload_delimiter
+            )
+        else:
+            vocab, codes_tok, docs_tok, pos_tok, lengths = invert_tokens_coded(texts, analyzer)
     else:
         vocab, codes, docs, freqs, lengths = invert_texts_coded(texts, analyzer)
     norms = int_to_byte4(lengths)
@@ -255,6 +308,8 @@ def _write_field_artifacts(
             inv_st = inv_tok[order]
             docs_st = docs_tok[order]
             pos_s = pos_tok[order]
+            if pay_tok is not None:
+                pay_s = pay_tok[order]
             change = np.r_[
                 True, (inv_st[1:] != inv_st[:-1]) | (docs_st[1:] != docs_st[:-1])
             ]
@@ -330,10 +385,25 @@ def _write_field_artifacts(
                 f.write(b)
         pos_meta = (pos_off_arr, pos_width_arr, len_pos_arr)
 
+    pay_off = None
+    if payload_delimiter is not None:
+        # the .pay stream: raw float32 per position in the SAME (term, doc,
+        # position) order as positions.bin; term ti's slice starts at its
+        # first token index (length = ttf, implied)
+        if pay_s is None:
+            pay_s = np.empty(0, dtype=np.float32)
+        with open(os.path.join(tmp, prefix + PAYLOADS_FILE), "wb") as f:
+            f.write(np.ascontiguousarray(pay_s, dtype="<f4").tobytes())
+        if len(uniq_terms):
+            pay_off = np.searchsorted(inv_st, np.arange(len(uniq_terms))).astype(np.int64)
+        else:
+            pay_off = np.empty(0, dtype=np.int64)
+
     terms_table = encode_term_table(
         uniq_terms, dfs, ttfs,
         (offsets, n_blocks_arr, n_imp_arr, len_docs_arr, len_freqs_arr),
         pos_meta=pos_meta,
+        pay_off=pay_off,
     )
     pq.write_table(terms_table, os.path.join(tmp, prefix + TERMS_FILE), row_group_size=65536)
 
@@ -386,6 +456,7 @@ def write_segment(
     term_vectors: bool = False,
     extra_docmap: dict | None = None,
     postings_format: str = "for",
+    payload_delimiter: str | None = None,
 ) -> SegmentStats:
     """Build + atomically commit one segment from a partition of pages.
 
@@ -408,7 +479,7 @@ def write_segment(
     try:
         primary = _write_field_artifacts(
             tmp, "", texts, analyzer, index_positions, term_vectors=term_vectors,
-            postings_format=postings_format,
+            postings_format=postings_format, payload_delimiter=payload_delimiter,
         )
         lengths = primary["lengths"]
         field_stats: dict[str, dict] = {}
@@ -587,12 +658,14 @@ def parse_region(region, doc_freq: int, n_blocks: int, n_imp: int,
 
 
 def encode_term_table(
-    uniq_terms, dfs, ttfs, regions_meta, pos_meta=None
+    uniq_terms, dfs, ttfs, regions_meta, pos_meta=None, pay_off=None
 ) -> pa.Table:
     """Assemble a terms.parquet table from per-term region metadata
     (offsets, n_blocks, n_imp, len_docs, len_freqs) — shared by the segment
     writer and the merge shard writer. ``pos_meta`` = (pos_off, pos_width,
-    len_pos) adds the positions columns when positions are indexed."""
+    len_pos) adds the positions columns when positions are indexed.
+    ``pay_off`` (per-term first-entry index into the float32 payloads.bin
+    stream; length = ttf implied) adds the payloads column."""
     offsets, n_blocks_arr, n_imp_arr, len_docs_arr, len_freqs_arr = regions_meta
     cols = {
         "term": pa.array(uniq_terms, type=pa.string()),
@@ -609,6 +682,8 @@ def encode_term_table(
         cols["pos_off"] = pa.array(np.asarray(pos_off, dtype=np.int64))
         cols["pos_width"] = pa.array(np.asarray(pos_width, dtype=np.uint8))
         cols["len_pos"] = pa.array(np.asarray(len_pos, dtype=np.int64))
+    if pay_off is not None:
+        cols["pay_off"] = pa.array(np.asarray(pay_off, dtype=np.int64))
     return pa.table(cols)
 
 
@@ -639,6 +714,15 @@ class TermTableReader:
             self._len_pos = t["len_pos"].to_numpy()
             self._positions = np.memmap(
                 os.path.join(dir_path, prefix + POSITIONS_FILE), dtype=np.uint8, mode="r"
+            )
+        self.has_payloads = "pay_off" in t.column_names
+        if self.has_payloads:
+            self._pay_off = t["pay_off"].to_numpy()
+            pay_path = os.path.join(dir_path, prefix + PAYLOADS_FILE)
+            self._payloads = (
+                np.memmap(pay_path, dtype="<f4", mode="r")
+                if os.path.getsize(pay_path)
+                else np.empty(0, dtype=np.float32)
             )
 
     def lookup(self, term: str) -> int:
@@ -691,6 +775,22 @@ class TermTableReader:
             return None
         docs, freqs = self.postings_by_ord(i).decode()
         return docs, freqs, self.positions_by_ord(i, freqs)
+
+    def payloads_by_ord(self, i: int) -> np.ndarray:
+        """Term ord i's float32 payload stream (one entry per position,
+        NaN = no payload) — the PostingsEnum.getPayload analogue."""
+        off = int(self._pay_off[i])
+        return np.asarray(self._payloads[off : off + int(self.ttfs[i])], dtype=np.float32)
+
+    def term_positions_payloads(self, term: str):
+        """(docs, freqs, positions stream, payloads stream) or None."""
+        if not (self.has_positions and self.has_payloads):
+            return None
+        i = self.lookup(term)
+        if i < 0:
+            return None
+        docs, freqs = self.postings_by_ord(i).decode()
+        return docs, freqs, self.positions_by_ord(i, freqs), self.payloads_by_ord(i)
 
 
 class FieldReader(TermTableReader):
