@@ -1097,19 +1097,32 @@ def q_payload_topk(sf_dir: str) -> pa.Table:
 
 # --- interval queries (queries/intervals module) ----------------------------
 
-# (query_id, kind, terms, max_gaps, k) — kinds: ordered / unordered /
-# maxgaps (2-term ordered filtered to gaps <= max_gaps)
+# (query_id, kind, terms, max_gaps, k) — kinds:
+#   ordered / unordered          over the term tuple
+#   maxgaps                      2-term ordered filtered to gaps <= max_gaps
+#   or_ordered (t0, t1, t2)      ordered(t0, or(t1, t2))
+#   containing (t0, t1, t2)      containing(unordered(t0, t1), t2)
+#   not_containing (t0, t1, t2)  notContaining(unordered(t0, t1), t2)
+#   contained_by (t0, t1, t2)    containedBy(t0, unordered(t1, t2))
 INTERVAL_TOPK_SPECS: list[tuple[str, str, tuple[str, ...], int | None, int]] = [
     ("iv_ord2", "ordered", ("join", "merge"), None, 10),
     ("iv_ord3", "ordered", ("scan", "fast", "key"), None, 10),
     ("iv_unord2", "unordered", ("window", "batch"), None, 10),
     ("iv_gap2", "maxgaps", ("table", "row"), 2, 10),
+    ("iv_or2", "or_ordered", ("join", "merge", "scan"), None, 10),
+    ("iv_cont", "containing", ("window", "batch", "key"), None, 10),
+    ("iv_ncont", "not_containing", ("window", "batch", "key"), None, 10),
+    ("iv_cby", "contained_by", ("key", "window", "batch"), None, 10),
 ]
 
 
 def _interval_source(kind: str, terms: tuple[str, ...], max_gaps):
     from ..search.intervals import (
+        ContainedByIntervals,
+        ContainingIntervals,
+        DisjunctionIntervals,
         MaxGapsIntervals,
+        NotContainingIntervals,
         OrderedIntervals,
         TermInterval,
         UnorderedIntervals,
@@ -1122,6 +1135,14 @@ def _interval_source(kind: str, terms: tuple[str, ...], max_gaps):
         return UnorderedIntervals(leaves)
     if kind == "maxgaps":
         return MaxGapsIntervals(max_gaps, OrderedIntervals(leaves))
+    if kind == "or_ordered":
+        return OrderedIntervals((leaves[0], DisjunctionIntervals(leaves[1:])))
+    if kind == "containing":
+        return ContainingIntervals(UnorderedIntervals(leaves[:2]), leaves[2])
+    if kind == "not_containing":
+        return NotContainingIntervals(UnorderedIntervals(leaves[:2]), leaves[2])
+    if kind == "contained_by":
+        return ContainedByIntervals(leaves[0], UnorderedIntervals(leaves[1:]))
     raise ValueError(kind)
 
 

@@ -698,52 +698,83 @@ def interval_topk_sql(
     """IntervalQuery oracle. Minimal intervals = the containment antichain
     of all ordered/unordered matches (what the lazy Vigna iterators
     enumerate — duel-pinned against the engine's iterators by
-    tests/test_intervals.py); maxgaps filters the antichain (2-term
-    ordered: gaps = e - s - 1); per-doc freq = Σ 1/max(span - minExtent
-    + 1, 1); score = saturation pivot=1 (IntervalScoreFunction.java:66-75)."""
+    tests/test_intervals.py); an OR leaf over terms is exactly the union
+    of their position sets (width-0 singletons form their own antichain);
+    maxgaps filters the antichain (2-term ordered: gaps = e - s - 1);
+    containing / not_containing filter the big side's antichain by an
+    EXISTS over the small side; contained_by keeps small positions covered
+    by a big interval. Per-doc freq = sum 1/max(span - minExtent + 1, 1);
+    score = saturation pivot=1 (IntervalScoreFunction.java:66-75)."""
     ctes = [f"""iv_tpos AS (
   SELECT doc_id, i - 1 AS pos, arr[i] AS term
   FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
         FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation})))"""]
     selects = []
-    for qid, kind, terms, gaps, k in specs:
-        kk = len(terms)
-        # per-term position CTEs, named uniquely per query
-        tsel = []
-        for i, t in enumerate(terms):
-            lit = t.replace("'", "''")
-            tsel.append(
-                f"p_{qid}_{i} AS (SELECT doc_id, pos FROM iv_tpos WHERE term = '{lit}')"
-            )
-        ctes.extend(tsel)
-        if kind in ("ordered", "maxgaps"):
-            joins = [f"p_{qid}_0 t0"]
-            conds = []
-            for i in range(1, kk):
-                joins.append(f"p_{qid}_{i} t{i}")
+
+    def leaf_cte(qid: str, i: int, leaf_terms: tuple) -> str:
+        lits = ", ".join("'" + t.replace("'", "''") + "'" for t in leaf_terms)
+        return (f"p_{qid}_{i} AS (SELECT doc_id, pos FROM iv_tpos "
+                f"WHERE term IN ({lits}))")
+
+    def antichain_ctes(qid: str, leaves: list[tuple], ordered: bool) -> None:
+        """Emit p_/mm_/min_ CTEs for the ordered/unordered antichain over
+        the given leaves (each leaf = a term set = unioned positions)."""
+        kk = len(leaves)
+        for i, lt in enumerate(leaves):
+            ctes.append(leaf_cte(qid, i, lt))
+        joins = [f"p_{qid}_0 t0"]
+        conds = []
+        for i in range(1, kk):
+            joins.append(f"p_{qid}_{i} t{i}")
+            if ordered:
                 conds.append(f"t{i}.doc_id = t0.doc_id AND t{i}.pos > t{i-1}.pos")
-            cond = " AND ".join(conds) if conds else "TRUE"
+            else:
+                conds.append(f"t{i}.doc_id = t0.doc_id")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        if ordered:
             m = (f"SELECT t0.doc_id, t0.pos AS s, t{kk-1}.pos AS e "
                  f"FROM {', '.join(joins)} WHERE {cond}")
-        else:  # unordered (distinct terms)
-            joins = [f"p_{qid}_0 t0"]
-            conds = []
-            for i in range(1, kk):
-                joins.append(f"p_{qid}_{i} t{i}")
-                conds.append(f"t{i}.doc_id = t0.doc_id")
+        else:
             least = "least(" + ", ".join(f"t{i}.pos" for i in range(kk)) + ")"
             great = "greatest(" + ", ".join(f"t{i}.pos" for i in range(kk)) + ")"
             m = (f"SELECT t0.doc_id, {least} AS s, {great} AS e "
-                 f"FROM {', '.join(joins)} WHERE {' AND '.join(conds) if conds else 'TRUE'}")
-        gap_filter = f" WHERE e - s - 1 <= {gaps}" if kind == "maxgaps" else ""
+                 f"FROM {', '.join(joins)} WHERE {cond}")
         ctes.append(f"""
 mm_{qid} AS (SELECT DISTINCT doc_id, s, e FROM ({m})),
 min_{qid} AS (SELECT * FROM mm_{qid} m WHERE NOT EXISTS (
    SELECT 1 FROM mm_{qid} m2 WHERE m2.doc_id = m.doc_id
-     AND m2.s >= m.s AND m2.e <= m.e AND (m2.s > m.s OR m2.e < m.e))),
+     AND m2.s >= m.s AND m2.e <= m.e AND (m2.s > m.s OR m2.e < m.e)))""")
+
+    for qid, kind, terms, gaps, k in specs:
+        if kind in ("ordered", "unordered", "maxgaps"):
+            kk = len(terms)
+            antichain_ctes(qid, [(t,) for t in terms], kind != "unordered")
+            gap_filter = f" WHERE e - s - 1 <= {gaps}" if kind == "maxgaps" else ""
+            src_cte = f"min_{qid}{gap_filter}"
+        elif kind == "or_ordered":
+            kk = 2
+            antichain_ctes(qid, [(terms[0],), tuple(terms[1:])], ordered=True)
+            src_cte = f"min_{qid}"
+        elif kind in ("containing", "not_containing"):
+            kk = 2
+            antichain_ctes(qid, [(terms[0],), (terms[1],)], ordered=False)
+            ctes.append(leaf_cte(qid, "f", (terms[2],)))
+            neg = "NOT " if kind == "not_containing" else ""
+            src_cte = (f"min_{qid} m WHERE {neg}EXISTS (SELECT 1 FROM p_{qid}_f c "
+                       f"WHERE c.doc_id = m.doc_id AND c.pos BETWEEN m.s AND m.e)")
+        elif kind == "contained_by":
+            kk = 1
+            antichain_ctes(qid, [(terms[1],), (terms[2],)], ordered=False)
+            ctes.append(leaf_cte(qid, "s", (terms[0],)))
+            src_cte = (f"(SELECT doc_id, pos AS s, pos AS e FROM p_{qid}_s p "
+                       f"WHERE EXISTS (SELECT 1 FROM min_{qid} m "
+                       f"WHERE m.doc_id = p.doc_id AND m.s <= p.pos AND m.e >= p.pos)) q")
+        else:
+            raise ValueError(kind)
+        ctes.append(f"""
 f_{qid} AS (SELECT doc_id,
                    CAST(SUM(1.0 / greatest(e - s + 1 - {kk} + 1, 1)) AS FLOAT) AS freq
-            FROM min_{qid}{gap_filter} GROUP BY doc_id),
+            FROM {src_cte} GROUP BY doc_id),
 sc_{qid} AS (SELECT doc_id,
                     CAST(1.0 AS FLOAT)
                     - CAST(1.0 AS FLOAT) / (CAST(1.0 AS FLOAT) + freq) AS score

@@ -28,10 +28,26 @@ literal transcriptions so duplicate-term and overlap edge cases match):
   default score = saturation(pivot=1): ``weight * (1 - pivot/(pivot+freq))``
   in float32 (the 1 - k/(f+k) rewriting).
 
+- ``DisjunctionIntervalsSource.java:138-220``: priority queue keyed
+  (end asc, start desc); emits the union's containment antichain in
+  end order, advancing any sub whose current interval contains the one
+  just emitted (dedupes equal intervals across subs).
+- ``ContainingIntervalsSource.java:42-62`` / ``ContainedByIntervalsSource``
+  / ``NotContainingIntervalsSource`` / ``NotContainedByIntervalsSource``:
+  relative filters over two minimal streams. DOCUMENTED DEVIATION: for
+  NOT_CONTAINING, 8.4's RelativeIterator drops a minuend interval whenever
+  the subtrahend's current START falls inside it (``b.start <= a.end``),
+  which also kills straddlers that are NOT contained (e.g. minuend (2,10)
+  vs subtrahend (3,20)); we implement the stated contract — drop a iff
+  some subtrahend interval is contained in it — using the antichain
+  property (first b with b.start >= a.start has the minimal end).
+
 Scope (documented): Term / Ordered / Unordered(overlaps allowed) /
-MaxGaps / MaxWidth sources — the Intervals.term/ordered/unordered/
-maxgaps/maxwidth factory surface. Disjunction sources and the analyzed
-helpers are out of scope.
+MaxGaps / MaxWidth / Disjunction / Containing / ContainedBy /
+NotContaining / NotContainedBy — the Intervals.term/ordered/unordered/
+maxgaps/maxwidth/or/containing/containedBy/notContaining/notContainedBy
+factory surface. The analyzed-text helpers and multi-term
+(wildcard-expanded) sources are out of scope.
 
 Scale shape: an IntervalQuery evaluates per segment exactly like
 PhraseQuery (conjunction of postings, per-candidate position streams);
@@ -65,6 +81,23 @@ class IntervalsSource:
     def iterator(self, leaf_positions: dict[str, np.ndarray]):
         raise NotImplementedError
 
+    def candidate_docs(self, per_term_docs: dict[str, np.ndarray]) -> np.ndarray:
+        """Sorted local docIDs where this source can produce >= 1 interval
+        (the two-phase approximation: ConjunctionDISI for AND-shaped
+        sources, DisjunctionDISIApproximation for OR, the minuend alone
+        for difference sources)."""
+        raise NotImplementedError
+
+
+def _intersect_docs(sources, per_term_docs) -> np.ndarray:
+    out = None
+    for s in sources:
+        d = s.candidate_docs(per_term_docs)
+        out = d if out is None else np.intersect1d(out, d, assume_unique=True)
+        if len(out) == 0:
+            break
+    return out if out is not None else np.empty(0, dtype=np.int64)
+
 
 @dataclass(frozen=True)
 class TermInterval(IntervalsSource):
@@ -78,6 +111,9 @@ class TermInterval(IntervalsSource):
 
     def iterator(self, leaf_positions):
         return _TermIt(leaf_positions[self.term])
+
+    def candidate_docs(self, per_term_docs):
+        return per_term_docs[self.term]
 
 
 @dataclass(frozen=True)
@@ -93,6 +129,9 @@ class OrderedIntervals(IntervalsSource):
     def iterator(self, leaf_positions):
         return _OrderedIt([s.iterator(leaf_positions) for s in self.sources])
 
+    def candidate_docs(self, per_term_docs):
+        return _intersect_docs(self.sources, per_term_docs)
+
 
 @dataclass(frozen=True)
 class UnorderedIntervals(IntervalsSource):
@@ -106,6 +145,9 @@ class UnorderedIntervals(IntervalsSource):
 
     def iterator(self, leaf_positions):
         return _UnorderedIt([s.iterator(leaf_positions) for s in self.sources])
+
+    def candidate_docs(self, per_term_docs):
+        return _intersect_docs(self.sources, per_term_docs)
 
 
 @dataclass(frozen=True)
@@ -123,6 +165,9 @@ class MaxGapsIntervals(IntervalsSource):
         it = self.source.iterator(leaf_positions)
         return _FilterIt(it, lambda: it.gaps() <= self.max_gaps)
 
+    def candidate_docs(self, per_term_docs):
+        return self.source.candidate_docs(per_term_docs)
+
 
 @dataclass(frozen=True)
 class MaxWidthIntervals(IntervalsSource):
@@ -138,6 +183,135 @@ class MaxWidthIntervals(IntervalsSource):
     def iterator(self, leaf_positions):
         it = self.source.iterator(leaf_positions)
         return _FilterIt(it, lambda: it.end() - it.start() + 1 <= self.max_width)
+
+    def candidate_docs(self, per_term_docs):
+        return self.source.candidate_docs(per_term_docs)
+
+
+@dataclass(frozen=True)
+class DisjunctionIntervals(IntervalsSource):
+    """Intervals.or (DisjunctionIntervalsSource): the union's containment
+    antichain, emitted in (end asc) order."""
+
+    sources: tuple
+
+    def min_extent(self) -> int:
+        return min(s.min_extent() for s in self.sources)
+
+    def terms(self) -> tuple[str, ...]:
+        return tuple(t for s in self.sources for t in s.terms())
+
+    def iterator(self, leaf_positions):
+        subs = [s.iterator(leaf_positions) for s in self.sources]
+        return _DisjunctionIt(subs)
+
+    def candidate_docs(self, per_term_docs):
+        parts = [s.candidate_docs(per_term_docs) for s in self.sources]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+
+@dataclass(frozen=True)
+class ContainingIntervals(IntervalsSource):
+    """Intervals.containing(big, small): big's minimal intervals that
+    contain an interval of small (conjunction: both sides required)."""
+
+    big: IntervalsSource
+    small: IntervalsSource
+
+    def min_extent(self) -> int:
+        return self.big.min_extent()
+
+    def terms(self) -> tuple[str, ...]:
+        return self.big.terms() + self.small.terms()
+
+    def iterator(self, leaf_positions):
+        return _ContainFilterIt(
+            self.big.iterator(leaf_positions),
+            self.small.iterator(leaf_positions),
+            keep_if_contains=True,
+        )
+
+    def candidate_docs(self, per_term_docs):
+        return _intersect_docs((self.big, self.small), per_term_docs)
+
+
+@dataclass(frozen=True)
+class NotContainingIntervals(IntervalsSource):
+    """Intervals.notContaining(minuend, subtrahend): minuend intervals with
+    NO subtrahend interval inside (difference: subtrahend optional). See
+    module docstring for the deviation from 8.4's straddler edge."""
+
+    minuend: IntervalsSource
+    subtrahend: IntervalsSource
+
+    def min_extent(self) -> int:
+        return self.minuend.min_extent()
+
+    def terms(self) -> tuple[str, ...]:
+        return self.minuend.terms() + self.subtrahend.terms()
+
+    def iterator(self, leaf_positions):
+        return _ContainFilterIt(
+            self.minuend.iterator(leaf_positions),
+            self.subtrahend.iterator(leaf_positions),
+            keep_if_contains=False,
+        )
+
+    def candidate_docs(self, per_term_docs):
+        return self.minuend.candidate_docs(per_term_docs)
+
+
+@dataclass(frozen=True)
+class ContainedByIntervals(IntervalsSource):
+    """Intervals.containedBy(small, big): small's minimal intervals that lie
+    inside an interval of big (conjunction)."""
+
+    small: IntervalsSource
+    big: IntervalsSource
+
+    def min_extent(self) -> int:
+        return self.small.min_extent()
+
+    def terms(self) -> tuple[str, ...]:
+        return self.small.terms() + self.big.terms()
+
+    def iterator(self, leaf_positions):
+        return _CoverFilterIt(
+            self.small.iterator(leaf_positions),
+            self.big.iterator(leaf_positions),
+            keep_if_covered=True,
+        )
+
+    def candidate_docs(self, per_term_docs):
+        return _intersect_docs((self.small, self.big), per_term_docs)
+
+
+@dataclass(frozen=True)
+class NotContainedByIntervals(IntervalsSource):
+    """Intervals.notContainedBy(minuend, subtrahend): minuend intervals NOT
+    inside any subtrahend interval (difference: subtrahend optional)."""
+
+    minuend: IntervalsSource
+    subtrahend: IntervalsSource
+
+    def min_extent(self) -> int:
+        return self.minuend.min_extent()
+
+    def terms(self) -> tuple[str, ...]:
+        return self.minuend.terms() + self.subtrahend.terms()
+
+    def iterator(self, leaf_positions):
+        return _CoverFilterIt(
+            self.minuend.iterator(leaf_positions),
+            self.subtrahend.iterator(leaf_positions),
+            keep_if_covered=False,
+        )
+
+    def candidate_docs(self, per_term_docs):
+        return self.minuend.candidate_docs(per_term_docs)
 
 
 # --- per-doc iterators (literal transcriptions) ------------------------------
@@ -307,6 +481,133 @@ class _UnorderedIt:
                 return self._start
 
 
+class _DisjunctionIt:
+    """DisjunctionIntervalsSource.DisjunctionIntervalIterator (s84
+    :138-220): queue keyed (end asc, start desc) so the contained interval
+    surfaces first at equal ends; after emitting, every sub whose current
+    interval CONTAINS the emitted one advances (including the emitter
+    itself — the self-advance rides the same sweep). Emits the union's
+    containment antichain in end order; duplicates across subs collapse.
+    Values snapshot at emission because the sweep advances sub-iterators."""
+
+    def __init__(self, subs):
+        self.subs = subs
+        self.queue: list[tuple[int, int, int]] = []  # (end, -start, idx)
+        for idx, it in enumerate(subs):
+            if it.next_interval() != NO_MORE:
+                heapq.heappush(self.queue, (it.end(), -it.start(), idx))
+        self._started = False
+        self._start = self._end = -1
+        self._gaps = 0
+
+    def start(self) -> int:
+        return self._start
+
+    def end(self) -> int:
+        return self._end
+
+    def gaps(self) -> int:
+        return self._gaps
+
+    def _snapshot(self) -> int:
+        e, ns, idx = self.queue[0]
+        it = self.subs[idx]
+        self._start, self._end, self._gaps = it.start(), it.end(), it.gaps()
+        return self._start
+
+    def next_interval(self) -> int:
+        q, subs = self.queue, self.subs
+        if not self._started:
+            self._started = True
+            if not q:
+                self._start = self._end = NO_MORE
+                return NO_MORE
+            return self._snapshot()
+        if self._start == NO_MORE:
+            return NO_MORE
+        start, end = self._start, self._end
+        # advance every sub whose current interval contains the emitted one
+        while q and start >= -q[0][1] and end <= q[0][0]:
+            _e, _ns, idx = heapq.heappop(q)
+            if subs[idx].next_interval() != NO_MORE:
+                heapq.heappush(q, (subs[idx].end(), -subs[idx].start(), idx))
+        if not q:
+            self._start = self._end = NO_MORE
+            return NO_MORE
+        return self._snapshot()
+
+
+class _ContainFilterIt:
+    """CONTAINING / NOT_CONTAINING over two minimal streams: keep a minuend
+    interval iff (some subtrahend interval lies inside it) == polarity.
+    Subtrahend intervals with start < a.start are advanced past (they can
+    never sit inside this or any later minuend interval — starts only
+    grow); after that, the antichain property makes the FIRST remaining
+    subtrahend interval the one with the minimal end, so containment is
+    exactly ``b.start <= a.end and b.end <= a.end``
+    (ContainingIntervalsSource.java:46-61 semantics; see module docstring
+    for the NOT_CONTAINING straddler deviation)."""
+
+    def __init__(self, big, small, keep_if_contains: bool):
+        self.a = big
+        self.b = small
+        self.keep = keep_if_contains
+        self.b_alive = self.b.next_interval() != NO_MORE
+
+    def start(self) -> int:
+        return self.a.start()
+
+    def end(self) -> int:
+        return self.a.end()
+
+    def gaps(self) -> int:
+        return self.a.gaps()
+
+    def next_interval(self) -> int:
+        a, b = self.a, self.b
+        while a.next_interval() != NO_MORE:
+            while self.b_alive and b.start() < a.start():
+                self.b_alive = b.next_interval() != NO_MORE
+            contains = self.b_alive and b.end() <= a.end()
+            if contains == self.keep:
+                return a.start()
+        return NO_MORE
+
+
+class _CoverFilterIt:
+    """CONTAINED_BY / NOT_CONTAINED_BY: keep a minuend interval iff (some
+    subtrahend interval covers it) == polarity. Subtrahend intervals ending
+    before a.end can cover neither this nor any later minuend interval;
+    the first with b.end >= a.end has the smallest start among the rest,
+    so coverage is exactly ``b.start <= a.start``
+    (ContainedByIntervalsSource.java:47-63)."""
+
+    def __init__(self, small, big, keep_if_covered: bool):
+        self.a = small
+        self.b = big
+        self.keep = keep_if_covered
+        self.b_alive = self.b.next_interval() != NO_MORE
+
+    def start(self) -> int:
+        return self.a.start()
+
+    def end(self) -> int:
+        return self.a.end()
+
+    def gaps(self) -> int:
+        return self.a.gaps()
+
+    def next_interval(self) -> int:
+        a, b = self.a, self.b
+        while a.next_interval() != NO_MORE:
+            while self.b_alive and b.end() < a.end():
+                self.b_alive = b.next_interval() != NO_MORE
+            covered = self.b_alive and b.start() <= a.start()
+            if covered == self.keep:
+                return a.start()
+        return NO_MORE
+
+
 class _FilterIt:
     """IntervalFilter: skip intervals the predicate rejects (filtering the
     already-minimized stream — FilteredIntervalsSource.java:95-105)."""
@@ -358,27 +659,30 @@ def eval_interval_query(reader, query, stats, bm25):
         raise ValueError(
             "IntervalQuery requires an index built with index_positions=True"
         )
+    _EMPTY_POS = np.empty(0, dtype=np.int64)
     leaf_terms = sorted(set(query.source.terms()))
     per_term = {}
     for t in leaf_terms:
         tpp = fr.term_positions(t)
         if tpp is None:
-            return _empty()
+            # absent term: empty postings — OR / difference sources can
+            # still match (the leaf contributes no intervals)
+            tpp = (_EMPTY_POS, _EMPTY_POS, _EMPTY_POS)
         per_term[t] = tpp
 
-    cand = per_term[leaf_terms[0]][0]
-    for t in leaf_terms[1:]:
-        cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+    cand = query.source.candidate_docs({t: per_term[t][0] for t in leaf_terms})
     if len(cand) == 0:
         return _empty()
 
-    locs, offs = {}, {}
+    locs, offs, present = {}, {}, {}
     for t in leaf_terms:
         d, f, _p = per_term[t]
         off = np.zeros(len(f) + 1, dtype=np.int64)
         np.cumsum(f, out=off[1:])
-        locs[t] = np.searchsorted(d, cand)
+        li = np.minimum(np.searchsorted(d, cand), max(len(d) - 1, 0))
+        locs[t] = li
         offs[t] = off
+        present[t] = (d[li] == cand) if len(d) else np.zeros(len(cand), dtype=bool)
 
     pivot = np.float32(query.pivot)
     weight = np.float32(query.boost)
@@ -386,8 +690,11 @@ def eval_interval_query(reader, query, stats, bm25):
     for ci in range(len(cand)):
         positions = {}
         for t in leaf_terms:
-            li = locs[t][ci]
-            positions[t] = per_term[t][2][offs[t][li] : offs[t][li + 1]]
+            if present[t][ci]:
+                li = locs[t][ci]
+                positions[t] = per_term[t][2][offs[t][li] : offs[t][li + 1]]
+            else:
+                positions[t] = _EMPTY_POS
         freq = np.float32(interval_freq(query.source, positions))
         if freq <= 0.0:
             continue

@@ -230,7 +230,8 @@ class IntervalQuery(Query):
     docs by the saturation of the minimal-interval sloppy frequency.
     ``source`` is an IntervalsSource tree from search/intervals.py
     (TermInterval / OrderedIntervals / UnorderedIntervals / MaxGaps /
-    MaxWidth — the Intervals.* factory surface)."""
+    MaxWidth / Disjunction / Containing / ContainedBy / NotContaining /
+    NotContainedBy — the Intervals.* factory surface)."""
 
     source: object
     pivot: float = 1.0

@@ -12,7 +12,12 @@ import pytest
 
 from lucene_7_x_9_x_ray.search.intervals import (
     NO_MORE,
+    ContainedByIntervals,
+    ContainingIntervals,
+    DisjunctionIntervals,
     MaxGapsIntervals,
+    NotContainedByIntervals,
+    NotContainingIntervals,
     OrderedIntervals,
     TermInterval,
     UnorderedIntervals,
@@ -63,6 +68,118 @@ def test_minimal_intervals_duel_brute_antichain(ordered, k):
         got = sorted(_enumerate(src, pos))
         want = _brute_antichain(lists, ordered)
         assert got == want, (trial, lists, got, want)
+
+
+def _antichain(matches):
+    matches = set(matches)
+    return sorted(
+        m
+        for m in matches
+        if not any(m2 != m and m2[0] >= m[0] and m2[1] <= m[1] for m2 in matches)
+    )
+
+
+def _brute_source(source, positions):
+    """Recursive brute-force minimal-interval set for any source tree
+    (each combinator applied over its children's antichains, then
+    re-antichained — the algebra the lazy iterators implement)."""
+    if isinstance(source, TermInterval):
+        return sorted((int(p), int(p)) for p in positions[source.term])
+    if isinstance(source, (OrderedIntervals, UnorderedIntervals)):
+        subsets = [_brute_source(s, positions) for s in source.sources]
+        if any(not s for s in subsets):
+            return []
+        out = set()
+        for combo in itertools.product(*subsets):
+            if isinstance(source, OrderedIntervals):
+                if any(combo[i][0] <= combo[i - 1][1] for i in range(1, len(combo))):
+                    continue
+            s = min(c[0] for c in combo)
+            e = max(c[1] for c in combo)
+            out.add((s, e))
+        return _antichain(out)
+    if isinstance(source, DisjunctionIntervals):
+        out = set()
+        for s in source.sources:
+            out.update(_brute_source(s, positions))
+        return _antichain(out)
+    if isinstance(source, ContainingIntervals):
+        big = _brute_source(source.big, positions)
+        small = _brute_source(source.small, positions)
+        return [a for a in big if any(b[0] >= a[0] and b[1] <= a[1] for b in small)]
+    if isinstance(source, NotContainingIntervals):
+        big = _brute_source(source.minuend, positions)
+        small = _brute_source(source.subtrahend, positions)
+        return [a for a in big if not any(b[0] >= a[0] and b[1] <= a[1] for b in small)]
+    if isinstance(source, ContainedByIntervals):
+        small = _brute_source(source.small, positions)
+        big = _brute_source(source.big, positions)
+        return [a for a in small if any(b[0] <= a[0] and b[1] >= a[1] for b in big)]
+    if isinstance(source, NotContainedByIntervals):
+        small = _brute_source(source.minuend, positions)
+        big = _brute_source(source.subtrahend, positions)
+        return [a for a in small if not any(b[0] <= a[0] and b[1] >= a[1] for b in big)]
+    raise TypeError(type(source))
+
+
+def _rand_positions(rng, terms, max_pos=24, max_n=6):
+    return {
+        t: np.unique(rng.integers(0, max_pos, size=int(rng.integers(0, max_n)))).astype(
+            np.int64
+        )
+        for t in terms
+    }
+
+
+def test_disjunction_duel_brute_antichain():
+    rng = np.random.default_rng(42)
+    a, b, c = TermInterval("a"), TermInterval("b"), TermInterval("c")
+    shapes = [
+        DisjunctionIntervals((a, b)),
+        DisjunctionIntervals((a, b, c)),
+        DisjunctionIntervals((OrderedIntervals((a, b)), c)),
+        DisjunctionIntervals((OrderedIntervals((a, b)), UnorderedIntervals((b, c)))),
+        OrderedIntervals((a, DisjunctionIntervals((b, c)))),
+        UnorderedIntervals((DisjunctionIntervals((a, b)), c)),
+    ]
+    for trial in range(300):
+        pos = _rand_positions(rng, ["a", "b", "c"])
+        for src in shapes:
+            got = sorted(_enumerate(src, pos))
+            want = sorted(_brute_source(src, pos))
+            assert got == want, (trial, src, {k: list(v) for k, v in pos.items()}, got, want)
+
+
+def test_containment_filters_duel_brute():
+    rng = np.random.default_rng(99)
+    a, b, c = TermInterval("a"), TermInterval("b"), TermInterval("c")
+    big = UnorderedIntervals((a, b))
+    shapes = [
+        ContainingIntervals(big, c),
+        NotContainingIntervals(big, c),
+        ContainedByIntervals(c, big),
+        NotContainedByIntervals(c, big),
+        ContainingIntervals(OrderedIntervals((a, b)), DisjunctionIntervals((b, c))),
+        NotContainedByIntervals(UnorderedIntervals((a, c)), UnorderedIntervals((a, b))),
+    ]
+    for trial in range(300):
+        pos = _rand_positions(rng, ["a", "b", "c"])
+        for src in shapes:
+            got = sorted(_enumerate(src, pos))
+            want = sorted(_brute_source(src, pos))
+            assert got == want, (trial, src, {k: list(v) for k, v in pos.items()}, got, want)
+
+
+def test_disjunction_order_and_dedup():
+    # Lucene contract: disjunction emits in end-ascending order and
+    # collapses duplicates across subs
+    pos = {"x": np.array([2, 8], dtype=np.int64), "y": np.array([2, 5], dtype=np.int64)}
+    src = DisjunctionIntervals((TermInterval("x"), TermInterval("y")))
+    it = src.iterator(pos)
+    got = []
+    while it.next_interval() != NO_MORE:
+        got.append((it.start(), it.end()))
+    assert got == [(2, 2), (5, 5), (8, 8)]  # (2,2) emitted once
 
 
 def test_ordered_duplicate_terms_smoke():
