@@ -771,9 +771,17 @@ min_{qid} AS (SELECT * FROM mm_{qid} m WHERE NOT EXISTS (
                        f"WHERE m.doc_id = p.doc_id AND m.s <= p.pos AND m.e >= p.pos)) q")
         else:
             raise ValueError(kind)
+        # freq replicates IntervalScorer's SEQUENTIAL float32 accumulation
+        # (interval_freq): per-interval term = f32(1)/f32(d), folded left
+        # in start order with a float32 round at every step — a DOUBLE sum
+        # cast once can differ by an ulp and flip a 4-dp rounding/rank
         ctes.append(f"""
 f_{qid} AS (SELECT doc_id,
-                   CAST(SUM(1.0 / greatest(e - s + 1 - {kk} + 1, 1)) AS FLOAT) AS freq
+                   list_reduce(
+                     list(CAST(1.0 AS FLOAT)
+                          / CAST(greatest(e - s + 1 - {kk} + 1, 1) AS FLOAT)
+                          ORDER BY s),
+                     (acc, x) -> CAST(acc + x AS FLOAT)) AS freq
             FROM {src_cte} GROUP BY doc_id),
 sc_{qid} AS (SELECT doc_id,
                     CAST(1.0 AS FLOAT)

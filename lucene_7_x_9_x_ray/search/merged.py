@@ -241,21 +241,24 @@ class _ShardedTermLookup:
             np.concatenate(pay_parts),
         )
 
-    @property
-    def has_positions(self) -> bool:
+    def _any_shard_flag(self, attr: str) -> bool:
+        """True iff ANY loadable shard carries the capability. An EMPTY
+        merge group writes its shard from _empty_frag_table, which has no
+        pos/pay columns — probing only the first shard would spuriously
+        report a positions/payloads index as lacking them."""
         for s in self._shard_infos:
             sh = self._shard(s["shard_id"])
-            if sh is not None:
-                return bool(getattr(sh, "has_positions", False))
+            if sh is not None and bool(getattr(sh, attr, False)):
+                return True
         return False
 
     @property
+    def has_positions(self) -> bool:
+        return self._any_shard_flag("has_positions")
+
+    @property
     def has_payloads(self) -> bool:
-        for s in self._shard_infos:
-            sh = self._shard(s["shard_id"])
-            if sh is not None:
-                return bool(getattr(sh, "has_payloads", False))
-        return False
+        return self._any_shard_flag("has_payloads")
 
 
     @property

@@ -42,6 +42,7 @@ from ..state.segment import (
     SegmentReader,
     PAYLOADS_FILE,
     encode_term_table,
+    write_payloads_file,
 )
 
 
@@ -146,13 +147,9 @@ def _merge_field_views(views, rebases, has_pos: bool, tmp: str, prefix: str,
                 f.write(b)
     pay_off = None
     if has_pay:
-        pay_all = (
-            np.concatenate(pay_cat) if pay_cat else np.empty(0, np.float32)
+        pay_off = write_payloads_file(
+            os.path.join(tmp, prefix + PAYLOADS_FILE), pay_cat, enc.ttfs
         )
-        with open(os.path.join(tmp, prefix + PAYLOADS_FILE), "wb") as f:
-            f.write(np.ascontiguousarray(pay_all, dtype="<f4").tobytes())
-        pay_off = np.zeros(len(all_terms), dtype=np.int64)
-        np.cumsum(enc.ttfs[:-1], out=pay_off[1:])
     dfs = (term_ends - term_starts).astype(np.int64)
     pq.write_table(
         encode_term_table(all_terms, dfs, enc.ttfs, meta, pos_meta=pos_meta,
@@ -482,11 +479,9 @@ def _reclaim_field(view, keep: np.ndarray, remap: np.ndarray, tmp: str, prefix: 
                 f.write(b)
     pay_off = None
     if has_pay:
-        pay_all = np.concatenate(pay_cat) if pay_cat else np.empty(0, np.float32)
-        with open(os.path.join(tmp, prefix + PAYLOADS_FILE), "wb") as f:
-            f.write(np.ascontiguousarray(pay_all, dtype="<f4").tobytes())
-        pay_off = np.zeros(n_t, dtype=np.int64)
-        np.cumsum(enc.ttfs[:-1], out=pay_off[1:])
+        pay_off = write_payloads_file(
+            os.path.join(tmp, prefix + PAYLOADS_FILE), pay_cat, enc.ttfs
+        )
     dfs = (term_ends - term_starts_a).astype(np.int64)
     pq.write_table(
         encode_term_table(kt, dfs, enc.ttfs, meta, pos_meta=pos_meta,

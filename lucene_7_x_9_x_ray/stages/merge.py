@@ -55,6 +55,7 @@ from ..state.segment import (
     SegmentReader,
     encode_term_table,
     parse_region,
+    write_payloads_file,
 )
 
 MERGED_MANIFEST = "merged.json"
@@ -844,11 +845,9 @@ def write_merged_shard(
                     f.write(b)
         pay_off = None
         if has_pay:
-            pay_all = np.concatenate(pay_cat) if pay_cat else np.empty(0, np.float32)
-            with open(os.path.join(tmp, PAYLOADS_FILE), "wb") as f:
-                f.write(np.ascontiguousarray(pay_all, dtype="<f4").tobytes())
-            pay_off = np.zeros(len(uniq), dtype=np.int64)
-            np.cumsum(out_ttfs[:-1], out=pay_off[1:])
+            pay_off = write_payloads_file(
+                os.path.join(tmp, PAYLOADS_FILE), pay_cat, out_ttfs
+            )
         pq.write_table(
             encode_term_table(uniq, out_dfs, out_ttfs, meta, pos_meta=pos_meta,
                               pay_off=pay_off),

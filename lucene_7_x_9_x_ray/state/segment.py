@@ -153,6 +153,8 @@ def split_payload_tokens(tokens, delimiter: str):
     Returns (terms object-array, payloads float32-array)."""
     import pandas as pd
 
+    if len(tokens) == 0:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.float32)
     s = pd.Series(tokens, dtype=object)
     parts = s.str.partition(delimiter)
     has = parts[1].to_numpy() == delimiter
@@ -655,6 +657,22 @@ def parse_region(region, doc_freq: int, n_blocks: int, n_imp: int,
         imp_freqs=imp_freqs, imp_norms=imp_norms, docs_blob=docs_blob,
         freqs_blob=freqs_blob, dexc=dexc, fexc=fexc,
     )
+
+
+def write_payloads_file(path: str, pay_cat: list, ttfs: np.ndarray) -> np.ndarray:
+    """Write a payloads.bin from per-term float32 chunks (already in final
+    (term, doc, position) order) and return the per-term entry offsets
+    (first-token index; length = ttf implied) for encode_term_table's
+    ``pay_off``. Shared by the segment writer's merge/compact/reclaim
+    callers so the .pay layout lives in one place."""
+    pay_all = np.concatenate(pay_cat) if pay_cat else np.empty(0, np.float32)
+    with open(path, "wb") as f:
+        f.write(np.ascontiguousarray(pay_all, dtype="<f4").tobytes())
+    ttfs = np.asarray(ttfs, dtype=np.int64)
+    pay_off = np.zeros(len(ttfs), dtype=np.int64)
+    if len(ttfs):
+        np.cumsum(ttfs[:-1], out=pay_off[1:])
+    return pay_off
 
 
 def encode_term_table(

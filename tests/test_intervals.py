@@ -221,6 +221,40 @@ def test_interval_gate_oracle_parity(ray_session):
     assert got.num_rows > 0
 
 
+def test_interval_oracle_freq_is_sequential_float32():
+    """The oracle must fold per-interval terms in float32 start order like
+    IntervalScorer, not sum in DOUBLE and cast once: widths (2, 3) give
+    f32(f32(1/2) + f32(1/3)) = 0.83333337 vs f32(1/2 + 1/3) = 0.8333333 —
+    one ulp apart, enough to flip a 4-dp rounding or a rank."""
+    import duckdb as _dd
+
+    from lucene_7_x_9_x_ray.pipelines.oracles import interval_topk_sql
+
+    # ordered(a, b) minimal intervals: (0,2) span 3 -> d=2; (4,7) span 4 -> d=3
+    text = "a x b w a x x b"
+    pos = {
+        "a": np.array([0, 4], dtype=np.int64),
+        "b": np.array([2, 7], dtype=np.int64),
+    }
+    src = OrderedIntervals((TermInterval("a"), TermInterval("b")))
+    freq = np.float32(interval_freq(src, pos))
+    want_score = float(np.float32(1.0) - np.float32(1.0) / (np.float32(1.0) + freq))
+    con = _dd.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT 0 AS doc_id, '{text}' AS text")
+    sql = interval_topk_sql([("q", "ordered", ("a", "b"), None, 5)])
+    got = con.sql(sql).fetchall()
+    assert len(got) == 1
+    assert got[0][3] == round(
+        float(np.float64(want_score)), 4
+    ) or abs(got[0][3] - want_score) < 5e-5
+    # exact check on the freq itself
+    fsql = sql[: sql.index("sc_q AS")] + (
+        "probe AS (SELECT 1) SELECT freq FROM f_q"
+    )
+    oracle_freq = con.sql(fsql).fetchone()[0]
+    assert np.float32(oracle_freq) == freq, (oracle_freq, float(freq))
+
+
 def test_interval_query_end_to_end(ray_session, tmp_path):
     """IntervalQuery through the searcher: score = freq/(1+freq) with the
     minimal-interval freq, verified against a hand computation."""

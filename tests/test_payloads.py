@@ -186,6 +186,38 @@ def test_payload_append_config_guard(tmp_path):
     assert {int(d): float(x) for d, x in zip(td.doc_ids, td.scores)} == {0: 2.0, 1: 1.0}
 
 
+def test_payload_build_with_empty_texts(tmp_path):
+    """A chunk of empty/whitespace-only docs must not crash the payload
+    splitter (pandas str.partition on an empty Series has no columns)."""
+    docs = ["", "cat|1.5 dog", ""]
+    idx = _build(tmp_path, docs)
+    s = IndexSearcher(idx)
+    td = s.search(Q.PayloadScoreQuery("cat", func="max", include_span_score=False), k=5)
+    assert {int(d): float(x) for d, x in zip(td.doc_ids, td.scores)} == {1: 1.5}
+
+
+def test_payload_flags_survive_empty_merged_shards(ray_session, tmp_path):
+    """An empty merge group writes a shard without pos/pay columns; the
+    merged searcher's has_payloads/has_positions must probe past it (any
+    shard, not the first)."""
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.stages.build import build_index
+    from lucene_7_x_9_x_ray.stages.merge import MergeConfig, merge_index
+
+    # 2-term vocab + 8 shards -> most term-range shards are empty
+    docs = ["cat|2.0 dog", "dog|3.0 cat", "cat|0.5 dog cat"] * 10
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(_pages_table(docs), path, row_group_size=10)
+    idx = str(tmp_path / "idx")
+    build_index([path], idx, BuildConfig(
+        analyzer="whitespace", payload_delimiter="|", target_docs_per_segment=10))
+    merge_index(idx, MergeConfig(n_shards=8))
+    mer = open_searcher(idx, prefer_merged=True)
+    assert mer.readers[0].has_payloads and mer.readers[0].has_positions
+    td = mer.search(Q.PayloadScoreQuery("cat", func="max", include_span_score=False), k=40)
+    assert len(td.doc_ids) == 30
+
+
 def test_payload_gate_oracle_parity(ray_session):
     """payload_topk gate == its DuckDB oracle on the driver corpus."""
     import duckdb as _dd
