@@ -28,7 +28,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lucene_7_x_9_x_ray.pipelines import ann, corpus, dedup, flagship, multimodal, relational, textops
+    from lucene_7_x_9_x_ray.pipelines import ann, corpus, curation, dedup, flagship, multimodal, relational, textops
 
     return {
         # --- full-text engine (index-backed) ---
@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.q_lang_id,
         "fingerprint": textops.q_fingerprint,
         "highlight_corpus": textops.q_highlight_corpus,  # UnifiedHighlighter
+        "decontaminate": curation.q_decontaminate,  # benchmark n-gram decontamination
+        "stratified_sample": curation.q_stratified_sample,  # hash-threshold sampling
+        "chunk_windows": curation.q_chunk_windows,  # fixed-window doc chunking
         # --- dedup suite ---
         "exact_dedup": dedup.q_exact_dedup,
         "jaccard_pairs": dedup.q_jaccard_pairs,
@@ -88,7 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from lucene_7_x_9_x_ray.pipelines import ann, corpus, dedup, flagship, multimodal, relational, textops
+    from lucene_7_x_9_x_ray.pipelines import ann, corpus, curation, dedup, flagship, multimodal, relational, textops
     from lucene_7_x_9_x_ray.pipelines import oracles as O
 
     multiterm_specs = [
@@ -150,6 +153,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": corpus.oracle_corpus_clean_sql(),
         "doc_stats": textops.oracle_doc_stats_sql(),
         "lang_id": textops.oracle_lang_id_sql(),
+        "decontaminate": curation.oracle_decontaminate_sql(),
+        "stratified_sample": curation.oracle_stratified_sample_sql(),
+        "chunk_windows": curation.oracle_chunk_windows_sql(),
         "fingerprint": textops.oracle_fingerprint_sql(),
         "highlight_corpus": textops.oracle_highlight_sql(),
         "exact_dedup": dedup.oracle_exact_dedup_sql(),

@@ -1,0 +1,283 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+benchmark decontamination, deterministic stratified sampling, and
+fixed-window document chunking.
+
+Reference role: these are the curation passes an LLM data pipeline runs
+next to dedup (GPT-3/The-Pile-style n-gram decontamination; hash-based
+reproducible sampling; long-document windowing before tokenization). The
+engine side mirrors the repo's design rules:
+
+- **Decontaminate** is a broadcast semi-join: the benchmark side is small
+  by nature (eval sets), so its n-gram hash set is built once, sorted and
+  ``ray.put`` — every corpus task does a vectorized ``np.isin`` against
+  the shared array; the corpus side streams through ``map_batches`` with
+  pruned columns and never shuffles. At 100 TB the only state per worker
+  is the benchmark hash array.
+- **Stratified sample** is stateless per row: keep iff
+  ``md5_lower64(str(doc_id)) % 10_000 < rate(lang)`` — deterministic
+  under retries/resumes and cluster-size independent, unlike
+  ``Dataset.random_sample``.
+- **Chunk windows** is a per-row explode (``flat_map`` shape): each doc
+  emits ``ceil(n_tokens / W)`` windows with an md5 over the window text,
+  so the downstream pack/tokenize stage can shard by (doc_id, chunk_id).
+
+Every output column is reproduced exactly by the SQL oracles below
+(md5_number_lower == md5_lower64 — see oracles.py module docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import md5_hex, md5_lower64, md5_lower64_array
+from .common import HEAVY_ROWS_PER_BLOCK, sized_read
+
+# n-gram width for decontamination. Real pipelines use 8-13-word grams
+# (GPT-3 used 13); the driver corpus' docs are short synthetic text, so 5
+# keeps the fixture's overlap non-degenerate. The benchmark slice is
+# doc_id % BENCH_MOD == 0 (a stand-in for the external eval-set input).
+DECONTAM_NGRAM = 5
+BENCH_MOD = 7
+
+# per-language keep rates out of 10_000 (languages of the driver corpus);
+# unlisted languages keep everything
+SAMPLE_RATES = {"en": 5000, "de": 2500, "fr": 2500, "es": 7500, "zh": 10000}
+SAMPLE_MOD = 10_000
+
+CHUNK_W = 64  # tokens per window
+
+
+def _ngram_strings(tokens: np.ndarray, n: int) -> np.ndarray:
+    """Space-joined n-gram windows over one flat token array (vectorized:
+    n-1 elementwise object-string concats, no per-window Python join)."""
+    m = len(tokens) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=object)
+    out = tokens[:m].copy()
+    for j in range(1, n):
+        out = out + " "
+        out = out + tokens[j : j + m]
+    return out
+
+
+def _row_ngram_hashes(batch: pa.Table, n: int):
+    """Per-row n-gram md5_lower64 hashes: (hashes uint64, parent row per
+    hash). Windows never cross document boundaries."""
+    toks = pc.split_pattern(batch["text"], pattern=" ")
+    flat = np.asarray(
+        pc.list_flatten(toks).to_numpy(zero_copy_only=False), dtype=object
+    )
+    counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    grams = _ngram_strings(flat, n)
+    if len(grams) == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    # window j is valid iff it starts and ends inside the same row
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    parents = np.repeat(np.arange(len(counts)), counts)[: len(grams)]
+    ends_ok = np.repeat(starts + counts, counts)[: len(grams)]
+    valid = (np.arange(len(grams)) + n) <= ends_ok
+    grams = grams[valid]
+    parents = parents[valid]
+    return md5_lower64_array(grams), parents
+
+
+def benchmark_ngram_hashes(sf_dir: str) -> np.ndarray:
+    """Sorted unique n-gram hashes of the benchmark slice — the small
+    broadcast side, read with a pruned duckdb point query (only benchmark
+    rows' text leaves storage)."""
+    import duckdb
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet' "
+            f"WHERE doc_id % {BENCH_MOD} = 0"
+        ).fetchall()
+    ]
+    parts = []
+    for t in texts:
+        toks = np.asarray(t.split(" "), dtype=object)
+        g = _ngram_strings(toks, DECONTAM_NGRAM)
+        if len(g):
+            parts.append(md5_lower64_array(g))
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+class DecontaminateBatch:
+    """Actor-pool stage: holds the broadcast benchmark hash array once per
+    worker (resolved from the object store in __init__, not per batch)."""
+
+    def __init__(self, bench_ref):
+        import ray
+
+        self.bench = ray.get(bench_ref) if not isinstance(bench_ref, np.ndarray) else bench_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy()
+        hashes, parents = _row_ngram_hashes(batch, DECONTAM_NGRAM)
+        contaminated = np.zeros(batch.num_rows, dtype=bool)
+        if len(hashes) and len(self.bench):
+            hit = np.isin(hashes, self.bench, assume_unique=False)
+            contaminated[np.unique(parents[hit])] = True
+        keep = doc_ids % BENCH_MOD != 0  # benchmark rows are not corpus rows
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                "contaminated": pa.array(contaminated[keep], pa.bool_()),
+            }
+        )
+
+
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """(doc_id, contaminated) for every non-benchmark doc: contaminated
+    iff it shares a DECONTAM_NGRAM-gram with any benchmark doc."""
+    import ray
+
+    bench_ref = ray.put(benchmark_ngram_hashes(sf_dir))
+    ds = sized_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        rows_per_block=HEAVY_ROWS_PER_BLOCK,
+    )
+    out = ds.map_batches(
+        DecontaminateBatch,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_args=(bench_ref,),
+    )
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
+
+
+def sample_batch(batch: pa.Table) -> pa.Table:
+    """Keep rows whose doc_id hash falls under the language's rate."""
+    doc_ids = batch["doc_id"].to_numpy()
+    langs = np.asarray(batch["lang"].to_numpy(zero_copy_only=False), dtype=object)
+    buckets = md5_lower64_array(
+        np.asarray([str(int(d)) for d in doc_ids], dtype=object)
+    ) % np.uint64(SAMPLE_MOD)
+    rates = np.array(
+        [SAMPLE_RATES.get(l, SAMPLE_MOD) for l in langs], dtype=np.uint64
+    )
+    keep = buckets < rates
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[keep], pa.int64()),
+            "lang": pa.array(langs[keep], pa.string()),
+        }
+    )
+
+
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic per-language downsampling: (doc_id, lang) of the kept
+    rows. Hash-threshold keep (not random_sample) so re-runs, resumes and
+    cluster size never change the sample."""
+    import ray
+
+    ds = sized_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang"],
+        rows_per_block=HEAVY_ROWS_PER_BLOCK,
+    )
+    out = ds.map_batches(sample_batch, batch_format="pyarrow")
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
+
+
+def chunk_batch(batch: pa.Table) -> pa.Table:
+    """Explode each doc into CHUNK_W-token windows (flat_map shape):
+    (doc_id, chunk_id, n_tokens, chunk_md5)."""
+    toks = pc.split_pattern(batch["text"], pattern=" ")
+    doc_ids = batch["doc_id"].to_numpy()
+    counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    n_chunks = np.maximum((counts + CHUNK_W - 1) // CHUNK_W, 1)
+    max_chunks = int(n_chunks.max()) if len(n_chunks) else 0
+    out_doc, out_chunk, out_len, out_md5 = [], [], [], []
+    for k in range(max_chunks):
+        rows = np.flatnonzero(n_chunks > k)
+        # vectorized slice+join of window k over every doc that has it
+        sliced = pc.binary_join(
+            pc.list_slice(toks, k * CHUNK_W, (k + 1) * CHUNK_W), " "
+        )
+        texts_k = np.asarray(sliced.to_numpy(zero_copy_only=False), dtype=object)[rows]
+        out_doc.append(doc_ids[rows])
+        out_chunk.append(np.full(len(rows), k, dtype=np.int64))
+        out_len.append(np.minimum(counts[rows] - k * CHUNK_W, CHUNK_W))
+        out_md5.append(np.asarray([md5_hex(t) for t in texts_k], dtype=object))
+    if not out_doc:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_md5": pa.array([], pa.string()),
+            }
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            "chunk_id": pa.array(np.concatenate(out_chunk), pa.int64()),
+            "n_tokens": pa.array(np.concatenate(out_len), pa.int64()),
+            "chunk_md5": pa.array(np.concatenate(out_md5), pa.string()),
+        }
+    )
+
+
+def q_chunk_windows(sf_dir: str) -> pa.Table:
+    import ray
+
+    ds = sized_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        rows_per_block=HEAVY_ROWS_PER_BLOCK,
+    )
+    out = ds.map_batches(chunk_batch, batch_format="pyarrow")
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
+
+
+# --- SQL oracles ------------------------------------------------------------
+
+
+def oracle_decontaminate_sql(relation: str = "documents") -> str:
+    """Mirror of q_decontaminate: n-gram membership compared by
+    md5_number_lower (the engine compares md5_lower64 hashes — identical
+    function, so the oracle is exact including any collision)."""
+    n = DECONTAM_NGRAM
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}),
+ng AS (SELECT doc_id,
+              md5_number_lower(array_to_string(arr[i:i+{n - 1}], ' ')) AS h
+       FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - {n - 1})) AS i
+             FROM t)),
+bench AS (SELECT DISTINCT h FROM ng WHERE doc_id % {BENCH_MOD} = 0)
+SELECT d.doc_id,
+       EXISTS (SELECT 1 FROM ng JOIN bench USING (h)
+               WHERE ng.doc_id = d.doc_id) AS contaminated
+FROM {relation} d WHERE d.doc_id % {BENCH_MOD} <> 0"""
+
+
+def oracle_stratified_sample_sql(relation: str = "documents") -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM {relation}
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % {SAMPLE_MOD}
+      < (CASE lang {cases} ELSE {SAMPLE_MOD} END)"""
+
+
+def oracle_chunk_windows_sql(relation: str = "documents") -> str:
+    w = CHUNK_W
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}),
+k AS (SELECT doc_id, arr, len(arr) AS n,
+             unnest(generate_series(0, greatest((len(arr) + {w} - 1) // {w}, 1) - 1)) AS chunk_id
+      FROM t)
+SELECT doc_id, chunk_id,
+       least(n - chunk_id * {w}, {w}) AS n_tokens,
+       md5(array_to_string(arr[chunk_id * {w} + 1 : chunk_id * {w} + {w}], ' ')) AS chunk_md5
+FROM k"""

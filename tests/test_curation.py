@@ -1,0 +1,115 @@
+"""Curation-op tests: n-gram window construction, planted contamination,
+sampling determinism, chunk geometry, and gate-vs-oracle parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_7_x_9_x_ray.pipelines import curation as C
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ngram_strings_windows():
+    toks = np.asarray(["a", "b", "c", "d"], dtype=object)
+    assert list(C._ngram_strings(toks, 2)) == ["a b", "b c", "c d"]
+    assert list(C._ngram_strings(toks, 4)) == ["a b c d"]
+    assert len(C._ngram_strings(toks, 5)) == 0
+
+
+def test_row_ngram_hashes_respect_doc_boundaries():
+    batch = pa.table({"doc_id": [0, 1], "text": ["a b c", "c d e"]})
+    hashes, parents = C._row_ngram_hashes(batch, 3)
+    # one 3-gram per doc; the cross-boundary windows ("b c c", "c c d")
+    # must not appear
+    assert list(parents) == [0, 1]
+    from lucene_7_x_9_x_ray.functions.hashing import md5_lower64
+
+    assert hashes[0] == np.uint64(md5_lower64("a b c"))
+    assert hashes[1] == np.uint64(md5_lower64("c d e"))
+
+
+def test_decontaminate_flags_planted_overlap(ray_session, tmp_path):
+    """A corpus doc sharing one 5-gram with a benchmark doc flags
+    contaminated; unrelated docs do not."""
+    import pyarrow.parquet as pq
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = {
+        "doc_id": [0, 1, 2],  # doc 0: benchmark (0 % 7 == 0)
+        "text": [
+            bench_text,
+            "xx alpha beta gamma delta epsilon yy",  # shares a 5-gram
+            "totally unrelated words here now okay",
+        ],
+        "lang": ["en"] * 3,
+    }
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table(rows), str(sf / "documents.parquet"))
+    got = C.q_decontaminate(str(sf))
+    flags = dict(zip(got["doc_id"].to_pylist(), got["contaminated"].to_pylist()))
+    assert flags == {1: True, 2: False}
+
+
+def test_stratified_sample_deterministic(ray_session):
+    a = C.q_stratified_sample(SF)
+    b = C.q_stratified_sample(SF)
+    key = [("doc_id", "ascending")]
+    assert a.sort_by(key).equals(b.sort_by(key))
+    # zh keeps everything, de keeps ~25%
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["lang"])
+    n_zh = pc.sum(pc.equal(docs["lang"], "zh")).as_py()
+    got_zh = pc.sum(pc.equal(a["lang"], "zh")).as_py()
+    assert got_zh == n_zh
+    n_de = pc.sum(pc.equal(docs["lang"], "de")).as_py()
+    got_de = pc.sum(pc.equal(a["lang"], "de")).as_py()
+    assert 0 < got_de < n_de
+
+
+def test_chunk_windows_geometry(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    text_long = " ".join(f"w{i}" for i in range(C.CHUNK_W + 5))
+    rows = {"doc_id": [10, 11], "text": [text_long, "short doc"], "lang": ["en", "en"]}
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table(rows), str(sf / "documents.parquet"))
+    got = C.q_chunk_windows(str(sf)).sort_by(
+        [("doc_id", "ascending"), ("chunk_id", "ascending")]
+    )
+    rows_out = got.to_pylist()
+    assert [(r["doc_id"], r["chunk_id"], r["n_tokens"]) for r in rows_out] == [
+        (10, 0, C.CHUNK_W),
+        (10, 1, 5),
+        (11, 0, 2),
+    ]
+    import hashlib
+
+    assert rows_out[1]["chunk_md5"] == hashlib.md5(
+        " ".join(f"w{i}" for i in range(C.CHUNK_W, C.CHUNK_W + 5)).encode()
+    ).hexdigest()
+
+
+def test_curation_gates_oracle_parity(ray_session):
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    for qfn, osql, key in [
+        (C.q_decontaminate, C.oracle_decontaminate_sql(), [("doc_id", "ascending")]),
+        (C.q_stratified_sample, C.oracle_stratified_sample_sql(), [("doc_id", "ascending")]),
+        (
+            C.q_chunk_windows,
+            C.oracle_chunk_windows_sql(),
+            [("doc_id", "ascending"), ("chunk_id", "ascending")],
+        ),
+    ]:
+        got = qfn(SF)
+        want = con.sql(osql).arrow()
+        assert got.sort_by(key).equals(want.cast(got.schema).sort_by(key))
+        assert got.num_rows > 0
