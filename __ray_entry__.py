@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": flagship.q_grouped_topk,
         "interval_topk": flagship.q_interval_topk,  # queries/intervals module
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
+        "blockjoin_topk": flagship.q_blockjoin_topk,  # join module: nested doc blocks
         "suggest_completion": flagship.q_suggest_completion,  # suggest module
         "spellcheck": flagship.q_spellcheck,  # DirectSpellChecker
         # --- training-data text ops ---
@@ -144,6 +145,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "interval_topk": O.interval_topk_sql(flagship.INTERVAL_TOPK_SPECS),
         "payload_topk": O.payload_topk_sql(flagship.PAYLOAD_TOPK_SPECS),
+        "blockjoin_topk": O.blockjoin_topk_sql(
+            flagship.BLOCKJOIN_TOPK_SPECS, flagship.BLOCKJOIN_CHUNK_W,
+            flagship.BLOCKJOIN_PARENT_TEXT,
+        ),
         "suggest_completion": O.completion_sql(flagship.COMPLETION_SPECS),
         "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),

@@ -1095,6 +1095,121 @@ def q_payload_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# --- block join (join module) ------------------------------------------------
+
+# (query_id, term, score_mode, k)
+BLOCKJOIN_TOPK_SPECS: list[tuple[str, str, str, int]] = [
+    ("bj_avg_join", "join", "avg", 10),
+    ("bj_max_merge", "merge", "max", 10),
+    ("bj_total_scan", "scan", "total", 10),
+    ("bj_min_window", "window", "min", 10),
+    ("bj_avg_table", "table", "avg", 10),
+]
+
+BLOCKJOIN_CHUNK_W = 24  # child docs = 24-token windows of each document
+BLOCKJOIN_PARENT_TEXT = "pdoc"  # parent marker token, absent from the corpus
+
+
+def build_blockjoin_index(sf_dir: str) -> str:
+    """Variant index of document BLOCKS: each source doc becomes its
+    24-token chunk children followed by one parent row (text = the "pdoc"
+    marker, never matching child queries — the reference's contract that
+    the child query must not hit parents). ``is_parent`` and ``orig_doc``
+    ride the docmap as doc-values; parquet row groups align to block
+    boundaries so blocks never span build partitions (the
+    IndexWriter.addDocuments leaf-locality guarantee)."""
+    import pyarrow.parquet as _pq
+
+    root = _variant_cache_dir(sf_dir, "blockjoin")
+    index_dir = os.path.join(root, "index")
+    done_flag = os.path.join(index_dir, "merged", "merged.json")
+    if os.path.exists(done_flag):
+        return index_dir
+    os.makedirs(root, exist_ok=True)
+    pages_path = os.path.join(root, "pages.parquet")
+    if not os.path.exists(pages_path):
+        docs = _pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ).sort_by([("doc_id", "ascending")])
+        w = BLOCKJOIN_CHUNK_W
+        urls, texts, langs, is_parent, orig = [], [], [], [], []
+        block_starts = [0]
+        for did, text, lang in zip(
+            docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
+        ):
+            toks = text.split(" ")
+            n_chunks = max((len(toks) + w - 1) // w, 1)
+            for k in range(n_chunks):
+                urls.append(f"https://docs.example/c/{did}/{k}")
+                texts.append(" ".join(toks[k * w : (k + 1) * w]))
+                langs.append(lang)
+                is_parent.append(0)
+                orig.append(did)
+            urls.append(f"https://docs.example/p/{did}")
+            texts.append(BLOCKJOIN_PARENT_TEXT)
+            langs.append(lang)
+            is_parent.append(1)
+            orig.append(did)
+            block_starts.append(len(urls))
+        n = len(urls)
+        table = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(np.zeros(n, dtype="datetime64[us]")),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "is_parent": pa.array(is_parent, pa.int64()),
+                "orig_doc": pa.array(orig, pa.int64()),
+            }
+        )
+        # row groups cut ONLY at block boundaries, ~8 groups
+        target = max(64, n // 8)
+        cuts = [0]
+        for b in block_starts[1:]:
+            if b - cuts[-1] >= target or b == n:
+                cuts.append(b)
+        if cuts[-1] != n:
+            cuts.append(n)
+        with _pq.ParquetWriter(pages_path + ".tmp", table.schema) as wr:
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                wr.write_table(table.slice(a, b - a))
+        os.replace(pages_path + ".tmp", pages_path)
+    cfg = BuildConfig(
+        analyzer="whitespace",
+        store_cols=("is_parent", "orig_doc"),
+        target_docs_per_segment=max(64, _pages_rows(pages_path) // 8),
+    )
+    build_index([pages_path], index_dir, cfg)
+    merge_index(index_dir, MergeConfig(n_shards=8, hot_df_threshold=10**9))
+    return index_dir
+
+
+def q_blockjoin_topk(sf_dir: str) -> pa.Table:
+    """ToParentBlockJoinQuery gate over the block variant index:
+    (query_id, rank, doc_id = parent's source doc, score_r) for every
+    ScoreMode, ranked by the aggregated child BM25 score."""
+    index_dir = build_blockjoin_index(sf_dir)
+    searcher = open_searcher(index_dir, prefer_merged=True)
+    orig = np.asarray(searcher.readers[0].doc_values("orig_doc"))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, term, mode, k in BLOCKJOIN_TOPK_SPECS:
+        q = Q.ToParentBlockJoinQuery(Q.TermQuery(term), score_mode=mode)
+        td = searcher.search(q, k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(orig[int(d)]))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 # --- interval queries (queries/intervals module) ----------------------------
 
 # (query_id, kind, terms, max_gaps, k) — kinds:

@@ -642,6 +642,62 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, term,
 FROM ranked WHERE rank <= n"""
 
 
+def blockjoin_topk_sql(
+    specs: list[tuple[str, str, str, int]],
+    chunk_w: int,
+    parent_text: str = "pdoc",
+    relation: str = "documents",
+) -> str:
+    """ToParentBlockJoinQuery oracle: rebuild the block corpus (chunk
+    children + one parent marker row per doc) in SQL, score children with
+    the standard BM25 CTEs over THAT corpus (collection stats include the
+    parent rows, as the variant index's manifest does), then aggregate per
+    parent. Total/Avg replicate the engine's SEQUENTIAL double
+    accumulation in child-doc order via list_reduce (a plain SUM's
+    ordering is nondeterministic and can differ by an ulp); Min/Max are
+    order-free. Final cast to FLOAT mirrors the (float) narrowing in
+    ToParentBlockJoinQuery.setScoreAndFreq."""
+    w = chunk_w
+    terms = sorted({t for _, t, _, _ in specs})
+    bj = f"""
+bj AS (
+  SELECT doc_id AS orig_doc, chunk_id,
+         doc_id * 1000000 + chunk_id AS doc_id,
+         array_to_string(arr[chunk_id * {w} + 1 : chunk_id * {w} + {w}], ' ') AS text
+  FROM (SELECT doc_id, arr,
+               unnest(generate_series(0, greatest((len(arr) + {w} - 1) // {w}, 1) - 1)) AS chunk_id
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}))
+  UNION ALL
+  SELECT doc_id, 999999, doc_id * 1000000 + 999999, '{parent_text}' FROM {relation})"""
+    ctes = [bj, base_ctes("bj")]
+    ctes += [term_leaf_ctes(t) for t in terms]
+    selects = []
+    for qid, t, mode, k in specs:
+        ti = _ident(t)
+        if mode in ("total", "avg"):
+            agg = (
+                f"list_reduce(list(CAST(s.s AS DOUBLE) ORDER BY b.chunk_id), "
+                f"(acc, x) -> acc + x)"
+            )
+            if mode == "avg":
+                agg = f"({agg}) / count(*)"
+        elif mode == "max":
+            agg = "max(CAST(s.s AS DOUBLE))"
+        elif mode == "min":
+            agg = "min(CAST(s.s AS DOUBLE))"
+        else:
+            raise ValueError(mode)
+        ctes.append(f"""
+agg_{qid} AS (SELECT b.orig_doc, CAST({agg} AS FLOAT) AS score
+              FROM s_{ti} s JOIN bj b USING (doc_id)
+              GROUP BY b.orig_doc)""")
+        selects.append(f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, orig_doc) AS BIGINT) AS rank,
+        orig_doc AS doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM agg_{qid} ORDER BY score DESC, orig_doc LIMIT {k})""")
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def payload_topk_sql(
     specs: list[tuple[str, str, str, bool, int]],
     relation: str = "documents",

@@ -257,6 +257,22 @@ class PayloadScoreQuery(Query):
     field: str = ""
 
 
+@dataclass(frozen=True)
+class ToParentBlockJoinQuery(Query):
+    """join module ToParentBlockJoinQuery (s84 join/.../
+    ToParentBlockJoinQuery.java:63): documents index as contiguous blocks
+    (children first, parent last); a parent matches iff any of its
+    children matches ``child``, scored by ``score_mode`` over the matching
+    children (avg / max / total / min / none — ScoreMode.java). The parent
+    bitset is the doc-values column ``parent_col`` (the QueryBitSetProducer
+    role)."""
+
+    child: Query
+    score_mode: str = "avg"
+    parent_col: str = "is_parent"
+    boost: float = 1.0
+
+
 # --- multi-term (dict-rewritten) queries -----------------------------------
 
 
@@ -445,6 +461,8 @@ def collect_terms(query: Query) -> set[str]:
             out |= collect_terms(c.query)
     elif isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery, ExpressionScoreQuery)):
         out |= collect_terms(query.query)
+    elif isinstance(query, ToParentBlockJoinQuery):
+        out |= collect_terms(query.child)
     elif isinstance(query, DisjunctionMaxQuery):
         for q in query.queries:
             out |= collect_terms(q)
@@ -467,6 +485,8 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
             out |= collect_field_terms(c.query)
     elif isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery, ExpressionScoreQuery)):
         out |= collect_field_terms(query.query)
+    elif isinstance(query, ToParentBlockJoinQuery):
+        out |= collect_field_terms(query.child)
     elif isinstance(query, DisjunctionMaxQuery):
         for q in query.queries:
             out |= collect_field_terms(q)

@@ -395,6 +395,11 @@ def eval_query(
 
         return eval_payload_query(reader, query, stats, bm25)
 
+    if isinstance(query, Q.ToParentBlockJoinQuery):
+        from .blockjoin import eval_blockjoin
+
+        return eval_blockjoin(reader, query, stats, bm25)
+
     if isinstance(query, Q.BooleanQuery):
         return _eval_boolean(reader, query, stats, bm25)
 
