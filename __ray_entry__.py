@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_topk": flagship.q_interval_topk,  # queries/intervals module
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
         "blockjoin_topk": flagship.q_blockjoin_topk,  # join module: nested doc blocks
+        "tochild_topk": flagship.q_tochild_topk,  # inverse block join
         "suggest_completion": flagship.q_suggest_completion,  # suggest module
         "spellcheck": flagship.q_spellcheck,  # DirectSpellChecker
         # --- training-data text ops ---
@@ -147,6 +148,10 @@ def oracle_sql() -> dict[str, str]:
         "payload_topk": O.payload_topk_sql(flagship.PAYLOAD_TOPK_SPECS),
         "blockjoin_topk": O.blockjoin_topk_sql(
             flagship.BLOCKJOIN_TOPK_SPECS, flagship.BLOCKJOIN_CHUNK_W,
+            flagship.BLOCKJOIN_PARENT_TEXT,
+        ),
+        "tochild_topk": O.tochild_topk_sql(
+            flagship.TOCHILD_TOPK_SPECS, flagship.BLOCKJOIN_CHUNK_W,
             flagship.BLOCKJOIN_PARENT_TEXT,
         ),
         "suggest_completion": O.completion_sql(flagship.COMPLETION_SPECS),

@@ -1107,20 +1107,32 @@ BLOCKJOIN_TOPK_SPECS: list[tuple[str, str, str, int]] = [
 ]
 
 BLOCKJOIN_CHUNK_W = 24  # child docs = 24-token windows of each document
-BLOCKJOIN_PARENT_TEXT = "pdoc"  # parent marker token, absent from the corpus
+# parent rows: the "pdoc" marker + a parent-only language token "pl_<lang>"
+# (both absent from the corpus vocabulary, so parent queries never match
+# children and child queries never match parents)
+BLOCKJOIN_PARENT_TEXT = "pdoc"
+BLOCKJOIN_PARENT_CHUNK = 999_999  # chunk_id sentinel for parent rows
+
+# ToChildBlockJoin gate: (query_id, parent SHOULD terms, k)
+TOCHILD_TOPK_SPECS: list[tuple[str, tuple[str, ...], int]] = [
+    ("tc_es", ("pdoc", "pl_es"), 10),
+    ("tc_zh", ("pdoc", "pl_zh"), 10),
+    ("tc_pdoc", ("pdoc",), 10),
+]
 
 
 def build_blockjoin_index(sf_dir: str) -> str:
     """Variant index of document BLOCKS: each source doc becomes its
     24-token chunk children followed by one parent row (text = the "pdoc"
-    marker, never matching child queries — the reference's contract that
-    the child query must not hit parents). ``is_parent`` and ``orig_doc``
-    ride the docmap as doc-values; parquet row groups align to block
-    boundaries so blocks never span build partitions (the
-    IndexWriter.addDocuments leaf-locality guarantee)."""
+    marker + "pl_<lang>", never matching child queries — the reference's
+    contract that the child query must not hit parents, and vice versa).
+    ``is_parent``, ``orig_doc`` and ``chunk_id`` ride the docmap as
+    doc-values; parquet row groups align to block boundaries so blocks
+    never span build partitions (the IndexWriter.addDocuments
+    leaf-locality guarantee)."""
     import pyarrow.parquet as _pq
 
-    root = _variant_cache_dir(sf_dir, "blockjoin")
+    root = _variant_cache_dir(sf_dir, "blockjoin2")
     index_dir = os.path.join(root, "index")
     done_flag = os.path.join(index_dir, "merged", "merged.json")
     if os.path.exists(done_flag):
@@ -1132,7 +1144,7 @@ def build_blockjoin_index(sf_dir: str) -> str:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
         ).sort_by([("doc_id", "ascending")])
         w = BLOCKJOIN_CHUNK_W
-        urls, texts, langs, is_parent, orig = [], [], [], [], []
+        urls, texts, langs, is_parent, orig, chunk_ids = [], [], [], [], [], []
         block_starts = [0]
         for did, text, lang in zip(
             docs["doc_id"].to_pylist(), docs["text"].to_pylist(), docs["lang"].to_pylist()
@@ -1145,11 +1157,13 @@ def build_blockjoin_index(sf_dir: str) -> str:
                 langs.append(lang)
                 is_parent.append(0)
                 orig.append(did)
+                chunk_ids.append(k)
             urls.append(f"https://docs.example/p/{did}")
-            texts.append(BLOCKJOIN_PARENT_TEXT)
+            texts.append(f"{BLOCKJOIN_PARENT_TEXT} pl_{lang}")
             langs.append(lang)
             is_parent.append(1)
             orig.append(did)
+            chunk_ids.append(BLOCKJOIN_PARENT_CHUNK)
             block_starts.append(len(urls))
         n = len(urls)
         table = pa.table(
@@ -1160,6 +1174,7 @@ def build_blockjoin_index(sf_dir: str) -> str:
                 "lang": pa.array(langs, pa.string()),
                 "is_parent": pa.array(is_parent, pa.int64()),
                 "orig_doc": pa.array(orig, pa.int64()),
+                "chunk_id": pa.array(chunk_ids, pa.int64()),
             }
         )
         # row groups cut ONLY at block boundaries, ~8 groups
@@ -1176,7 +1191,7 @@ def build_blockjoin_index(sf_dir: str) -> str:
         os.replace(pages_path + ".tmp", pages_path)
     cfg = BuildConfig(
         analyzer="whitespace",
-        store_cols=("is_parent", "orig_doc"),
+        store_cols=("is_parent", "orig_doc", "chunk_id"),
         target_docs_per_segment=max(64, _pages_rows(pages_path) // 8),
     )
     build_index([pages_path], index_dir, cfg)
@@ -1205,6 +1220,37 @@ def q_blockjoin_topk(sf_dir: str) -> pa.Table:
             "query_id": pa.array(qids, pa.string()),
             "rank": pa.array(ranks, pa.int64()),
             "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def q_tochild_topk(sf_dir: str) -> pa.Table:
+    """ToChildBlockJoinQuery gate: children inherit the parent's BM25
+    score for a parent query over the parent-only vocabulary (pdoc +
+    pl_<lang>). (query_id, rank, doc_id = source doc, chunk_id,
+    score_r)."""
+    index_dir = build_blockjoin_index(sf_dir)
+    searcher = open_searcher(index_dir, prefer_merged=True)
+    r0 = searcher.readers[0]
+    orig = np.asarray(r0.doc_values("orig_doc"))
+    chunk = np.asarray(r0.doc_values("chunk_id"))
+    qids, ranks, docs, chunks, scores = [], [], [], [], []
+    for qid, terms, k in TOCHILD_TOPK_SPECS:
+        parent_q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
+        td = searcher.search(Q.ToChildBlockJoinQuery(parent_q), k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(orig[int(d)]))
+            chunks.append(int(chunk[int(d)]))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "chunk_id": pa.array(chunks, pa.int64()),
             "score_r": pa.array(scores, pa.float64()),
         }
     )

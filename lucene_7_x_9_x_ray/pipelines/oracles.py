@@ -668,7 +668,8 @@ bj AS (
                unnest(generate_series(0, greatest((len(arr) + {w} - 1) // {w}, 1) - 1)) AS chunk_id
         FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}))
   UNION ALL
-  SELECT doc_id, 999999, doc_id * 1000000 + 999999, '{parent_text}' FROM {relation})"""
+  SELECT doc_id, 999999, doc_id * 1000000 + 999999,
+         '{parent_text} pl_' || lang FROM {relation})"""
     ctes = [bj, base_ctes("bj")]
     ctes += [term_leaf_ctes(t) for t in terms]
     selects = []
@@ -695,6 +696,47 @@ agg_{qid} AS (SELECT b.orig_doc, CAST({agg} AS FLOAT) AS score
         CAST(row_number() OVER (ORDER BY score DESC, orig_doc) AS BIGINT) AS rank,
         orig_doc AS doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
  FROM agg_{qid} ORDER BY score DESC, orig_doc LIMIT {k})""")
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def tochild_topk_sql(
+    specs: list[tuple[str, tuple, int]],
+    chunk_w: int,
+    parent_text: str = "pdoc",
+    relation: str = "documents",
+) -> str:
+    """ToChildBlockJoinQuery oracle: children carry their parent row's
+    BM25 disjunction score verbatim (ToChildBlockJoinScorer.score returns
+    parentScore). Parent rows are the '<parent_text> pl_<lang>' markers of
+    the block corpus; the score CTEs run over that corpus so collection
+    stats match the variant index. Rank ties break by child docID, i.e.
+    (orig_doc, chunk_id)."""
+    w = chunk_w
+    terms = sorted({t for _, ts, _ in specs for t in ts})
+    bj = f"""
+bj AS (
+  SELECT doc_id AS orig_doc, chunk_id,
+         doc_id * 1000000 + chunk_id AS doc_id,
+         array_to_string(arr[chunk_id * {w} + 1 : chunk_id * {w} + {w}], ' ') AS text
+  FROM (SELECT doc_id, arr,
+               unnest(generate_series(0, greatest((len(arr) + {w} - 1) // {w}, 1) - 1)) AS chunk_id
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}))
+  UNION ALL
+  SELECT doc_id, 999999, doc_id * 1000000 + 999999,
+         '{parent_text} pl_' || lang FROM {relation})"""
+    ctes = [bj, base_ctes("bj")]
+    ctes += [term_leaf_ctes(t) for t in terms]
+    selects = []
+    for qid, ts, k in specs:
+        ctes.append(disjunction_scored_cte(qid, list(ts)))
+        selects.append(f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY s.score DESC, c.orig_doc, c.chunk_id) AS BIGINT) AS rank,
+        c.orig_doc AS doc_id, c.chunk_id, ROUND(CAST(s.score AS DOUBLE), 4) AS score_r
+ FROM bj c
+ JOIN bj p ON p.orig_doc = c.orig_doc AND p.chunk_id = 999999
+ JOIN scored_{qid} s ON s.doc_id = p.doc_id
+ WHERE c.chunk_id <> 999999
+ ORDER BY s.score DESC, c.orig_doc, c.chunk_id LIMIT {k})""")
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 

@@ -28,6 +28,39 @@ import numpy as np
 SCORE_MODES = ("avg", "max", "total", "min", "none")
 
 
+def eval_tochild_blockjoin(reader, query, stats, bm25):
+    """ToChildBlockJoinQuery (s84 join/.../ToChildBlockJoinQuery.java:136):
+    every child of a matching parent matches, carrying the PARENT's score
+    verbatim. Returns (child local docIDs ascending, float32 scores). A
+    parent query hitting a non-parent doc raises, mirroring the
+    reference's validation in ToChildBlockJoinScorer.nextDoc."""
+    from .scorers import _empty, eval_query
+
+    parent_docs, parent_scores = eval_query(reader, query.parent, stats, bm25)
+    if len(parent_docs) == 0:
+        return _empty()
+    parent_flags = np.asarray(reader.doc_values(query.parent_col))
+    parents = np.flatnonzero(parent_flags != 0)
+    if np.any(parent_flags[parent_docs] == 0):
+        raise ValueError(
+            "Parent query yields a doc which is not matched by parents filter "
+            "(ToChildBlockJoinQuery.java:183 IllegalStateException)"
+        )
+    idx = np.searchsorted(parents, parent_docs)
+    starts = np.where(idx > 0, parents[idx - 1] + 1, 0)
+    counts = parent_docs - starts  # children per matched block
+    keep = counts > 0  # childless parents emit nothing (reference skips them)
+    starts, counts = starts[keep], counts[keep]
+    scores = parent_scores[keep]
+    if len(starts) == 0:
+        return _empty()
+    total = int(counts.sum())
+    offs = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offs[1:])
+    out_docs = np.repeat(starts, counts) + (np.arange(total) - np.repeat(offs, counts))
+    return out_docs, np.repeat(scores, counts).astype(np.float32)
+
+
 def eval_blockjoin(reader, query, stats, bm25):
     """Returns (parent local docIDs ascending, float32 aggregated scores)."""
     from .scorers import _empty, eval_query

@@ -273,6 +273,18 @@ class ToParentBlockJoinQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class ToChildBlockJoinQuery(Query):
+    """join module ToChildBlockJoinQuery (s84 join/.../
+    ToChildBlockJoinQuery.java:43): the inverse block join — every child
+    of a parent matched by ``parent`` matches, scored with the parent's
+    score verbatim."""
+
+    parent: Query
+    parent_col: str = "is_parent"
+    boost: float = 1.0
+
+
 # --- multi-term (dict-rewritten) queries -----------------------------------
 
 
@@ -463,6 +475,8 @@ def collect_terms(query: Query) -> set[str]:
         out |= collect_terms(query.query)
     elif isinstance(query, ToParentBlockJoinQuery):
         out |= collect_terms(query.child)
+    elif isinstance(query, ToChildBlockJoinQuery):
+        out |= collect_terms(query.parent)
     elif isinstance(query, DisjunctionMaxQuery):
         for q in query.queries:
             out |= collect_terms(q)
@@ -487,6 +501,8 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
         out |= collect_field_terms(query.query)
     elif isinstance(query, ToParentBlockJoinQuery):
         out |= collect_field_terms(query.child)
+    elif isinstance(query, ToChildBlockJoinQuery):
+        out |= collect_field_terms(query.parent)
     elif isinstance(query, DisjunctionMaxQuery):
         for q in query.queries:
             out |= collect_field_terms(q)

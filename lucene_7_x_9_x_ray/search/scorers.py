@@ -400,6 +400,11 @@ def eval_query(
 
         return eval_blockjoin(reader, query, stats, bm25)
 
+    if isinstance(query, Q.ToChildBlockJoinQuery):
+        from .blockjoin import eval_tochild_blockjoin
+
+        return eval_tochild_blockjoin(reader, query, stats, bm25)
+
     if isinstance(query, Q.BooleanQuery):
         return _eval_boolean(reader, query, stats, bm25)
 

@@ -90,6 +90,43 @@ def test_blockjoin_boolean_child_and_parent_guard(tmp_path):
         s.search(Q.ToParentBlockJoinQuery(Q.TermQuery("pdoc")), k=10)
 
 
+def test_tochild_blockjoin_inherits_parent_score(tmp_path):
+    s = _block_index(tmp_path, [["cat dog", "bird"], ["dog"], ["fish cat"]])
+    # parents: docs 2, 4, 6; children: 0, 1 | 3 | 5
+    td = s.search(Q.ToChildBlockJoinQuery(Q.TermQuery("pdoc")), k=20)
+    got = {int(d): np.float32(x) for d, x in zip(td.doc_ids, td.scores)}
+    p = s.search(Q.TermQuery("pdoc"), k=10)
+    pscore = {int(d): np.float32(x) for d, x in zip(p.doc_ids, p.scores)}
+    assert set(got) == {0, 1, 3, 5}
+    assert got[0] == got[1] == pscore[2]
+    assert got[3] == pscore[4]
+    assert got[5] == pscore[6]
+    # a parent query hitting a non-parent doc is illegal
+    with pytest.raises(ValueError, match="not matched by parents filter"):
+        s.search(Q.ToChildBlockJoinQuery(Q.TermQuery("cat")), k=10)
+
+
+def test_tochild_gate_oracle_parity(ray_session):
+    import duckdb as _dd
+
+    from lucene_7_x_9_x_ray.pipelines import flagship, oracles
+
+    sf = "/root/testdata/sf0.001"
+    got = flagship.q_tochild_topk(sf)
+    con = _dd.connect()
+    con.sql(f"create view documents as select * from '{sf}/documents.parquet'")
+    want = con.sql(
+        oracles.tochild_topk_sql(
+            flagship.TOCHILD_TOPK_SPECS,
+            flagship.BLOCKJOIN_CHUNK_W,
+            flagship.BLOCKJOIN_PARENT_TEXT,
+        )
+    ).arrow()
+    key = [("query_id", "ascending"), ("rank", "ascending")]
+    assert got.sort_by(key).equals(want.cast(got.schema).sort_by(key))
+    assert got.num_rows > 0
+
+
 def test_blockjoin_gate_segment_vs_merged_and_oracle(ray_session):
     import duckdb as _dd
 
