@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
+        "facet_length_ranges": flagship.q_facet_length_ranges,  # numeric range facets
         "grouped_topk": flagship.q_grouped_topk,
         "interval_topk": flagship.q_interval_topk,  # queries/intervals module
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
@@ -69,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": curation.q_decontaminate,  # benchmark n-gram decontamination
         "stratified_sample": curation.q_stratified_sample,  # hash-threshold sampling
         "chunk_windows": curation.q_chunk_windows,  # fixed-window doc chunking
+        "pack_sequences": curation.q_pack_sequences,  # concat-and-chunk packing
+        "quality_filter": textops.q_quality_filter,  # Gopher repetition rules
         # --- dedup suite ---
         "exact_dedup": dedup.q_exact_dedup,
         "jaccard_pairs": dedup.q_jaccard_pairs,
@@ -157,6 +160,9 @@ def oracle_sql() -> dict[str, str]:
         "suggest_completion": O.completion_sql(flagship.COMPLETION_SPECS),
         "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
+        "facet_length_ranges": O.facet_range_sql(
+            flagship.FACET_TERM, flagship.FACET_RANGE_EDGES, flagship.FACET_RANGE_LABELS
+        ),
         "grouped_topk": O.grouped_topk_sql(
             flagship.GROUPED_TOPK_TERMS, flagship.GROUPED_TOPK_PER_GROUP
         ),
@@ -166,6 +172,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": curation.oracle_decontaminate_sql(),
         "stratified_sample": curation.oracle_stratified_sample_sql(),
         "chunk_windows": curation.oracle_chunk_windows_sql(),
+        "pack_sequences": curation.oracle_pack_sequences_sql(),
+        "quality_filter": textops.oracle_quality_filter_sql(),
         "fingerprint": textops.oracle_fingerprint_sql(),
         "highlight_corpus": textops.oracle_highlight_sql(),
         "exact_dedup": dedup.oracle_exact_dedup_sql(),

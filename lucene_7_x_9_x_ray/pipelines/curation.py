@@ -239,6 +239,110 @@ def q_chunk_windows(sf_dir: str) -> pa.Table:
     return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
 
 
+SEQ_LEN = 128  # tokens per packed training sequence
+
+
+def _pack_summary_batch(batch: pa.Table) -> pa.Table:
+    """Pass 1 of the distributed prefix sum: one (first_doc, last_doc,
+    tok_sum) row per block — the only data that ever reaches the driver."""
+    doc_ids = batch["doc_id"].to_numpy()
+    if len(doc_ids) > 1 and not np.all(np.diff(doc_ids) > 0):
+        raise ValueError("pack_sequences requires doc_id-ordered blocks")
+    toks = pc.split_pattern(batch["text"], pattern=" ")
+    tok_sum = int(pc.sum(pc.list_value_length(toks)).as_py() or 0)
+    return pa.table(
+        {
+            "first_doc": pa.array([int(doc_ids[0])], pa.int64()),
+            "last_doc": pa.array([int(doc_ids[-1])], pa.int64()),
+            "tok_sum": pa.array([tok_sum], pa.int64()),
+        }
+    )
+
+
+class PackAssignBatch:
+    """Pass 2: holds the (block first_doc -> base token offset) anchors
+    once per worker; each block adds its base to a within-block exclusive
+    cumsum. Anchor lookup is exact — a batch whose first doc is not a
+    block anchor means the executor re-batched, and we fail loudly rather
+    than emit wrong offsets."""
+
+    def __init__(self, anchors_ref):
+        import ray
+
+        self.first_docs, self.bases = (
+            ray.get(anchors_ref) if not isinstance(anchors_ref, tuple) else anchors_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy()
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        i = np.searchsorted(self.first_docs, int(doc_ids[0]))
+        if i >= len(self.first_docs) or self.first_docs[i] != int(doc_ids[0]):
+            raise ValueError("pack_sequences batch does not align with a summary block")
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        starts += int(self.bases[i])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "tok_start": pa.array(starts, pa.int64()),
+                "n_tokens": pa.array(counts, pa.int64()),
+                "seq_first": pa.array(starts // SEQ_LEN, pa.int64()),
+                "seq_last": pa.array((starts + counts - 1) // SEQ_LEN, pa.int64()),
+            }
+        )
+
+
+def q_pack_sequences(sf_dir: str) -> pa.Table:
+    """GPT-style concat-and-chunk sequence packing: every doc's tokens are
+    laid out contiguously in doc_id order and cut into SEQ_LEN-token
+    training sequences; emits (doc_id, tok_start, n_tokens, seq_first,
+    seq_last) so the tokenizer stage knows exactly which sequences each
+    doc feeds.
+
+    The global token offset is a **two-pass distributed prefix sum** —
+    the standard way to scan at 100 TB without a sort or a driver loop:
+    pass 1 streams the corpus once and ships 3 ints per block to the
+    driver; the driver exclusive-scans the per-block sums (O(n_blocks)
+    state) after checking the block doc ranges are disjoint and ordered;
+    pass 2 streams again, adding each block's base to a vectorized
+    within-block cumsum. Both passes see identical blocks because they
+    map over the same materialized dataset with batch_size=None
+    (whole-block batches)."""
+    import ray
+
+    ds = sized_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        rows_per_block=HEAVY_ROWS_PER_BLOCK,
+    ).materialize()
+    summary = pa.concat_tables(
+        ray.get(
+            ds.map_batches(_pack_summary_batch, batch_size=None, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    order = np.argsort(summary["first_doc"].to_numpy())
+    firsts = summary["first_doc"].to_numpy()[order]
+    lasts = summary["last_doc"].to_numpy()[order]
+    sums = summary["tok_sum"].to_numpy()[order]
+    if len(firsts) > 1 and not np.all(lasts[:-1] < firsts[1:]):
+        raise ValueError("pack_sequences requires disjoint ordered block doc ranges")
+    bases = np.zeros(len(sums), dtype=np.int64)
+    np.cumsum(sums[:-1], out=bases[1:])
+    anchors_ref = ray.put((firsts, bases))
+    out = ds.map_batches(
+        PackAssignBatch,
+        batch_size=None,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_args=(anchors_ref,),
+    )
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
+
+
 # --- SQL oracles ------------------------------------------------------------
 
 
@@ -268,6 +372,22 @@ def oracle_stratified_sample_sql(relation: str = "documents") -> str:
 SELECT doc_id, lang FROM {relation}
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % {SAMPLE_MOD}
       < (CASE lang {cases} ELSE {SAMPLE_MOD} END)"""
+
+
+def oracle_pack_sequences_sql(relation: str = "documents") -> str:
+    """Mirror of q_pack_sequences: the global token offset is a window
+    cumsum in doc_id order; sequence ids are integer division by SEQ_LEN."""
+    L = SEQ_LEN
+    return f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM {relation}),
+o AS (SELECT doc_id, n,
+             COALESCE(sum(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM t)
+SELECT doc_id, CAST(s AS BIGINT) AS tok_start, CAST(n AS BIGINT) AS n_tokens,
+       CAST(s // {L} AS BIGINT) AS seq_first,
+       CAST((s + n - 1) // {L} AS BIGINT) AS seq_last
+FROM o"""
 
 
 def oracle_chunk_windows_sql(relation: str = "documents") -> str:

@@ -63,6 +63,10 @@ POSTINGS_TERMS = ["the", "table", "dup"]
 FACET_TERM = "table"
 GROUPED_TOPK_TERMS = ["key", "hash"]
 GROUPED_TOPK_PER_GROUP = 2
+# numeric range-facet buckets over the doc-length doc-values column:
+# [0,30) short, [30,60) mid, [60,inf) long (corpus dl spans 10-99)
+FACET_RANGE_EDGES = [30, 60]
+FACET_RANGE_LABELS = ["len_00_29", "len_30_59", "len_60_up"]
 
 _SEARCHERS: dict[str, tuple[IndexSearcher, IndexSearcher]] = {}
 
@@ -765,7 +769,12 @@ def q_multiterm_match(sf_dir: str) -> pa.Table:
     return pa.table({"kind": pa.array(kinds, pa.string()), "doc_id": pa.array(docs, pa.int64())})
 
 
-def _matched_rows_dataset(sf_dir: str, terms: list[str], per_seg_topk_per_lang: int = 0):
+def _matched_rows_dataset(
+    sf_dir: str,
+    terms: list[str],
+    per_seg_topk_per_lang: int = 0,
+    with_length: bool = False,
+):
     """Distributed matched-docs relation: one Ray task per SEGMENT evaluates
     the SHOULD-disjunction where the segment lives and emits (doc_id, lang,
     score) for ITS matches only — the docmap join happens segment-locally,
@@ -822,6 +831,11 @@ def _matched_rows_dataset(sf_dir: str, terms: list[str], per_seg_topk_per_lang: 
             urls = dm["url"].take(pa.array(docs)).to_pylist()
             langs = np.asarray(dm["lang"].take(pa.array(docs)).to_pylist(), dtype=object)
             gids = np.asarray(_doc_ids_from_urls(urls), dtype=np.int64)
+            dls = (
+                np.asarray(dm["length"].take(pa.array(docs)).to_pylist(), dtype=np.int64)
+                if with_length
+                else None
+            )
             if per_seg_topk_per_lang:
                 # per-segment per-lang partial top-k (combiner): the final
                 # per-lang reduce only ever sees n_segments * k rows per lang
@@ -832,20 +846,25 @@ def _matched_rows_dataset(sf_dir: str, terms: list[str], per_seg_topk_per_lang: 
                     keep_idx.append(li[order[:per_seg_topk_per_lang]])
                 sel = np.concatenate(keep_idx)
                 gids, langs, scores = gids[sel], langs[sel], scores[sel]
-            out.append(
-                pa.table(
-                    {
-                        "doc_id": pa.array(gids),
-                        "lang": pa.array(langs, pa.string()),
-                        "score": pa.array(scores.astype(np.float32)),
-                    }
-                )
-            )
+                if dls is not None:
+                    dls = dls[sel]
+            cols = {
+                "doc_id": pa.array(gids),
+                "lang": pa.array(langs, pa.string()),
+                "score": pa.array(scores.astype(np.float32)),
+            }
+            if dls is not None:
+                cols["dl"] = pa.array(dls, pa.int64())
+            out.append(pa.table(cols))
         if not out:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string()),
-                 "score": pa.array([], pa.float32())}
-            )
+            empty = {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "score": pa.array([], pa.float32()),
+            }
+            if with_length:
+                empty["dl"] = pa.array([], pa.int64())
+            return pa.table(empty)
         return pa.concat_tables(out)
 
     return rd.from_items(seg_dirs, override_num_blocks=len(seg_dirs)).map_batches(
@@ -869,6 +888,39 @@ def q_facet_lang(sf_dir: str) -> pa.Table:
     return pa.table(
         {
             "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_facet_length_ranges(sf_dir: str) -> pa.Table:
+    """Numeric range facet (LongRangeFacetCounts / LongValueFacetCounts
+    role, s84 facet/.../LongValueFacetCounts.java:51): histogram of doc
+    LENGTH buckets over docs matching the facet term. The length is the
+    ``length`` doc-values column of each segment's docmap — bucketization
+    is a vectorized searchsorted inside map_batches; the count is a Ray
+    Data groupby, never a driver dict."""
+    from ray.data.aggregate import Count
+
+    edges = np.asarray(FACET_RANGE_EDGES, dtype=np.int64)
+    labels = np.asarray(FACET_RANGE_LABELS, dtype=object)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy()
+        idx = np.searchsorted(edges, dl, side="right")
+        return pa.table({"bucket": pa.array(labels[idx], pa.string())})
+
+    rows = (
+        _matched_rows_dataset(sf_dir, [FACET_TERM], with_length=True)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["bucket"])
+    return pa.table(
+        {
+            "bucket": pa.array([r["bucket"] for r in rows], pa.string()),
             "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
         }
     )

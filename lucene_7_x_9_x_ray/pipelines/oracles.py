@@ -542,6 +542,32 @@ WHERE EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{term}
 GROUP BY d.lang"""
 
 
+def facet_range_sql(
+    term: str,
+    edges: list[int],
+    labels: list[str],
+    relation: str = "documents",
+) -> str:
+    """Numeric range-facet counts of doc length over docs matching
+    ``term``: bucket i = [edges[i-1], edges[i]) with open ends."""
+    conds = []
+    for i, lab in enumerate(labels):
+        lo = None if i == 0 else edges[i - 1]
+        hi = None if i == len(labels) - 1 else edges[i]
+        cond = []
+        if lo is not None:
+            cond.append(f"dl.dl >= {lo}")
+        if hi is not None:
+            cond.append(f"dl.dl < {hi}")
+        conds.append(f"WHEN {' AND '.join(cond) or 'TRUE'} THEN '{lab}'")
+    case = "CASE " + " ".join(conds) + " END"
+    return f"""WITH {base_ctes(relation)}
+SELECT {case} AS bucket, count(*) AS n
+FROM dl
+WHERE EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = dl.doc_id AND t.term = '{term}')
+GROUP BY bucket"""
+
+
 def grouped_topk_sql(terms: list[str], per_group: int, relation: str = "documents") -> str:
     """Per-lang top-k by BM25 for a disjunction: (lang, rank, doc_id, score_r)."""
     ctes = [base_ctes(relation)]

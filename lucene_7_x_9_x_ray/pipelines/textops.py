@@ -94,6 +94,83 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _per_row_value_freqs(values: pa.Array, parents: np.ndarray, n_rows: int):
+    """Per-(row, value) frequencies via dictionary codes over a flat value
+    stream. Returns (n_per_row, n_distinct_per_row, max_freq_per_row) —
+    all segmented reductions, no Python loop over rows."""
+    n_vals = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    n_distinct = np.zeros(n_rows, dtype=np.int64)
+    max_freq = np.zeros(n_rows, dtype=np.int64)
+    if len(parents) == 0:
+        return n_vals, n_distinct, max_freq
+    enc = pc.dictionary_encode(values)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    ncodes = int(codes.max()) + 1 if len(codes) else 1
+    pair = parents.astype(np.int64) * ncodes + codes
+    uniq_pair, freq = np.unique(pair, return_counts=True)
+    up_parent = (uniq_pair // ncodes).astype(np.int64)
+    n_distinct = np.bincount(up_parent, minlength=n_rows).astype(np.int64)
+    rstarts = np.flatnonzero(np.r_[True, up_parent[1:] != up_parent[:-1]])
+    max_freq[up_parent[rstarts]] = np.maximum.reduceat(freq, rstarts)
+    return n_vals, n_distinct, max_freq
+
+
+# Gopher/C4-style repetition thresholds, set near the corpus q80 so the
+# keep flag splits the driver corpus non-trivially at every sf (measured:
+# dup-bigram q80 ~= 0.051, max-token q80 ~= 0.12).
+QUALITY_DUP_BIGRAM_MAX = 0.05
+QUALITY_MAX_TOK_MAX = 0.12
+
+
+def quality_filter_batch(batch: pa.Table) -> pa.Table:
+    """Gopher/C4-style repetition quality filter (Rae et al. 2021 "Scaling
+    Language Models" Table A1 repetition rules, re-expressed over the
+    whitespace token stream): per doc —
+
+    - ``dup_bigram_frac``: 1 − distinct/total 2-grams (duplicate n-gram
+      fraction);
+    - ``top_bigram_frac``: most-frequent-2-gram count / total 2-grams
+      (top n-gram coverage);
+    - ``max_tok_frac``: most-frequent-token count / tokens;
+    - ``keep``: dup_bigram_frac ≤ 0.05 AND max_tok_frac ≤ 0.12.
+
+    Fully vectorized: one dictionary-encode + segmented reductions per
+    metric; bigram strings built with two elementwise object concats."""
+    n = batch.num_rows
+    toks, flat, parents = _tok_arrays(batch)
+    n_tokens, _, max_tok = _per_row_value_freqs(flat, parents, n)
+
+    flat_np = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+    if len(flat_np) > 1:
+        bg = flat_np[:-1] + " "
+        bg = bg + flat_np[1:]
+        same_row = parents[:-1] == parents[1:]
+        bg_vals = pa.array(bg[same_row], pa.string())
+        bg_parents = parents[:-1][same_row]
+    else:
+        bg_vals = pa.array([], pa.string())
+        bg_parents = np.empty(0, dtype=parents.dtype)
+    n_bg, nd_bg, max_bg = _per_row_value_freqs(bg_vals, bg_parents, n)
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dup_frac = np.where(n_bg > 0, 1.0 - nd_bg / n_bg, 0.0)
+        top_frac = np.where(n_bg > 0, max_bg / n_bg, 0.0)
+        tok_frac = np.where(n_tokens > 0, max_tok / n_tokens, 0.0)
+    keep = (dup_frac <= QUALITY_DUP_BIGRAM_MAX) & (tok_frac <= QUALITY_MAX_TOK_MAX)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "dup_bigram_frac": pa.array(round_half_away_np(dup_frac, 6), pa.float64()),
+            "top_bigram_frac": pa.array(round_half_away_np(top_frac, 6), pa.float64()),
+            "max_tok_frac": pa.array(round_half_away_np(tok_frac, 6), pa.float64()),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
+
+
 def lang_id_batch(batch: pa.Table) -> pa.Table:
     """Profile-hit language ID; deterministic argmax with lexicographic ties."""
     n = batch.num_rows
@@ -201,6 +278,10 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     return _run(sf_dir, fingerprint_batch)
 
 
+def q_quality_filter(sf_dir: str) -> pa.Table:
+    return _run(sf_dir, quality_filter_batch)
+
+
 # --- SQL oracles ------------------------------------------------------------
 
 
@@ -232,6 +313,43 @@ SELECT doc_id,
             ELSE 'und' END AS pred_lang,
        c_{a}, c_{b}, c_{c}
 FROM h"""
+
+
+def oracle_quality_filter_sql(relation: str = "documents") -> str:
+    """Exact mirror of quality_filter_batch: both sides compute the
+    fractions as IEEE-double divisions of the same integer counts, so the
+    raw (unrounded) values the keep flag compares are bit-identical."""
+    t1, t2 = QUALITY_DUP_BIGRAM_MAX, QUALITY_MAX_TOK_MAX
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}),
+tf AS (SELECT doc_id, term, count(*) AS f
+       FROM (SELECT doc_id, unnest(arr) AS term FROM t) GROUP BY doc_id, term),
+mt AS (SELECT doc_id, CAST(max(f) AS BIGINT) AS max_tok,
+              CAST(sum(f) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id),
+bf AS (SELECT doc_id, g, count(*) AS f
+       FROM (SELECT doc_id, arr[i] || ' ' || arr[i+1] AS g
+             FROM (SELECT doc_id, arr,
+                          unnest(generate_series(1, len(arr) - 1)) AS i FROM t))
+       GROUP BY doc_id, g),
+mb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd,
+              CAST(sum(f) AS BIGINT) AS nb,
+              CAST(max(f) AS BIGINT) AS mbf FROM bf GROUP BY doc_id),
+j AS (SELECT mt.doc_id, mt.n_tokens, mt.max_tok,
+             COALESCE(mb.nd, 0) AS nd, COALESCE(mb.nb, 0) AS nb,
+             COALESCE(mb.mbf, 0) AS mbf
+      FROM mt LEFT JOIN mb USING (doc_id)),
+v AS (SELECT doc_id, n_tokens,
+             CASE WHEN nb > 0 THEN 1.0 - CAST(nd AS DOUBLE) / nb ELSE 0.0 END AS dup_f,
+             CASE WHEN nb > 0 THEN CAST(mbf AS DOUBLE) / nb ELSE 0.0 END AS top_f,
+             CASE WHEN n_tokens > 0 THEN CAST(max_tok AS DOUBLE) / n_tokens
+                  ELSE 0.0 END AS tok_f
+      FROM j)
+SELECT doc_id, n_tokens,
+       ROUND(dup_f, 6) AS dup_bigram_frac,
+       ROUND(top_f, 6) AS top_bigram_frac,
+       ROUND(tok_f, 6) AS max_tok_frac,
+       (dup_f <= {t1} AND tok_f <= {t2}) AS keep
+FROM v"""
 
 
 def oracle_fingerprint_sql(relation: str = "documents") -> str:

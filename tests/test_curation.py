@@ -113,3 +113,47 @@ def test_curation_gates_oracle_parity(ray_session):
         want = con.sql(osql).arrow()
         assert got.sort_by(key).equals(want.cast(got.schema).sort_by(key))
         assert got.num_rows > 0
+
+
+def test_pack_sequences_prefix_sum_and_oracle(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    # hand-checkable geometry: SEQ_LEN=128; docs of 100, 60, 200 tokens
+    texts = [" ".join(f"t{i}" for i in range(n)) for n in (100, 60, 200)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2], "text": texts}), str(sf / "documents.parquet")
+    )
+    got = C.q_pack_sequences(str(sf)).sort_by([("doc_id", "ascending")]).to_pylist()
+    assert [(r["tok_start"], r["n_tokens"], r["seq_first"], r["seq_last"]) for r in got] == [
+        (0, 100, 0, 0),      # tokens 0-99 inside seq 0
+        (100, 60, 0, 1),     # 100-159 straddles the 128 boundary
+        (160, 200, 1, 2),    # 160-359 spans seqs 1-2
+    ]
+
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    got2 = C.q_pack_sequences(SF)
+    want = con.sql(C.oracle_pack_sequences_sql()).arrow()
+    key = [("doc_id", "ascending")]
+    assert got2.sort_by(key).equals(want.cast(got2.schema).sort_by(key))
+    # packing is gapless: sum of lengths == final offset + final length
+    rows = got2.sort_by(key).to_pylist()
+    assert rows[-1]["tok_start"] + rows[-1]["n_tokens"] == sum(r["n_tokens"] for r in rows)
+
+
+def test_pack_sequences_rejects_unsorted_blocks(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [5, 3], "text": ["a b", "c d"]}),
+        str(sf / "documents.parquet"),
+    )
+    with pytest.raises(Exception, match="doc_id-ordered"):
+        C.q_pack_sequences(str(sf))

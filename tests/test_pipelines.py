@@ -1043,3 +1043,61 @@ def test_field_exists_oracle_parity(ray_session):
         pa.compute.equal(got["kind"], "dv_exists_score_hint")
     ).num_rows
     assert 0 < n_hint < n_docs
+
+
+def test_quality_filter_metrics_and_oracle(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from lucene_7_x_9_x_ray.pipelines import textops
+
+    # hand-checkable: "a b a b a" -> bigrams [a b, b a, a b, b a]:
+    # 2 distinct / 4 total -> dup 0.5, top 0.5; max token a=3/5
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1],
+                "text": ["a b a b a", " ".join(f"u{i}" for i in range(20))],
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    t = textops.q_quality_filter(str(sf)).sort_by([("doc_id", "ascending")]).to_pylist()
+    assert t[0]["dup_bigram_frac"] == 0.5
+    assert t[0]["top_bigram_frac"] == 0.5
+    assert t[0]["max_tok_frac"] == 0.6
+    assert not t[0]["keep"]
+    assert t[1]["dup_bigram_frac"] == 0.0
+    assert t[1]["keep"]
+
+    import duckdb as _dd
+
+    con = _dd.connect()
+    sfr = "/root/testdata/sf0.001"
+    con.sql(f"create view documents as select * from '{sfr}/documents.parquet'")
+    got = textops.q_quality_filter(sfr)
+    want = con.sql(textops.oracle_quality_filter_sql()).arrow()
+    key = [("doc_id", "ascending")]
+    assert got.sort_by(key).equals(want.cast(got.schema).sort_by(key))
+    kept = sum(got["keep"].to_pylist())
+    assert 0 < kept < got.num_rows  # thresholds split the corpus
+
+
+def test_facet_length_ranges_oracle(ray_session):
+    import duckdb as _dd
+
+    from lucene_7_x_9_x_ray.pipelines import flagship, oracles
+
+    sfr = "/root/testdata/sf0.001"
+    got = flagship.q_facet_length_ranges(sfr)
+    con = _dd.connect()
+    con.sql(f"create view documents as select * from '{sfr}/documents.parquet'")
+    want = con.sql(
+        oracles.facet_range_sql(
+            flagship.FACET_TERM, flagship.FACET_RANGE_EDGES, flagship.FACET_RANGE_LABELS
+        )
+    ).arrow()
+    key = [("bucket", "ascending")]
+    assert got.sort_by(key).equals(want.cast(got.schema).sort_by(key))
+    assert got.num_rows >= 2  # multiple buckets populated
