@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": curation.q_stratified_sample,  # hash-threshold sampling
         "chunk_windows": curation.q_chunk_windows,  # fixed-window doc chunking
         "pack_sequences": curation.q_pack_sequences,  # concat-and-chunk packing
+        "source_caps": curation.q_source_caps,  # per-host document caps
         "quality_filter": textops.q_quality_filter,  # Gopher repetition rules
         # --- dedup suite ---
         "exact_dedup": dedup.q_exact_dedup,
@@ -173,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": curation.oracle_stratified_sample_sql(),
         "chunk_windows": curation.oracle_chunk_windows_sql(),
         "pack_sequences": curation.oracle_pack_sequences_sql(),
+        "source_caps": curation.oracle_source_caps_sql(),
         "quality_filter": textops.oracle_quality_filter_sql(),
         "fingerprint": textops.oracle_fingerprint_sql(),
         "highlight_corpus": textops.oracle_highlight_sql(),

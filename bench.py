@@ -180,11 +180,13 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
     # training-data operator timings over the raw sf tables (the quick
     # subset; exact all-pairs Jaccard is quadratic and benched separately)
     if os.environ.get("GRAFT_BENCH_OPS", "1") != "0":
-        from lucene_7_x_9_x_ray.pipelines import ann, dedup, relational, textops
+        from lucene_7_x_9_x_ray.pipelines import ann, curation, dedup, relational, textops
 
         for name, fn in (
             ("op_doc_stats", textops.q_doc_stats),
             ("op_fingerprint", textops.q_fingerprint),
+            ("op_quality_filter", textops.q_quality_filter),
+            ("op_pack_sequences", curation.q_pack_sequences),
             ("op_exact_dedup", dedup.q_exact_dedup),
             ("op_minhash_lsh", dedup.q_minhash_lsh_pairs),
             ("op_ann_brute_topk", ann.q_ann_brute_topk),

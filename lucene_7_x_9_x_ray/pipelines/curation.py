@@ -241,6 +241,63 @@ def q_chunk_windows(sf_dir: str) -> pa.Table:
 
 SEQ_LEN = 128  # tokens per packed training sequence
 
+PER_SOURCE_CAP = 40  # max docs kept per source (host-cap role)
+
+
+def _cap_rank_within(src: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
+    """Keep-mask of the PER_SOURCE_CAP lowest doc_ids per source value
+    (vectorized: lexsort + run-relative ranks)."""
+    order = np.lexsort((doc_ids, src))
+    s = src[order]
+    run_starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    rank = np.arange(len(s)) - np.repeat(run_starts, np.diff(np.r_[run_starts, len(s)]))
+    keep = np.zeros(len(s), dtype=bool)
+    keep[order] = rank < PER_SOURCE_CAP
+    return keep
+
+
+def _cap_combiner(batch: pa.Table) -> pa.Table:
+    """Per-block partial: at most PER_SOURCE_CAP rows per source leave the
+    block, so the downstream groupby shuffles ≤ cap × sources × blocks
+    rows, not the corpus."""
+    src = np.asarray(batch["source"].to_numpy(zero_copy_only=False), dtype=object)
+    doc_ids = batch["doc_id"].to_numpy()
+    keep = _cap_rank_within(src, doc_ids)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[keep], pa.int64()),
+            "source": pa.array(src[keep], pa.string()),
+        }
+    )
+
+
+def _cap_final(group: pa.Table) -> pa.Table:
+    src = np.asarray(group["source"].to_numpy(zero_copy_only=False), dtype=object)
+    doc_ids = group["doc_id"].to_numpy()
+    keep = _cap_rank_within(src, doc_ids)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[keep], pa.int64()),
+            "source": pa.array(src[keep], pa.string()),
+        }
+    )
+
+
+def q_source_caps(sf_dir: str) -> pa.Table:
+    """Per-source document caps (the Common-Crawl per-host cap): keep the
+    PER_SOURCE_CAP lowest-doc_id docs of each source. Combiner-first
+    shape — per-block partial caps bound the shuffle to cap × sources
+    rows per block; the final groupby(source) head-N sees only partials."""
+    import ray
+
+    ds = sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = (
+        ds.map_batches(_cap_combiner, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(_cap_final, batch_format="pyarrow")
+    )
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
+
 
 def _pack_summary_batch(batch: pa.Table) -> pa.Table:
     """Pass 1 of the distributed prefix sum: one (first_doc, last_doc,
@@ -259,39 +316,30 @@ def _pack_summary_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-class PackAssignBatch:
-    """Pass 2: holds the (block first_doc -> base token offset) anchors
-    once per worker; each block adds its base to a within-block exclusive
-    cumsum. Anchor lookup is exact — a batch whose first doc is not a
-    block anchor means the executor re-batched, and we fail loudly rather
-    than emit wrong offsets."""
-
-    def __init__(self, anchors_ref):
-        import ray
-
-        self.first_docs, self.bases = (
-            ray.get(anchors_ref) if not isinstance(anchors_ref, tuple) else anchors_ref
-        )
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_numpy()
-        toks = pc.split_pattern(batch["text"], pattern=" ")
-        counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        i = np.searchsorted(self.first_docs, int(doc_ids[0]))
-        if i >= len(self.first_docs) or self.first_docs[i] != int(doc_ids[0]):
-            raise ValueError("pack_sequences batch does not align with a summary block")
-        starts = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        starts += int(self.bases[i])
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "tok_start": pa.array(starts, pa.int64()),
-                "n_tokens": pa.array(counts, pa.int64()),
-                "seq_first": pa.array(starts // SEQ_LEN, pa.int64()),
-                "seq_last": pa.array((starts + counts - 1) // SEQ_LEN, pa.int64()),
-            }
-        )
+def _pack_assign_batch(batch: pa.Table, first_docs: np.ndarray, bases: np.ndarray) -> pa.Table:
+    """Pass 2: each block adds its base offset to a within-block exclusive
+    cumsum. The (block first_doc -> base) anchor arrays are tiny
+    (O(n_blocks) ints) and ride the task closure. Anchor lookup is exact —
+    a batch whose first doc is not a block anchor means the executor
+    re-batched, and we fail loudly rather than emit wrong offsets."""
+    doc_ids = batch["doc_id"].to_numpy()
+    toks = pc.split_pattern(batch["text"], pattern=" ")
+    counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    i = np.searchsorted(first_docs, int(doc_ids[0]))
+    if i >= len(first_docs) or first_docs[i] != int(doc_ids[0]):
+        raise ValueError("pack_sequences batch does not align with a summary block")
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    starts += int(bases[i])
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "tok_start": pa.array(starts, pa.int64()),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "seq_first": pa.array(starts // SEQ_LEN, pa.int64()),
+            "seq_last": pa.array((starts + counts - 1) // SEQ_LEN, pa.int64()),
+        }
+    )
 
 
 def q_pack_sequences(sf_dir: str) -> pa.Table:
@@ -312,10 +360,9 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     (whole-block batches)."""
     import ray
 
+    # the per-row kernel (split + count) is light — big blocks, plain tasks
     ds = sized_read(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text"],
-        rows_per_block=HEAVY_ROWS_PER_BLOCK,
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).materialize()
     summary = pa.concat_tables(
         ray.get(
@@ -332,13 +379,10 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
         raise ValueError("pack_sequences requires disjoint ordered block doc ranges")
     bases = np.zeros(len(sums), dtype=np.int64)
     np.cumsum(sums[:-1], out=bases[1:])
-    anchors_ref = ray.put((firsts, bases))
     out = ds.map_batches(
-        PackAssignBatch,
+        lambda b: _pack_assign_batch(b, firsts, bases),
         batch_size=None,
         batch_format="pyarrow",
-        concurrency=(1, 8),
-        fn_constructor_args=(anchors_ref,),
     )
     return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
 
@@ -388,6 +432,12 @@ SELECT doc_id, CAST(s AS BIGINT) AS tok_start, CAST(n AS BIGINT) AS n_tokens,
        CAST(s // {L} AS BIGINT) AS seq_first,
        CAST((s + n - 1) // {L} AS BIGINT) AS seq_last
 FROM o"""
+
+
+def oracle_source_caps_sql(relation: str = "documents") -> str:
+    return f"""
+SELECT doc_id, source FROM {relation}
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {PER_SOURCE_CAP}"""
 
 
 def oracle_chunk_windows_sql(relation: str = "documents") -> str:

@@ -157,3 +157,37 @@ def test_pack_sequences_rejects_unsorted_blocks(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="doc_id-ordered"):
         C.q_pack_sequences(str(sf))
+
+
+def test_source_caps_combiner_and_oracle(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    # source s0 has cap+3 docs interleaved with s1's — the kept set must be
+    # the cap lowest doc_ids of s0 plus all of s1
+    cap = C.PER_SOURCE_CAP
+    n0 = cap + 3
+    # s0: every even doc_id (n0 of them, over the cap); s1: the first 5 odd
+    # doc_ids only (under the cap)
+    doc_ids = [i for i in range(2 * n0) if i % 2 == 0 or i < 10]
+    sources = ["s0" if i % 2 == 0 else "s1" for i in doc_ids]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": doc_ids, "source": sources, "text": ["x"] * len(doc_ids)}),
+        str(sf / "documents.parquet"),
+    )
+    got = C.q_source_caps(str(sf)).sort_by([("doc_id", "ascending")]).to_pylist()
+    kept0 = [r["doc_id"] for r in got if r["source"] == "s0"]
+    kept1 = [r["doc_id"] for r in got if r["source"] == "s1"]
+    assert kept0 == [i for i in doc_ids if i % 2 == 0][:cap]
+    assert kept1 == [1, 3, 5, 7, 9]  # under the cap: all kept
+
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    got2 = C.q_source_caps(SF)
+    want = con.sql(C.oracle_source_caps_sql()).arrow()
+    key = [("doc_id", "ascending")]
+    assert got2.sort_by(key).equals(want.cast(got2.schema).sort_by(key))
+    assert got2.num_rows > 0
