@@ -303,6 +303,14 @@ def _pack_summary_batch(batch: pa.Table) -> pa.Table:
     """Pass 1 of the distributed prefix sum: one (first_doc, last_doc,
     tok_sum) row per block — the only data that ever reaches the driver."""
     doc_ids = batch["doc_id"].to_numpy()
+    if len(doc_ids) == 0:
+        return pa.table(
+            {
+                "first_doc": pa.array([], pa.int64()),
+                "last_doc": pa.array([], pa.int64()),
+                "tok_sum": pa.array([], pa.int64()),
+            }
+        )
     if len(doc_ids) > 1 and not np.all(np.diff(doc_ids) > 0):
         raise ValueError("pack_sequences requires doc_id-ordered blocks")
     toks = pc.split_pattern(batch["text"], pattern=" ")
@@ -323,6 +331,16 @@ def _pack_assign_batch(batch: pa.Table, first_docs: np.ndarray, bases: np.ndarra
     a batch whose first doc is not a block anchor means the executor
     re-batched, and we fail loudly rather than emit wrong offsets."""
     doc_ids = batch["doc_id"].to_numpy()
+    if len(doc_ids) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "tok_start": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "seq_first": pa.array([], pa.int64()),
+                "seq_last": pa.array([], pa.int64()),
+            }
+        )
     toks = pc.split_pattern(batch["text"], pattern=" ")
     counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
     i = np.searchsorted(first_docs, int(doc_ids[0]))
