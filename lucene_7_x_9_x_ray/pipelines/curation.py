@@ -271,16 +271,9 @@ def _cap_combiner(batch: pa.Table) -> pa.Table:
     )
 
 
-def _cap_final(group: pa.Table) -> pa.Table:
-    src = np.asarray(group["source"].to_numpy(zero_copy_only=False), dtype=object)
-    doc_ids = group["doc_id"].to_numpy()
-    keep = _cap_rank_within(src, doc_ids)
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids[keep], pa.int64()),
-            "source": pa.array(src[keep], pa.string()),
-        }
-    )
+# the final per-source reduce applies the identical cap over the gathered
+# partials — one implementation, two stages
+_cap_final = _cap_combiner
 
 
 def q_source_caps(sf_dir: str) -> pa.Table:

@@ -828,11 +828,12 @@ def _matched_rows_dataset(
             if len(docs) == 0:
                 continue
             dm = r.docmap()
-            urls = dm["url"].take(pa.array(docs)).to_pylist()
-            langs = np.asarray(dm["lang"].take(pa.array(docs)).to_pylist(), dtype=object)
+            idx = pa.array(docs)
+            urls = dm["url"].take(idx).to_pylist()
+            langs = np.asarray(dm["lang"].take(idx).to_pylist(), dtype=object)
             gids = np.asarray(_doc_ids_from_urls(urls), dtype=np.int64)
             dls = (
-                np.asarray(dm["length"].take(pa.array(docs)).to_pylist(), dtype=np.int64)
+                dm["length"].take(idx).to_numpy(zero_copy_only=False).astype(np.int64)
                 if with_length
                 else None
             )

@@ -58,7 +58,10 @@ def eval_tochild_blockjoin(reader, query, stats, bm25):
     offs = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=offs[1:])
     out_docs = np.repeat(starts, counts) + (np.arange(total) - np.repeat(offs, counts))
-    return out_docs, np.repeat(scores, counts).astype(np.float32)
+    out_scores = np.repeat(scores, counts).astype(np.float32)
+    if query.boost != 1.0:
+        out_scores = (np.float32(query.boost) * out_scores).astype(np.float32)
+    return out_docs, out_scores
 
 
 def eval_blockjoin(reader, query, stats, bm25):
@@ -99,4 +102,7 @@ def eval_blockjoin(reader, query, stats, bm25):
         agg = np.minimum.reduceat(s64, starts)
     else:  # none
         agg = np.zeros(len(starts), dtype=np.float64)
-    return parents[pidx[starts]], agg.astype(np.float32)
+    out_scores = agg.astype(np.float32)
+    if query.boost != 1.0:
+        out_scores = (np.float32(query.boost) * out_scores).astype(np.float32)
+    return parents[pidx[starts]], out_scores

@@ -153,3 +153,37 @@ def test_blockjoin_gate_segment_vs_merged_and_oracle(ray_session):
         td = seg.search(Q.ToParentBlockJoinQuery(Q.TermQuery(term), score_mode=mode), k=k)
         sub = got.filter(pa.compute.equal(got["query_id"], qid)).sort_by([("rank", "ascending")])
         assert [int(orig[int(d)]) for d in td.doc_ids] == sub["doc_id"].to_pylist()
+
+
+def test_tochild_boost_and_segment_vs_merged(ray_session, tmp_path):
+    s = _block_index(tmp_path, [["cat dog", "bird"], ["dog"], ["fish cat"]])
+    td = s.search(Q.ToChildBlockJoinQuery(Q.TermQuery("pdoc")), k=20)
+    td2 = s.search(Q.ToChildBlockJoinQuery(Q.TermQuery("pdoc"), boost=2.0), k=20)
+    assert list(td.doc_ids) == list(td2.doc_ids)
+    for a, b in zip(td.scores, td2.scores):
+        assert np.float32(b) == np.float32(2.0) * np.float32(a)
+    # ToParent boost too
+    tp = s.search(Q.ToParentBlockJoinQuery(Q.TermQuery("cat")), k=20)
+    tp2 = s.search(Q.ToParentBlockJoinQuery(Q.TermQuery("cat"), boost=3.0), k=20)
+    assert list(tp.doc_ids) == list(tp2.doc_ids)
+    for a, b in zip(tp.scores, tp2.scores):
+        assert np.float32(b) == np.float32(3.0) * np.float32(a)
+
+    # per-segment evaluation must agree with the merged index on the gate
+    from lucene_7_x_9_x_ray.pipelines import flagship
+
+    sf = "/root/testdata/sf0.001"
+    got = flagship.q_tochild_topk(sf)
+    index_dir = flagship.build_blockjoin_index(sf)
+    seg = IndexSearcher(index_dir)
+    orig = np.concatenate([np.asarray(r.doc_values("orig_doc")) for r in seg.readers])
+    chunk = np.concatenate([np.asarray(r.doc_values("chunk_id")) for r in seg.readers])
+    for qid, terms, k in flagship.TOCHILD_TOPK_SPECS:
+        pq_ = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
+        td = seg.search(Q.ToChildBlockJoinQuery(pq_), k=k)
+        sub = got.filter(pa.compute.equal(got["query_id"], qid)).sort_by(
+            [("rank", "ascending")]
+        )
+        assert [(int(orig[int(d)]), int(chunk[int(d)])) for d in td.doc_ids] == list(
+            zip(sub["doc_id"].to_pylist(), sub["chunk_id"].to_pylist())
+        )
