@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_length_ranges": flagship.q_facet_length_ranges,  # numeric range facets
         "grouped_topk": flagship.q_grouped_topk,
         "interval_topk": flagship.q_interval_topk,  # queries/intervals module
+        "span_topk": flagship.q_span_topk,  # search/spans module
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
         "blockjoin_topk": flagship.q_blockjoin_topk,  # join module: nested doc blocks
         "tochild_topk": flagship.q_tochild_topk,  # inverse block join
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
             flagship.TOCHILD_TOPK_SPECS, flagship.BLOCKJOIN_CHUNK_W,
             flagship.BLOCKJOIN_PARENT_TEXT,
         ),
+        "span_topk": O.span_topk_sql(flagship.SPAN_TOPK_SPECS),
         "suggest_completion": O.completion_sql(flagship.COMPLETION_SPECS),
         "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),

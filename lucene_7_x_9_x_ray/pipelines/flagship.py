@@ -293,6 +293,53 @@ def q_phrase_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# span gate: (query_id, kind, terms, param, k) — kind "ord"/"unord"
+# (param = slop), "first" (param = end), "not" (param = (pre, post))
+SPAN_TOPK_SPECS: list[tuple[str, str, tuple, object, int]] = [
+    ("sp_ord2", "ord", ("key", "hash"), 3, 10),
+    ("sp_ord3", "ord", ("data", "join", "sort"), 8, 10),
+    ("sp_unord", "unord", ("window", "batch"), 2, 10),
+    ("sp_first", "first", ("join",), 5, 10),
+    ("sp_not", "not", ("join", "order"), (1, 2), 10),
+]
+
+
+def _span_query_from_spec(kind: str, terms: tuple, param) -> Q.Query:
+    subs = tuple(Q.SpanTermQuery(t) for t in terms)
+    if kind == "ord":
+        return Q.SpanNearQuery(subs, slop=int(param), in_order=True)
+    if kind == "unord":
+        return Q.SpanNearQuery(subs, slop=int(param), in_order=False)
+    if kind == "first":
+        return Q.SpanFirstQuery(subs[0], end=int(param))
+    if kind == "not":
+        pre, post = param
+        return Q.SpanNotQuery(subs[0], subs[1], pre=pre, post=post)
+    raise ValueError(kind)
+
+
+def q_span_topk(sf_dir: str) -> pa.Table:
+    """Span-query top-k (the search/spans module: SpanNear ordered and
+    unordered, SpanFirst, SpanNot): (query_id, rank, doc_id, score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, kind, terms, param, k in SPAN_TOPK_SPECS:
+        td = merged.search(_span_query_from_spec(kind, terms, param), k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 SLOPPY_PHRASE_SPECS: list[tuple[str, list[str], int, int]] = [
     ("sp_key_hash_s2", ["key", "hash"], 2, 10),
     ("sp_row_scan_s3", ["row", "scan"], 3, 10),

@@ -144,6 +144,116 @@ ps_{qid} AS (SELECT pf.doc_id,
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def span_topk_sql(
+    specs: list[tuple[str, str, tuple, object, int]], relation: str = "documents"
+) -> str:
+    """Span-query top-k oracle: (query_id, rank, doc_id, score_r).
+
+    specs: (query_id, kind, terms, param, k) with kind one of
+    "ord" / "unord" (param = slop), "first" (param = end),
+    "not" (param = (pre, post)).
+
+    Matches are enumerated declaratively (the stateful span iterators are
+    history-free over term sub-spans — see search/spans.py docstring; the
+    equivalence is duel-tested in tests/test_spans.py):
+
+    - ordered: for each start of clause 0, chain "first position >= prev
+      end" scalar mins; width = sum of gaps; NULL chain = clause
+      exhausted (Lucene ends the doc there, but exhaustion is monotone in
+      the start so dropping NULL rows is identical).
+    - unordered (2 clauses): the queue visits (a, b) iff no other a'
+      in [b, a) and no other b' in [a, b); match iff
+      max-min-1 <= slop, width = max-min+1, emitted in least(a, b) order.
+    - first: positions with p+1 <= end, width 0.
+    - not: include positions with no exclude position in [p-pre, p+post].
+
+    freq replicates SpanScorer.setFreqCurrentDoc: FLOAT freq += DOUBLE
+    1/(1+width) in emission order (fold starts at 0.0 and casts to FLOAT
+    each step). The SimScorer weight is float32(sum of per-term f32 idfs
+    over sorted distinct scoring terms; include-side only for "not")."""
+    all_terms = sorted({t for _, _, ts, _, _ in specs for t in ts})
+    ctes = [f"t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation})"]
+    ctes.append(base_ctes(relation))
+    ctes += [term_leaf_ctes(t) for t in all_terms]
+    for t in all_terms:
+        lit = t.replace("'", "''")
+        ctes.append(f"""
+pos_{_ident(t)} AS (SELECT doc_id, i - 1 AS p
+      FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM t0)
+      WHERE arr[i] = '{lit}')""")
+    selects = []
+    for qid, kind, terms, param, k in specs:
+        ids = [_ident(t) for t in terms]
+        if kind == "ord":
+            slop = int(param)
+            prev = f"co0_{qid} AS (SELECT doc_id, p AS s0 FROM pos_{ids[0]})"
+            ctes.append(prev)
+            for i in range(1, len(ids)):
+                cols = ", ".join(f"c.s{j}" for j in range(i))
+                ctes.append(f"""
+co{i}_{qid} AS (SELECT c.doc_id, {cols},
+       (SELECT min(x.p) FROM pos_{ids[i]} x
+        WHERE x.doc_id = c.doc_id AND x.p >= c.s{i - 1} + 1) AS s{i}
+  FROM co{i - 1}_{qid} c)""")
+            width = " + ".join(
+                f"(s{i} - s{i - 1} - 1)" for i in range(1, len(ids))
+            )
+            ctes.append(f"""
+wv_{qid} AS (SELECT doc_id, s0, {width} AS width
+  FROM co{len(ids) - 1}_{qid}
+  WHERE s{len(ids) - 1} IS NOT NULL AND {width} <= {slop})""")
+        elif kind == "unord":
+            slop = int(param)
+            a, b = ids
+            ctes.append(f"""
+wv_{qid} AS (SELECT a.doc_id, least(a.p, b.p) AS s0,
+                    greatest(a.p, b.p) - least(a.p, b.p) + 1 AS width
+  FROM pos_{a} a JOIN pos_{b} b USING (doc_id)
+  WHERE NOT EXISTS (SELECT 1 FROM pos_{a} a2
+                    WHERE a2.doc_id = a.doc_id AND a2.p < a.p AND a2.p >= b.p)
+    AND NOT EXISTS (SELECT 1 FROM pos_{b} b2
+                    WHERE b2.doc_id = a.doc_id AND b2.p < b.p AND b2.p >= a.p)
+    AND greatest(a.p, b.p) - least(a.p, b.p) - 1 <= {slop})""")
+        elif kind == "first":
+            end = int(param)
+            ctes.append(f"""
+wv_{qid} AS (SELECT doc_id, p AS s0, 0 AS width
+  FROM pos_{ids[0]} WHERE p + 1 <= {end})""")
+        elif kind == "not":
+            pre, post = param
+            ctes.append(f"""
+wv_{qid} AS (SELECT i.doc_id, i.p AS s0, 0 AS width
+  FROM pos_{ids[0]} i
+  WHERE NOT EXISTS (SELECT 1 FROM pos_{ids[1]} e
+                    WHERE e.doc_id = i.doc_id
+                      AND e.p >= i.p - {pre} AND e.p <= i.p + {post}))""")
+        else:
+            raise ValueError(f"unknown span kind {kind!r}")
+        scoring = sorted(set(terms[:1] if kind == "not" else terms))
+        idf_sum = " + ".join(
+            f"CAST((SELECT w FROM w_{_ident(t)}) AS DOUBLE)" for t in scoring
+        )
+        ctes.append(f"""
+fq_{qid} AS (SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS DOUBLE),
+                   list(1.0 / (1.0 + CAST(width AS DOUBLE)) ORDER BY s0)),
+      (acc, x) -> CAST(acc + x AS FLOAT)) AS freq
+  FROM wv_{qid} GROUP BY doc_id),
+sc_{qid} AS (SELECT f.doc_id,
+    CAST({idf_sum} AS FLOAT)
+    - CAST({idf_sum} AS FLOAT)
+      / ({ONE_F} + CAST(f.freq AS FLOAT)
+         * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+            + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS score
+  FROM fq_{qid} f JOIN normlen nl USING (doc_id))""")
+        selects.append(f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM sc_{qid} ORDER BY score DESC, doc_id LIMIT {k})""")
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def scoring_variants_sql(ta: str, tb: str, k: int, relation: str = "documents") -> str:
     """Oracle for the non-disjunction scoring operators over terms (ta, tb):
 

@@ -285,6 +285,60 @@ class ToChildBlockJoinQuery(Query):
     boost: float = 1.0
 
 
+# --- span queries (search/spans module) -------------------------------------
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(Query):
+    """spans module SpanTermQuery (s84 search/spans/SpanTermQuery.java):
+    every occurrence is a width-0 span [p, p+1); scored by SpanScorer's
+    sloppy-freq accumulation (freq = tf since width = 0)."""
+
+    term: str
+    field: str = ""
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """spans module SpanNearQuery (s84 search/spans/SpanNearQuery.java:138):
+    clause spans within ``slop``, ordered (NearSpansOrdered) or unordered
+    (NearSpansUnordered). Clauses are restricted to SpanTermQuery (the
+    reference demo's shape, LuceneDemo8.7.0 SpanNearQueryTest.java)."""
+
+    clauses: tuple[Query, ...]
+    slop: int = 0
+    in_order: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """spans module SpanFirstQuery (s84 search/spans/SpanFirstQuery.java:40):
+    match spans that END at or before ``end``."""
+
+    match: Query
+    end: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """spans module SpanNotQuery (s84 search/spans/SpanNotQuery.java:58):
+    include spans with no exclude span overlapping [start-pre, end+post);
+    scoring stats come from the include side only (SpanNotWeight
+    extractTermStates)."""
+
+    include: Query
+    exclude: Query
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
+SPAN_QUERY_TYPES = (SpanTermQuery, SpanNearQuery, SpanFirstQuery, SpanNotQuery)
+
+
 # --- multi-term (dict-rewritten) queries -----------------------------------
 
 
@@ -477,6 +531,15 @@ def collect_terms(query: Query) -> set[str]:
         out |= collect_terms(query.child)
     elif isinstance(query, ToChildBlockJoinQuery):
         out |= collect_terms(query.parent)
+    elif isinstance(query, SpanTermQuery):
+        out.add(query.term)
+    elif isinstance(query, SpanNearQuery):
+        for q in query.clauses:
+            out |= collect_terms(q)
+    elif isinstance(query, SpanFirstQuery):
+        out |= collect_terms(query.match)
+    elif isinstance(query, SpanNotQuery):
+        out |= collect_terms(query.include) | collect_terms(query.exclude)
     elif isinstance(query, DisjunctionMaxQuery):
         for q in query.queries:
             out |= collect_terms(q)
@@ -503,6 +566,15 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
         out |= collect_field_terms(query.child)
     elif isinstance(query, ToChildBlockJoinQuery):
         out |= collect_field_terms(query.parent)
+    elif isinstance(query, SpanTermQuery):
+        out.add((query.field, query.term))
+    elif isinstance(query, SpanNearQuery):
+        for q in query.clauses:
+            out |= collect_field_terms(q)
+    elif isinstance(query, SpanFirstQuery):
+        out |= collect_field_terms(query.match)
+    elif isinstance(query, SpanNotQuery):
+        out |= collect_field_terms(query.include) | collect_field_terms(query.exclude)
     elif isinstance(query, DisjunctionMaxQuery):
         for q in query.queries:
             out |= collect_field_terms(q)

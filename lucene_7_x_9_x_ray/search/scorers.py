@@ -405,6 +405,11 @@ def eval_query(
 
         return eval_tochild_blockjoin(reader, query, stats, bm25)
 
+    if isinstance(query, Q.SPAN_QUERY_TYPES):
+        from .spans import eval_span
+
+        return eval_span(reader, query, stats, bm25)
+
     if isinstance(query, Q.BooleanQuery):
         return _eval_boolean(reader, query, stats, bm25)
 

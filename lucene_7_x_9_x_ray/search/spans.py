@@ -1,0 +1,264 @@
+"""Span queries over the positions index — the search/spans module.
+
+Reference semantics (s84 core search/spans/*):
+
+- ``SpanTermQuery``: each occurrence is the span [p, p+1) of width 0
+  (TermSpans.java:110 ``width() { return 0; }``).
+- ``SpanNearQuery`` ordered = NearSpansOrdered.java: for every successive
+  start position of clause 0, ``stretchToOrder`` advances each later
+  clause's iterator to the first start >= the previous clause's end
+  (non-overlapping, in order); matchWidth = sum of the gaps; a match
+  emits when matchWidth <= slop; any clause exhausting ends the doc.
+  The sub-iterators only ever move forward and their thresholds are
+  monotone in clause 0's start, so the stateful Java loop is equivalent
+  to an independent first->= lookup per start — which is what the
+  vectorized ``_ordered_widths`` computes (pinned by the literal-
+  transcription duel in tests/test_spans.py).
+- ``SpanNearQuery`` unordered = NearSpansUnordered.java: a priority
+  queue by (start, end) over the clause iterators; at each state a match
+  emits iff maxEnd - top.start - totalSpanLength <= slop, then the top
+  iterator advances. width() = maxEnd - top.start (NOT minus the span
+  lengths). maxEndPosition is a RUNNING max, but for width-1 term spans
+  it always equals the max of the current ends. Transcribed literally in
+  ``_unordered_widths``.
+- ``SpanFirstQuery`` (SpanFirstQuery.java:40): keep spans with
+  end <= ``end``.
+- ``SpanNotQuery`` (SpanNotQuery.java:193-204): keep include spans with
+  no exclude span overlapping [start - pre, end + post); scoring stats
+  come from the include side only (SpanNotWeight.extractTermStates).
+
+Scoring = SpanScorer.setFreqCurrentDoc (SpanScorer.java): per match, the
+FLOAT freq accumulates the DOUBLE contribution 1.0/(1.0 + width()) —
+``freq = float32(freq + 1.0/(1.0+width))`` at every step, in emission
+order. The SimScorer weight is boost * float32(sum of per-term float32
+idfs over the DISTINCT terms of the scoring side) (SpanWeight.java:101
+buildSimWeight over the deduped Map<Term, TermStates>); we sum in sorted
+term order to make the double-sum order deterministic (Java's map order
+is unspecified; the difference is at most an ulp of the float result and
+our oracle uses the same order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import queries as Q
+
+
+def _span_terms(query) -> list[str]:
+    """Term leaves of a span tree, in clause order."""
+    if isinstance(query, Q.SpanTermQuery):
+        return [query.term]
+    if isinstance(query, Q.SpanNearQuery):
+        out = []
+        for c in query.clauses:
+            out += _span_terms(c)
+        return out
+    if isinstance(query, Q.SpanFirstQuery):
+        return _span_terms(query.match)
+    if isinstance(query, Q.SpanNotQuery):
+        return _span_terms(query.include) + _span_terms(query.exclude)
+    raise TypeError(f"not a span query: {type(query).__name__}")
+
+
+def span_field(query) -> str:
+    if isinstance(query, Q.SpanTermQuery):
+        return query.field
+    if isinstance(query, Q.SpanNearQuery):
+        fields = {span_field(c) for c in query.clauses}
+        if len(fields) != 1:
+            raise ValueError("Clauses must have same field.")
+        return fields.pop()
+    if isinstance(query, Q.SpanFirstQuery):
+        return span_field(query.match)
+    if isinstance(query, Q.SpanNotQuery):
+        fi, fe = span_field(query.include), span_field(query.exclude)
+        if fi != fe:
+            raise ValueError("Clauses must have same field.")
+        return fi
+    raise TypeError(f"not a span query: {type(query).__name__}")
+
+
+def _scoring_terms(query) -> list[str]:
+    """Distinct terms feeding the SimScorer, sorted (SpanNotWeight uses
+    the include side only)."""
+    if isinstance(query, Q.SpanNotQuery):
+        return sorted(set(_span_terms(query.include)))
+    return sorted(set(_span_terms(query)))
+
+
+def _require_term_clauses(query) -> None:
+    if isinstance(query, Q.SpanNearQuery):
+        for c in query.clauses:
+            if not isinstance(c, Q.SpanTermQuery):
+                raise ValueError(
+                    "SpanNearQuery clauses are restricted to SpanTermQuery "
+                    "(documented scope; the reference demo's shape)"
+                )
+    if isinstance(query, Q.SpanFirstQuery) and not isinstance(
+        query.match, Q.SpanTermQuery
+    ):
+        raise ValueError("SpanFirstQuery.match is restricted to SpanTermQuery")
+    if isinstance(query, Q.SpanNotQuery) and not (
+        isinstance(query.include, Q.SpanTermQuery)
+        and isinstance(query.exclude, Q.SpanTermQuery)
+    ):
+        raise ValueError("SpanNotQuery clauses are restricted to SpanTermQuery")
+
+
+def _ordered_widths(pos_lists: list[np.ndarray], slop: int) -> np.ndarray:
+    """NearSpansOrdered match widths in emission (clause-0 start) order.
+
+    Vectorized equivalence of the stateful loop: clause i's iterator
+    lands on the first start >= previous clause's end, and because those
+    thresholds are monotone in clause 0's start the per-start lookups are
+    independent (`np.searchsorted`). Exhaustion of any clause ends the
+    doc — a suffix of clause-0 starts, masked the same way."""
+    a = pos_lists[0]
+    if len(a) == 0:
+        return np.empty(0, dtype=np.int64)
+    prev_end = a + 1
+    width = np.zeros(len(a), dtype=np.int64)
+    alive = np.ones(len(a), dtype=bool)
+    for pl in pos_lists[1:]:
+        idx = np.searchsorted(pl, prev_end)
+        alive &= idx < len(pl)
+        safe = np.minimum(idx, max(len(pl) - 1, 0))
+        start = pl[safe] if len(pl) else np.zeros(len(a), dtype=np.int64)
+        width = width + np.where(alive, start - prev_end, 0)
+        prev_end = start + 1
+    return width[alive & (width <= slop)]
+
+
+def _unordered_widths(pos_lists: list[np.ndarray], slop: int) -> list[int]:
+    """NearSpansUnordered match widths in emission order — a literal
+    transcription of SpanTotalLengthEndPositionWindow over width-1 term
+    spans. Ties between equal start positions follow lowest clause index
+    (Lucene's heap order at equal (start, end) is arbitrary; the gate
+    corpus has one token per position so cross-clause ties cannot occur)."""
+    n = len(pos_lists)
+    ptr = [0] * n
+    if any(len(pl) == 0 for pl in pos_lists):
+        return []
+    total_len = n  # every term span has length 1
+    max_end = max(int(pl[0]) for pl in pos_lists) + 1
+    widths: list[int] = []
+    while True:
+        top = min(range(n), key=lambda i: int(pos_lists[i][ptr[i]]))
+        min_start = int(pos_lists[top][ptr[top]])
+        if max_end - min_start - total_len <= slop:
+            widths.append(max_end - min_start)
+        ptr[top] += 1
+        if ptr[top] >= len(pos_lists[top]):
+            return widths
+        max_end = max(max_end, int(pos_lists[top][ptr[top]]) + 1)
+
+
+def _span_doc_widths(query, pos_lists: list[np.ndarray]):
+    """Match widths for one doc given the clause-order term position
+    lists. Returns a sequence of integer widths in emission order."""
+    if isinstance(query, Q.SpanTermQuery):
+        return np.zeros(len(pos_lists[0]), dtype=np.int64)
+    if isinstance(query, Q.SpanNearQuery):
+        if query.in_order:
+            return _ordered_widths(pos_lists, query.slop)
+        return _unordered_widths(pos_lists, query.slop)
+    if isinstance(query, Q.SpanFirstQuery):
+        p = pos_lists[0]
+        return np.zeros(int(np.count_nonzero(p + 1 <= query.end)), dtype=np.int64)
+    if isinstance(query, Q.SpanNotQuery):
+        inc = pos_lists[0]
+        exc = pos_lists[1] if len(pos_lists) > 1 else np.empty(0, dtype=np.int64)
+        if len(exc) == 0:
+            return np.zeros(len(inc), dtype=np.int64)
+        # reject p iff some exclude q overlaps [p - pre, p + 1 + post):
+        # q >= p - pre and q <= p + post (term spans are width 1)
+        idx = np.searchsorted(exc, inc - query.pre)
+        has = idx < len(exc)
+        q = exc[np.minimum(idx, len(exc) - 1)]
+        reject = has & (q <= inc + query.post)
+        return np.zeros(int(np.count_nonzero(~reject)), dtype=np.int64)
+    raise TypeError(f"not a span query: {type(query).__name__}")
+
+
+def _sloppy_fold(widths) -> np.float32:
+    """SpanScorer.setFreqCurrentDoc: float freq += double 1/(1+width)."""
+    acc = np.float32(0.0)
+    for w in widths:
+        acc = np.float32(np.float64(acc) + 1.0 / (1.0 + float(w)))
+    return acc
+
+
+def eval_span(reader, query, stats, bm25):
+    """Evaluate a span query on one segment: (docs ascending, f32 scores)."""
+    from .scorers import _empty, _view
+
+    _require_term_clauses(query)
+    field = span_field(query)
+    fr = _view(reader, field)
+    if not getattr(fr, "has_positions", False):
+        raise ValueError("span queries require an index built with index_positions=True")
+
+    clause_terms = _span_terms(query)
+    per_term = []
+    for t in clause_terms:
+        tpp = fr.term_positions(t)
+        if tpp is None:
+            if isinstance(query, Q.SpanNotQuery) and t == clause_terms[-1]:
+                # absent exclude term: include spans pass through
+                per_term.append((np.empty(0, np.int64), np.empty(0, np.int64),
+                                 np.empty(0, np.int64)))
+                continue
+            return _empty()
+        per_term.append(tpp)
+
+    # candidate docs: conjunction of clause docs (ConjunctionSpans);
+    # SpanNot candidates are the include docs regardless of the exclude
+    if isinstance(query, Q.SpanNotQuery):
+        cand = per_term[0][0]
+    else:
+        cand = per_term[0][0]
+        for d, _f, _p in per_term[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+    if len(cand) == 0:
+        return _empty()
+
+    locs, offs = [], []
+    for d, f, _p in per_term:
+        off = np.zeros(len(f) + 1, dtype=np.int64)
+        np.cumsum(f, out=off[1:])
+        locs.append(np.searchsorted(d, cand))
+        offs.append(off)
+
+    freqs = np.zeros(len(cand), dtype=np.float64)
+    for ci in range(len(cand)):
+        pos_lists = []
+        for ti, (d, _f, p) in enumerate(per_term):
+            li = locs[ti][ci]
+            if li < len(d) and d[li] == cand[ci]:
+                pos_lists.append(np.asarray(p[offs[ti][li] : offs[ti][li + 1]],
+                                            dtype=np.int64))
+            else:  # doc lacks this clause's term (SpanNot exclude only)
+                pos_lists.append(np.empty(0, dtype=np.int64))
+        freqs[ci] = float(_sloppy_fold(_span_doc_widths(query, pos_lists)))
+
+    keep = freqs > 0
+    cand, freqs = cand[keep], freqs[keep]
+    if len(cand) == 0:
+        return _empty()
+
+    idf_total = np.float32(
+        sum(
+            float(bm25.idf(stats.df(t, field), stats.n_docs(field)))
+            for t in _scoring_terms(query)
+        )
+    )
+    weight = np.float32(query.boost) * idf_total
+    from ..functions.bm25 import BM25TermWeight
+
+    tw = BM25TermWeight(
+        weight=weight,
+        cache=bm25.norm_cache(bm25.avgdl(stats.sttf(field), stats.n_docs(field))),
+    )
+    scores = tw.score(freqs, fr.norms[cand]).astype(np.float32, copy=False)
+    return cand, scores

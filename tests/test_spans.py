@@ -1,0 +1,170 @@
+"""Span-query tests: the reference demo corpus by hand, literal-Java-loop
+duels for the ordered and unordered iterators, SpanFirst/SpanNot window
+checks, and gate-vs-oracle parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_7_x_9_x_ray.search import queries as Q
+from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+from lucene_7_x_9_x_ray.search.spans import _ordered_widths, _unordered_widths
+from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+
+def _index(tmp_path, texts: list[str]) -> IndexSearcher:
+    n = len(texts)
+    t = pa.table(
+        {
+            "url": pa.array([f"d/{i}" for i in range(n)], pa.string()),
+            "warc_ts": pa.array(np.zeros(n, dtype="datetime64[us]")),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(t, path)
+    idx = str(tmp_path / "idx")
+    build_index_local([path], idx, BuildConfig(analyzer="whitespace"))
+    return IndexSearcher(idx)
+
+
+def test_spannear_unordered_demo_corpus(tmp_path):
+    # LuceneDemo8.7.0 SpanNearQueryTest.java: four docs, q = near(you, boy),
+    # slop=1, unordered. Hand trace of NearSpansUnordered:
+    #   doc0 "you are good boy": maxEnd-minStart-2 = 4-0-2 = 2 > 1 -> no
+    #   doc1 "you good boy":     3-0-2 = 1 <= 1 -> match, width 3
+    #   doc2 "you are really good boy": 5-0-2 = 3 -> no
+    #   doc3 "boy good you":     3-0-2 = 1 -> match, width 3
+    s = _index(
+        tmp_path,
+        ["you are good boy", "you good boy", "you are really good boy", "boy good you"],
+    )
+    q = Q.SpanNearQuery(
+        (Q.SpanTermQuery("you"), Q.SpanTermQuery("boy")), slop=1, in_order=False
+    )
+    td = s.search(q, k=10)
+    assert sorted(int(d) for d in td.doc_ids) == [1, 3]
+    # ordered with the same slop gives the same two docs (you precedes boy
+    # in doc1; doc3 "boy good you" has you AFTER boy -> ordered rejects it)
+    q_ord = Q.SpanNearQuery(
+        (Q.SpanTermQuery("you"), Q.SpanTermQuery("boy")), slop=1, in_order=True
+    )
+    td2 = s.search(q_ord, k=10)
+    assert sorted(int(d) for d in td2.doc_ids) == [1]
+
+
+def _ordered_literal(pos_lists, slop):
+    """Literal transcription of NearSpansOrdered.twoPhaseCurrentDocMatches
+    + nextStartPosition + stretchToOrder (NearSpansOrdered.java:46-100):
+    stateful sub-iterators that only move forward, doc over on exhaustion."""
+    n = len(pos_lists)
+    ptr = [0] * n
+    widths = []
+    i0 = 0
+    while i0 < len(pos_lists[0]):
+        prev_end = pos_lists[0][i0] + 1
+        width = 0
+        for i in range(1, n):
+            while ptr[i] < len(pos_lists[i]) and pos_lists[i][ptr[i]] < prev_end:
+                ptr[i] += 1
+            if ptr[i] >= len(pos_lists[i]):
+                return widths  # oneExhaustedInCurrentDoc
+            width += pos_lists[i][ptr[i]] - prev_end
+            prev_end = pos_lists[i][ptr[i]] + 1
+        if width <= slop:
+            widths.append(width)
+        i0 += 1
+    return widths
+
+
+def test_ordered_vectorized_duels_literal():
+    rng = np.random.default_rng(42)
+    for _ in range(600):
+        n = int(rng.integers(2, 5))
+        pool = rng.permutation(40)
+        lists, at = [], 0
+        for _i in range(n):
+            ln = int(rng.integers(1, 7))
+            lists.append(np.sort(pool[at : at + ln]).astype(np.int64))
+            at += ln
+        slop = int(rng.integers(0, 8))
+        got = list(_ordered_widths(lists, slop))
+        want = _ordered_literal([list(map(int, pl)) for pl in lists], slop)
+        assert got == want, (lists, slop, got, want)
+
+
+def _unordered_rule(A, B, slop):
+    """The declarative visited-state characterization used by the SQL
+    oracle: (a, b) visited iff no a' in [b, a) and no b' in [a, b)."""
+    out = []
+    for a in A:
+        for b in B:
+            if any(b <= a2 < a for a2 in A):
+                continue
+            if any(a <= b2 < b for b2 in B):
+                continue
+            if max(a, b) - min(a, b) - 1 <= slop:
+                out.append((min(a, b), max(a, b) - min(a, b) + 1))
+    out.sort()
+    return [w for _, w in out]
+
+
+def test_unordered_literal_duels_declarative_rule():
+    rng = np.random.default_rng(7)
+    for _ in range(600):
+        pool = rng.permutation(30)
+        la = int(rng.integers(1, 8))
+        lb = int(rng.integers(1, 8))
+        A = np.sort(pool[:la]).astype(np.int64)
+        B = np.sort(pool[la : la + lb]).astype(np.int64)
+        slop = int(rng.integers(0, 8))
+        got = _unordered_widths([A, B], slop)
+        want = _unordered_rule(list(map(int, A)), list(map(int, B)), slop)
+        assert got == want, (A, B, slop, got, want)
+
+
+def test_spanfirst_and_spannot_windows(tmp_path):
+    s = _index(
+        tmp_path,
+        [
+            "cat dog bird cat",      # cat@0,3 dog@1
+            "bird bird cat dog",     # cat@2 dog@3
+            "dog cat cat dog fish",  # cat@1,2 dog@0,3
+        ],
+    )
+    # SpanFirst(cat, end=2): spans ending at or before 2 -> p <= 1
+    td = s.search(Q.SpanFirstQuery(Q.SpanTermQuery("cat"), end=2), k=10)
+    assert sorted(int(d) for d in td.doc_ids) == [0, 2]
+    # SpanNot(cat, dog, pre=0, post=1): reject cat@p with dog in [p, p+1]
+    # doc0: cat@0 (dog@1 rejects), cat@3 (no dog in [3,4]) -> kept
+    # doc1: cat@2 (dog@3 rejects) -> dropped
+    # doc2: cat@1 (no dog in [1,2]), cat@2 (dog@3 rejects) -> kept via cat@1
+    td = s.search(
+        Q.SpanNotQuery(Q.SpanTermQuery("cat"), Q.SpanTermQuery("dog"), pre=0, post=1),
+        k=10,
+    )
+    assert sorted(int(d) for d in td.doc_ids) == [0, 2]
+    # absent exclude term: include passes through untouched
+    td = s.search(
+        Q.SpanNotQuery(Q.SpanTermQuery("cat"), Q.SpanTermQuery("zzz")), k=10
+    )
+    assert sorted(int(d) for d in td.doc_ids) == [0, 1, 2]
+
+
+def test_span_gate_oracle_parity(ray_session):
+    import duckdb as _dd
+
+    from lucene_7_x_9_x_ray.pipelines import flagship, oracles
+
+    sf = "/root/testdata/sf0.001"
+    got = flagship.q_span_topk(sf)
+    con = _dd.connect()
+    con.sql(f"create view documents as select * from '{sf}/documents.parquet'")
+    want = con.sql(oracles.span_topk_sql(flagship.SPAN_TOPK_SPECS)).arrow()
+    key = [("query_id", "ascending"), ("rank", "ascending")]
+    assert got.sort_by(key).equals(want.cast(got.schema).sort_by(key))
+    # every spec returns a full page
+    assert got.num_rows == sum(k for *_, k in flagship.SPAN_TOPK_SPECS)
