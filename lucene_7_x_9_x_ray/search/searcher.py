@@ -76,8 +76,12 @@ class IndexSearcher:
         index_dir: str,
         bm25: BM25 | None = None,
         reuse_readers: dict | None = None,
+        manifest: "IndexManifest | None" = None,
     ):
-        self.manifest = IndexManifest.load(index_dir)
+        # an explicit manifest opens the index AS OF that commit (the
+        # IndexCommit-parameterized DirectoryReader.open — snapshots /
+        # stale-commit readers, state/commits.py)
+        self.manifest = manifest or IndexManifest.load(index_dir)
         self.index_dir = index_dir
         self.bm25 = bm25 or BM25()
         self.analyzer = get_analyzer(self.manifest.analyzer)
@@ -98,7 +102,7 @@ class IndexSearcher:
         # live-docs filter (.liv analogue): deleted GLOBAL docIDs, sorted.
         # Statistics intentionally still include deleted docs until a
         # reclaiming merge, as in Lucene between commits.
-        self.tombstones = load_tombstones(index_dir)
+        self.tombstones = load_tombstones(index_dir, manifest=self.manifest)
 
     def _live(self, global_docs: np.ndarray) -> np.ndarray:
         """Boolean mask of docs NOT tombstoned."""

@@ -388,8 +388,15 @@ def compact_index(
     manifest.segments = sorted(kept + list(new_stats), key=lambda s: s["doc_base"])
     manifest.merged = False  # a term-sharded merge (merge.py) is now stale
     manifest.save()
+    # deletion policy: drop replaced segments now (KeepOnlyLastCommit)
+    # unless a snapshot pins them — those defer to gc_unreferenced at
+    # snapshot release (state/commits.py)
+    from ..state.commits import protected_segments
+
+    pinned = protected_segments(index_dir)
     for name in merged_names:
-        shutil.rmtree(os.path.join(index_dir, "segments", name), ignore_errors=True)
+        if name not in pinned:
+            shutil.rmtree(os.path.join(index_dir, "segments", name), ignore_errors=True)
     # drop any stale term-sharded merged index: its fingerprint no longer
     # matches and the pull merge would rebuild it anyway
     shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)
@@ -806,8 +813,11 @@ def reclaim_deletes(
         os.path.join(index_dir, manifest.tombstones_file)
     ) and os.path.exists(old_tpath):
         os.unlink(old_tpath)
+    from ..state.commits import protected_segments
+
+    pinned = protected_segments(index_dir)
     for j in jobs:
-        if j["seg_name"] != j["new_name"]:
+        if j["seg_name"] != j["new_name"] and j["seg_name"] not in pinned:
             shutil.rmtree(
                 os.path.join(index_dir, "segments", j["seg_name"]), ignore_errors=True
             )

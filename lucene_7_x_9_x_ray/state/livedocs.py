@@ -20,10 +20,13 @@ from .manifest import IndexManifest, atomic_write_json, load_json
 TOMBSTONES_FILE = "tombstones.json"
 
 
-def tombstones_path(index_dir: str) -> str:
+def tombstones_path(index_dir: str, manifest=None) -> str:
     """The CURRENT tombstone generation file, per the manifest — the
     manifest commit switches generations atomically with the docID space
-    they refer to (renumbering merges write a new generation)."""
+    they refer to (renumbering merges write a new generation). An explicit
+    ``manifest`` reads the generation AS OF that commit (snapshots)."""
+    if manifest is not None:
+        return os.path.join(index_dir, manifest.tombstones_file or TOMBSTONES_FILE)
     try:
         name = IndexManifest.load(index_dir).tombstones_file
     except FileNotFoundError:
@@ -31,9 +34,9 @@ def tombstones_path(index_dir: str) -> str:
     return os.path.join(index_dir, name or TOMBSTONES_FILE)
 
 
-def load_tombstones(index_dir: str) -> np.ndarray:
+def load_tombstones(index_dir: str, manifest=None) -> np.ndarray:
     """Sorted global docIDs of deleted documents (empty if none)."""
-    path = tombstones_path(index_dir)
+    path = tombstones_path(index_dir, manifest=manifest)
     if not os.path.exists(path):
         return np.empty(0, dtype=np.int64)
     return np.asarray(sorted(load_json(path)["deleted"]), dtype=np.int64)

@@ -1,0 +1,108 @@
+"""Snapshot / deletion-policy tests (state/commits.py): pinning a commit
+defers segment deletion through compaction AND delete-reclaim, the
+snapshot reader serves the exact pre-merge results, and release sweeps
+the deferred dirs."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from lucene_7_x_9_x_ray.search import queries as Q
+from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+from lucene_7_x_9_x_ray.sources.pages import generate_pages, write_pages_parquet
+from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index
+from lucene_7_x_9_x_ray.stages.compact import (
+    CompactionPolicy,
+    compact_index,
+    reclaim_deletes,
+)
+from lucene_7_x_9_x_ray.state.commits import (
+    gc_unreferenced,
+    list_snapshots,
+    open_snapshot,
+    protected_segments,
+    release_snapshot,
+    snapshot_commit,
+)
+from lucene_7_x_9_x_ray.state.livedocs import delete_docs
+
+PROBES = [
+    Q.TermQuery("t00000"),
+    Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery("t00002")), (Q.SHOULD, Q.TermQuery("t00030"))]
+    ),
+]
+
+
+def _build(tmp_path):
+    p = str(tmp_path / "pages.parquet")
+    write_pages_parquet(
+        generate_pages(300, seed=43, vocab_size=60, mean_tokens=22),
+        p, rows_per_row_group=75,
+    )
+    idx = str(tmp_path / "idx")
+    build_index([p], idx, BuildConfig(target_docs_per_segment=75))  # 4 segments
+    return idx
+
+
+def _results(searcher):
+    return [
+        (list(map(int, td.doc_ids)), [float(np.float32(s)) for s in td.scores])
+        for td in (searcher.search(q, k=30, total_hits_threshold=1 << 30) for q in PROBES)
+    ]
+
+
+def test_snapshot_pins_segments_through_compaction(ray_session, tmp_path):
+    idx = _build(tmp_path)
+    before = IndexSearcher(idx)
+    res0 = _results(before)
+    old_segs = {s["seg_name"] for s in before.manifest.segments}
+
+    snap = snapshot_commit(idx)
+    assert protected_segments(idx) == old_segs
+    compact_index(idx, CompactionPolicy(max_merge_at_once=4))
+
+    # replaced segment dirs are DEFERRED, not deleted
+    on_disk = set(os.listdir(os.path.join(idx, "segments")))
+    assert old_segs <= on_disk
+    # the pinned commit still serves the exact original results
+    snap_searcher = open_snapshot(idx, snap)
+    assert _results(snap_searcher) == res0
+    # the live index moved on (fewer segments), same results
+    now = IndexSearcher(idx)
+    assert len(now.manifest.segments) < len(old_segs)
+    assert _results(now) == res0
+
+    # release: registry empties and the orphaned dirs are swept
+    release_snapshot(idx, snap)
+    assert list_snapshots(idx) == {}
+    on_disk = set(os.listdir(os.path.join(idx, "segments")))
+    assert not (old_segs - {s["seg_name"] for s in now.manifest.segments}) & on_disk
+    assert _results(IndexSearcher(idx)) == res0
+
+
+def test_snapshot_is_delete_stable_through_reclaim(ray_session, tmp_path):
+    idx = _build(tmp_path)
+    before = IndexSearcher(idx)
+    res0 = _results(before)
+
+    snap = snapshot_commit(idx)
+    # delete a third of the docs, then reclaim (renumbers the docID space
+    # and switches the tombstone generation)
+    delete_docs(idx, list(range(0, 300, 3)))
+    reclaim_deletes(idx, deletes_pct_threshold=0.0, force=True)
+
+    # current index reflects the deletes; the snapshot does not
+    snap_res = _results(open_snapshot(idx, snap))
+    assert snap_res == res0
+    now_res = _results(IndexSearcher(idx))
+    assert now_res != res0
+
+    release_snapshot(idx, snap)
+    # commits dir cleaned, gc idempotent
+    assert gc_unreferenced(idx) == []
+    assert not any(
+        f.startswith(snap) for f in os.listdir(os.path.join(idx, "commits"))
+    )
