@@ -615,6 +615,37 @@ def _sloppy_freq_repeats(adj_lists: list[np.ndarray], terms, slop: int) -> float
     return float(freq)
 
 
+def _positions_cursor(per_term, cand: np.ndarray):
+    """Index arrays for slicing each term's flat position stream per
+    candidate doc: (locs[i] = candidate row in term i's doc list,
+    offs[i] = per-doc offsets into the stream). Shared by the phrase and
+    span evaluators."""
+    locs, offs = [], []
+    for d, f, _p in per_term:
+        off = np.zeros(len(f) + 1, dtype=np.int64)
+        np.cumsum(f, out=off[1:])
+        locs.append(np.searchsorted(d, cand))
+        offs.append(off)
+    return locs, offs
+
+
+def sum_idf_weight(terms, field: str, stats: CollectionStats, bm25: BM25,
+                   boost: float):
+    """One SimScorer whose idf is the DOUBLE sum of per-term float32 idfs
+    in the given order (BM25Similarity idfExplain over TermStatistics[] —
+    PhraseWeight passes terms with repeats in phrase order, SpanWeight a
+    deduped sorted set; the caller picks)."""
+    idf_total = np.float32(
+        sum(float(bm25.idf(stats.df(t, field), stats.n_docs(field))) for t in terms)
+    )
+    from ..functions.bm25 import BM25TermWeight
+
+    return BM25TermWeight(
+        weight=np.float32(boost) * idf_total,
+        cache=bm25.norm_cache(bm25.avgdl(stats.sttf(field), stats.n_docs(field))),
+    )
+
+
 def _eval_phrase(
     reader, query: Q.PhraseQuery, stats: CollectionStats, bm25: BM25
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -654,12 +685,7 @@ def _eval_phrase(
         return _empty()
 
     # per-candidate phrase-match counting on the decoded position streams
-    locs, offs = [], []
-    for d, f, _p in per_term:
-        off = np.zeros(len(f) + 1, dtype=np.int64)
-        np.cumsum(f, out=off[1:])
-        locs.append(np.searchsorted(d, cand))
-        offs.append(off)
+    locs, offs = _positions_cursor(per_term, cand)
     freqs = np.zeros(len(cand), dtype=np.float64)
     for ci in range(len(cand)):
         if query.slop == 0:
@@ -688,21 +714,7 @@ def _eval_phrase(
     if len(cand) == 0:
         return _empty()
 
-    idf_total = np.float32(
-        sum(
-            float(bm25.idf(stats.df(t, query.field), stats.n_docs(query.field)))
-            for t in query.terms
-        )
-    )
-    weight = np.float32(query.boost) * idf_total
-    from ..functions.bm25 import BM25TermWeight
-
-    tw = BM25TermWeight(
-        weight=weight,
-        cache=bm25.norm_cache(
-            bm25.avgdl(stats.sttf(query.field), stats.n_docs(query.field))
-        ),
-    )
+    tw = sum_idf_weight(query.terms, query.field, stats, bm25, query.boost)
     scores = tw.score(freqs, fr.norms[cand]).astype(np.float32, copy=False)
     return cand, scores
 

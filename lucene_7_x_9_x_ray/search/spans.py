@@ -223,13 +223,9 @@ def eval_span(reader, query, stats, bm25):
     if len(cand) == 0:
         return _empty()
 
-    locs, offs = [], []
-    for d, f, _p in per_term:
-        off = np.zeros(len(f) + 1, dtype=np.int64)
-        np.cumsum(f, out=off[1:])
-        locs.append(np.searchsorted(d, cand))
-        offs.append(off)
+    from .scorers import _positions_cursor, sum_idf_weight
 
+    locs, offs = _positions_cursor(per_term, cand)
     freqs = np.zeros(len(cand), dtype=np.float64)
     for ci in range(len(cand)):
         pos_lists = []
@@ -247,18 +243,6 @@ def eval_span(reader, query, stats, bm25):
     if len(cand) == 0:
         return _empty()
 
-    idf_total = np.float32(
-        sum(
-            float(bm25.idf(stats.df(t, field), stats.n_docs(field)))
-            for t in _scoring_terms(query)
-        )
-    )
-    weight = np.float32(query.boost) * idf_total
-    from ..functions.bm25 import BM25TermWeight
-
-    tw = BM25TermWeight(
-        weight=weight,
-        cache=bm25.norm_cache(bm25.avgdl(stats.sttf(field), stats.n_docs(field))),
-    )
+    tw = sum_idf_weight(_scoring_terms(query), field, stats, bm25, query.boost)
     scores = tw.score(freqs, fr.norms[cand]).astype(np.float32, copy=False)
     return cand, scores

@@ -391,12 +391,9 @@ def compact_index(
     # deletion policy: drop replaced segments now (KeepOnlyLastCommit)
     # unless a snapshot pins them — those defer to gc_unreferenced at
     # snapshot release (state/commits.py)
-    from ..state.commits import protected_segments
+    from ..state.commits import remove_segments_unless_pinned
 
-    pinned = protected_segments(index_dir)
-    for name in merged_names:
-        if name not in pinned:
-            shutil.rmtree(os.path.join(index_dir, "segments", name), ignore_errors=True)
+    remove_segments_unless_pinned(index_dir, merged_names)
     # drop any stale term-sharded merged index: its fingerprint no longer
     # matches and the pull merge would rebuild it anyway
     shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)
@@ -813,13 +810,10 @@ def reclaim_deletes(
         os.path.join(index_dir, manifest.tombstones_file)
     ) and os.path.exists(old_tpath):
         os.unlink(old_tpath)
-    from ..state.commits import protected_segments
+    from ..state.commits import remove_segments_unless_pinned
 
-    pinned = protected_segments(index_dir)
-    for j in jobs:
-        if j["seg_name"] != j["new_name"] and j["seg_name"] not in pinned:
-            shutil.rmtree(
-                os.path.join(index_dir, "segments", j["seg_name"]), ignore_errors=True
-            )
+    remove_segments_unless_pinned(
+        index_dir, [j["seg_name"] for j in jobs if j["seg_name"] != j["new_name"]]
+    )
     shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)
     return manifest

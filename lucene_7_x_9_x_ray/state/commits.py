@@ -35,6 +35,7 @@ from .manifest import IndexManifest, atomic_write_json
 
 COMMITS_DIR = "commits"
 REGISTRY = "snapshots.json"
+_EMPTY_REGISTRY = {"next_id": 0, "snapshots": {}, "deferred": []}
 
 
 def _registry_path(index_dir: str) -> str:
@@ -43,34 +44,40 @@ def _registry_path(index_dir: str) -> str:
 
 def _load_registry(index_dir: str) -> dict:
     p = _registry_path(index_dir)
-    return load_json(p) if os.path.exists(p) else {}
+    if not os.path.exists(p):
+        return {k: (dict(v) if isinstance(v, dict) else list(v) if isinstance(v, list) else v)
+                for k, v in _EMPTY_REGISTRY.items()}
+    return load_json(p)
 
 
 def snapshot_commit(index_dir: str) -> str:
-    """Pin the current commit; returns the snapshot id. Idempotent per
-    commit generation: snapshotting the same manifest version twice
-    returns distinct ids pinning the same segments (Lucene's snapshot()
-    also hands out one IndexCommit per call)."""
+    """Pin the current commit; returns the snapshot id. Ids come from a
+    monotonic registry counter (never reused after a release — a counted
+    id could collide with a still-live snapshot). Snapshotting the same
+    manifest version twice returns distinct ids pinning the same segments
+    (Lucene's snapshot() also hands out one IndexCommit per call)."""
     m = IndexManifest.load(index_dir)
     reg = _load_registry(index_dir)
-    n = sum(1 for k in reg if k.startswith(f"snap_{m.version}_"))
-    snap_id = f"snap_{m.version}_{n}"
+    snap_id = f"snap_{m.version}_{int(reg['next_id'])}"
+    reg["next_id"] = int(reg["next_id"]) + 1
     from dataclasses import asdict
 
     d = asdict(m)
     d.pop("index_dir", None)
-    # self-contained tombstones: reclaim unlinks old generations, so the
-    # snapshot carries its own copy
+    # self-contained tombstones: the live generation file mutates with
+    # later deletes and reclaim unlinks old generations, so the snapshot
+    # ALWAYS carries its own frozen copy (empty when no deletes exist yet
+    # — pointing at the live path would leak post-snapshot deletes in)
     tpath = tombstones_path(index_dir, manifest=m)
-    if os.path.exists(tpath):
-        snap_tname = os.path.join(COMMITS_DIR, f"{snap_id}.liv.json")
-        atomic_write_json(os.path.join(index_dir, snap_tname), load_json(tpath))
-        d["tombstones_file"] = snap_tname
+    snap_tname = os.path.join(COMMITS_DIR, f"{snap_id}.liv.json")
+    frozen = load_json(tpath) if os.path.exists(tpath) else {"deleted": []}
+    atomic_write_json(os.path.join(index_dir, snap_tname), frozen)
+    d["tombstones_file"] = snap_tname
     # a snapshot always serves from its pinned segments — a later merge
     # invalidates/rebuilds <index>/merged, which is not pinned
     d["merged"] = False
     atomic_write_json(os.path.join(index_dir, COMMITS_DIR, f"{snap_id}.json"), d)
-    reg[snap_id] = {
+    reg["snapshots"][snap_id] = {
         "version": int(m.version),
         "segments": [s["seg_name"] for s in m.segments],
     }
@@ -79,21 +86,41 @@ def snapshot_commit(index_dir: str) -> str:
 
 
 def list_snapshots(index_dir: str) -> dict:
-    return _load_registry(index_dir)
+    return _load_registry(index_dir)["snapshots"]
 
 
 def protected_segments(index_dir: str) -> set[str]:
     """Segment names pinned by any live snapshot — merge/reclaim deletion
     paths must skip these (the deletion-policy hook)."""
-    return {n for e in _load_registry(index_dir).values() for n in e["segments"]}
+    return {n for e in list_snapshots(index_dir).values() for n in e["segments"]}
+
+
+def remove_segments_unless_pinned(index_dir: str, names) -> None:
+    """THE deletion-policy enforcement point for merge paths: delete each
+    replaced segment dir now (KeepOnlyLastCommit) unless a snapshot pins
+    it — pinned names are recorded as deferred and swept by
+    ``gc_unreferenced`` once released."""
+    reg = _load_registry(index_dir)
+    pinned = {n for e in reg["snapshots"].values() for n in e["segments"]}
+    deferred = set(reg["deferred"])
+    for name in names:
+        if name in pinned:
+            deferred.add(name)
+        else:
+            shutil.rmtree(os.path.join(index_dir, "segments", name),
+                          ignore_errors=True)
+            deferred.discard(name)
+    if set(reg["deferred"]) != deferred:
+        reg["deferred"] = sorted(deferred)
+        atomic_write_json(_registry_path(index_dir), reg)
 
 
 def release_snapshot(index_dir: str, snap_id: str) -> None:
-    """Unpin a snapshot and sweep segment dirs no commit references."""
+    """Unpin a snapshot and sweep deferred segment dirs nothing references."""
     reg = _load_registry(index_dir)
-    if snap_id not in reg:
+    if snap_id not in reg["snapshots"]:
         raise KeyError(f"unknown snapshot {snap_id!r}")
-    del reg[snap_id]
+    del reg["snapshots"][snap_id]
     atomic_write_json(_registry_path(index_dir), reg)
     for suffix in (".json", ".liv.json"):
         p = os.path.join(index_dir, COMMITS_DIR, f"{snap_id}{suffix}")
@@ -103,16 +130,26 @@ def release_snapshot(index_dir: str, snap_id: str) -> None:
 
 
 def gc_unreferenced(index_dir: str) -> list[str]:
-    """Delete segment dirs referenced by neither the current manifest nor
-    any snapshot (deferred deletes from merges that ran under a pin)."""
+    """Sweep DEFERRED segment dirs (replaced by a merge while pinned) that
+    no live commit references any more. Only names the deletion policy
+    recorded are candidates — never arbitrary dirs under segments/, which
+    may be completed-but-unmanifested partitions of an in-flight build or
+    append (the resume checkpoint window)."""
     m = IndexManifest.load(index_dir)
-    live = {s["seg_name"] for s in m.segments} | protected_segments(index_dir)
-    seg_root = os.path.join(index_dir, "segments")
-    removed = []
-    for name in sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []:
-        if name not in live and os.path.isdir(os.path.join(seg_root, name)):
-            shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
-            removed.append(name)
+    reg = _load_registry(index_dir)
+    live = {s["seg_name"] for s in m.segments} | {
+        n for e in reg["snapshots"].values() for n in e["segments"]
+    }
+    removed, still_deferred = [], []
+    for name in reg["deferred"]:
+        if name in live:
+            still_deferred.append(name)
+            continue
+        shutil.rmtree(os.path.join(index_dir, "segments", name), ignore_errors=True)
+        removed.append(name)
+    if removed:
+        reg["deferred"] = still_deferred
+        atomic_write_json(_registry_path(index_dir), reg)
     return removed
 
 

@@ -106,3 +106,46 @@ def test_snapshot_is_delete_stable_through_reclaim(ray_session, tmp_path):
     assert not any(
         f.startswith(snap) for f in os.listdir(os.path.join(idx, "commits"))
     )
+
+
+def test_snapshot_before_any_deletes_is_frozen(ray_session, tmp_path):
+    # regression: a snapshot taken when NO tombstone file exists yet must
+    # not see deletes applied afterwards (the pinned manifest must never
+    # point at the mutable live tombstone generation)
+    idx = _build(tmp_path)
+    res0 = _results(IndexSearcher(idx))
+    snap = snapshot_commit(idx)
+    delete_docs(idx, list(range(0, 300, 2)))
+    assert _results(open_snapshot(idx, snap)) == res0
+    assert _results(IndexSearcher(idx)) != res0
+    release_snapshot(idx, snap)
+
+
+def test_snapshot_ids_never_reused_after_release(ray_session, tmp_path):
+    # regression: ids come from a monotonic counter — releasing an older
+    # snapshot must not make the next snapshot collide with a live one
+    idx = _build(tmp_path)
+    s0 = snapshot_commit(idx)
+    s1 = snapshot_commit(idx)
+    release_snapshot(idx, s0)
+    s2 = snapshot_commit(idx)
+    assert len({s0, s1, s2}) == 3
+    assert set(list_snapshots(idx)) == {s1, s2}
+    release_snapshot(idx, s1)
+    release_snapshot(idx, s2)
+
+
+def test_gc_never_touches_unmanifested_segment_dirs(ray_session, tmp_path):
+    # regression: gc only sweeps dirs the deletion policy deferred — a
+    # completed-but-unmanifested partition (the build/append resume
+    # window) must survive a release+gc
+    idx = _build(tmp_path)
+    stray = os.path.join(idx, "segments", "seg_inflight_999")
+    os.makedirs(stray)
+    with open(os.path.join(stray, "stats.json"), "w") as f:
+        f.write("{}")
+    snap = snapshot_commit(idx)
+    compact_index(idx, CompactionPolicy(max_merge_at_once=4))
+    release_snapshot(idx, snap)
+    assert os.path.isdir(stray)  # untouched by the sweep
+    assert gc_unreferenced(idx) == []
