@@ -293,19 +293,28 @@ def q_phrase_topk(sf_dir: str) -> pa.Table:
     )
 
 
-# span gate: (query_id, kind, terms, param, k) — kind "ord"/"unord"
-# (param = slop), "first" (param = end), "not" (param = (pre, post))
+# span gate: (query_id, kind, clauses, param, k) — each clause is a tuple
+# of terms (len > 1 = a SpanOrQuery of those terms); kind "ord"/"unord"
+# (param = slop), "first" (param = end), "not" (param = (pre, post)),
+# "or" (standalone SpanOrQuery, param unused)
 SPAN_TOPK_SPECS: list[tuple[str, str, tuple, object, int]] = [
-    ("sp_ord2", "ord", ("key", "hash"), 3, 10),
-    ("sp_ord3", "ord", ("data", "join", "sort"), 8, 10),
-    ("sp_unord", "unord", ("window", "batch"), 2, 10),
-    ("sp_first", "first", ("join",), 5, 10),
-    ("sp_not", "not", ("join", "order"), (1, 2), 10),
+    ("sp_ord2", "ord", (("key",), ("hash",)), 3, 10),
+    ("sp_ord3", "ord", (("data",), ("join",), ("sort",)), 8, 10),
+    ("sp_unord", "unord", (("window",), ("batch",)), 2, 10),
+    ("sp_first", "first", (("join",),), 5, 10),
+    ("sp_not", "not", (("join",), ("order",)), (1, 2), 10),
+    ("sp_or", "or", (("key", "hash"),), None, 10),
+    ("sp_ord_or", "ord", (("window", "stream"), ("batch",)), 4, 10),
 ]
 
 
-def _span_query_from_spec(kind: str, terms: tuple, param) -> Q.Query:
-    subs = tuple(Q.SpanTermQuery(t) for t in terms)
+def _span_query_from_spec(kind: str, clauses: tuple, param) -> Q.Query:
+    def sub(terms: tuple) -> Q.Query:
+        if len(terms) == 1:
+            return Q.SpanTermQuery(terms[0])
+        return Q.SpanOrQuery(tuple(Q.SpanTermQuery(t) for t in terms))
+
+    subs = tuple(sub(ts) for ts in clauses)
     if kind == "ord":
         return Q.SpanNearQuery(subs, slop=int(param), in_order=True)
     if kind == "unord":
@@ -315,6 +324,8 @@ def _span_query_from_spec(kind: str, terms: tuple, param) -> Q.Query:
     if kind == "not":
         pre, post = param
         return Q.SpanNotQuery(subs[0], subs[1], pre=pre, post=post)
+    if kind == "or":
+        return subs[0]
     raise ValueError(kind)
 
 

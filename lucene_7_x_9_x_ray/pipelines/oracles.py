@@ -149,13 +149,14 @@ def span_topk_sql(
 ) -> str:
     """Span-query top-k oracle: (query_id, rank, doc_id, score_r).
 
-    specs: (query_id, kind, terms, param, k) with kind one of
-    "ord" / "unord" (param = slop), "first" (param = end),
-    "not" (param = (pre, post)).
+    specs: (query_id, kind, clauses, param, k); each clause is a tuple of
+    terms (len > 1 = SpanOrQuery — its spans are the merged position
+    list, still width 1). kind: "ord" / "unord" (param = slop), "first"
+    (param = end), "not" (param = (pre, post)), "or" (standalone).
 
     Matches are enumerated declaratively (the stateful span iterators are
-    history-free over term sub-spans — see search/spans.py docstring; the
-    equivalence is duel-tested in tests/test_spans.py):
+    history-free over width-1 sub-spans — see search/spans.py docstring;
+    the equivalence is duel-tested in tests/test_spans.py):
 
     - ordered: for each start of clause 0, chain "first position >= prev
       end" scalar mins; width = sum of gaps; NULL chain = clause
@@ -166,12 +167,13 @@ def span_topk_sql(
       max-min-1 <= slop, width = max-min+1, emitted in least(a, b) order.
     - first: positions with p+1 <= end, width 0.
     - not: include positions with no exclude position in [p-pre, p+post].
+    - or: every clause position, width 0.
 
     freq replicates SpanScorer.setFreqCurrentDoc: FLOAT freq += DOUBLE
     1/(1+width) in emission order (fold starts at 0.0 and casts to FLOAT
     each step). The SimScorer weight is float32(sum of per-term f32 idfs
     over sorted distinct scoring terms; include-side only for "not")."""
-    all_terms = sorted({t for _, _, ts, _, _ in specs for t in ts})
+    all_terms = sorted({t for _, _, cls, _, _ in specs for ts in cls for t in ts})
     ctes = [f"t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation})"]
     ctes.append(base_ctes(relation))
     ctes += [term_leaf_ctes(t) for t in all_terms]
@@ -182,17 +184,28 @@ pos_{_ident(t)} AS (SELECT doc_id, i - 1 AS p
       FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM t0)
       WHERE arr[i] = '{lit}')""")
     selects = []
-    for qid, kind, terms, param, k in specs:
-        ids = [_ident(t) for t in terms]
+    for qid, kind, clauses, param, k in specs:
+        # per-clause position relation: the term's pos CTE, or a UNION
+        # merge for an or-clause (registered as its own CTE)
+        ids = []
+        for i, ts in enumerate(clauses):
+            if len(ts) == 1:
+                ids.append(f"pos_{_ident(ts[0])}")
+            else:
+                union = "\n      UNION ".join(
+                    f"SELECT doc_id, p FROM pos_{_ident(t)}" for t in ts
+                )
+                ctes.append(f"pc{i}_{qid} AS ({union})")
+                ids.append(f"pc{i}_{qid}")
         if kind == "ord":
             slop = int(param)
-            prev = f"co0_{qid} AS (SELECT doc_id, p AS s0 FROM pos_{ids[0]})"
+            prev = f"co0_{qid} AS (SELECT doc_id, p AS s0 FROM {ids[0]})"
             ctes.append(prev)
             for i in range(1, len(ids)):
                 cols = ", ".join(f"c.s{j}" for j in range(i))
                 ctes.append(f"""
 co{i}_{qid} AS (SELECT c.doc_id, {cols},
-       (SELECT min(x.p) FROM pos_{ids[i]} x
+       (SELECT min(x.p) FROM {ids[i]} x
         WHERE x.doc_id = c.doc_id AND x.p >= c.s{i - 1} + 1) AS s{i}
   FROM co{i - 1}_{qid} c)""")
             width = " + ".join(
@@ -208,28 +221,33 @@ wv_{qid} AS (SELECT doc_id, s0, {width} AS width
             ctes.append(f"""
 wv_{qid} AS (SELECT a.doc_id, least(a.p, b.p) AS s0,
                     greatest(a.p, b.p) - least(a.p, b.p) + 1 AS width
-  FROM pos_{a} a JOIN pos_{b} b USING (doc_id)
-  WHERE NOT EXISTS (SELECT 1 FROM pos_{a} a2
+  FROM {a} a JOIN {b} b USING (doc_id)
+  WHERE NOT EXISTS (SELECT 1 FROM {a} a2
                     WHERE a2.doc_id = a.doc_id AND a2.p < a.p AND a2.p >= b.p)
-    AND NOT EXISTS (SELECT 1 FROM pos_{b} b2
+    AND NOT EXISTS (SELECT 1 FROM {b} b2
                     WHERE b2.doc_id = a.doc_id AND b2.p < b.p AND b2.p >= a.p)
     AND greatest(a.p, b.p) - least(a.p, b.p) - 1 <= {slop})""")
         elif kind == "first":
             end = int(param)
             ctes.append(f"""
 wv_{qid} AS (SELECT doc_id, p AS s0, 0 AS width
-  FROM pos_{ids[0]} WHERE p + 1 <= {end})""")
+  FROM {ids[0]} WHERE p + 1 <= {end})""")
         elif kind == "not":
             pre, post = param
             ctes.append(f"""
 wv_{qid} AS (SELECT i.doc_id, i.p AS s0, 0 AS width
-  FROM pos_{ids[0]} i
-  WHERE NOT EXISTS (SELECT 1 FROM pos_{ids[1]} e
+  FROM {ids[0]} i
+  WHERE NOT EXISTS (SELECT 1 FROM {ids[1]} e
                     WHERE e.doc_id = i.doc_id
                       AND e.p >= i.p - {pre} AND e.p <= i.p + {post}))""")
+        elif kind == "or":
+            ctes.append(f"""
+wv_{qid} AS (SELECT doc_id, p AS s0, 0 AS width FROM {ids[0]})""")
         else:
             raise ValueError(f"unknown span kind {kind!r}")
-        scoring = sorted(set(terms[:1] if kind == "not" else terms))
+        scoring = sorted(
+            {t for ts in (clauses[:1] if kind == "not" else clauses) for t in ts}
+        )
         idf_sum = " + ".join(
             f"CAST((SELECT w FROM w_{_ident(t)}) AS DOUBLE)" for t in scoring
         )

@@ -313,6 +313,18 @@ class SpanNearQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanOrQuery(Query):
+    """spans module SpanOrQuery (s84 search/spans/SpanOrQuery.java): the
+    position-queue disjunction of its clause spans. Over term clauses the
+    result is the merged position list (width-1 spans), so it composes as
+    a clause of SpanNear/SpanFirst/SpanNot without losing the width-1
+    invariants."""
+
+    clauses: tuple[Query, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanFirstQuery(Query):
     """spans module SpanFirstQuery (s84 search/spans/SpanFirstQuery.java:40):
     match spans that END at or before ``end``."""
@@ -336,7 +348,9 @@ class SpanNotQuery(Query):
     boost: float = 1.0
 
 
-SPAN_QUERY_TYPES = (SpanTermQuery, SpanNearQuery, SpanFirstQuery, SpanNotQuery)
+SPAN_QUERY_TYPES = (
+    SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanFirstQuery, SpanNotQuery
+)
 
 
 # --- multi-term (dict-rewritten) queries -----------------------------------
@@ -533,7 +547,7 @@ def collect_terms(query: Query) -> set[str]:
         out |= collect_terms(query.parent)
     elif isinstance(query, SpanTermQuery):
         out.add(query.term)
-    elif isinstance(query, SpanNearQuery):
+    elif isinstance(query, (SpanNearQuery, SpanOrQuery)):
         for q in query.clauses:
             out |= collect_terms(q)
     elif isinstance(query, SpanFirstQuery):
@@ -568,7 +582,7 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
         out |= collect_field_terms(query.parent)
     elif isinstance(query, SpanTermQuery):
         out.add((query.field, query.term))
-    elif isinstance(query, SpanNearQuery):
+    elif isinstance(query, (SpanNearQuery, SpanOrQuery)):
         for q in query.clauses:
             out |= collect_field_terms(q)
     elif isinstance(query, SpanFirstQuery):

@@ -49,7 +49,7 @@ def _span_terms(query) -> list[str]:
     """Term leaves of a span tree, in clause order."""
     if isinstance(query, Q.SpanTermQuery):
         return [query.term]
-    if isinstance(query, Q.SpanNearQuery):
+    if isinstance(query, (Q.SpanNearQuery, Q.SpanOrQuery)):
         out = []
         for c in query.clauses:
             out += _span_terms(c)
@@ -61,10 +61,43 @@ def _span_terms(query) -> list[str]:
     raise TypeError(f"not a span query: {type(query).__name__}")
 
 
+def _leaf_terms(clause) -> list[str]:
+    """Terms of ONE clause: a SpanTermQuery or a SpanOrQuery of terms
+    (an or-of-terms still yields width-1 spans whose position list is the
+    merge of its terms' lists — SpanOrQuery's position queue)."""
+    if isinstance(clause, Q.SpanTermQuery):
+        return [clause.term]
+    if isinstance(clause, Q.SpanOrQuery):
+        out = []
+        for c in clause.clauses:
+            if not isinstance(c, Q.SpanTermQuery):
+                raise ValueError("SpanOrQuery clauses are restricted to SpanTermQuery")
+            out.append(c.term)
+        return out
+    raise ValueError(
+        "span clauses are restricted to SpanTermQuery / SpanOrQuery-of-terms "
+        "(documented scope)"
+    )
+
+
+def _clause_term_lists(query) -> list[list[str]]:
+    """The query as a list of clauses, each a list of leaf terms whose
+    merged positions are that clause's spans."""
+    if isinstance(query, (Q.SpanTermQuery, Q.SpanOrQuery)):
+        return [_leaf_terms(query)]
+    if isinstance(query, Q.SpanNearQuery):
+        return [_leaf_terms(c) for c in query.clauses]
+    if isinstance(query, Q.SpanFirstQuery):
+        return [_leaf_terms(query.match)]
+    if isinstance(query, Q.SpanNotQuery):
+        return [_leaf_terms(query.include), _leaf_terms(query.exclude)]
+    raise TypeError(f"not a span query: {type(query).__name__}")
+
+
 def span_field(query) -> str:
     if isinstance(query, Q.SpanTermQuery):
         return query.field
-    if isinstance(query, Q.SpanNearQuery):
+    if isinstance(query, (Q.SpanNearQuery, Q.SpanOrQuery)):
         fields = {span_field(c) for c in query.clauses}
         if len(fields) != 1:
             raise ValueError("Clauses must have same field.")
@@ -85,25 +118,6 @@ def _scoring_terms(query) -> list[str]:
     if isinstance(query, Q.SpanNotQuery):
         return sorted(set(_span_terms(query.include)))
     return sorted(set(_span_terms(query)))
-
-
-def _require_term_clauses(query) -> None:
-    if isinstance(query, Q.SpanNearQuery):
-        for c in query.clauses:
-            if not isinstance(c, Q.SpanTermQuery):
-                raise ValueError(
-                    "SpanNearQuery clauses are restricted to SpanTermQuery "
-                    "(documented scope; the reference demo's shape)"
-                )
-    if isinstance(query, Q.SpanFirstQuery) and not isinstance(
-        query.match, Q.SpanTermQuery
-    ):
-        raise ValueError("SpanFirstQuery.match is restricted to SpanTermQuery")
-    if isinstance(query, Q.SpanNotQuery) and not (
-        isinstance(query.include, Q.SpanTermQuery)
-        and isinstance(query.exclude, Q.SpanTermQuery)
-    ):
-        raise ValueError("SpanNotQuery clauses are restricted to SpanTermQuery")
 
 
 def _ordered_widths(pos_lists: list[np.ndarray], slop: int) -> np.ndarray:
@@ -155,9 +169,9 @@ def _unordered_widths(pos_lists: list[np.ndarray], slop: int) -> list[int]:
 
 
 def _span_doc_widths(query, pos_lists: list[np.ndarray]):
-    """Match widths for one doc given the clause-order term position
+    """Match widths for one doc given the per-CLAUSE merged position
     lists. Returns a sequence of integer widths in emission order."""
-    if isinstance(query, Q.SpanTermQuery):
+    if isinstance(query, (Q.SpanTermQuery, Q.SpanOrQuery)):
         return np.zeros(len(pos_lists[0]), dtype=np.int64)
     if isinstance(query, Q.SpanNearQuery):
         if query.in_order:
@@ -193,49 +207,66 @@ def eval_span(reader, query, stats, bm25):
     """Evaluate a span query on one segment: (docs ascending, f32 scores)."""
     from .scorers import _empty, _view
 
-    _require_term_clauses(query)
     field = span_field(query)
     fr = _view(reader, field)
     if not getattr(fr, "has_positions", False):
         raise ValueError("span queries require an index built with index_positions=True")
 
-    clause_terms = _span_terms(query)
-    per_term = []
-    for t in clause_terms:
-        tpp = fr.term_positions(t)
-        if tpp is None:
-            if isinstance(query, Q.SpanNotQuery) and t == clause_terms[-1]:
-                # absent exclude term: include spans pass through
-                per_term.append((np.empty(0, np.int64), np.empty(0, np.int64),
-                                 np.empty(0, np.int64)))
-                continue
-            return _empty()
-        per_term.append(tpp)
+    clauses = _clause_term_lists(query)  # validates clause scope
+    # per-LEAF postings; absent leaves keep an empty placeholder (an
+    # or-clause matches if ANY of its terms does; an absent SpanNot
+    # exclude lets includes pass through)
+    leaf_post: dict[str, tuple] = {}
+    for terms in clauses:
+        for t in terms:
+            if t not in leaf_post:
+                tpp = fr.term_positions(t)
+                leaf_post[t] = tpp if tpp is not None else (
+                    np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+                )
 
-    # candidate docs: conjunction of clause docs (ConjunctionSpans);
-    # SpanNot candidates are the include docs regardless of the exclude
-    if isinstance(query, Q.SpanNotQuery):
-        cand = per_term[0][0]
-    else:
-        cand = per_term[0][0]
-        for d, _f, _p in per_term[1:]:
-            cand = np.intersect1d(cand, d, assume_unique=True)
+    # per-clause doc set = union of its leaves' docs (SpanOrQuery);
+    # candidates = conjunction of clause docs (ConjunctionSpans) — except
+    # SpanNot, whose candidates are the include clause's docs alone
+    clause_docs = [
+        np.unique(np.concatenate([leaf_post[t][0] for t in terms]))
+        for terms in clauses
+    ]
+    cand = clause_docs[0]
+    if not isinstance(query, Q.SpanNotQuery):
+        for cd in clause_docs[1:]:
+            cand = np.intersect1d(cand, cd, assume_unique=True)
     if len(cand) == 0:
         return _empty()
 
     from .scorers import _positions_cursor, sum_idf_weight
 
-    locs, offs = _positions_cursor(per_term, cand)
+    leaves = sorted(leaf_post)
+    per_leaf = [leaf_post[t] for t in leaves]
+    leaf_idx = {t: i for i, t in enumerate(leaves)}
+    locs, offs = _positions_cursor(per_leaf, cand)
     freqs = np.zeros(len(cand), dtype=np.float64)
     for ci in range(len(cand)):
         pos_lists = []
-        for ti, (d, _f, p) in enumerate(per_term):
-            li = locs[ti][ci]
-            if li < len(d) and d[li] == cand[ci]:
-                pos_lists.append(np.asarray(p[offs[ti][li] : offs[ti][li + 1]],
-                                            dtype=np.int64))
-            else:  # doc lacks this clause's term (SpanNot exclude only)
+        for terms in clauses:
+            parts = []
+            for t in terms:
+                ti = leaf_idx[t]
+                d, _f, p = per_leaf[ti]
+                li = locs[ti][ci]
+                if li < len(d) and d[li] == cand[ci]:
+                    parts.append(p[offs[ti][li] : offs[ti][li + 1]])
+            if len(parts) == 1:
+                pos_lists.append(np.asarray(parts[0], dtype=np.int64))
+            elif parts:
+                pos_lists.append(np.unique(np.concatenate(parts)).astype(np.int64))
+            else:
                 pos_lists.append(np.empty(0, dtype=np.int64))
+        if len(pos_lists[0]) == 0 or (
+            not isinstance(query, Q.SpanNotQuery)
+            and any(len(pl) == 0 for pl in pos_lists)
+        ):
+            continue
         freqs[ci] = float(_sloppy_fold(_span_doc_widths(query, pos_lists)))
 
     keep = freqs > 0

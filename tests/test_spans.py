@@ -168,3 +168,30 @@ def test_span_gate_oracle_parity(ray_session):
     assert got.sort_by(key).equals(want.cast(got.schema).sort_by(key))
     # every spec returns a full page
     assert got.num_rows == sum(k for *_, k in flagship.SPAN_TOPK_SPECS)
+
+
+def test_spanor_standalone_and_as_near_clause(tmp_path):
+    s = _index(
+        tmp_path,
+        [
+            "cat fish dog",   # or(cat,dog) positions 0,2
+            "bird fish cat",  # or positions: 2
+            "fish bird wolf",
+        ],
+    )
+    # standalone or: freq = total occurrences across clause terms (width 0)
+    q_or = Q.SpanOrQuery((Q.SpanTermQuery("cat"), Q.SpanTermQuery("dog")))
+    td = s.search(q_or, k=10)
+    assert sorted(int(d) for d in td.doc_ids) == [0, 1]
+
+    # or-of-terms as a near clause: near([or(cat,dog), fish], slop=0,
+    # ordered) — doc0 matches via dog? no: ordered needs or-span BEFORE
+    # fish. doc0 "cat fish dog": cat@0 then fish@1 adjacent -> match.
+    # doc1 "bird fish cat": cat@2 after fish -> no ordered match.
+    q = Q.SpanNearQuery((q_or, Q.SpanTermQuery("fish")), slop=0, in_order=True)
+    td = s.search(q, k=10)
+    assert sorted(int(d) for d in td.doc_ids) == [0]
+    # unordered picks doc1 up too (fish@1, cat@2 within slop 0)
+    q = Q.SpanNearQuery((q_or, Q.SpanTermQuery("fish")), slop=0, in_order=False)
+    td = s.search(q, k=10)
+    assert sorted(int(d) for d in td.doc_ids) == [0, 1]
