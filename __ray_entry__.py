@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
         "blockjoin_topk": flagship.q_blockjoin_topk,  # join module: nested doc blocks
         "tochild_topk": flagship.q_tochild_topk,  # inverse block join
+        "bm25_topk_docsonly": flagship.q_bm25_topk_docsonly,  # IndexOptions.DOCS
         "suggest_completion": flagship.q_suggest_completion,  # suggest module
         "spellcheck": flagship.q_spellcheck,  # DirectSpellChecker
         # --- training-data text ops ---
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
             flagship.BLOCKJOIN_PARENT_TEXT,
         ),
         "span_topk": O.span_topk_sql(flagship.SPAN_TOPK_SPECS),
+        "bm25_topk_docsonly": O.bm25_docsonly_topk_sql(flagship.BM25_QUERY_SPECS),
         "suggest_completion": O.completion_sql(flagship.COMPLETION_SPECS),
         "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),

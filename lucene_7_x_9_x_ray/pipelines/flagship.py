@@ -214,6 +214,36 @@ def q_bm25_topk_pfor(sf_dir: str) -> pa.Table:
     return _bm25_query_table(open_searcher(index_dir, prefer_merged=True))
 
 
+def build_docsonly_index(sf_dir: str) -> str:
+    """Variant index with IndexOptions.DOCS (index_freqs=False,
+    index_positions=False): every stored freq is 1, ttf == df, and avgdl
+    degrades to mean distinct-terms-per-doc (IndexOptionTest demo)."""
+    build_flagship_index(sf_dir)  # ensures pages.parquet exists (cached)
+    pages_path = os.path.join(_cache_dir(sf_dir), "pages.parquet")
+    root = _variant_cache_dir(sf_dir, "docsonly")
+    index_dir = os.path.join(root, "index")
+    done_flag = os.path.join(index_dir, "merged", "merged.json")
+    if os.path.exists(done_flag):
+        return index_dir
+    os.makedirs(root, exist_ok=True)
+    cfg = BuildConfig(
+        index_positions=False,
+        index_freqs=False,
+        target_docs_per_segment=max(128, _pages_rows(pages_path) // 8),
+    )
+    build_index([pages_path], index_dir, cfg)
+    merge_index(index_dir, MergeConfig(n_shards=8, hot_df_threshold=10**9))
+    return index_dir
+
+
+def q_bm25_topk_docsonly(sf_dir: str) -> pa.Table:
+    """The reference query set over the DOCS-only variant index: BM25 with
+    freq() == 1 everywhere and the degraded DOCS-only collection stats
+    (avgdl = mean distinct terms per doc). Oracle: bm25_docsonly_topk_sql."""
+    index_dir = build_docsonly_index(sf_dir)
+    return _bm25_query_table(open_searcher(index_dir, prefer_merged=True))
+
+
 def build_flagship_index_nrt(sf_dir: str) -> str:
     """Two-generation NRT build: the first half of the pages is committed
     AND merged (generation 1); the second half is then appended as new

@@ -104,6 +104,50 @@ def bm25_topk_sql(
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def bm25_docsonly_topk_sql(
+    query_specs: list[tuple[str, list[str], int, int]], relation: str = "documents"
+) -> str:
+    """BM25 top-k over an IndexOptions.DOCS index (index_freqs=False):
+    every freq is 1 and the field's sumTotalTermFreq equals the count of
+    distinct (doc, term) pairs, so avgdl = mean distinct-terms-per-doc.
+    Norms still encode the TRUE analyzer token count (norms are computed
+    at index time independently of IndexOptions)."""
+    terms = sorted({t for _, ts, _, _ in query_specs for t in ts})
+    ctes = [f"""
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {relation}),
+dtok AS (SELECT DISTINCT doc_id, term FROM tok),
+cs AS (SELECT (SELECT count(*) FROM {relation}) AS n_docs,
+              CAST(CAST((SELECT count(*) FROM dtok) AS DOUBLE)
+                   / (SELECT count(*) FROM {relation}) AS FLOAT) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lt AS (SELECT unnest({LENGTH_TABLE_SQL}) AS v),
+normlen AS (SELECT dl.doc_id, max(lt.v) AS nlen
+            FROM dl JOIN lt ON lt.v <= dl.dl GROUP BY dl.doc_id)"""]
+    for t in terms:
+        ti = _ident(t)
+        lit = t.replace("'", "''")
+        ctes.append(f"""
+w_{ti} AS (SELECT CAST(ln(1 + ((SELECT n_docs FROM cs) - df + 0.5) / (df + 0.5)) AS FLOAT) AS w
+          FROM (SELECT count(*) AS df FROM dtok WHERE term = '{lit}')),
+s_{ti} AS (SELECT d.doc_id,
+                 (SELECT w FROM w_{ti})
+                 - (SELECT w FROM w_{ti})
+                   / ({ONE_F} + {ONE_F}
+                      * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                         + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS s
+          FROM dtok d JOIN normlen nl USING (doc_id) WHERE d.term = '{lit}')""")
+    ctes += [disjunction_scored_cte(qid, ts) for qid, ts, _, _ in query_specs]
+    selects = []
+    for qid, _, k, offset in query_specs:
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) - {offset} AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM scored_{qid} ORDER BY score DESC, doc_id LIMIT {k} OFFSET {offset})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def phrase_topk_sql(
     phrase_specs: list[tuple[str, list[str], int]], relation: str = "documents"
 ) -> str:

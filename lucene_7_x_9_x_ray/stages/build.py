@@ -64,6 +64,15 @@ class BuildConfig:
     # IndexOptions: positions on by default, as for Lucene text fields
     # (DOCS_AND_FREQS_AND_POSITIONS, index/IndexOptions.java:26-56)
     index_positions: bool = True
+    # IndexOptions.DOCS role (index/IndexOptions.java:34, demo
+    # LuceneDemo/.../IndexOptionTest.java): index_freqs=False stores every
+    # freq as 1, so freq() returns 1, totalTermFreq == docFreq, and the
+    # field's sumTotalTermFreq (hence avgdl) degrades to the sum of
+    # per-doc distinct-term counts — exactly the stats Lucene serves for a
+    # DOCS-only field. All-1 freq blocks hit the dense width-0 marker, so
+    # the on-disk freq stream costs ~1 byte/block. Requires
+    # index_positions=False (positions imply freqs).
+    index_freqs: bool = True
     target_docs_per_segment: int = 100_000
     chunk_rows: int = 8192
     # Ray cpu slots reserved per build task. 1 is right on real clusters;
@@ -136,6 +145,13 @@ def plan_partitions(
             seg_i += 1
             start = end
     return specs
+
+
+def _index_options(cfg: BuildConfig) -> str:
+    """Manifest IndexOptions string for the primary field."""
+    if not cfg.index_freqs:
+        return "docs"
+    return "positions" if cfg.index_positions else "docs_freqs"
 
 
 def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> SegmentStats:
@@ -219,6 +235,7 @@ def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> Segmen
         rg_end=spec["rg_end"],
         elapsed_sec=time.perf_counter() - t0,
         index_positions=cfg.index_positions,
+        index_freqs=cfg.index_freqs,
         extra_fields=extra or None,
         term_vectors=cfg.term_vectors,
         extra_docmap={c: table[c] for c in cfg.store_cols} or None,
@@ -272,6 +289,7 @@ def build_index(
         field_stats=_aggregate_field_stats(stats_rows),
         postings_format=cfg.postings_format,
         payload_delimiter=cfg.payload_delimiter or "",
+        index_options=_index_options(cfg),
     )
     manifest.save()
     return manifest
@@ -348,6 +366,11 @@ def append_index(
         )
     if (manifest.sort_by or "") != (cfg.sort_by or ""):
         raise ValueError("append config mismatch: index sort differs")
+    if (manifest.index_options or "positions") != _index_options(cfg):
+        raise ValueError(
+            f"append config mismatch: index has index_options="
+            f"{manifest.index_options!r}, append wants {_index_options(cfg)!r}"
+        )
     if (manifest.payload_delimiter or "") != (cfg.payload_delimiter or ""):
         raise ValueError(
             "append config mismatch: index payload_delimiter="
@@ -405,6 +428,7 @@ def build_index_local(
         field_stats=_aggregate_field_stats(stats_rows),
         postings_format=cfg.postings_format,
         payload_delimiter=cfg.payload_delimiter or "",
+        index_options=_index_options(cfg),
     )
     manifest.save()
     return manifest

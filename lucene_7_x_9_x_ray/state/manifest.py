@@ -195,6 +195,10 @@ class IndexManifest:
     # appends refuse a config mismatch (mixed payload/no-payload segments
     # would poison the merged term table's column set)
     payload_delimiter: str = ""
+    # IndexOptions analogue for the primary field: "positions" (default),
+    # "docs_freqs", or "docs" (freqs stored as 1 — IndexOptions.java:34).
+    # Appends refuse a mismatch (mixed freq semantics would skew stats).
+    index_options: str = "positions"
 
     @property
     def avgdl_inputs(self) -> tuple[int, int]:

@@ -274,7 +274,7 @@ def field_prefix(field: str) -> str:
 def _write_field_artifacts(
     tmp: str, prefix: str, texts, analyzer: Analyzer, index_positions: bool,
     term_vectors: bool = False, postings_format: str = "for",
-    payload_delimiter: str | None = None,
+    payload_delimiter: str | None = None, index_freqs: bool = True,
 ) -> dict:
     """Invert + encode + write ONE field's term dict/postings/positions/norms
     into ``tmp`` under ``prefix``. Returns the field's stats (plus the raw
@@ -284,6 +284,9 @@ def _write_field_artifacts(
     pay_tok = pay_s = None
     if payload_delimiter is not None and not index_positions:
         raise ValueError("payloads require index_positions=True")
+    if index_positions and not index_freqs:
+        raise ValueError("index_positions=True requires index_freqs=True "
+                         "(IndexOptions.DOCS has no positions)")
     if index_positions:
         # token-level path: one lexsort of (term rank, doc, position) gives
         # the postings AND the per-term position streams in final order
@@ -325,6 +328,10 @@ def _write_field_artifacts(
             docs_s = docs[order]
             freqs_s = freqs[order]
             inv_s = inv[order]
+            if not index_freqs:
+                # IndexOptions.DOCS: freq() == 1, ttf == df; all-1 blocks
+                # pack at the dense width-0 marker (~1 byte/block)
+                freqs_s = np.ones_like(freqs_s)
         # term boundaries
         starts = np.searchsorted(inv_s, np.arange(len(uniq_terms)))
         ends = np.append(starts[1:], len(inv_s))
@@ -429,7 +436,10 @@ def _write_field_artifacts(
 
     return {
         "lengths": lengths,
-        "sum_total_term_freq": int(lengths.sum()),
+        # DOCS-only: sumTotalTermFreq falls back to the (term, doc) pair
+        # count == sumDocFreq (Lucene's stats for an index without freqs);
+        # norms below still encode the TRUE analyzer token count
+        "sum_total_term_freq": int(lengths.sum()) if index_freqs else int(len(docs_s)),
         "sum_doc_freq": int(dfs.sum()),
         "unique_terms": int(len(uniq_terms)),
         # docCount of this field = docs with >= 1 token (the docsWithField
@@ -454,6 +464,7 @@ def write_segment(
     rg_end: int = 0,
     elapsed_sec: float = 0.0,
     index_positions: bool = False,
+    index_freqs: bool = True,
     extra_fields: dict | None = None,
     term_vectors: bool = False,
     extra_docmap: dict | None = None,
@@ -482,6 +493,7 @@ def write_segment(
         primary = _write_field_artifacts(
             tmp, "", texts, analyzer, index_positions, term_vectors=term_vectors,
             postings_format=postings_format, payload_delimiter=payload_delimiter,
+            index_freqs=index_freqs,
         )
         lengths = primary["lengths"]
         field_stats: dict[str, dict] = {}

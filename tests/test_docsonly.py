@@ -1,0 +1,81 @@
+"""IndexOptions.DOCS tests (index_freqs=False): stored freqs are 1,
+ttf == df, avgdl degrades to distinct-terms-per-doc, positions refused,
+append mismatch refused, gate-vs-oracle parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_7_x_9_x_ray.search import queries as Q
+from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+from lucene_7_x_9_x_ray.stages.build import BuildConfig, append_index, build_index_local
+from lucene_7_x_9_x_ray.state.manifest import IndexManifest
+
+
+def _pages(tmp_path, texts):
+    n = len(texts)
+    t = pa.table(
+        {
+            "url": pa.array([f"d/{i}" for i in range(n)], pa.string()),
+            "warc_ts": pa.array(np.zeros(n, dtype="datetime64[us]")),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(t, path)
+    return path
+
+
+def test_docsonly_freqs_are_one_and_stats_degrade(tmp_path):
+    path = _pages(tmp_path, ["cat cat cat dog", "cat fish"])
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(analyzer="whitespace", index_positions=False, index_freqs=False)
+    build_index_local([path], idx, cfg)
+    s = IndexSearcher(idx)
+    r = s.readers[0]
+    docs, freqs = r.term_postings("cat").decode()
+    assert list(docs) == [0, 1] and list(freqs) == [1, 1]
+    # ttf == df for every term; sumTotalTermFreq == distinct (doc, term) pairs
+    m = IndexManifest.load(idx)
+    assert m.index_options == "docs"
+    assert m.sum_total_term_freq == 4  # doc0 {cat,dog} + doc1 {cat,fish}
+    # norms still hold TRUE token counts (4 and 2)
+    from lucene_7_x_9_x_ray.functions.smallfloat import BYTE4_DECODE_TABLE
+
+    assert list(BYTE4_DECODE_TABLE[r.norms]) == [4, 2]
+    # scoring: freq=1 -> "cat cat cat dog" scores like a single occurrence
+    td = s.search(Q.TermQuery("cat"), k=10)
+    assert set(int(d) for d in td.doc_ids) == {0, 1}
+    # positions were not indexed
+    with pytest.raises(ValueError, match="index_positions=True"):
+        s.search(Q.PhraseQuery(terms=("cat", "dog")), k=5)
+    # appending with default (positions) config is refused
+    with pytest.raises(ValueError, match="index_options"):
+        append_index([path], idx, BuildConfig(analyzer="whitespace"))
+
+
+def test_docsonly_requires_no_positions(tmp_path):
+    path = _pages(tmp_path, ["a b"])
+    with pytest.raises(ValueError, match="index_freqs"):
+        build_index_local(
+            [path], str(tmp_path / "idx"),
+            BuildConfig(index_positions=True, index_freqs=False),
+        )
+
+
+def test_docsonly_gate_oracle_parity(ray_session):
+    import duckdb as _dd
+
+    from lucene_7_x_9_x_ray.pipelines import flagship, oracles
+
+    sf = "/root/testdata/sf0.001"
+    got = flagship.q_bm25_topk_docsonly(sf)
+    con = _dd.connect()
+    con.sql(f"create view documents as select * from '{sf}/documents.parquet'")
+    want = con.sql(oracles.bm25_docsonly_topk_sql(flagship.BM25_QUERY_SPECS)).arrow()
+    key = [("query_id", "ascending"), ("rank", "ascending")]
+    assert got.sort_by(key).equals(want.cast(got.schema).sort_by(key))
