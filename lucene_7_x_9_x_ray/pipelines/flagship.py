@@ -335,6 +335,7 @@ SPAN_TOPK_SPECS: list[tuple[str, str, tuple, object, int]] = [
     ("sp_not", "not", (("join",), ("order",)), (1, 2), 10),
     ("sp_or", "or", (("key", "hash"),), None, 10),
     ("sp_ord_or", "ord", (("window", "stream"), ("batch",)), 4, 10),
+    ("sp_range", "range", (("data",),), (3, 9), 10),
 ]
 
 
@@ -356,6 +357,9 @@ def _span_query_from_spec(kind: str, clauses: tuple, param) -> Q.Query:
         return Q.SpanNotQuery(subs[0], subs[1], pre=pre, post=post)
     if kind == "or":
         return subs[0]
+    if kind == "range":
+        start, end = param
+        return Q.SpanPositionRangeQuery(subs[0], start=start, end=end)
     raise ValueError(kind)
 
 

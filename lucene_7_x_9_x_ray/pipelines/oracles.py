@@ -287,6 +287,11 @@ wv_{qid} AS (SELECT i.doc_id, i.p AS s0, 0 AS width
         elif kind == "or":
             ctes.append(f"""
 wv_{qid} AS (SELECT doc_id, p AS s0, 0 AS width FROM {ids[0]})""")
+        elif kind == "range":
+            start, end = param
+            ctes.append(f"""
+wv_{qid} AS (SELECT doc_id, p AS s0, 0 AS width
+  FROM {ids[0]} WHERE p >= {start} AND p + 1 <= {end})""")
         else:
             raise ValueError(f"unknown span kind {kind!r}")
         scoring = sorted(

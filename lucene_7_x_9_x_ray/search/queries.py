@@ -325,9 +325,22 @@ class SpanOrQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery(Query):
+    """spans module SpanPositionRangeQuery (s84 search/spans/
+    SpanPositionRangeQuery.java:41): match spans with start >= ``start``
+    and end <= ``end``."""
+
+    match: Query
+    start: int
+    end: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanFirstQuery(Query):
-    """spans module SpanFirstQuery (s84 search/spans/SpanFirstQuery.java:40):
-    match spans that END at or before ``end``."""
+    """spans module SpanFirstQuery (s84 search/spans/SpanFirstQuery.java:40
+    — SpanPositionRangeQuery with start=0): match spans that END at or
+    before ``end``."""
 
     match: Query
     end: int
@@ -349,7 +362,8 @@ class SpanNotQuery(Query):
 
 
 SPAN_QUERY_TYPES = (
-    SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanFirstQuery, SpanNotQuery
+    SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanFirstQuery,
+    SpanPositionRangeQuery, SpanNotQuery
 )
 
 
@@ -550,7 +564,7 @@ def collect_terms(query: Query) -> set[str]:
     elif isinstance(query, (SpanNearQuery, SpanOrQuery)):
         for q in query.clauses:
             out |= collect_terms(q)
-    elif isinstance(query, SpanFirstQuery):
+    elif isinstance(query, (SpanFirstQuery, SpanPositionRangeQuery)):
         out |= collect_terms(query.match)
     elif isinstance(query, SpanNotQuery):
         out |= collect_terms(query.include) | collect_terms(query.exclude)
@@ -585,7 +599,7 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
     elif isinstance(query, (SpanNearQuery, SpanOrQuery)):
         for q in query.clauses:
             out |= collect_field_terms(q)
-    elif isinstance(query, SpanFirstQuery):
+    elif isinstance(query, (SpanFirstQuery, SpanPositionRangeQuery)):
         out |= collect_field_terms(query.match)
     elif isinstance(query, SpanNotQuery):
         out |= collect_field_terms(query.include) | collect_field_terms(query.exclude)

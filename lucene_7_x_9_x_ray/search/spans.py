@@ -22,7 +22,8 @@ Reference semantics (s84 core search/spans/*):
   it always equals the max of the current ends. Transcribed literally in
   ``_unordered_widths``.
 - ``SpanFirstQuery`` (SpanFirstQuery.java:40): keep spans with
-  end <= ``end``.
+  end <= ``end``; ``SpanPositionRangeQuery`` (SpanPositionRangeQuery
+  .java:41) additionally requires start >= ``start``.
 - ``SpanNotQuery`` (SpanNotQuery.java:193-204): keep include spans with
   no exclude span overlapping [start - pre, end + post); scoring stats
   come from the include side only (SpanNotWeight.extractTermStates).
@@ -54,7 +55,7 @@ def _span_terms(query) -> list[str]:
         for c in query.clauses:
             out += _span_terms(c)
         return out
-    if isinstance(query, Q.SpanFirstQuery):
+    if isinstance(query, (Q.SpanFirstQuery, Q.SpanPositionRangeQuery)):
         return _span_terms(query.match)
     if isinstance(query, Q.SpanNotQuery):
         return _span_terms(query.include) + _span_terms(query.exclude)
@@ -87,7 +88,7 @@ def _clause_term_lists(query) -> list[list[str]]:
         return [_leaf_terms(query)]
     if isinstance(query, Q.SpanNearQuery):
         return [_leaf_terms(c) for c in query.clauses]
-    if isinstance(query, Q.SpanFirstQuery):
+    if isinstance(query, (Q.SpanFirstQuery, Q.SpanPositionRangeQuery)):
         return [_leaf_terms(query.match)]
     if isinstance(query, Q.SpanNotQuery):
         return [_leaf_terms(query.include), _leaf_terms(query.exclude)]
@@ -102,7 +103,7 @@ def span_field(query) -> str:
         if len(fields) != 1:
             raise ValueError("Clauses must have same field.")
         return fields.pop()
-    if isinstance(query, Q.SpanFirstQuery):
+    if isinstance(query, (Q.SpanFirstQuery, Q.SpanPositionRangeQuery)):
         return span_field(query.match)
     if isinstance(query, Q.SpanNotQuery):
         fi, fe = span_field(query.include), span_field(query.exclude)
@@ -180,6 +181,11 @@ def _span_doc_widths(query, pos_lists: list[np.ndarray]):
     if isinstance(query, Q.SpanFirstQuery):
         p = pos_lists[0]
         return np.zeros(int(np.count_nonzero(p + 1 <= query.end)), dtype=np.int64)
+    if isinstance(query, Q.SpanPositionRangeQuery):
+        # SpanPositionRangeQuery.acceptPosition: start >= start AND end <= end
+        p = pos_lists[0]
+        keep = (p >= query.start) & (p + 1 <= query.end)
+        return np.zeros(int(np.count_nonzero(keep)), dtype=np.int64)
     if isinstance(query, Q.SpanNotQuery):
         inc = pos_lists[0]
         exc = pos_lists[1] if len(pos_lists) > 1 else np.empty(0, dtype=np.int64)

@@ -195,3 +195,18 @@ def test_spanor_standalone_and_as_near_clause(tmp_path):
     q = Q.SpanNearQuery((q_or, Q.SpanTermQuery("fish")), slop=0, in_order=False)
     td = s.search(q, k=10)
     assert sorted(int(d) for d in td.doc_ids) == [0, 1]
+
+
+def test_span_position_range(tmp_path):
+    s = _index(tmp_path, ["cat a cat b cat", "a b cat"])
+    # start >= 1 and end <= 5: doc0 keeps cat@2,4; cat@0 fails start.
+    # doc1 keeps cat@2.
+    td = s.search(
+        Q.SpanPositionRangeQuery(Q.SpanTermQuery("cat"), start=1, end=5), k=10
+    )
+    assert sorted(int(d) for d in td.doc_ids) == [0, 1]
+    # start >= 3: only doc0's cat@4 survives
+    td = s.search(
+        Q.SpanPositionRangeQuery(Q.SpanTermQuery("cat"), start=3, end=5), k=10
+    )
+    assert sorted(int(d) for d in td.doc_ids) == [0]
