@@ -232,16 +232,23 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         axis=1, dtype=np.uint64
     )
 
-    # min shingle hash per row (rolling SHINGLE_N-gram over the token stream)
+    # min shingle hash per row (rolling SHINGLE_N-gram over the token
+    # stream): build every window over the FLAT stream with elementwise
+    # object concats, drop windows crossing row boundaries, hash once,
+    # then one segmented min per row — no Python loop over rows
     min_sh = np.full(n, np.iinfo(np.uint64).max, dtype=np.uint64)
-    row_starts = np.searchsorted(parents, np.arange(n))
-    row_ends = np.append(row_starts[1:], len(parents))
-    for i in range(n):
-        toks_i = flat_np[row_starts[i] : row_ends[i]]
-        if len(toks_i) < SHINGLE_N:
-            continue
-        shingles = [" ".join(toks_i[j : j + SHINGLE_N]) for j in range(len(toks_i) - SHINGLE_N + 1)]
-        min_sh[i] = md5_lower64_array(shingles).min()
+    m = len(flat_np) - SHINGLE_N + 1
+    if m > 0:
+        grams = flat_np[:m].copy()
+        for j in range(1, SHINGLE_N):
+            grams = grams + " "
+            grams = grams + flat_np[j : j + m]
+        same_row = parents[: m] == parents[SHINGLE_N - 1 :]
+        g_parents = parents[:m][same_row]
+        if len(g_parents):
+            hashes = md5_lower64_array(grams[same_row])
+            rstarts = np.flatnonzero(np.r_[True, g_parents[1:] != g_parents[:-1]])
+            min_sh[g_parents[rstarts]] = np.minimum.reduceat(hashes, rstarts)
 
     fp = [md5_hex(t) for t in texts]
     return pa.table(
