@@ -932,6 +932,19 @@ def test_serving_pool_arbitrary_queries(ray_session, tmp_path):
                                             EPOCH_2025 + 250 * 1_000_000))]
         ),
         Q.PrefixQuery("t0000"),
+        # span module through the sharded pool: per-shard eval_span with
+        # the driver's global stats must equal the single searcher
+        Q.SpanNearQuery(
+            (Q.SpanTermQuery("t00000"), Q.SpanTermQuery("t00002")),
+            slop=3, in_order=False,
+        ),
+        Q.SpanNearQuery(
+            (Q.SpanOrQuery((Q.SpanTermQuery("t00001"), Q.SpanTermQuery("t00003"))),
+             Q.SpanTermQuery("t00000")),
+            slop=2, in_order=True,
+        ),
+        Q.SpanNotQuery(Q.SpanTermQuery("t00001"), Q.SpanTermQuery("t00000"),
+                       pre=1, post=1),
     ]
     from lucene_7_x_9_x_ray.search.queries import parse_classic
 
