@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows": curation.q_chunk_windows,  # fixed-window doc chunking
         "pack_sequences": curation.q_pack_sequences,  # concat-and-chunk packing
         "source_caps": curation.q_source_caps,  # per-host document caps
+        "corpus_to_sequences": curation.q_corpus_to_sequences,  # filter -> pack
         "quality_filter": textops.q_quality_filter,  # Gopher repetition rules
         # --- dedup suite ---
         "exact_dedup": dedup.q_exact_dedup,
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_windows": curation.oracle_chunk_windows_sql(),
         "pack_sequences": curation.oracle_pack_sequences_sql(),
         "source_caps": curation.oracle_source_caps_sql(),
+        "corpus_to_sequences": curation.oracle_corpus_to_sequences_sql(),
         "quality_filter": textops.oracle_quality_filter_sql(),
         "fingerprint": textops.oracle_fingerprint_sql(),
         "highlight_corpus": textops.oracle_highlight_sql(),

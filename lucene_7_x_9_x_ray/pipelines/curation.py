@@ -375,6 +375,14 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     ds = sized_read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).materialize()
+    return _pack_dataset(ds)
+
+
+def _pack_dataset(ds) -> pa.Table:
+    """Both prefix-sum passes over an already-materialized (doc_id, text)
+    Dataset (batch_size=None keeps block identity across the passes)."""
+    import ray
+
     summary = pa.concat_tables(
         ray.get(
             ds.map_batches(_pack_summary_batch, batch_size=None, batch_format="pyarrow")
@@ -396,6 +404,28 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
     )
     return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
+
+
+def q_corpus_to_sequences(sf_dir: str) -> pa.Table:
+    """The composed training-data path: Gopher-style repetition quality
+    filter -> concat-and-chunk sequence packing over the SURVIVORS. One
+    streaming read feeds the filter; the packed offsets come from the
+    same two-pass distributed prefix sum as q_pack_sequences, now over
+    the filtered Dataset (row filtering preserves within-block doc order
+    and block-range disjointness, so the pass-1 invariants hold; blocks
+    filtered to zero rows are handled)."""
+    from .textops import quality_filter_batch
+
+    def keep_quality(batch: pa.Table) -> pa.Table:
+        keep = quality_filter_batch(batch)["keep"]
+        return batch.filter(keep)
+
+    ds = (
+        sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(keep_quality, batch_format="pyarrow")
+        .materialize()
+    )
+    return _pack_dataset(ds)
 
 
 # --- SQL oracles ------------------------------------------------------------
@@ -439,6 +469,29 @@ o AS (SELECT doc_id, n,
              COALESCE(sum(n) OVER (ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
       FROM t)
+SELECT doc_id, CAST(s AS BIGINT) AS tok_start, CAST(n AS BIGINT) AS n_tokens,
+       CAST(s // {L} AS BIGINT) AS seq_first,
+       CAST((s + n - 1) // {L} AS BIGINT) AS seq_last
+FROM o"""
+
+
+def oracle_corpus_to_sequences_sql(relation: str = "documents") -> str:
+    """Mirror of q_corpus_to_sequences: the quality keep predicate
+    (textops.quality_value_ctes — same raw-double comparisons as the
+    engine), then the pack window cumsum in doc_id order over survivors."""
+    from .textops import QUALITY_DUP_BIGRAM_MAX, QUALITY_MAX_TOK_MAX, quality_value_ctes
+
+    L = SEQ_LEN
+    return f"""
+WITH {quality_value_ctes(relation)},
+kept AS (SELECT doc_id FROM v
+         WHERE dup_f <= {QUALITY_DUP_BIGRAM_MAX} AND tok_f <= {QUALITY_MAX_TOK_MAX}),
+tt AS (SELECT d.doc_id, len(string_split(d.text, ' ')) AS n
+       FROM {relation} d JOIN kept USING (doc_id)),
+o AS (SELECT doc_id, n,
+             COALESCE(sum(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM tt)
 SELECT doc_id, CAST(s AS BIGINT) AS tok_start, CAST(n AS BIGINT) AS n_tokens,
        CAST(s // {L} AS BIGINT) AS seq_first,
        CAST((s + n - 1) // {L} AS BIGINT) AS seq_last

@@ -322,13 +322,11 @@ SELECT doc_id,
 FROM h"""
 
 
-def oracle_quality_filter_sql(relation: str = "documents") -> str:
-    """Exact mirror of quality_filter_batch: both sides compute the
-    fractions as IEEE-double divisions of the same integer counts, so the
-    raw (unrounded) values the keep flag compares are bit-identical."""
-    t1, t2 = QUALITY_DUP_BIGRAM_MAX, QUALITY_MAX_TOK_MAX
-    return f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}),
+def quality_value_ctes(relation: str = "documents") -> str:
+    """The quality-metric CTE chain ending at ``v`` (doc_id, n_tokens,
+    dup_f, top_f, tok_f) — shared by the quality_filter oracle and the
+    composed corpus_to_sequences oracle."""
+    return f"""t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}),
 tf AS (SELECT doc_id, term, count(*) AS f
        FROM (SELECT doc_id, unnest(arr) AS term FROM t) GROUP BY doc_id, term),
 mt AS (SELECT doc_id, CAST(max(f) AS BIGINT) AS max_tok,
@@ -350,7 +348,16 @@ v AS (SELECT doc_id, n_tokens,
              CASE WHEN nb > 0 THEN CAST(mbf AS DOUBLE) / nb ELSE 0.0 END AS top_f,
              CASE WHEN n_tokens > 0 THEN CAST(max_tok AS DOUBLE) / n_tokens
                   ELSE 0.0 END AS tok_f
-      FROM j)
+      FROM j)"""
+
+
+def oracle_quality_filter_sql(relation: str = "documents") -> str:
+    """Exact mirror of quality_filter_batch: both sides compute the
+    fractions as IEEE-double divisions of the same integer counts, so the
+    raw (unrounded) values the keep flag compares are bit-identical."""
+    t1, t2 = QUALITY_DUP_BIGRAM_MAX, QUALITY_MAX_TOK_MAX
+    return f"""
+WITH {quality_value_ctes(relation)}
 SELECT doc_id, n_tokens,
        ROUND(dup_f, 6) AS dup_bigram_frac,
        ROUND(top_f, 6) AS top_bigram_frac,

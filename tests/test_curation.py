@@ -191,3 +191,21 @@ def test_source_caps_combiner_and_oracle(ray_session, tmp_path):
     key = [("doc_id", "ascending")]
     assert got2.sort_by(key).equals(want.cast(got2.schema).sort_by(key))
     assert got2.num_rows > 0
+
+
+def test_corpus_to_sequences_composition(ray_session):
+    """The composed filter->pack pipeline: survivors pack gaplessly in
+    doc_id order and match the SQL mirror exactly."""
+    import duckdb as _dd
+
+    got = C.q_corpus_to_sequences(SF).sort_by([("doc_id", "ascending")])
+    con = _dd.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    want = con.sql(C.oracle_corpus_to_sequences_sql()).arrow()
+    assert got.equals(want.cast(got.schema).sort_by([("doc_id", "ascending")]))
+    rows = got.to_pylist()
+    assert 0 < len(rows) < 500  # the filter actually dropped documents
+    # gapless packing over survivors
+    assert rows[0]["tok_start"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["tok_start"] == a["tok_start"] + a["n_tokens"]
