@@ -369,8 +369,6 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     within-block cumsum. Both passes see identical blocks because they
     map over the same materialized dataset with batch_size=None
     (whole-block batches)."""
-    import ray
-
     # the per-row kernel (split + count) is light — big blocks, plain tasks
     ds = sized_read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]

@@ -356,6 +356,8 @@ def _span_query_from_spec(kind: str, clauses: tuple, param) -> Q.Query:
         pre, post = param
         return Q.SpanNotQuery(subs[0], subs[1], pre=pre, post=post)
     if kind == "or":
+        if len(subs) != 1:
+            raise ValueError("'or' span specs take exactly one clause tuple")
         return subs[0]
     if kind == "range":
         start, end = param

@@ -111,7 +111,12 @@ def bm25_docsonly_topk_sql(
     every freq is 1 and the field's sumTotalTermFreq equals the count of
     distinct (doc, term) pairs, so avgdl = mean distinct-terms-per-doc.
     Norms still encode the TRUE analyzer token count (norms are computed
-    at index time independently of IndexOptions)."""
+    at index time independently of IndexOptions).
+
+    NOTE: the dl/lt/normlen scaffolding and the w_/s_ CTE shapes mirror
+    base_ctes/term_leaf_ctes with two deltas (df/avgdl from dtok, freq
+    pinned to 1) — any change to the shared norm table, float op order,
+    or tie-break there must be mirrored here."""
     terms = sorted({t for _, ts, _, _ in query_specs for t in ts})
     ctes = [f"""
 tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {relation}),
@@ -285,6 +290,8 @@ wv_{qid} AS (SELECT i.doc_id, i.p AS s0, 0 AS width
                     WHERE e.doc_id = i.doc_id
                       AND e.p >= i.p - {pre} AND e.p <= i.p + {post}))""")
         elif kind == "or":
+            if len(ids) != 1:
+                raise ValueError("'or' span specs take exactly one clause tuple")
             ctes.append(f"""
 wv_{qid} AS (SELECT doc_id, p AS s0, 0 AS width FROM {ids[0]})""")
         elif kind == "range":

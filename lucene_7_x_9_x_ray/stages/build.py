@@ -154,6 +154,23 @@ def _index_options(cfg: BuildConfig) -> str:
     return "positions" if cfg.index_positions else "docs_freqs"
 
 
+def resolve_index_options(manifest: IndexManifest) -> str:
+    """The index's IndexOptions, inferring legacy manifests (no recorded
+    index_options) from segment artifacts: a positions.bin means
+    "positions", else "docs_freqs" (legacy builds predate the DOCS
+    option, so freqs were always real)."""
+    if manifest.index_options:
+        return manifest.index_options
+    for s in manifest.segments:
+        seg_dir = os.path.join(manifest.index_dir, "segments", s["seg_name"])
+        return (
+            "positions"
+            if os.path.exists(os.path.join(seg_dir, "positions.bin"))
+            else "docs_freqs"
+        )
+    return "positions"
+
+
 def build_one_segment(spec: dict, cfg: BuildConfig, segments_dir: str) -> SegmentStats:
     """Build (or resume) the segment for one partition spec."""
     seg_dir = os.path.join(segments_dir, spec["seg_name"])
@@ -366,10 +383,11 @@ def append_index(
         )
     if (manifest.sort_by or "") != (cfg.sort_by or ""):
         raise ValueError("append config mismatch: index sort differs")
-    if (manifest.index_options or "positions") != _index_options(cfg):
+    if resolve_index_options(manifest) != _index_options(cfg):
         raise ValueError(
             f"append config mismatch: index has index_options="
-            f"{manifest.index_options!r}, append wants {_index_options(cfg)!r}"
+            f"{resolve_index_options(manifest)!r}, append wants "
+            f"{_index_options(cfg)!r}"
         )
     if (manifest.payload_delimiter or "") != (cfg.payload_delimiter or ""):
         raise ValueError(

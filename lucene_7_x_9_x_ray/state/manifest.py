@@ -195,10 +195,12 @@ class IndexManifest:
     # appends refuse a config mismatch (mixed payload/no-payload segments
     # would poison the merged term table's column set)
     payload_delimiter: str = ""
-    # IndexOptions analogue for the primary field: "positions" (default),
+    # IndexOptions analogue for the primary field: "positions",
     # "docs_freqs", or "docs" (freqs stored as 1 — IndexOptions.java:34).
     # Appends refuse a mismatch (mixed freq semantics would skew stats).
-    index_options: str = "positions"
+    # "" = manifest predates the field; resolve from segment artifacts
+    # (stages/build.py resolve_index_options) rather than guessing.
+    index_options: str = ""
 
     @property
     def avgdl_inputs(self) -> tuple[int, int]:

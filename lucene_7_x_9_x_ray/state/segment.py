@@ -282,6 +282,7 @@ def _write_field_artifacts(
     n = len(texts)
     pos_s = None
     pay_tok = pay_s = None
+    tv_freqs = None  # true freqs for term vectors when postings clamp to 1
     if payload_delimiter is not None and not index_positions:
         raise ValueError("payloads require index_positions=True")
     if index_positions and not index_freqs:
@@ -330,7 +331,10 @@ def _write_field_artifacts(
             inv_s = inv[order]
             if not index_freqs:
                 # IndexOptions.DOCS: freq() == 1, ttf == df; all-1 blocks
-                # pack at the dense width-0 marker (~1 byte/block)
+                # pack at the dense width-0 marker (~1 byte/block). Term
+                # vectors keep the TRUE freqs (a per-doc stored structure,
+                # independent of the field's IndexOptions in Lucene).
+                tv_freqs = freqs_s
                 freqs_s = np.ones_like(freqs_s)
         # term boundaries
         starts = np.searchsorted(inv_s, np.arange(len(uniq_terms)))
@@ -428,7 +432,11 @@ def _write_field_artifacts(
             {
                 "doc": pa.array(docs_s[tv_order].astype(np.int32)),
                 "term_ord": pa.array(inv_s[tv_order].astype(np.int32)),
-                "freq": pa.array(freqs_s[tv_order].astype(np.int32)),
+                "freq": pa.array(
+                    (freqs_s if tv_freqs is None else tv_freqs)[tv_order].astype(
+                        np.int32
+                    )
+                ),
             }
         )
         pq.write_table(tv, os.path.join(tmp, prefix + TERMVECTORS_FILE),

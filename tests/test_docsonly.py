@@ -79,3 +79,50 @@ def test_docsonly_gate_oracle_parity(ray_session):
     want = con.sql(oracles.bm25_docsonly_topk_sql(flagship.BM25_QUERY_SPECS)).arrow()
     key = [("query_id", "ascending"), ("rank", "ascending")]
     assert got.sort_by(key).equals(want.cast(got.schema).sort_by(key))
+
+
+def test_docsonly_term_vectors_keep_true_freqs(tmp_path):
+    # regression: term vectors are a per-doc stored structure independent
+    # of the field's IndexOptions — freqs must NOT clamp to 1
+    path = _pages(tmp_path, ["cat cat cat dog"])
+    idx = str(tmp_path / "idx")
+    build_index_local(
+        [path], idx,
+        BuildConfig(analyzer="whitespace", index_positions=False,
+                    index_freqs=False, term_vectors=True),
+    )
+    s = IndexSearcher(idx)
+    terms, freqs = s.readers[0].term_vector(0)
+    assert dict(zip(list(terms), list(map(int, freqs)))) == {"cat": 3, "dog": 1}
+    # postings still clamped
+    _d, f = s.readers[0].term_postings("cat").decode()
+    assert list(f) == [1]
+
+
+def test_legacy_manifest_index_options_inference(tmp_path):
+    # regression: a manifest written before index_options existed must
+    # resolve from segment artifacts — a same-config append is accepted,
+    # a positions append onto a freq-only index is refused
+    import json
+    import os
+
+    from lucene_7_x_9_x_ray.stages.build import resolve_index_options
+
+    path = _pages(tmp_path, ["cat dog", "dog fish"])
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(analyzer="whitespace", index_positions=False)
+    build_index_local([path], idx, cfg)
+    mpath = os.path.join(idx, "manifest.json")
+    with open(mpath) as f:
+        d = json.load(f)
+    del d["index_options"]  # simulate the legacy layout
+    with open(mpath, "w") as f:
+        json.dump(d, f)
+    m = IndexManifest.load(idx)
+    assert m.index_options == ""
+    assert resolve_index_options(m) == "docs_freqs"  # no positions.bin
+    # same-config append accepted (would previously refuse)
+    append_index([path], idx, cfg)
+    # positions append refused (would previously pass)
+    with pytest.raises(ValueError, match="index_options"):
+        append_index([path], idx, BuildConfig(analyzer="whitespace"))
