@@ -79,6 +79,25 @@ def test_docsonly_gate_oracle_parity(ray_session):
     want = con.sql(oracles.bm25_docsonly_topk_sql(flagship.BM25_QUERY_SPECS)).arrow()
     key = [("query_id", "ascending"), ("rank", "ascending")]
     assert got.sort_by(key).equals(want.cast(got.schema).sort_by(key))
+    # per-segment serving must agree with the merged index (the clamped
+    # freqs and degraded stats survive the term-shuffle merge)
+    import numpy as np
+
+    from lucene_7_x_9_x_ray.search import queries as Q
+
+    index_dir = flagship.build_docsonly_index(sf)
+    seg = IndexSearcher(index_dir)
+    for qid, terms, k, offset in flagship.BM25_QUERY_SPECS:
+        if offset:
+            continue
+        q = Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery(t)) for t in terms])
+        td = seg.search(q, k=k)
+        sub = got.filter(
+            __import__("pyarrow").compute.equal(got["query_id"], qid)
+        ).sort_by([("rank", "ascending")])
+        assert [int(d) for d in td.doc_ids] == sub["doc_id"].to_pylist(), qid
+        for s, r in zip(td.scores, sub["score_r"].to_pylist()):
+            assert abs(float(np.float32(s)) - r) < 5e-5, qid
 
 
 def test_docsonly_term_vectors_keep_true_freqs(tmp_path):

@@ -210,3 +210,51 @@ def test_span_position_range(tmp_path):
         Q.SpanPositionRangeQuery(Q.SpanTermQuery("cat"), start=3, end=5), k=10
     )
     assert sorted(int(d) for d in td.doc_ids) == [0]
+
+
+def _unordered_independent(pos_lists, slop):
+    """Independent reimplementation of NearSpansUnordered for the duel:
+    explicit heapq over (start, end, clause) with Lucene's
+    positionsOrdered tie rule, recomputing totalSpanLength/maxEnd from
+    scratch each step (the production code maintains them incrementally)."""
+    import heapq
+
+    n = len(pos_lists)
+    ptr = [0] * n
+    if any(len(pl) == 0 for pl in pos_lists):
+        return []
+    widths = []
+    while True:
+        heap = [(int(pos_lists[i][ptr[i]]), int(pos_lists[i][ptr[i]]) + 1, i)
+                for i in range(n)]
+        heapq.heapify(heap)
+        start, _end, top = heap[0]
+        max_end = max(int(pos_lists[i][ptr[i]]) + 1 for i in range(n))
+        total_len = n
+        if max_end - start - total_len <= slop:
+            widths.append(max_end - start)
+        ptr[top] += 1
+        if ptr[top] >= len(pos_lists[top]):
+            return widths
+
+
+def test_unordered_nary_duels_independent_impl():
+    rng = np.random.default_rng(99)
+    for _ in range(400):
+        n = int(rng.integers(2, 5))
+        pool = rng.permutation(36)
+        lists, at = [], 0
+        for _i in range(n):
+            ln = int(rng.integers(1, 6))
+            lists.append(np.sort(pool[at : at + ln]).astype(np.int64))
+            at += ln
+        slop = int(rng.integers(0, 10))
+        got = _unordered_widths(lists, slop)
+        want = _unordered_independent(lists, slop)
+        assert got == want, (lists, slop, got, want)
+    # hand-traced 3-clause case: a@{0,9} b@{3} c@{5}
+    # states: (0,3,5): maxEnd 6, top a@0 -> 6-0-3=3; advance a ->
+    # (9,3,5): top b@3 -> maxEnd 10, 10-3-3=4; advance b -> exhausted
+    lists = [np.array([0, 9]), np.array([3]), np.array([5])]
+    assert _unordered_widths(lists, 3) == [6]
+    assert _unordered_widths(lists, 4) == [6, 7]
