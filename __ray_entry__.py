@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_ts_filtered": flagship.q_bm25_ts_filtered,  # numeric-range FILTER clause
         "field_topk": flagship.q_field_topk,  # multi-field (title vs body)
         "parsed_topk": flagship.q_parsed_topk,  # classic query-parser strings
+        "similarity_topk": flagship.q_similarity_topk,  # TFIDF + 7.x BM25 registry
         "function_topk": flagship.q_function_topk,  # FunctionScoreQuery (log1p dl boost)
         "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
@@ -150,6 +151,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "parsed_topk": O.field_topk_sql(
             [(qid, kind, cls, k) for qid, _s, kind, cls, k in flagship.PARSED_TOPK_SPECS]
+        ),
+        "similarity_topk": O.similarity_topk_sql(
+            *flagship.SIMILARITY_TOPK_TERMS, flagship.SIMILARITY_TOPK_K
         ),
         "interval_topk": O.interval_topk_sql(flagship.INTERVAL_TOPK_SPECS),
         "payload_topk": O.payload_topk_sql(flagship.PAYLOAD_TOPK_SPECS),

@@ -24,7 +24,16 @@ import numpy as np
 
 from .smallfloat import BYTE4_DECODE_TABLE
 
-__all__ = ["BM25", "BM25TermWeight", "LENGTH_TABLE", "get_similarity"]
+__all__ = [
+    "BM25",
+    "BM25TermWeight",
+    "LegacyBM25",
+    "LegacyBM25TermWeight",
+    "ClassicSimilarity",
+    "ClassicTermWeight",
+    "LENGTH_TABLE",
+    "get_similarity",
+]
 
 # float32 decode of the 256 norm bytes (doc lengths)
 LENGTH_TABLE = BYTE4_DECODE_TABLE.astype(np.float32)
@@ -102,12 +111,133 @@ class BM25:
         return BM25TermWeight(weight=weight, cache=cache)
 
 
-def get_similarity(spec: str = "bm25") -> BM25:
+@dataclass(frozen=True)
+class LegacyBM25TermWeight:
+    """7.x BM25 per-(term, collection) state (BM25Similarity.java:257-294
+    in solr-7.5.0/lucene/core, re-implemented): weightValue = boost * idf
+    * (k1 + 1); cache[i] = k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl);
+    score = weightValue * freq / (freq + cache[norm])."""
+
+    weight_value: np.float32
+    cache: np.ndarray  # float32[256]: k1 * ((1-b) + b*len/avgdl)
+
+    def score(self, freqs, norm_bytes) -> np.ndarray:
+        f32 = np.asarray(freqs).astype(np.float32, copy=False)
+        norm = self.cache[np.asarray(norm_bytes, dtype=np.uint8)]
+        return (self.weight_value * f32) / (f32 + norm)
+
+    def score_scalar(self, freq: float, norm_byte: int) -> float:
+        return float(self.score(np.array([freq]), np.array([norm_byte]))[0])
+
+    def max_score(self, imp_freqs, imp_norms) -> float:
+        if len(imp_freqs) == 0:
+            return 0.0
+        return float(self.score(imp_freqs, imp_norms).max())
+
+
+class LegacyBM25(BM25):
+    """The Lucene 7.x BM25 formula (solr-7.5.0 BM25Similarity.java:284-294):
+    same idf/avgdl as 8.x, but the (k1 + 1) numerator is kept (the 8.0
+    change dropped it as rank-preserving) and the norm cache stores the
+    denominator addend directly instead of its reciprocal."""
+
+    def term_weight(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+    ) -> LegacyBM25TermWeight:
+        one = np.float32(1.0)
+        weight = np.float32(self.idf(doc_freq, doc_count) * np.float32(boost))
+        avgdl = self.avgdl(sum_total_term_freq, doc_count)
+        # float32 op order per the Java expression
+        # k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl)
+        cache = self.k1 * ((one - self.b) + self.b * LENGTH_TABLE / np.float32(avgdl))
+        return LegacyBM25TermWeight(
+            weight_value=np.float32(weight * (self.k1 + one)), cache=cache
+        )
+
+
+def _classic_norm_table() -> np.ndarray:
+    """TFIDFSimilarity.scorer's normTable (solr-8.4.0
+    TFIDFSimilarity.java:523-529): normTable[i] =
+    (float)(1.0 / sqrt(byte4ToInt(i))) for i >= 1; normTable[0] =
+    1f / normTable[255]."""
+    lengths = BYTE4_DECODE_TABLE.astype(np.float64)
+    nt = np.empty(256, dtype=np.float32)
+    with np.errstate(divide="ignore"):
+        nt[1:] = (1.0 / np.sqrt(lengths[1:])).astype(np.float32)
+    nt[0] = np.float32(1.0) / nt[255]
+    return nt
+
+
+_CLASSIC_NORM_TABLE = _classic_norm_table()
+
+
+@dataclass(frozen=True)
+class ClassicTermWeight:
+    """ClassicSimilarity (TFIDF) per-term state (solr-8.4.0
+    TFIDFSimilarity.java:538-560 + ClassicSimilarity.java:44-72,
+    re-implemented): queryWeight = boost * idf with idf =
+    (float)(log((N+1)/(df+1)) + 1); score = (sqrtf(freq) * queryWeight)
+    * normTable[norm]."""
+
+    query_weight: np.float32
+    norm_table: np.ndarray = None  # float32[256], defaulted below
+
+    def __post_init__(self):
+        if self.norm_table is None:
+            object.__setattr__(self, "norm_table", _CLASSIC_NORM_TABLE)
+
+    def score(self, freqs, norm_bytes) -> np.ndarray:
+        f64 = np.asarray(freqs).astype(np.float64, copy=False)
+        tf = np.sqrt(f64).astype(np.float32)  # (float) Math.sqrt(freq)
+        raw = tf * self.query_weight
+        return raw * self.norm_table[np.asarray(norm_bytes, dtype=np.uint8)]
+
+    def score_scalar(self, freq: float, norm_byte: int) -> float:
+        return float(self.score(np.array([freq]), np.array([norm_byte]))[0])
+
+    def max_score(self, imp_freqs, imp_norms) -> float:
+        if len(imp_freqs) == 0:
+            return 0.0
+        return float(self.score(imp_freqs, imp_norms).max())
+
+
+class ClassicSimilarity:
+    """The classic Lucene TFIDF similarity (ClassicSimilarity.java:44-72):
+    tf = sqrt(freq), idf = log((N+1)/(df+1)) + 1, lengthNorm =
+    1/sqrt(length) via the shared byte4 norm encoding."""
+
+    @staticmethod
+    def idf(doc_freq, doc_count) -> np.float32:
+        # (float)(Math.log((docCount+1) / (double)(docFreq+1)) + 1.0)
+        return np.float32(
+            np.log(np.float64(doc_count + 1) / np.float64(doc_freq + 1)) + 1.0
+        )
+
+    def term_weight(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+    ) -> ClassicTermWeight:
+        return ClassicTermWeight(
+            query_weight=np.float32(np.float32(boost) * self.idf(doc_freq, doc_count))
+        )
+
+
+def get_similarity(spec: str = "bm25"):
     """Similarity registry — the pluggable-Similarity hook (SURVEY.md
     §2.10; IndexSearcher.setSimilarity role). Specs:
 
-      "bm25"                   -> BM25 defaults (k1=1.2, b=0.75)
-      "bm25(k1=1.5, b=0.6)"    -> parameterized BM25
+      "bm25"                      -> BM25 defaults (k1=1.2, b=0.75)
+      "bm25(k1=1.5, b=0.6)"       -> parameterized BM25
+      "bm25legacy"                -> Lucene 7.x BM25 ((k1+1) numerator)
+      "bm25legacy(k1=..., b=...)" -> parameterized 7.x BM25
+      "classic"                   -> ClassicSimilarity (TFIDF)
 
     Searchers accept the returned object via their ``bm25`` argument."""
     import re
@@ -115,14 +245,19 @@ def get_similarity(spec: str = "bm25") -> BM25:
     spec = spec.strip()
     if spec == "bm25":
         return BM25()
-    m = re.fullmatch(r"bm25\(([^)]*)\)", spec)
+    if spec == "bm25legacy":
+        return LegacyBM25()
+    if spec == "classic":
+        return ClassicSimilarity()
+    m = re.fullmatch(r"(bm25legacy|bm25)\(([^)]*)\)", spec)
     if m is None:
         raise ValueError(f"unknown similarity spec {spec!r}")
+    cls = LegacyBM25 if m.group(1) == "bm25legacy" else BM25
     kwargs = {}
-    for part in filter(None, (p.strip() for p in m.group(1).split(","))):
+    for part in filter(None, (p.strip() for p in m.group(2).split(","))):
         key, _, val = part.partition("=")
         key = key.strip()
         if key not in ("k1", "b"):
             raise ValueError(f"unknown BM25 parameter {key!r} in {spec!r}")
         kwargs[key] = float(val)
-    return BM25(**kwargs)
+    return cls(**kwargs)

@@ -105,30 +105,35 @@ FROM {relation} GROUP BY md5(text)"""
 
 
 def shingle_batch(batch: pa.Table, n: int = JACCARD_SHINGLE_N) -> pa.Table:
-    """Explode docs to DISTINCT (doc_id, shingle-hash) pairs (uint64)."""
-    toks = pc.split_pattern(batch["text"], pattern=" ")
-    flat = np.asarray(pc.list_flatten(toks).to_numpy(zero_copy_only=False), dtype=object)
-    parents = pc.list_parent_indices(toks).to_numpy()
-    doc_ids = batch["doc_id"].to_numpy()
-    out_doc, out_sh = [], []
-    starts = np.searchsorted(parents, np.arange(batch.num_rows))
-    ends = np.append(starts[1:], len(parents))
-    for i in range(batch.num_rows):
-        t = flat[starts[i] : ends[i]]
-        if len(t) < n:
-            continue
-        sh = {" ".join(t[j : j + n]) for j in range(len(t) - n + 1)}
-        hs = md5_lower64_array(sorted(sh))
-        out_doc.append(np.full(len(hs), doc_ids[i], dtype=np.int64))
-        out_sh.append(hs)
-    if not out_doc:
+    """Explode docs to DISTINCT (doc_id, shingle-hash) pairs (uint64).
+
+    Fully vectorized (no per-row Python): n-gram windows via the
+    `_ngram_strings` object-concat trick shared with decontamination
+    (curation._row_ngram_hashes — windows never cross doc boundaries),
+    then per-doc dedup via one lexsort over (parent, hash) + a
+    first-occurrence mask. Dedup is by 64-bit hash rather than by shingle
+    string; the hash IS the shingle identity everywhere downstream
+    (Jaccard, minhash mins, semi-join verify), so this is the same
+    relation modulo in-doc 64-bit collisions.
+    """
+    from .curation import _row_ngram_hashes
+
+    hashes, parents = _row_ngram_hashes(batch, n)
+    if len(hashes) == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "shingle": pa.array([], pa.uint64())}
         )
+    order = np.lexsort((hashes, parents))
+    p = parents[order]
+    h = hashes[order]
+    keep = np.empty(len(p), dtype=bool)
+    keep[0] = True
+    keep[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
+    doc_ids = batch["doc_id"].to_numpy()
     return pa.table(
         {
-            "doc_id": pa.array(np.concatenate(out_doc)),
-            "shingle": pa.array(np.concatenate(out_sh), pa.uint64()),
+            "doc_id": pa.array(doc_ids[p[keep]], pa.int64()),
+            "shingle": pa.array(h[keep], pa.uint64()),
         }
     )
 
@@ -619,6 +624,22 @@ def _minhash_driver_verify_max_docs() -> int:
     return int(os.environ.get("LUCENE_RAY_MINHASH_DRIVER_VERIFY_MAX_DOCS", "250000"))
 
 
+def _minhash_driver_verify_max_pairs() -> int:
+    """Cap on MEASURED candidate pairs for the driver-verify fast path.
+
+    The doc-count pre-filter alone is unsafe on skewed corpora: a 200k-doc
+    corpus that is 50% boilerplate emits O(dups^2) candidates within each
+    LSH bucket, and the driver path's memory is proportional to candidates
+    + needed texts, not corpus size. So the fast path is gated TWICE —
+    corpus docs (cheap, parquet metadata, decides whether candidates are
+    even materialized) AND the actual candidate count after global pair
+    dedup; overflow reroutes the already-computed candidate table into the
+    distributed semi-join verify (no recompute of banding/candidates)."""
+    import os
+
+    return int(os.environ.get("LUCENE_RAY_MINHASH_DRIVER_VERIFY_MAX_PAIRS", "100000"))
+
+
 def _driver_verify_pairs(sf_dir: str, cand: pa.Table) -> pa.Table:
     """Toy-scale exact-verify fast path: candidate pairs (already small —
     post-LSH, post-dedup) land on the driver, the needed docs' texts come
@@ -695,6 +716,14 @@ def minhash_lsh_pairs_dataset(sf_dir: str):
     docs = sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
                       rows_per_block=HEAVY_ROWS_PER_BLOCK)
     cand = _candidate_pairs_dataset(docs, parts)
+    return _distributed_verify_dataset(docs, cand, parts)
+
+
+def _distributed_verify_dataset(docs, cand, parts: int):
+    """Exact-Jaccard verify of a candidate-pair Dataset against the document
+    stream via the hash-partitioned semi-join (see minhash_lsh_pairs_dataset
+    docstring). Factored out so an overflowing driver-path candidate table
+    can be rerouted here without recomputing banding/candidates."""
     need = cand.map_batches(_pair_need_rows, batch_format="pyarrow")
     doc_side = docs.map_batches(_doc_join_rows, batch_format="pyarrow")
     return (
@@ -714,21 +743,35 @@ def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     Auto cutover (measured: each distributed verify stage costs ~2 s of
     fixed task-scheduling latency at toy scale, BASELINE.md round 3):
     corpora at or under LUCENE_RAY_MINHASH_DRIVER_VERIFY_MAX_DOCS (default
-    250k rows, read from parquet metadata — no execution) verify on the
-    driver via a pruned duckdb text lookup; larger corpora take the 100-TB
-    scale path, fully distributed end to end (minhash_lsh_pairs_dataset):
-    only band-key rows, candidate pairs, hash-partitioned text blocks and
-    packed shingle blobs ever move between nodes. Both paths produce
-    identical pairs (pinned by test_minhash_cutover_paths_agree)."""
+    250k rows, read from parquet metadata — no execution) materialize the
+    (small, post-dedup) candidate table; if the MEASURED candidate count
+    also sits under LUCENE_RAY_MINHASH_DRIVER_VERIFY_MAX_PAIRS they verify
+    on the driver via a pruned duckdb text lookup, else the candidate table
+    is rerouted into the distributed semi-join verify (skew guard — a small
+    boilerplate-heavy corpus can emit quadratic candidates). Corpora over
+    the doc cap take the 100-TB scale path, fully distributed end to end
+    (minhash_lsh_pairs_dataset): only band-key rows, candidate pairs,
+    hash-partitioned text blocks and packed shingle blobs ever move between
+    nodes. All paths produce identical pairs (pinned by
+    test_minhash_cutover_paths_agree and test_minhash_pair_overflow_reroute)."""
     import pyarrow.parquet as pq
+    import ray.data as rd
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     if n_docs <= _minhash_driver_verify_max_docs():
+        parts = _dedup_shuffle_partitions()
         docs = sized_read(f"{sf_dir}/documents.parquet",
                           columns=["doc_id", "text"],
                           rows_per_block=HEAVY_ROWS_PER_BLOCK)
-        cand = _to_table(_candidate_pairs_dataset(docs, _dedup_shuffle_partitions()))
-        t = _driver_verify_pairs(sf_dir, cand) if cand.num_rows else cand
+        cand = _to_table(_candidate_pairs_dataset(docs, parts))
+        if cand.num_rows == 0:
+            t = cand
+        elif cand.num_rows <= _minhash_driver_verify_max_pairs():
+            t = _driver_verify_pairs(sf_dir, cand)
+        else:
+            t = _to_table(
+                _distributed_verify_dataset(docs, rd.from_arrow(cand), parts)
+            )
     else:
         t = _to_table(minhash_lsh_pairs_dataset(sf_dir))
     if t.num_rows == 0:

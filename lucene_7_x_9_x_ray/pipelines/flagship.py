@@ -472,6 +472,30 @@ PARSED_TOPK_SPECS: list[tuple[str, str, str, list[tuple[str, str, float]], int]]
         [("title", "table", 2.0), ("", "value", 1.0)],
         10,
     ),
+    # parenthesized grouping (QueryParserBase.java:117 clause recursion):
+    # the group compiles to a nested BooleanQuery clause — inner scores
+    # accumulate double -> one float32 cast, outer re-accumulates.
+    (
+        "p_group_and",
+        "(key OR hash) AND value",
+        "or_and",
+        [("", "key", 1.0), ("", "hash", 1.0), ("", "value", 1.0)],
+        10,
+    ),
+    (
+        "p_group_not",
+        "hash AND (value NOT the)",
+        "and_notgroup",
+        [("", "hash", 1.0), ("", "value", 1.0), ("", "the", 1.0)],
+        10,
+    ),
+    (
+        "p_group_exclude",
+        "-(the value) hash",
+        "sum_notgroup",
+        [("", "hash", 1.0), ("", "the", 1.0), ("", "value", 1.0)],
+        10,
+    ),
 ]
 
 
@@ -694,6 +718,49 @@ def q_scoring_variants(sf_dir: str) -> pa.Table:
     qids, ranks, docs, scores = [], [], [], []
     for qid, query in cases:
         td = merged.search(query, k=SCORING_VARIANTS_K)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+# similarity registry gate: the same 2-term disjunction scored under each
+# non-default Similarity (IndexSearcher.setSimilarity role) — exact oracle.
+SIMILARITY_TOPK_SPECS: list[tuple[str, str]] = [
+    ("classic", "classic"),        # TFIDF (ClassicSimilarity.java:44-72)
+    ("legacy", "bm25legacy"),      # 7.x BM25 (s75 BM25Similarity.java:257-294)
+]
+SIMILARITY_TOPK_TERMS = ("key", "hash")
+SIMILARITY_TOPK_K = 10
+
+
+def q_similarity_topk(sf_dir: str) -> pa.Table:
+    """Similarity-registry variants over one 2-term SHOULD disjunction:
+    (query_id, rank, doc_id, score_r). Each spec opens a searcher with
+    get_similarity(spec) — ClassicSimilarity (TFIDF) and the 7.x BM25
+    ((k1+1) numerator) — and must reproduce oracles.similarity_topk_sql
+    float32-exactly."""
+    from ..functions.bm25 import get_similarity
+    from ..search.merged import MergedIndexSearcher
+
+    index_dir = build_flagship_index(sf_dir)
+    ta, tb = SIMILARITY_TOPK_TERMS
+    query = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery(ta)), (Q.SHOULD, Q.TermQuery(tb))]
+    )
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, spec in SIMILARITY_TOPK_SPECS:
+        searcher = MergedIndexSearcher(index_dir, bm25=get_similarity(spec))
+        td = searcher.search(query, k=SIMILARITY_TOPK_K)
         for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
             qids.append(qid)
             ranks.append(r)

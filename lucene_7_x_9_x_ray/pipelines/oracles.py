@@ -398,6 +398,53 @@ mustopt AS (SELECT x.doc_id,
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def similarity_topk_sql(ta: str, tb: str, k: int, relation: str = "documents") -> str:
+    """Oracle for the similarity registry gate: one 2-term SHOULD
+    disjunction scored under
+
+    - 'classic': ClassicSimilarity/TFIDF (s84 TFIDFSimilarity.java:538-560,
+      ClassicSimilarity.java:44-72) — idf = (float)(ln((N+1)/(df+1)) + 1),
+      leaf = (sqrtf(freq) * idf) * (float)(1/sqrt(nlen)); the boolean sum
+      accumulates DOUBLE then casts float32 (scorers.py discipline).
+    - 'legacy': the 7.x BM25 (s75 BM25Similarity.java:257-294) —
+      weightValue = idf * (k1+1), norm = k1*((1-b) + (b*nlen)/avgdl),
+      leaf = (weightValue * freq) / (freq + norm).
+    """
+    a, b = _ident(ta), _ident(tb)
+    la, lb = ta.replace("'", "''"), tb.replace("'", "''")
+    ctes = [base_ctes(relation), term_leaf_ctes(ta), term_leaf_ctes(tb)]
+    for t, lit in ((a, la), (b, lb)):
+        ctes.append(f"""
+cw_{t} AS (SELECT CAST(ln(((SELECT n_docs FROM cs) + 1) / CAST(df + 1 AS DOUBLE)) + 1.0 AS FLOAT) AS w
+           FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{lit}')),
+cls_{t} AS (SELECT tf.doc_id,
+                 (CAST(sqrt(CAST(tf.freq AS DOUBLE)) AS FLOAT) * (SELECT w FROM cw_{t}))
+                 * CAST(1.0 / sqrt(CAST(nl.nlen AS DOUBLE)) AS FLOAT) AS s
+            FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
+            JOIN normlen nl USING (doc_id)),
+lgs_{t} AS (SELECT tf.doc_id,
+                 (CAST((SELECT w FROM w_{t}) * ({K1_F} + {ONE_F}) AS FLOAT)
+                  * CAST(tf.freq AS FLOAT))
+                 / (CAST(tf.freq AS FLOAT)
+                    + {K1_F} * (({ONE_F} - {B_F})
+                       + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))) AS s
+            FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
+            JOIN normlen nl USING (doc_id))""")
+    selects = []
+    for qid, pref in (("classic", "cls"), ("legacy", "lgs")):
+        scored = f"""(SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
+            CAST(COALESCE(CAST(x.s AS DOUBLE), 0)
+                 + COALESCE(CAST(y.s AS DOUBLE), 0) AS FLOAT) AS score
+     FROM {pref}_{a} x FULL OUTER JOIN {pref}_{b} y ON x.doc_id = y.doc_id)"""
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM {scored} ORDER BY score DESC, doc_id LIMIT {k})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def lang_filtered_topk_sql(
     terms: list[str], lang: str, k: int, relation: str = "documents"
 ) -> str:
@@ -706,6 +753,39 @@ def field_topk_sql(
             )
             scored = f"""(SELECT doc_id, CAST(CAST(s AS DOUBLE) AS FLOAT) AS score
                 FROM {names[0]} x WHERE {anti})"""
+        elif kind == "or_and":
+            # (c1 OR c2) AND c3 — the group is a nested BooleanQuery clause:
+            # inner SHOULD-sum accumulates DOUBLE and casts to float32 ONCE
+            # (scorers.py boolean discipline), then the outer conjunction
+            # re-accumulates double(inner) + double(c3) -> float32.
+            assert len(names) == 3, "or_and oracle takes exactly 3 clauses"
+            a, b2, c = names
+            scored = f"""(SELECT doc_id,
+          CAST(CAST(g.s AS DOUBLE) + CAST(z.s AS DOUBLE) AS FLOAT) AS score
+        FROM (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS s
+              FROM (SELECT doc_id, s FROM {a}
+                    UNION ALL SELECT doc_id, s FROM {b2})
+              GROUP BY doc_id) g
+        JOIN {c} z USING (doc_id))"""
+        elif kind == "and_notgroup":
+            # c1 AND (c2 NOT c3) — group score is c2's score passed through
+            # the inner float32 cast (identity), group requires c2 and
+            # rejects c3; outer conjunction sums with c1.
+            assert len(names) == 3, "and_notgroup oracle takes exactly 3 clauses"
+            a, b2, c = names
+            scored = f"""(SELECT doc_id,
+          CAST(CAST(x.s AS DOUBLE) + CAST(y.s AS DOUBLE) AS FLOAT) AS score
+        FROM {a} x JOIN {b2} y USING (doc_id)
+        WHERE NOT EXISTS (SELECT 1 FROM {c} n WHERE n.doc_id = x.doc_id))"""
+        elif kind == "sum_notgroup":
+            # c1 -(c2 c3) — a MUST_NOT group: c1's docs minus docs matching
+            # c2 OR c3; score = c1's score alone.
+            assert len(names) == 3, "sum_notgroup oracle takes exactly 3 clauses"
+            a, b2, c = names
+            scored = f"""(SELECT doc_id, CAST(CAST(s AS DOUBLE) AS FLOAT) AS score
+        FROM {a} x
+        WHERE NOT EXISTS (SELECT 1 FROM {b2} n1 WHERE n1.doc_id = x.doc_id)
+          AND NOT EXISTS (SELECT 1 FROM {c} n2 WHERE n2.doc_id = x.doc_id))"""
         else:
             raise ValueError(f"unknown kind {kind!r}")
         selects.append(

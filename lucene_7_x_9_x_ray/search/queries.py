@@ -628,7 +628,9 @@ _CLASSIC_TOKEN_RE = _re.compile(
     r'[+-]?(?:\w+:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'  # [field:]"phrase"~slop^boost
     r"|\[\S+ TO \S+\]"                         # [a TO b] inclusive range
     r"|\{\S+ TO \S+\}"                         # {a TO b} exclusive range
-    r"|\S+"
+    r"|[+-]?\("                                # group open (with +/- modifier)
+    r"|\)(?:\^\d+(?:\.\d+)?)?"                 # group close (with ^boost)
+    r"|[^\s()]+"
 )
 _BOOST_RE = _re.compile(r"\^(\d+(?:\.\d+)?)$")
 _FIELD_RE = _re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", _re.DOTALL)
@@ -688,14 +690,37 @@ def _classic_single(tok: str, analyzer, field: str, boost: float) -> Query | Non
 def parse_classic(text: str, analyzer, default_field: str = "") -> Query:
     """Classic query-parser surface: ``field:term``, quoted phrases with
     optional ``~slop``, ``AND`` / ``OR`` / ``NOT``, leading ``+``/``-``,
-    ``^boost``, wildcards/prefix/fuzzy/ranges (primary field). Semantics
-    follow the classic parser's clause model (QueryParserBase.java:117):
-    default operator OR (SHOULD); AND upgrades both neighbours to MUST;
-    NOT / ``-`` mark MUST_NOT; ``+`` marks MUST."""
+    ``^boost``, wildcards/prefix/fuzzy/ranges (primary field), and
+    parenthesized grouping ``(a OR b) AND c`` with optional group modifier
+    (``+(...)`` / ``-(...)``) and trailing group boost (``(...)^2``).
+    Semantics follow the classic parser's clause model
+    (QueryParserBase.java:117 — Clause recursion on '(' producing a nested
+    BooleanQuery clause): default operator OR (SHOULD); AND upgrades both
+    neighbours to MUST; NOT / ``-`` mark MUST_NOT; ``+`` marks MUST. Field
+    scoping of a whole group (``title:(a b)``) is not supported."""
+    toks = _CLASSIC_TOKEN_RE.findall(text)
+    i, q = _parse_clauses(toks, 0, analyzer, default_field, depth=0)
+    if i < len(toks):  # stray ')' at top level
+        raise QueryParseError("unbalanced ')' in query")
+    return q if q is not None else MatchNoDocsQuery()
+
+
+def _parse_clauses(
+    toks: list[str], i: int, analyzer, default_field: str, depth: int
+) -> tuple[int, Query | None]:
+    """Parse a clause list until end-of-tokens or an unconsumed ')' (left
+    for the caller holding the matching '('). Returns (next index, query or
+    None if the list produced no clauses)."""
     clauses: list[tuple[str, Query]] = []
     pending_must = False
     pending_not = False
-    for tok in _CLASSIC_TOKEN_RE.findall(text):
+    while i < len(toks):
+        tok = toks[i]
+        if tok.startswith(")"):
+            if depth == 0:
+                raise QueryParseError("unbalanced ')' in query")
+            break
+        i += 1
         if tok == "AND" or tok == "&&":
             if clauses and clauses[-1][0] == SHOULD:
                 clauses[-1] = (MUST, clauses[-1][1])
@@ -708,6 +733,28 @@ def parse_classic(text: str, analyzer, default_field: str = "") -> Query:
             pending_not = True
             continue
         occur = SHOULD
+        if tok in ("(", "+(", "-("):
+            if tok[0] == "+":
+                occur = MUST
+            elif tok[0] == "-":
+                occur = MUST_NOT
+            i, sub = _parse_clauses(toks, i, analyzer, default_field, depth + 1)
+            if i >= len(toks) or not toks[i].startswith(")"):
+                raise QueryParseError("unbalanced '(' in query")
+            close = toks[i]
+            i += 1
+            if pending_not:
+                occur = MUST_NOT
+            elif pending_must and occur == SHOULD:
+                occur = MUST
+            pending_must = pending_not = False
+            if sub is None:  # empty group: contributes no clause
+                continue
+            bm = _BOOST_RE.search(close)
+            if bm is not None:
+                sub = BoostQuery(sub, float(bm.group(1)))
+            clauses.append((occur, sub))
+            continue
         if tok.startswith("+") and len(tok) > 1:
             occur = MUST
             tok = tok[1:]
@@ -739,7 +786,7 @@ def parse_classic(text: str, analyzer, default_field: str = "") -> Query:
         if q is not None:
             clauses.append((occur, q))
     if not clauses:
-        return MatchNoDocsQuery()
+        return i, None
     if len(clauses) == 1 and clauses[0][0] == SHOULD:
-        return clauses[0][1]
-    return BooleanQuery.build(clauses)
+        return i, clauses[0][1]
+    return i, BooleanQuery.build(clauses)

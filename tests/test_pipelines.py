@@ -76,6 +76,53 @@ def test_bm25_sql_float32_identity():
         )
 
 
+def test_similarity_registry_sql_float32_identity():
+    """The 7.x BM25 ((k1+1) numerator, s75 BM25Similarity.java:257-294) and
+    ClassicSimilarity (TFIDF, s84 TFIDFSimilarity.java:538-560) kernels
+    match DuckDB FLOAT arithmetic bit-for-bit — the similarity_topk oracle
+    contract."""
+    from lucene_7_x_9_x_ray.functions.bm25 import get_similarity
+    from lucene_7_x_9_x_ray.functions.smallfloat import BYTE4_DECODE_TABLE
+
+    con = duckdb.connect()
+    legacy = get_similarity("bm25legacy")
+    classic = get_similarity("classic")
+    rng = np.random.default_rng(11)
+    legacy_sql = """
+    SELECT (CAST(w * (CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT)) AS FLOAT) * CAST(freq AS FLOAT))
+           / (CAST(freq AS FLOAT)
+              + CAST(1.2 AS FLOAT) * ((CAST(1.0 AS FLOAT) - CAST(0.75 AS FLOAT))
+                 + (CAST(0.75 AS FLOAT) * CAST(nlen AS FLOAT)) / avgdl))
+    FROM (SELECT CAST(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS FLOAT) AS w,
+                 CAST(CAST(sttf AS DOUBLE) / n_docs AS FLOAT) AS avgdl, freq, nlen
+          FROM (SELECT ? AS n_docs, ? AS df, ? AS sttf, ? AS freq, ? AS nlen))
+    """
+    classic_sql = """
+    SELECT (CAST(sqrt(CAST(freq AS DOUBLE)) AS FLOAT) * w)
+           * CAST(1.0 / sqrt(CAST(nlen AS DOUBLE)) AS FLOAT)
+    FROM (SELECT CAST(ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1.0 AS FLOAT) AS w,
+                 freq, nlen
+          FROM (SELECT ? AS n_docs, ? AS df, ? AS freq, ? AS nlen))
+    """
+    for _ in range(200):
+        n_docs = int(rng.integers(10, 10_000_000))
+        df = int(rng.integers(1, n_docs + 1))
+        sttf = int(n_docs * rng.integers(5, 500))
+        freq = int(rng.integers(1, 50))
+        nbyte = int(rng.integers(1, 256))  # byte 0 = length 0: classic pins it
+        nlen = int(BYTE4_DECODE_TABLE[nbyte])
+
+        got_sql = con.execute(legacy_sql, [n_docs, df, sttf, freq, nlen]).fetchone()[0]
+        tw = legacy.term_weight(df, n_docs, sttf)
+        got_np = float(tw.score(np.array([freq]), np.array([nbyte]))[0])
+        assert got_sql == pytest.approx(got_np, abs=0.0), ("legacy", n_docs, df, freq, nlen)
+
+        got_sql = con.execute(classic_sql, [n_docs, df, freq, nlen]).fetchone()[0]
+        tw = classic.term_weight(df, n_docs, sttf)
+        got_np = float(tw.score(np.array([freq]), np.array([nbyte]))[0])
+        assert got_sql == pytest.approx(got_np, abs=0.0), ("classic", n_docs, df, freq, nlen)
+
+
 def _planted_corpus() -> pa.Table:
     """12 docs: 0/1 near-dup pair, 2/3 exact dup pair, rest random-ish."""
     base = "the quick brown fox jumps over the lazy dog again and again today"
@@ -125,6 +172,23 @@ def test_minhash_cutover_paths_agree(ray_session, planted_dir, monkeypatch):
     dist = dedup.q_minhash_lsh_pairs(planted_dir)
     assert fast.equals(dist)
     assert fast.num_rows > 0
+
+
+def test_minhash_pair_overflow_reroute(ray_session, planted_dir, monkeypatch):
+    """Skew guard: a corpus under the doc cap whose MEASURED candidate count
+    exceeds LUCENE_RAY_MINHASH_DRIVER_VERIFY_MAX_PAIRS reroutes the
+    already-materialized candidate table into the distributed semi-join
+    verify — and produces the same pairs as the driver path."""
+    from lucene_7_x_9_x_ray.pipelines import dedup
+
+    monkeypatch.setenv("LUCENE_RAY_MINHASH_DRIVER_VERIFY_MAX_DOCS", "1000000")
+    monkeypatch.setenv("LUCENE_RAY_MINHASH_DRIVER_VERIFY_MAX_PAIRS", "1000000")
+    fast = dedup.q_minhash_lsh_pairs(planted_dir)
+    # planted corpus yields >= 2 candidate pairs, so a cap of 1 overflows
+    monkeypatch.setenv("LUCENE_RAY_MINHASH_DRIVER_VERIFY_MAX_PAIRS", "1")
+    rerouted = dedup.q_minhash_lsh_pairs(planted_dir)
+    assert fast.equals(rerouted)
+    assert fast.num_rows >= 2
 
 
 def test_minhash_lsh_distributed_verify(ray_session, tmp_path, monkeypatch):

@@ -282,6 +282,30 @@ def test_parse_classic_surface():
     assert P("a AND b c") == Q.BooleanQuery.build(
         [(Q.MUST, Q.TermQuery("a")), (Q.MUST, Q.TermQuery("b")), (Q.SHOULD, Q.TermQuery("c"))]
     )
+    # parenthesized grouping (QueryParserBase.java:117 clause recursion)
+    inner_ab = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery("a")), (Q.SHOULD, Q.TermQuery("b"))]
+    )
+    assert P("(a OR b) AND c") == Q.BooleanQuery.build(
+        [(Q.MUST, inner_ab), (Q.MUST, Q.TermQuery("c"))]
+    )
+    assert P("c AND (a NOT b)") == Q.BooleanQuery.build(
+        [(Q.MUST, Q.TermQuery("c")),
+         (Q.MUST, Q.BooleanQuery.build(
+             [(Q.SHOULD, Q.TermQuery("a")), (Q.MUST_NOT, Q.TermQuery("b"))]))]
+    )
+    assert P("-(a b) c") == Q.BooleanQuery.build(
+        [(Q.MUST_NOT, inner_ab), (Q.SHOULD, Q.TermQuery("c"))]
+    )
+    assert P("(a OR b)^2 c") == Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.BoostQuery(inner_ab, 2.0)), (Q.SHOULD, Q.TermQuery("c"))]
+    )
+    assert P("(a)") == Q.TermQuery("a")  # single-SHOULD group collapses
+    assert P("()") == Q.MatchNoDocsQuery()
+    with pytest.raises(Q.QueryParseError):
+        P("(a OR b")
+    with pytest.raises(Q.QueryParseError):
+        P("a b) c")
 
 
 def test_sloppy_repeats_hand_traced():
