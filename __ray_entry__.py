@@ -55,10 +55,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
         "facet_length_ranges": flagship.q_facet_length_ranges,  # numeric range facets
+        "facet_taxonomy": flagship.q_facet_taxonomy,  # hierarchical path rollup
+        "facet_drilldown": flagship.q_facet_drilldown,  # DrillDownQuery subtree filter
         "grouped_topk": flagship.q_grouped_topk,
         "interval_topk": flagship.q_interval_topk,  # queries/intervals module
         "span_topk": flagship.q_span_topk,  # search/spans module
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
+        "join_topk": flagship.q_join_topk,  # JoinUtil scored query-time join
         "blockjoin_topk": flagship.q_blockjoin_topk,  # join module: nested doc blocks
         "tochild_topk": flagship.q_tochild_topk,  # inverse block join
         "bm25_topk_docsonly": flagship.q_bm25_topk_docsonly,  # IndexOptions.DOCS
@@ -172,6 +175,12 @@ def oracle_sql() -> dict[str, str]:
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "facet_length_ranges": O.facet_range_sql(
             flagship.FACET_TERM, flagship.FACET_RANGE_EDGES, flagship.FACET_RANGE_LABELS
+        ),
+        "facet_taxonomy": O.facet_taxonomy_sql(flagship.FACET_TERM),
+        "join_topk": O.join_topk_sql(flagship.JOIN_FROM_TERM, flagship.JOIN_TOPK_K),
+        "facet_drilldown": O.filtered_topk_sql(
+            [flagship.FACET_TERM], f"source = '{flagship.DRILLDOWN_PATH}'",
+            flagship.DRILLDOWN_K,
         ),
         "grouped_topk": O.grouped_topk_sql(
             flagship.GROUPED_TOPK_TERMS, flagship.GROUPED_TOPK_PER_GROUP

@@ -72,11 +72,12 @@ _SEARCHERS: dict[str, tuple[IndexSearcher, IndexSearcher]] = {}
 
 
 def _cache_dir(sf_dir: str) -> str:
-    # v5: on-disk FORMAT_VERSION 2 (postings regions lead with a fmt_id
+    # v6: facet_path stored column (taxonomy facets + drill-down); v5:
+    # on-disk FORMAT_VERSION 2 (postings regions lead with a fmt_id
     # byte — codec SPI); v4 added the nullable score_hint stored column,
     # v3 the title field, v2 the positions .pos artifact
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(CACHE_ROOT, f"idx_{key}_v5")
+    return os.path.join(CACHE_ROOT, f"idx_{key}_v6")
 
 
 def _variant_cache_dir(sf_dir: str, variant: str) -> str:
@@ -123,8 +124,9 @@ def build_flagship_index(
         # multi-field schema: title (first TITLE_TOKENS body tokens) indexed
         # as its own field with per-field postings/norms/stats
         extra_fields=(FieldSpec("title", "title", index_positions=True),),
-        # nullable user doc-values column -> DocValuesFieldExistsQuery gate
-        store_cols=("score_hint",),
+        # nullable user doc-values column -> DocValuesFieldExistsQuery gate;
+        # facet_path -> taxonomy facet dimension (source/lang)
+        store_cols=("score_hint", "facet_path"),
         postings_format=postings_format,
     )
     # target=1e9 keeps one row-group range per partition spec; the row-group
@@ -935,6 +937,7 @@ def _matched_rows_dataset(
     terms: list[str],
     per_seg_topk_per_lang: int = 0,
     with_length: bool = False,
+    with_path: bool = False,
 ):
     """Distributed matched-docs relation: one Ray task per SEGMENT evaluates
     the SHOULD-disjunction where the segment lives and emits (doc_id, lang,
@@ -998,6 +1001,11 @@ def _matched_rows_dataset(
                 if with_length
                 else None
             )
+            paths = (
+                np.asarray(dm["facet_path"].take(idx).to_pylist(), dtype=object)
+                if with_path
+                else None
+            )
             if per_seg_topk_per_lang:
                 # per-segment per-lang partial top-k (combiner): the final
                 # per-lang reduce only ever sees n_segments * k rows per lang
@@ -1010,6 +1018,8 @@ def _matched_rows_dataset(
                 gids, langs, scores = gids[sel], langs[sel], scores[sel]
                 if dls is not None:
                     dls = dls[sel]
+                if paths is not None:
+                    paths = paths[sel]
             cols = {
                 "doc_id": pa.array(gids),
                 "lang": pa.array(langs, pa.string()),
@@ -1017,6 +1027,8 @@ def _matched_rows_dataset(
             }
             if dls is not None:
                 cols["dl"] = pa.array(dls, pa.int64())
+            if paths is not None:
+                cols["path"] = pa.array(paths, pa.string())
             out.append(pa.table(cols))
         if not out:
             empty = {
@@ -1026,6 +1038,8 @@ def _matched_rows_dataset(
             }
             if with_length:
                 empty["dl"] = pa.array([], pa.int64())
+            if with_path:
+                empty["path"] = pa.array([], pa.string())
             return pa.table(empty)
         return pa.concat_tables(out)
 
@@ -1084,6 +1098,183 @@ def q_facet_length_ranges(sf_dir: str) -> pa.Table:
         {
             "bucket": pa.array([r["bucket"] for r in rows], pa.string()),
             "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        }
+    )
+
+
+DRILLDOWN_PATH = "src1"  # level-1 taxonomy node (subtree = all its langs)
+DRILLDOWN_K = 10
+
+
+def q_facet_taxonomy(sf_dir: str) -> pa.Table:
+    """Hierarchical taxonomy facet counts (FastTaxonomyFacetCounts role,
+    s84 facet/.../taxonomy/FastTaxonomyFacetCounts.java:41; demo
+    LuceneDemo9.1.0 StringValuesFacetCount.java): docs matching the facet
+    term counted at EVERY prefix level of their ``facet_path`` doc-values
+    column ("source/lang" -> one count row for "source" and one for
+    "source/lang"). The prefix explosion is a vectorized map_batches over
+    the matched-rows Dataset; the rollup is a Ray Data groupby — counts
+    never aggregate on the driver: (path, n)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def explode_prefixes(batch: pa.Table) -> pa.Table:
+        full = batch["path"]
+        # level-1 prefix = text before the first '/'
+        lvl1 = pc.list_element(pc.split_pattern(full, "/", max_splits=1), 0)
+        return pa.table({"path": pa.concat_arrays(
+            [lvl1.combine_chunks().cast(pa.string()), full.combine_chunks()]
+        )})
+
+    rows = (
+        _matched_rows_dataset(sf_dir, [FACET_TERM], with_path=True)
+        .map_batches(explode_prefixes, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["path"])
+    return pa.table(
+        {
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_facet_drilldown(sf_dir: str) -> pa.Table:
+    """DrillDownQuery (facet/DrillDownQuery.java:42): the facet-term BM25
+    query restricted to one taxonomy subtree — the dimension clause is a
+    per-segment StringDocValuesPrefixQuery FILTER (path == node or under
+    "node/"), so drilling into the level-1 node keeps every leaf below it:
+    (rank, doc_id, score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    query = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery(FACET_TERM)),
+         (Q.FILTER, Q.StringDocValuesPrefixQuery("facet_path", DRILLDOWN_PATH))]
+    )
+    td = merged.search(query, k=DRILLDOWN_K)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(td.doc_ids) + 1), pa.int64()),
+            "doc_id": pa.array([int(d) for d in td.doc_ids], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in td.scores], pa.float64()
+            ),
+        }
+    )
+
+
+# scored query-time join (JoinUtil.createJoinQuery, s84
+# join/JoinUtil.java:90,131,414): from-side query scores aggregated per
+# join value, to-side docs filtered to collected values and scored with
+# their key's aggregate.
+JOIN_FROM_TERM = "key"
+JOIN_TOPK_K = 10
+JOIN_SCORE_MODES = ("total", "max", "avg", "none")
+
+
+def q_join_topk(sf_dir: str) -> pa.Table:
+    """Scored query-time join: from-side = docs matching JOIN_FROM_TERM,
+    join key = the level-1 taxonomy node (source) of each doc, to-side =
+    EVERY doc under a collected key, scored with the key's aggregate under
+    each ScoreMode (Total/Max/Avg/None — TermsWithScoreCollector.java:
+    float32 `scoreSums[ord] += scorer.score()` in global doc order; avg
+    divides the float sum by the int count once at the end; None scores a
+    constant 1).
+
+    Distribution: from-side matches come from the per-segment
+    matched-rows Dataset (scores computed where segments live); the
+    per-key fold is a hash-partitioned groupby(key).map_groups — the
+    float32 sequential fold happens inside the key's group, ordered by
+    doc_id exactly like the single-threaded Lucene collector; the
+    aggregate table (one row per distinct join value) is tiny and
+    broadcast via ray.put; the to-side pass attaches scores and keeps a
+    per-batch partial top-k, so the driver reduce sees only
+    blocks x k rows: (query_id, rank, doc_id, score_r)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from .common import sized_read
+
+    def fold_group(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group["doc_id"])
+        s = group["score"].take(order).to_numpy().astype(np.float32, copy=False)
+        total = np.float32(0.0)
+        for v in s:  # the literal float32 += of TermsWithScoreCollector
+            total = np.float32(total + np.float32(v))
+        return pa.table(
+            {
+                "key": group["path"].slice(0, 1).cast(pa.string()),
+                "total": pa.array([float(total)], pa.float32()),
+                "max": pa.array([float(s.max())], pa.float32()),
+                "avg": pa.array([float(np.float32(total / np.float32(len(s))))],
+                                 pa.float32()),
+            }
+        )
+
+    def lvl1(batch: pa.Table) -> pa.Table:
+        key = pc.list_element(pc.split_pattern(batch["path"], "/", max_splits=1), 0)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "score": batch["score"],
+             "path": key.cast(pa.string())}
+        )
+
+    agg_rows = (
+        _matched_rows_dataset(sf_dir, [JOIN_FROM_TERM], with_path=True)
+        .map_batches(lvl1, batch_format="pyarrow")
+        .groupby("path")
+        .map_groups(fold_group, batch_format="pyarrow")
+        .take_all()  # one row per distinct join value — tiny by nature
+    )
+    agg = {r["key"]: r for r in agg_rows}
+    agg_ref = ray.put(agg)
+
+    def to_side(batch: pa.Table) -> pa.Table:
+        a = ray.get(agg_ref)
+        keys = np.asarray(batch["source"].to_pylist(), dtype=object)
+        doc_ids = batch["doc_id"].to_numpy()
+        hit = np.array([k in a for k in keys], dtype=bool)
+        doc_ids, keys = doc_ids[hit], keys[hit]
+        out = []
+        for mode in JOIN_SCORE_MODES:
+            scores = (
+                np.ones(len(keys), dtype=np.float32)
+                if mode == "none"
+                else np.array([a[k][mode] for k in keys], dtype=np.float32)
+            )
+            # per-batch partial top-k combiner (score desc, doc_id asc)
+            order = np.lexsort((doc_ids, -scores.astype(np.float64)))
+            sel = order[:JOIN_TOPK_K]
+            out.append(pa.table(
+                {"query_id": pa.array([f"join_{mode}"] * len(sel), pa.string()),
+                 "doc_id": pa.array(doc_ids[sel], pa.int64()),
+                 "score": pa.array(scores[sel], pa.float32())}
+            ))
+        return pa.concat_tables(out)
+
+    parts = (
+        sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+        .map_batches(to_side, batch_format="pyarrow")
+        .take_all()  # blocks x modes x k partial rows only
+    )
+    qids, ranks, docs, scores = [], [], [], []
+    for mode in JOIN_SCORE_MODES:
+        qid = f"join_{mode}"
+        rows = [r for r in parts if r["query_id"] == qid]
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        for rank, r in enumerate(rows[:JOIN_TOPK_K], start=1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(int(r["doc_id"]))
+            scores.append(round_half_away(float(np.float32(r["score"])), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
         }
     )
 

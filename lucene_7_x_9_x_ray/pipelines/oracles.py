@@ -806,6 +806,60 @@ WHERE EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{term}
 GROUP BY d.lang"""
 
 
+def facet_taxonomy_sql(term: str, relation: str = "documents") -> str:
+    """Hierarchical taxonomy facet counts over docs matching ``term``:
+    one row per prefix level of the "source/lang" path (level-1 rollup +
+    leaf counts — FastTaxonomyFacetCounts semantics)."""
+    return f"""WITH {base_ctes(relation)},
+m AS (SELECT d.source, d.lang FROM {relation} d
+      WHERE EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{term}'))
+SELECT path, n FROM (
+  SELECT source AS path, count(*) AS n FROM m GROUP BY source
+  UNION ALL
+  SELECT source || '/' || lang AS path, count(*) AS n FROM m GROUP BY source, lang
+)"""
+
+
+def join_topk_sql(term: str, k: int, relation: str = "documents") -> str:
+    """Scored query-time join oracle (JoinUtil.java:90,131;
+    TermsWithScoreCollector.java): from-side = docs matching ``term``,
+    join key = source; Total = sequential float32 fold of from-side leaf
+    scores in doc order (list_reduce, as in the blockjoin/span oracles),
+    Max = float32 max, Avg = float32 total / float32 count, None = 1.
+    To-side = every doc of a collected key, top-k per mode."""
+    t = _ident(term)
+    return f"""WITH {base_ctes(relation)},{term_leaf_ctes(term)},
+fm AS (SELECT x.doc_id, x.s, d.source FROM s_{t} x JOIN {relation} d USING (doc_id)),
+agg AS (SELECT source,
+  list_reduce(list_prepend(CAST(0 AS FLOAT), list(CAST(s AS FLOAT) ORDER BY doc_id)),
+              (acc, x) -> CAST(acc + x AS FLOAT)) AS total,
+  max(s) AS mx, count(*) AS cnt
+  FROM fm GROUP BY source),
+agg2 AS (SELECT source, total, mx,
+                CAST(total / CAST(cnt AS FLOAT) AS FLOAT) AS avg FROM agg),
+tos AS (SELECT d.doc_id, a.total, a.mx, a.avg
+        FROM {relation} d JOIN agg2 a USING (source))
+(SELECT 'join_total' AS query_id,
+        CAST(row_number() OVER (ORDER BY total DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(total AS DOUBLE), 4) AS score_r
+ FROM tos ORDER BY total DESC, doc_id LIMIT {k})
+UNION ALL
+(SELECT 'join_max' AS query_id,
+        CAST(row_number() OVER (ORDER BY mx DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(mx AS DOUBLE), 4) AS score_r
+ FROM tos ORDER BY mx DESC, doc_id LIMIT {k})
+UNION ALL
+(SELECT 'join_avg' AS query_id,
+        CAST(row_number() OVER (ORDER BY avg DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(avg AS DOUBLE), 4) AS score_r
+ FROM tos ORDER BY avg DESC, doc_id LIMIT {k})
+UNION ALL
+(SELECT 'join_none' AS query_id,
+        CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rank,
+        doc_id, 1.0 AS score_r
+ FROM tos ORDER BY doc_id LIMIT {k})"""
+
+
 def facet_range_sql(
     term: str,
     edges: list[int],

@@ -133,6 +133,19 @@ class StringDocValuesQuery(Query):
 
 
 @dataclass(frozen=True)
+class StringDocValuesPrefixQuery(Query):
+    """Constant-score (0) taxonomy-path predicate over a stored STRING
+    per-doc column: matches docs whose value equals ``path`` or starts
+    with ``path + "/"`` — DrillDownQuery's dimension clause
+    (facet/DrillDownQuery.java:42 term(dim, path...) on the drill-down
+    field; a non-leaf path matches its whole subtree). Evaluated per
+    segment as one vectorized startswith mask; FilterCache-able."""
+
+    col: str
+    path: str
+
+
+@dataclass(frozen=True)
 class DocValuesFieldExistsQuery(Query):
     """Docs whose stored doc-values column is non-null — the
     DocValuesFieldExistsQuery role (s84 search/DocValuesFieldExistsQuery

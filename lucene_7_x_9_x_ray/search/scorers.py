@@ -248,6 +248,15 @@ def eval_query(
         docs = np.flatnonzero(vals == query.value).astype(np.int64)
         return docs, np.zeros(len(docs), dtype=np.float32)
 
+    if isinstance(query, Q.StringDocValuesPrefixQuery):
+        # DrillDownQuery dimension clause: path == p OR path startswith
+        # "p/" (subtree match), one vectorized mask per segment.
+        vals = reader.doc_values(query.col)
+        u = vals.astype("U") if vals.dtype == object else vals
+        mask = (u == query.path) | np.char.startswith(u, query.path + "/")
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.zeros(len(docs), dtype=np.float32)
+
     if isinstance(query, Q.DocValuesFieldExistsQuery):
         # the docmap column's validity bitmap IS the doc set
         # (DocValuesFieldExistsQuery.java:125)

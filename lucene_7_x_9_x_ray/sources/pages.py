@@ -135,7 +135,8 @@ def pages_from_documents(sf_dir: str, with_html: bool = True, repeat: int = 1) -
     import pyarrow.compute as pc
 
     docs = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars", "source"],
     )
     doc_ids = docs["doc_id"].to_numpy()
     n = len(doc_ids)
@@ -176,6 +177,11 @@ def pages_from_documents(sf_dir: str, with_html: bool = True, repeat: int = 1) -
         cols["lang"] = docs["lang"]
         cols["title"] = titles
         cols["score_hint"] = score_hint
+        # taxonomy facet path "source/lang" — the FacetField(dim, path...)
+        # fixture behind FastTaxonomyFacetCounts rollup + DrillDownQuery
+        cols["facet_path"] = pc.binary_join_element_wise(
+            docs["source"], docs["lang"], "/"
+        )
         parts.append(pa.table(cols))
     return pa.concat_tables(parts)
 
