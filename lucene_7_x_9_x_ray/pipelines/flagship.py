@@ -389,19 +389,57 @@ def q_span_topk(sf_dir: str) -> pa.Table:
     )
 
 
-SLOPPY_PHRASE_SPECS: list[tuple[str, list[str], int, int]] = [
+# two-term no-repeats sloppy phrases: ORACLE-EXACT via the zigzag-chain
+# closed form of SloppyPhraseMatcher (see oracles.sloppy_phrase2_topk_sql;
+# equivalence to the heap transcription is duel-tested exhaustively in
+# tests/test_search.py::test_sloppy_two_term_chain_closed_form)
+SLOPPY_PHRASE2_SPECS: list[tuple[str, list[str], int, int]] = [
     ("sp_key_hash_s2", ["key", "hash"], 2, 10),
     ("sp_row_scan_s3", ["row", "scan"], 3, 10),
-    # repeated term -> the rptGroups matcher path (_sloppy_freq_repeats)
+]
+SLOPPY_PHRASE_SPECS: list[tuple[str, list[str], int, int]] = [
+    # repeated term -> the rptGroups matcher path (_sloppy_freq_repeats);
+    # genuinely non-SQL (group staggering), stays rows-only
     ("sp_rpt_the_key_the_s2", ["the", "key", "the"], 2, 10),
 ]
 
 
+def _sloppy_query_table(merged, specs) -> pa.Table:
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms, slop, k in specs:
+        td = merged.search(Q.PhraseQuery(terms=tuple(terms), slop=slop), k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def q_phrase_sloppy2_topk(sf_dir: str) -> pa.Table:
+    """Two-term no-repeats sloppy PhraseQuery top-k — ORACLE-EXACT: the
+    SloppyPhraseMatcher heap traversal reduces, for two phrase positions,
+    to a zigzag anchor chain (q0 = max of first adjusted positions; each
+    match gap = anchor minus the largest other-list position <= anchor;
+    next anchor = smallest other-list position > anchor), which
+    oracles.sloppy_phrase2_topk_sql walks with a recursive CTE."""
+    merged, _ = get_searchers(sf_dir)
+    return _sloppy_query_table(merged, SLOPPY_PHRASE2_SPECS)
+
+
 def q_phrase_sloppy_topk(sf_dir: str) -> pa.Table:
-    """Sloppy PhraseQuery top-k (float sloppy freq — SloppyPhraseMatcher
-    transcription, scorers._sloppy_freq). Not ANSI-SQL-expressible (greedy
-    heap traversal), so the driver records a rows-only check; semantics
-    are pinned by tests/test_pipelines.py::test_sloppy_phrase_javadoc_examples."""
+    """Sloppy PhraseQuery with a REPEATED term (rptGroups matcher path —
+    scorers._sloppy_freq_repeats). Not ANSI-SQL-expressible (group
+    staggering + collision advance), so the driver records a rows-only
+    check; semantics are pinned by
+    tests/test_pipelines.py::test_sloppy_phrase_javadoc_examples."""
     merged, _ = get_searchers(sf_dir)
     qids, ranks, docs, scores = [], [], [], []
     for qid, terms, slop, k in SLOPPY_PHRASE_SPECS:

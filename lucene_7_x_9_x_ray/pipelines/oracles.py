@@ -193,6 +193,85 @@ ps_{qid} AS (SELECT pf.doc_id,
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def sloppy_phrase2_topk_sql(
+    specs: list[tuple[str, list[str], int, int]], relation: str = "documents"
+) -> str:
+    """Two-term no-repeats sloppy-phrase oracle: (query_id, rank, doc_id,
+    score_r).
+
+    For TWO phrase positions the SloppyPhraseMatcher heap traversal
+    (SloppyPhraseMatcher.java:165-201) collapses to a zigzag anchor chain
+    over the offset-adjusted position lists A (term0) and B (term1 - 1):
+
+      q0 = max(min A, min B), tagged by the larger list (tie -> B: the
+           heap pops (pos, ord) so equal positions pop ord 0 first);
+      at each anchor q: gap = q - max{other-list p <= q} (always exists),
+           emit sloppyWeight = float32(1f / (1 + gap)) iff gap <= slop,
+           accumulated float32 each step (PhraseScorer discipline);
+      next anchor = min{other-list p > q}, roles swap; chain ends when
+           none remains (the final anchor still emits).
+
+    The closed form is duel-tested against the heap transcription over
+    exhaustive small position sets (test_sloppy_two_term_chain_closed_form).
+    The SQL walks the chain with one recursive CTE per spec; scoring is
+    the shared phrase BM25 (weight = float32 of the double idf sum)."""
+    terms = sorted({t for _, ts, _, _ in specs for t in ts})
+    ctes = [f"t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation})"]
+    ctes.append(base_ctes(relation))
+    ctes += [term_leaf_ctes(t) for t in terms]
+    for t in terms:
+        lit = t.replace("'", "''")
+        ctes.append(f"""
+pos_{_ident(t)} AS (SELECT doc_id, i - 1 AS p
+      FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM t0)
+      WHERE arr[i] = '{lit}')""")
+    selects = []
+    for qid, (ta, tb), slop, k in specs:
+        ia, ib = _ident(ta), _ident(tb)
+        idf_sum = (
+            f"CAST((SELECT w FROM w_{ia}) AS DOUBLE)"
+            f" + CAST((SELECT w FROM w_{ib}) AS DOUBLE)"
+        )
+        ctes.append(f"""
+tp_{qid} AS (SELECT doc_id, 0 AS side, p FROM pos_{ia}
+             UNION ALL SELECT doc_id, 1 AS side, p - 1 AS p FROM pos_{ib}),
+ini_{qid} AS (SELECT a.doc_id, greatest(a.p, b.p) AS q,
+                     CASE WHEN a.p > b.p THEN 0 ELSE 1 END AS tag
+  FROM (SELECT doc_id, min(p) AS p FROM tp_{qid} WHERE side = 0 GROUP BY doc_id) a
+  JOIN (SELECT doc_id, min(p) AS p FROM tp_{qid} WHERE side = 1 GROUP BY doc_id) b
+  USING (doc_id)),
+ch_{qid}(doc_id, q, tag, freq) AS (
+  SELECT doc_id, q, tag, CAST(0 AS FLOAT) FROM ini_{qid}
+  UNION ALL
+  SELECT c.doc_id,
+         (SELECT min(o.p) FROM tp_{qid} o
+          WHERE o.doc_id = c.doc_id AND o.side = 1 - c.tag AND o.p > c.q),
+         1 - c.tag,
+         CASE WHEN c.q - (SELECT max(o.p) FROM tp_{qid} o
+                          WHERE o.doc_id = c.doc_id AND o.side = 1 - c.tag
+                            AND o.p <= c.q) <= {slop}
+              THEN CAST(c.freq + (CAST(1.0 AS FLOAT)
+                   / CAST(1 + c.q - (SELECT max(o.p) FROM tp_{qid} o
+                                     WHERE o.doc_id = c.doc_id
+                                       AND o.side = 1 - c.tag
+                                       AND o.p <= c.q) AS FLOAT)) AS FLOAT)
+              ELSE c.freq END
+  FROM ch_{qid} c WHERE c.q IS NOT NULL),
+pf_{qid} AS (SELECT doc_id, freq FROM ch_{qid} WHERE q IS NULL AND freq > 0),
+ps_{qid} AS (SELECT pf.doc_id,
+                    CAST({idf_sum} AS FLOAT)
+                    - CAST({idf_sum} AS FLOAT)
+                      / ({ONE_F} + pf.freq
+                         * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                            + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS score
+             FROM pf_{qid} pf JOIN normlen nl USING (doc_id))""")
+        selects.append(f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM ps_{qid} ORDER BY score DESC, doc_id LIMIT {k})""")
+    return "WITH RECURSIVE " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def span_topk_sql(
     specs: list[tuple[str, str, tuple, object, int]], relation: str = "documents"
 ) -> str:

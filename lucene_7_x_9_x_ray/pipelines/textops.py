@@ -393,11 +393,14 @@ FROM t JOIN sim USING (doc_id) LEFT JOIN sh USING (doc_id)"""
 
 # --- UnifiedHighlighter-equivalent passage highlighting ----------------------
 
-# (query_id, terms) — common vocabulary terms so every sf yields multi-window
-# passages with distinct PassageScorer scores
-HIGHLIGHT_SPECS: list[tuple[str, list[str]]] = [
-    ("hl_join", ["join", "merge"]),
-    ("hl_scan", ["scan", "slow", "fast"]),
+# (query_id, terms, phrases) — common vocabulary terms so every sf yields
+# multi-window passages with distinct PassageScorer scores; a phrase spec
+# highlights position-aware (strict): only tokens inside an exact phrase
+# occurrence match (PhraseHelper model — see search/highlight.py)
+HIGHLIGHT_SPECS: list[tuple[str, list[str], list[list[str]]]] = [
+    ("hl_join", ["join", "merge"], []),
+    ("hl_scan", ["scan", "slow", "fast"], []),
+    ("hl_phrase_key_hash", [], [["key", "hash"]]),
 ]
 HIGHLIGHT_WINDOW = 16
 HIGHLIGHT_MAX_PASSAGES = 2
@@ -411,10 +414,11 @@ def q_highlight_corpus(sf_dir: str) -> pa.Table:
     from ..search.highlight import HighlightStage
 
     parts = []
-    for qid, terms in HIGHLIGHT_SPECS:
+    for qid, terms, phrases in HIGHLIGHT_SPECS:
         t = _run(
             sf_dir,
-            HighlightStage(terms, HIGHLIGHT_WINDOW, HIGHLIGHT_MAX_PASSAGES),
+            HighlightStage(terms, HIGHLIGHT_WINDOW, HIGHLIGHT_MAX_PASSAGES,
+                           phrases=phrases),
         )
         parts.append(
             pa.table(
@@ -460,13 +464,36 @@ geom AS (SELECT doc_id, win, min(cstart) AS p_start,
          FROM tc GROUP BY doc_id, win)"""
     ]
     selects = []
-    for qid, terms in HIGHLIGHT_SPECS:
-        inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    for qid, terms, phrases in HIGHLIGHT_SPECS:
+        # matched positions: loose term hits UNION positions participating
+        # in an exact phrase occurrence (PhraseHelper-strict — matches the
+        # engine's filtered offsets; UNION dedups overlapping occurrences)
+        mp_parts = []
+        if terms:
+            inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+            mp_parts.append(f"SELECT doc_id, pos FROM tc WHERE term IN ({inlist})")
+        for pi, ph in enumerate(phrases):
+            joins = "tc a0"
+            conds = [f"a0.term = '{ph[0].replace(chr(39), chr(39) * 2)}'"]
+            for j in range(1, len(ph)):
+                joins += (f" JOIN tc a{j} ON a{j}.doc_id = a0.doc_id"
+                          f" AND a{j}.pos = a0.pos + {j}")
+                conds.append(f"a{j}.term = '{ph[j].replace(chr(39), chr(39) * 2)}'")
+            occ = (f"occ_{qid}_{pi} AS (SELECT a0.doc_id, a0.pos FROM {joins}"
+                   f" WHERE {' AND '.join(conds)})")
+            ctes.append(occ)
+            mp_parts += [
+                f"SELECT doc_id, pos + {j} AS pos FROM occ_{qid}_{pi}"
+                for j in range(len(ph))
+            ]
+        ctes.append(f"mp_{qid} AS ({' UNION '.join(mp_parts)})")
         ctes.append(f"""
+pm_{qid} AS (SELECT tc.doc_id, tc.win, tc.term, tc.pos
+             FROM tc JOIN mp_{qid} USING (doc_id, pos)),
 m_{qid} AS (SELECT doc_id, win, term, count(*) AS freq
-            FROM tc WHERE term IN ({inlist}) GROUP BY doc_id, win, term),
+            FROM pm_{qid} GROUP BY doc_id, win, term),
 ttf_{qid} AS (SELECT doc_id, term, count(*) AS ttf
-              FROM tc WHERE term IN ({inlist}) GROUP BY doc_id, term),
+              FROM pm_{qid} GROUP BY doc_id, term),
 ps_{qid} AS (
   SELECT m.doc_id, m.win, g.p_start,
          (1.0 + 1.0 / ln(87.0 + g.p_start)) * sum(
@@ -484,10 +511,12 @@ sel_{qid} AS (SELECT doc_id, win, p_start, score,
               FROM ps_{qid}),
 snip_{qid} AS (
   SELECT tc.doc_id, tc.win,
-         string_agg(CASE WHEN tc.term IN ({inlist})
+         string_agg(CASE WHEN mp.pos IS NOT NULL
                     THEN '<b>' || tc.term || '</b>' ELSE tc.term END,
                     ' ' ORDER BY tc.pos) AS snippet
-  FROM tc JOIN (SELECT doc_id, win FROM sel_{qid} WHERE rk <= {N}) s
+  FROM tc
+  LEFT JOIN mp_{qid} mp ON mp.doc_id = tc.doc_id AND mp.pos = tc.pos
+  JOIN (SELECT doc_id, win FROM sel_{qid} WHERE rk <= {N}) s
        ON s.doc_id = tc.doc_id AND s.win = tc.win
   GROUP BY tc.doc_id, tc.win)""")
         selects.append(f"""(SELECT '{qid}' AS query_id, s.doc_id,

@@ -74,8 +74,20 @@ def highlight_batch(
     max_passages: int = 2,
     pre_tag: str = "<b>",
     post_tag: str = "</b>",
+    phrases: list[list[str]] | None = None,
 ):
-    """Highlight one Arrow batch of texts against ``terms``.
+    """Highlight one Arrow batch of texts against ``terms`` and exact
+    ``phrases``.
+
+    Phrase handling is position-aware (strict), the PhraseHelper model
+    (s84 uhighlight/PhraseHelper.java:63 — by default the UH highlights
+    phrases strictly, filtering each phrase term's OffsetsEnum to
+    positions that participate in an actual phrase occurrence): a token
+    counts as a match — for tagging AND for the passage/doc term
+    frequencies fed to PassageScorer — only if it sits inside an exact
+    adjacent occurrence of one of ``phrases`` (or equals a loose term).
+    Occurrence detection is vectorized: shifted equality masks over the
+    flat token stream ANDed with a same-doc guard.
 
     Returns parallel Python lists (row_idx, ord, p_start, score, snippet):
     one entry per selected passage; rows with no match emit nothing. ``ord``
@@ -85,7 +97,8 @@ def highlight_batch(
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
-    if n == 0 or not terms:
+    phrases = phrases or []
+    if n == 0 or (not terms and not phrases):
         return [], [], [], [], []
     toks = pc.split_pattern(texts, pattern=" ")
     flat = pc.list_flatten(toks)
@@ -102,15 +115,37 @@ def highlight_batch(
     win = pos // window_tokens
     content_len = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
 
-    tset = pa.array(terms, type=flat.type if not pa.types.is_large_string(flat.type) else pa.large_string())
+    # combined vocabulary: loose terms + phrase terms; a token is a match
+    # if its term is loose, or it participates in a phrase occurrence
+    vocab = list(dict.fromkeys(list(terms) + [t for ph in phrases for t in ph]))
+    loose = np.array([v in set(terms) for v in vocab], dtype=bool)
+    tset = pa.array(vocab, type=flat.type if not pa.types.is_large_string(flat.type) else pa.large_string())
     tidx = pc.index_in(flat, value_set=tset).to_numpy(zero_copy_only=False)
-    is_match = ~np.isnan(tidx) if tidx.dtype.kind == "f" else tidx >= 0
-    tidx = np.where(is_match, tidx, 0).astype(np.int64)
+    valid = ~np.isnan(tidx) if tidx.dtype.kind == "f" else tidx >= 0
+    tidx = np.where(valid, tidx, 0).astype(np.int64)
+    is_match = valid & loose[tidx]
+    nf = len(tidx)
+    for ph in phrases:
+        ids = [vocab.index(t) for t in ph]
+        L = len(ids)
+        if nf < L:
+            continue
+        occ = valid & (tidx == ids[0])
+        for j in range(1, L):
+            nxt = np.zeros(nf, dtype=bool)
+            nxt[: nf - j] = valid[j:] & (tidx[j:] == ids[j])
+            occ &= nxt
+        samedoc = np.zeros(nf, dtype=bool)
+        samedoc[: nf - L + 1] = parents[: nf - L + 1] == parents[L - 1 :]
+        occ &= samedoc
+        starts_ = np.flatnonzero(occ)
+        for j in range(L):  # L is tiny (phrase length); unions overlap-safe
+            is_match[starts_ + j] = True
     m = np.flatnonzero(is_match)
     if len(m) == 0:
         return [], [], [], [], []
 
-    T = len(terms)
+    T = len(vocab)
     # per-(doc, term) freq in doc (OffsetsEnum.freq -> termFreqsInDoc)
     ttf = np.zeros((n, T), dtype=np.int64)
     np.add.at(ttf, (parents[m], tidx[m]), 1)
@@ -197,10 +232,12 @@ class HighlightStage:
         terms: list[str],
         window_tokens: int = DEFAULT_WINDOW_TOKENS,
         max_passages: int = 2,
+        phrases: list[list[str]] | None = None,
     ):
         self.terms = list(terms)
         self.window_tokens = window_tokens
         self.max_passages = max_passages
+        self.phrases = [list(p) for p in (phrases or [])]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows, ords, starts, scores, snips = highlight_batch(
@@ -208,6 +245,7 @@ class HighlightStage:
             self.terms,
             window_tokens=self.window_tokens,
             max_passages=self.max_passages,
+            phrases=self.phrases,
         )
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(

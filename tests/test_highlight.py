@@ -112,6 +112,37 @@ def test_highlight_snippet_wraps_only_matches():
     assert snips == ["alpha <b>beta</b> gamma <b>beta</b>"]
 
 
+def test_highlight_phrase_strict_participation():
+    """Position-aware (strict) phrase highlighting: only tokens inside an
+    exact adjacent occurrence match — a doc with both terms non-adjacent
+    emits nothing; overlapping occurrences tag each token once."""
+    texts = pa.array(
+        [
+            "alpha key hash beta",            # one occurrence
+            "key beta hash",                  # both terms, NOT adjacent -> no match
+            "key hash key hash gamma",        # two occurrences
+            "hash key",                       # wrong order -> no match
+        ]
+    )
+    rows, ords, starts, scores, snips = highlight_batch(
+        texts, [], window_tokens=16, max_passages=2, phrases=[["key", "hash"]]
+    )
+    assert sorted(set(rows)) == [0, 2]
+    by_row = dict(zip(rows, snips))
+    assert by_row[0] == "alpha <b>key</b> <b>hash</b> beta"
+    assert by_row[2] == "<b>key</b> <b>hash</b> <b>key</b> <b>hash</b> gamma"
+
+    # loose + phrase mix: the loose term tags everywhere, the phrase only
+    # where adjacent
+    rows2, _, _, _, snips2 = highlight_batch(
+        texts, ["beta"], window_tokens=16, max_passages=2,
+        phrases=[["key", "hash"]],
+    )
+    by_row2 = dict(zip(rows2, snips2))
+    assert by_row2[1] == "key <b>beta</b> hash"
+    assert by_row2[0] == "alpha <b>key</b> <b>hash</b> <b>beta</b>"
+
+
 def test_highlight_score_tie_keeps_later_passage():
     # two identical windows -> identical scores except the position norm;
     # force an exact tie by zero-width norm difference: same window content

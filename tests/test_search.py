@@ -308,6 +308,52 @@ def test_parse_classic_surface():
         P("a b) c")
 
 
+def test_sloppy_two_term_chain_closed_form():
+    """The zigzag-chain closed form used by the phrase_sloppy2_topk SQL
+    oracle equals the SloppyPhraseMatcher heap transcription for two
+    no-repeat phrase positions — exhaustively over all position-set pairs
+    (sizes 1-3 in a 7-token window, slops 0-3) plus randomized larger
+    lists."""
+    import itertools as it
+
+    from lucene_7_x_9_x_ray.search.scorers import _sloppy_freq
+
+    def chain_freq(A, B, slop):
+        if A[0] > B[0]:
+            q, tag = A[0], 0
+        else:
+            q, tag = B[0], 1  # ties pop ord 0 first -> anchor tagged B
+        t = np.float32(0.0)
+        while True:
+            other = B if tag == 0 else A
+            us = [x for x in other if x <= q]
+            gap = q - us[-1]
+            if gap <= slop:
+                t = np.float32(t + np.float32(1.0) / np.float32(1 + gap))
+            nxt = [x for x in other if x > q]
+            if not nxt:
+                return float(t)
+            q, tag = nxt[0], 1 - tag
+
+    R = range(7)
+    for nA, nB in it.product((1, 2, 3), repeat=2):
+        for A in it.combinations(R, nA):
+            for B in it.combinations(R, nB):
+                for slop in (0, 1, 2, 3):
+                    got = _sloppy_freq(
+                        [np.array(A, dtype=np.int64), np.array(B, dtype=np.int64)], slop
+                    )
+                    assert chain_freq(A, B, slop) == got, (A, B, slop)
+
+    rng = np.random.default_rng(5)
+    for _ in range(2000):
+        A = np.sort(rng.choice(30, size=int(rng.integers(1, 8)), replace=False))
+        B = np.sort(rng.choice(30, size=int(rng.integers(1, 8)), replace=False))
+        slop = int(rng.integers(0, 6))
+        got = _sloppy_freq([A.astype(np.int64), B.astype(np.int64)], slop)
+        assert chain_freq(A.tolist(), B.tolist(), slop) == got, (A, B, slop)
+
+
 def test_sloppy_repeats_hand_traced():
     """Repeated-term sloppy freq pinned to hand-traces of the
     SloppyPhraseMatcher rptGroups algorithm (group staggering at init,
