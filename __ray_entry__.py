@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_length_ranges": flagship.q_facet_length_ranges,  # numeric range facets
         "facet_taxonomy": flagship.q_facet_taxonomy,  # hierarchical path rollup
         "facet_drilldown": flagship.q_facet_drilldown,  # DrillDownQuery subtree filter
+        "facet_tags": flagship.q_facet_tags,  # SORTED_SET multi-valued facets
+        "bm25_tags_filtered": flagship.q_bm25_tags_filtered,  # SORTED_SET FILTER
         "grouped_topk": flagship.q_grouped_topk,
         "interval_topk": flagship.q_interval_topk,  # queries/intervals module
         "span_topk": flagship.q_span_topk,  # search/spans module
@@ -180,6 +182,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "facet_taxonomy": O.facet_taxonomy_sql(flagship.FACET_TERM),
         "join_topk": O.join_topk_sql(flagship.JOIN_FROM_TERM, flagship.JOIN_TOPK_K),
+        "facet_tags": O.facet_tags_sql(flagship.FACET_TERM),
+        "bm25_tags_filtered": O.filtered_topk_sql(
+            list(flagship.TAGS_FILTER_TERMS),
+            O.tags_where_sql(flagship.TAGS_FILTER_VALUE),
+            flagship.TAGS_FILTER_K,
+        ),
         "facet_drilldown": O.filtered_topk_sql(
             [flagship.FACET_TERM], f"source = '{flagship.DRILLDOWN_PATH}'",
             flagship.DRILLDOWN_K,

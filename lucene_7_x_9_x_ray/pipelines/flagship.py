@@ -72,12 +72,13 @@ _SEARCHERS: dict[str, tuple[IndexSearcher, IndexSearcher]] = {}
 
 
 def _cache_dir(sf_dir: str) -> str:
-    # v6: facet_path stored column (taxonomy facets + drill-down); v5:
-    # on-disk FORMAT_VERSION 2 (postings regions lead with a fmt_id
-    # byte — codec SPI); v4 added the nullable score_hint stored column,
-    # v3 the title field, v2 the positions .pos artifact
+    # v7: tags multi-valued (SORTED_SET) stored column; v6: facet_path
+    # stored column (taxonomy facets + drill-down); v5: on-disk
+    # FORMAT_VERSION 2 (postings regions lead with a fmt_id byte — codec
+    # SPI); v4 added the nullable score_hint stored column, v3 the title
+    # field, v2 the positions .pos artifact
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(CACHE_ROOT, f"idx_{key}_v6")
+    return os.path.join(CACHE_ROOT, f"idx_{key}_v7")
 
 
 def _variant_cache_dir(sf_dir: str, variant: str) -> str:
@@ -125,8 +126,9 @@ def build_flagship_index(
         # as its own field with per-field postings/norms/stats
         extra_fields=(FieldSpec("title", "title", index_positions=True),),
         # nullable user doc-values column -> DocValuesFieldExistsQuery gate;
-        # facet_path -> taxonomy facet dimension (source/lang)
-        store_cols=("score_hint", "facet_path"),
+        # facet_path -> taxonomy facet dimension (source/lang);
+        # tags -> multi-valued SORTED_SET doc values
+        store_cols=("score_hint", "facet_path", "tags"),
         postings_format=postings_format,
     )
     # target=1e9 keeps one row-group range per partition spec; the row-group
@@ -976,6 +978,7 @@ def _matched_rows_dataset(
     per_seg_topk_per_lang: int = 0,
     with_length: bool = False,
     with_path: bool = False,
+    with_tags: bool = False,
 ):
     """Distributed matched-docs relation: one Ray task per SEGMENT evaluates
     the SHOULD-disjunction where the segment lives and emits (doc_id, lang,
@@ -1044,6 +1047,7 @@ def _matched_rows_dataset(
                 if with_path
                 else None
             )
+            tags = dm["tags"].take(idx) if with_tags else None
             if per_seg_topk_per_lang:
                 # per-segment per-lang partial top-k (combiner): the final
                 # per-lang reduce only ever sees n_segments * k rows per lang
@@ -1058,6 +1062,8 @@ def _matched_rows_dataset(
                     dls = dls[sel]
                 if paths is not None:
                     paths = paths[sel]
+                if tags is not None:
+                    tags = tags.take(pa.array(sel))
             cols = {
                 "doc_id": pa.array(gids),
                 "lang": pa.array(langs, pa.string()),
@@ -1067,6 +1073,8 @@ def _matched_rows_dataset(
                 cols["dl"] = pa.array(dls, pa.int64())
             if paths is not None:
                 cols["path"] = pa.array(paths, pa.string())
+            if tags is not None:
+                cols["tags"] = tags
             out.append(pa.table(cols))
         if not out:
             empty = {
@@ -1078,6 +1086,8 @@ def _matched_rows_dataset(
                 empty["dl"] = pa.array([], pa.int64())
             if with_path:
                 empty["path"] = pa.array([], pa.string())
+            if with_tags:
+                empty["tags"] = pa.array([], pa.list_(pa.string()))
             return pa.table(empty)
         return pa.concat_tables(out)
 
@@ -1142,6 +1152,62 @@ def q_facet_length_ranges(sf_dir: str) -> pa.Table:
 
 DRILLDOWN_PATH = "src1"  # level-1 taxonomy node (subtree = all its langs)
 DRILLDOWN_K = 10
+
+# multi-valued (SORTED_SET) doc-values gates over the tags column
+TAGS_FILTER_TERMS = ("window", "batch")
+TAGS_FILTER_VALUE = "len_30_59"  # the mid length-bucket tag
+TAGS_FILTER_K = 10
+
+
+def q_facet_tags(sf_dir: str) -> pa.Table:
+    """SORTED_SET doc-values facet counts (SortedSetDocValuesFacetCounts,
+    s84 facet/.../sortedset/SortedSetDocValuesFacetCounts.java:68): docs
+    matching the facet term counted once per DISTINCT value of their
+    multi-valued ``tags`` column. The list column rides the matched-rows
+    Dataset; flattening is one vectorized map_batches; the count is a Ray
+    groupby: (tag, n)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lst = batch["tags"].combine_chunks()
+        return pa.table({"tag": pc.list_flatten(lst)})
+
+    rows = (
+        _matched_rows_dataset(sf_dir, [FACET_TERM], with_tags=True)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("tag")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["tag"])
+    return pa.table(
+        {
+            "tag": pa.array([r["tag"] for r in rows], pa.string()),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_bm25_tags_filtered(sf_dir: str) -> pa.Table:
+    """BM25 disjunction restricted by multi-valued set membership: the
+    ``tags`` SORTED_SET column evaluated as a per-segment
+    SortedSetDocValuesQuery FILTER clause: (rank, doc_id, score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    query = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery(t)) for t in TAGS_FILTER_TERMS]
+        + [(Q.FILTER, Q.SortedSetDocValuesQuery("tags", TAGS_FILTER_VALUE))]
+    )
+    td = merged.search(query, k=TAGS_FILTER_K)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(td.doc_ids) + 1), pa.int64()),
+            "doc_id": pa.array([int(d) for d in td.doc_ids], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in td.scores], pa.float64()
+            ),
+        }
+    )
 
 
 def q_facet_taxonomy(sf_dir: str) -> pa.Table:

@@ -899,6 +899,33 @@ SELECT path, n FROM (
 )"""
 
 
+def facet_tags_sql(term: str, relation: str = "documents") -> str:
+    """SORTED_SET facet counts over docs matching ``term``: each doc
+    counts once per distinct value of its tag set {lang, source,
+    length-bucket} (buckets mirror sources.pages.TAG_LEN_EDGES/LABELS)."""
+    return f"""WITH {base_ctes(relation)},
+m AS (SELECT d.lang, d.source, len(string_split(d.text, ' ')) AS dl
+      FROM {relation} d
+      WHERE EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{term}'))
+SELECT tag, count(*) AS n FROM (
+  SELECT lang AS tag FROM m
+  UNION ALL SELECT source AS tag FROM m
+  UNION ALL SELECT CASE WHEN dl < 30 THEN 'len_00_29'
+                        WHEN dl < 60 THEN 'len_30_59'
+                        ELSE 'len_60_up' END AS tag FROM m
+) GROUP BY tag"""
+
+
+def tags_where_sql(value: str) -> str:
+    """WHERE clause matching docs whose tag set contains ``value`` —
+    the SQL twin of SortedSetDocValuesQuery over the derived tag set."""
+    lit = value.replace("'", "''")
+    return f"""(lang = '{lit}' OR source = '{lit}'
+  OR CASE WHEN len(string_split(text, ' ')) < 30 THEN 'len_00_29'
+          WHEN len(string_split(text, ' ')) < 60 THEN 'len_30_59'
+          ELSE 'len_60_up' END = '{lit}')"""
+
+
 def join_topk_sql(term: str, k: int, relation: str = "documents") -> str:
     """Scored query-time join oracle (JoinUtil.java:90,131;
     TermsWithScoreCollector.java): from-side = docs matching ``term``,

@@ -358,6 +358,30 @@ class MergedReader(_ShardedTermLookup):
             self._dv_cache[col] = arr
         return arr
 
+    def doc_values_list(self, col: str):
+        """Global-docID-aligned MULTI-VALUED (SORTED_SET) doc-values
+        column: per-segment list<string> docmap columns concatenated in
+        doc_base order (cached)."""
+        key = ("__list__", col)
+        arr = self._dv_cache.get(key)
+        if arr is None:
+            import os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from ..state.segment import DOCMAP_FILE
+
+            parts = [
+                pq.read_table(os.path.join(d, DOCMAP_FILE), columns=[col])[col]
+                for d in self._seg_dirs
+            ]
+            arr = pa.concat_arrays(
+                [c.combine_chunks() for c in parts]
+            )
+            self._dv_cache[key] = arr
+        return arr
+
     def doc_values_range_docs(
         self, col: str, lower, upper, include_lower: bool, include_upper: bool
     ) -> np.ndarray:

@@ -133,6 +133,19 @@ class StringDocValuesQuery(Query):
 
 
 @dataclass(frozen=True)
+class SortedSetDocValuesQuery(Query):
+    """Constant-score (0) set-membership predicate over a MULTI-VALUED
+    stored string column: matches docs whose value SET contains ``value``
+    (SortedSetDocValuesField.newSlowSetQuery role over
+    DocValuesType.SORTED_SET, s84 Lucene80DocValuesFormat.java:133).
+    Evaluated per segment as one vectorized equality mask over the
+    flattened list column; FilterCache-able."""
+
+    col: str
+    value: str
+
+
+@dataclass(frozen=True)
 class StringDocValuesPrefixQuery(Query):
     """Constant-score (0) taxonomy-path predicate over a stored STRING
     per-doc column: matches docs whose value equals ``path`` or starts

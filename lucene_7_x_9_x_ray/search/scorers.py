@@ -248,6 +248,19 @@ def eval_query(
         docs = np.flatnonzero(vals == query.value).astype(np.int64)
         return docs, np.zeros(len(docs), dtype=np.float32)
 
+    if isinstance(query, Q.SortedSetDocValuesQuery):
+        # multi-valued set membership: equality mask over the flattened
+        # list column, parent indices of hits are the matching docs
+        # (each doc's values are distinct, so no dedup pass is needed —
+        # np.unique guards anyway for non-set inputs)
+        import pyarrow.compute as _pc
+
+        lst = reader.doc_values_list(query.col)
+        mask = _pc.equal(_pc.list_flatten(lst), query.value)
+        parents = _pc.list_parent_indices(lst).to_numpy()
+        docs = np.unique(parents[mask.to_numpy(zero_copy_only=False)]).astype(np.int64)
+        return docs, np.zeros(len(docs), dtype=np.float32)
+
     if isinstance(query, Q.StringDocValuesPrefixQuery):
         # DrillDownQuery dimension clause: path == p OR path startswith
         # "p/" (subtree match), one vectorized mask per segment.

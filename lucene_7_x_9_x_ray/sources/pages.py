@@ -125,6 +125,35 @@ def generate_pages(
     return pa.table(cols)
 
 
+# length buckets for the multi-valued tags column (must mirror the SQL
+# CASE in oracles.facet_tags_sql / the bm25_tags_filtered WHERE clause)
+TAG_LEN_EDGES = (30, 60)
+TAG_LEN_LABELS = ("len_00_29", "len_30_59", "len_60_up")
+
+
+def _tags_column(docs: pa.Table) -> pa.ListArray:
+    """Multi-valued SORTED_SET doc-values fixture (s84
+    Lucene80DocValuesFormat.java:133 SORTED_SET; SortedSetDocValuesField):
+    per doc the sorted distinct set {lang, source, length-bucket label}
+    as a list<string> column. The three namespaces are disjoint, so the
+    set always has 3 values; per-row sorting matches the SORTED_SET
+    ord-sorted storage order."""
+    import pyarrow.compute as pc
+
+    n = docs.num_rows
+    lang = np.asarray(docs["lang"].to_pylist(), dtype=object)
+    source = np.asarray(docs["source"].to_pylist(), dtype=object)
+    dl = pc.list_value_length(pc.split_pattern(docs["text"], " ")).to_numpy()
+    bucket = np.asarray(TAG_LEN_LABELS, dtype=object)[
+        np.searchsorted(np.asarray(TAG_LEN_EDGES), dl, side="right")
+    ]
+    mat = np.sort(np.stack([lang, source, bucket], axis=1), axis=1)
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, 3 * n + 1, 3, dtype=np.int32)),
+        pa.array(mat.reshape(-1), pa.string()),
+    )
+
+
 def pages_from_documents(sf_dir: str, with_html: bool = True, repeat: int = 1) -> pa.Table:
     """Deterministically wrap the driver's documents table into page shape.
 
@@ -182,6 +211,7 @@ def pages_from_documents(sf_dir: str, with_html: bool = True, repeat: int = 1) -
         cols["facet_path"] = pc.binary_join_element_wise(
             docs["source"], docs["lang"], "/"
         )
+        cols["tags"] = _tags_column(docs)
         parts.append(pa.table(cols))
     return pa.concat_tables(parts)
 

@@ -922,6 +922,22 @@ class SegmentReader(TermTableReader):
             cache[col] = arr
         return arr
 
+    def doc_values_list(self, col: str) -> pa.ListArray:
+        """Multi-valued (SORTED_SET) doc-values column as an Arrow
+        list<string> array by segment-local docID (s84
+        Lucene80DocValuesFormat.java:133 SORTED_SET role), column-pruned
+        and cached per reader like the single-valued twin."""
+        cache = getattr(self, "_dvl_cache", None)
+        if cache is None:
+            cache = self._dvl_cache = {}
+        arr = cache.get(col)
+        if arr is None:
+            arr = pq.read_table(
+                os.path.join(self.seg_dir, DOCMAP_FILE), columns=[col]
+            )[col].combine_chunks()
+            cache[col] = arr
+        return arr
+
     def doc_values_range_docs(
         self, col: str, lower, upper, include_lower: bool, include_upper: bool
     ) -> np.ndarray:
