@@ -340,6 +340,9 @@ SPAN_TOPK_SPECS: list[tuple[str, str, tuple, object, int]] = [
     ("sp_or", "or", (("key", "hash"),), None, 10),
     ("sp_ord_or", "ord", (("window", "stream"), ("batch",)), 4, 10),
     ("sp_range", "range", (("data",),), (3, 9), 10),
+    # nested span tree: near(near(key, hash, slop=4), value, slop=6) —
+    # the inner near's slop-filtered matches are the outer's sub-spans
+    ("sp_ord_nest", "ord_nest", (("key",), ("hash",), ("value",)), (4, 6), 10),
 ]
 
 
@@ -366,6 +369,12 @@ def _span_query_from_spec(kind: str, clauses: tuple, param) -> Q.Query:
     if kind == "range":
         start, end = param
         return Q.SpanPositionRangeQuery(subs[0], start=start, end=end)
+    if kind == "ord_nest":
+        # near-of-near: inner ordered near of the first two clauses is
+        # itself a clause of the outer ordered near (width > 1 sub-spans)
+        islop, oslop = param
+        inner = Q.SpanNearQuery(subs[:2], slop=int(islop), in_order=True)
+        return Q.SpanNearQuery((inner, subs[2]), slop=int(oslop), in_order=True)
     raise ValueError(kind)
 
 

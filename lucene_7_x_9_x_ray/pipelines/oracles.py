@@ -343,6 +343,27 @@ co{i}_{qid} AS (SELECT c.doc_id, {cols},
 wv_{qid} AS (SELECT doc_id, s0, {width} AS width
   FROM co{len(ids) - 1}_{qid}
   WHERE s{len(ids) - 1} IS NOT NULL AND {width} <= {slop})""")
+        elif kind == "ord_nest":
+            # near(near(c0, c1, islop), c2, oslop): the inner chain's
+            # matches (start s0, end s1+1, inner width filtered by islop)
+            # are the outer's sub-spans; the OUTER width counts only the
+            # outer gap (NearSpansOrdered.matchWidth sums gaps between
+            # consecutive clause spans — inner widths gate only the inner
+            # slop). Emission order = inner-match s0 order.
+            islop, oslop = param
+            ctes.append(f"""
+ni_{qid} AS (SELECT c.doc_id, c.s0, c.s1 + 1 AS e, c.s1 - (c.s0 + 1) AS wi
+  FROM (SELECT x.doc_id, x.p AS s0,
+               (SELECT min(y.p) FROM {ids[1]} y
+                WHERE y.doc_id = x.doc_id AND y.p >= x.p + 1) AS s1
+        FROM {ids[0]} x) c
+  WHERE c.s1 IS NOT NULL AND c.s1 - (c.s0 + 1) <= {islop}),
+wv_{qid} AS (SELECT n.doc_id, n.s0, n.s2 - n.e AS width
+  FROM (SELECT i.doc_id, i.s0, i.e,
+               (SELECT min(z.p) FROM {ids[2]} z
+                WHERE z.doc_id = i.doc_id AND z.p >= i.e) AS s2
+        FROM ni_{qid} i) n
+  WHERE n.s2 IS NOT NULL AND n.s2 - n.e <= {oslop})""")
         elif kind == "unord":
             slop = int(param)
             a, b = ids

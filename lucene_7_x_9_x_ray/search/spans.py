@@ -81,20 +81,6 @@ def _leaf_terms(clause) -> list[str]:
     )
 
 
-def _clause_term_lists(query) -> list[list[str]]:
-    """The query as a list of clauses, each a list of leaf terms whose
-    merged positions are that clause's spans."""
-    if isinstance(query, (Q.SpanTermQuery, Q.SpanOrQuery)):
-        return [_leaf_terms(query)]
-    if isinstance(query, Q.SpanNearQuery):
-        return [_leaf_terms(c) for c in query.clauses]
-    if isinstance(query, (Q.SpanFirstQuery, Q.SpanPositionRangeQuery)):
-        return [_leaf_terms(query.match)]
-    if isinstance(query, Q.SpanNotQuery):
-        return [_leaf_terms(query.include), _leaf_terms(query.exclude)]
-    raise TypeError(f"not a span query: {type(query).__name__}")
-
-
 def span_field(query) -> str:
     if isinstance(query, Q.SpanTermQuery):
         return query.field
@@ -121,83 +107,205 @@ def _scoring_terms(query) -> list[str]:
     return sorted(set(_span_terms(query)))
 
 
-def _ordered_widths(pos_lists: list[np.ndarray], slop: int) -> np.ndarray:
-    """NearSpansOrdered match widths in emission (clause-0 start) order.
+# --- span streams -----------------------------------------------------------
+#
+# A clause evaluates per doc to a SPAN STREAM: parallel arrays
+# (starts, ends, widths) in emission order. Every stream this module
+# produces is sorted by start with NON-DECREASING ends — true for term /
+# or-of-term leaves (ends = p+1), preserved inductively by ordered near
+# (the chain's final end is monotone in the clause-0 index), unordered
+# near (min-start advances; maxEnd is a running max), and the
+# first/range/not filters (subsequences). That invariant is what lets the
+# ordered chain stay a vectorized independent searchsorted per clause-0
+# match even when clauses are NESTED span queries (width > 1).
 
-    Vectorized equivalence of the stateful loop: clause i's iterator
-    lands on the first start >= previous clause's end, and because those
-    thresholds are monotone in clause 0's start the per-start lookups are
-    independent (`np.searchsorted`). Exhaustion of any clause ends the
-    doc — a suffix of clause-0 starts, masked the same way."""
-    a = pos_lists[0]
-    if len(a) == 0:
-        return np.empty(0, dtype=np.int64)
-    prev_end = a + 1
-    width = np.zeros(len(a), dtype=np.int64)
-    alive = np.ones(len(a), dtype=bool)
-    for pl in pos_lists[1:]:
-        idx = np.searchsorted(pl, prev_end)
-        alive &= idx < len(pl)
-        safe = np.minimum(idx, max(len(pl) - 1, 0))
-        start = pl[safe] if len(pl) else np.zeros(len(a), dtype=np.int64)
+_EMPTY_STREAM = (
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+)
+
+
+def _ordered_spans(streams, slop: int):
+    """NearSpansOrdered matches over sub-span streams, emission =
+    clause-0 start order: for each clause-0 span, every later clause
+    advances to its first span with start >= previous end; matchWidth =
+    sum of the gaps (start_i - prevEnd) only — inner widths count solely
+    against the inner query's own slop (NearSpansOrdered.java:46-100).
+    Returns (starts = clause-0 starts, ends = final clause ends,
+    widths)."""
+    s0, e0, _w0 = streams[0]
+    if len(s0) == 0:
+        return _EMPTY_STREAM
+    prev_end = e0.copy()
+    width = np.zeros(len(s0), dtype=np.int64)
+    alive = np.ones(len(s0), dtype=bool)
+    for si, ei, _wi in streams[1:]:
+        idx = np.searchsorted(si, prev_end)
+        alive &= idx < len(si)
+        safe = np.minimum(idx, max(len(si) - 1, 0))
+        start = si[safe] if len(si) else np.zeros(len(s0), dtype=np.int64)
         width = width + np.where(alive, start - prev_end, 0)
-        prev_end = start + 1
-    return width[alive & (width <= slop)]
+        prev_end = np.where(alive, ei[safe] if len(ei) else 0, prev_end)
+    keep = alive & (width <= slop)
+    return s0[keep], prev_end[keep], width[keep]
+
+
+def _unordered_spans(streams, slop: int):
+    """NearSpansUnordered matches over sub-span streams — a literal
+    transcription of SpanTotalLengthEndPositionWindow generalized to
+    width > 1 sub-spans: totalSpanLength = Σ current (end - start),
+    maxEnd = running max of ends; a state matches iff
+    maxEnd - minStart - totalSpanLength <= slop, then the min (start,
+    end) iterator advances; its exhaustion ends the doc. Ties at equal
+    (start, end) follow lowest clause index."""
+    n = len(streams)
+    if any(len(s[0]) == 0 for s in streams):
+        return _EMPTY_STREAM
+    ptr = [0] * n
+    lens = [int(s[1][0] - s[0][0]) for s in streams]
+    total_len = sum(lens)
+    max_end = max(int(s[1][0]) for s in streams)
+    out_s, out_e, out_w = [], [], []
+    while True:
+        top = min(
+            range(n),
+            key=lambda i: (int(streams[i][0][ptr[i]]), int(streams[i][1][ptr[i]])),
+        )
+        min_start = int(streams[top][0][ptr[top]])
+        if max_end - min_start - total_len <= slop:
+            out_s.append(min_start)
+            out_e.append(max_end)
+            out_w.append(max_end - min_start)
+        ptr[top] += 1
+        if ptr[top] >= len(streams[top][0]):
+            return (
+                np.asarray(out_s, dtype=np.int64),
+                np.asarray(out_e, dtype=np.int64),
+                np.asarray(out_w, dtype=np.int64),
+            )
+        total_len += int(
+            streams[top][1][ptr[top]] - streams[top][0][ptr[top]]
+        ) - lens[top]
+        lens[top] = int(streams[top][1][ptr[top]] - streams[top][0][ptr[top]])
+        max_end = max(max_end, int(streams[top][1][ptr[top]]))
+
+
+def _ordered_widths(pos_lists: list[np.ndarray], slop: int) -> np.ndarray:
+    """NearSpansOrdered match widths for width-1 term clauses (the
+    original flat path; thin wrapper over _ordered_spans)."""
+    streams = [
+        (np.asarray(pl, dtype=np.int64), np.asarray(pl, dtype=np.int64) + 1,
+         np.zeros(len(pl), dtype=np.int64))
+        for pl in pos_lists
+    ]
+    return _ordered_spans(streams, slop)[2]
 
 
 def _unordered_widths(pos_lists: list[np.ndarray], slop: int) -> list[int]:
-    """NearSpansUnordered match widths in emission order — a literal
-    transcription of SpanTotalLengthEndPositionWindow over width-1 term
-    spans. Ties between equal start positions follow lowest clause index
-    (Lucene's heap order at equal (start, end) is arbitrary; the gate
-    corpus has one token per position so cross-clause ties cannot occur)."""
-    n = len(pos_lists)
-    ptr = [0] * n
-    if any(len(pl) == 0 for pl in pos_lists):
-        return []
-    total_len = n  # every term span has length 1
-    max_end = max(int(pl[0]) for pl in pos_lists) + 1
-    widths: list[int] = []
-    while True:
-        top = min(range(n), key=lambda i: int(pos_lists[i][ptr[i]]))
-        min_start = int(pos_lists[top][ptr[top]])
-        if max_end - min_start - total_len <= slop:
-            widths.append(max_end - min_start)
-        ptr[top] += 1
-        if ptr[top] >= len(pos_lists[top]):
-            return widths
-        max_end = max(max_end, int(pos_lists[top][ptr[top]]) + 1)
+    """NearSpansUnordered match widths for width-1 term clauses (wrapper
+    over _unordered_spans; for term spans maxEnd always = max current
+    end, so the generalized window reduces to the original loop)."""
+    streams = [
+        (np.asarray(pl, dtype=np.int64), np.asarray(pl, dtype=np.int64) + 1,
+         np.zeros(len(pl), dtype=np.int64))
+        for pl in pos_lists
+    ]
+    return list(_unordered_spans(streams, slop)[2])
 
 
-def _span_doc_widths(query, pos_lists: list[np.ndarray]):
-    """Match widths for one doc given the per-CLAUSE merged position
-    lists. Returns a sequence of integer widths in emission order."""
+def _leaf_stream(clause, pos_of):
+    """Stream of a term / or-of-terms clause: merged unique positions as
+    width-0 spans."""
+    parts = [pos_of(t) for t in _leaf_terms(clause) if len(pos_of(t))]
+    if not parts:
+        return _EMPTY_STREAM
+    p = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+    p = np.asarray(p, dtype=np.int64)
+    return p, p + 1, np.zeros(len(p), dtype=np.int64)
+
+
+def _span_stream(query, pos_of):
+    """Evaluate a span tree for ONE doc to its match stream (starts,
+    ends, widths) in emission order. ``pos_of(term)`` returns the doc's
+    sorted positions of a term (possibly empty). Nested SpanNearQuery
+    clauses are supported: an inner near's (slop-filtered) matches are
+    the spans the outer near consumes."""
     if isinstance(query, (Q.SpanTermQuery, Q.SpanOrQuery)):
-        return np.zeros(len(pos_lists[0]), dtype=np.int64)
+        return _leaf_stream(query, pos_of)
     if isinstance(query, Q.SpanNearQuery):
+        streams = [_span_stream(c, pos_of) for c in query.clauses]
+        if any(len(s[0]) == 0 for s in streams):
+            return _EMPTY_STREAM  # ConjunctionSpans: every clause required
         if query.in_order:
-            return _ordered_widths(pos_lists, query.slop)
-        return _unordered_widths(pos_lists, query.slop)
+            return _ordered_spans(streams, query.slop)
+        return _unordered_spans(streams, query.slop)
     if isinstance(query, Q.SpanFirstQuery):
-        p = pos_lists[0]
-        return np.zeros(int(np.count_nonzero(p + 1 <= query.end)), dtype=np.int64)
+        s, e, w = _span_stream(query.match, pos_of)
+        keep = e <= query.end
+        return s[keep], e[keep], w[keep]
     if isinstance(query, Q.SpanPositionRangeQuery):
         # SpanPositionRangeQuery.acceptPosition: start >= start AND end <= end
-        p = pos_lists[0]
-        keep = (p >= query.start) & (p + 1 <= query.end)
-        return np.zeros(int(np.count_nonzero(keep)), dtype=np.int64)
+        s, e, w = _span_stream(query.match, pos_of)
+        keep = (s >= query.start) & (e <= query.end)
+        return s[keep], e[keep], w[keep]
     if isinstance(query, Q.SpanNotQuery):
-        inc = pos_lists[0]
-        exc = pos_lists[1] if len(pos_lists) > 1 else np.empty(0, dtype=np.int64)
-        if len(exc) == 0:
-            return np.zeros(len(inc), dtype=np.int64)
-        # reject p iff some exclude q overlaps [p - pre, p + 1 + post):
-        # q >= p - pre and q <= p + post (term spans are width 1)
-        idx = np.searchsorted(exc, inc - query.pre)
-        has = idx < len(exc)
-        q = exc[np.minimum(idx, len(exc) - 1)]
-        reject = has & (q <= inc + query.post)
-        return np.zeros(int(np.count_nonzero(~reject)), dtype=np.int64)
+        s, e, w = _span_stream(query.include, pos_of)
+        es, ee, _ = _span_stream(query.exclude, pos_of)
+        if len(es) == 0 or len(s) == 0:
+            return s, e, w
+        # reject include span [s, e) iff some exclude span overlaps the
+        # window [s - pre, e + post): es < e + post AND ee > s - pre.
+        # exclude ends are non-decreasing (stream invariant), so the
+        # candidates with es < e+post form a prefix and max(ee) over a
+        # prefix is a running maximum.
+        run_max_ee = np.maximum.accumulate(ee)
+        idx = np.searchsorted(es, e + query.post)  # first es >= e+post
+        has = idx > 0
+        reject = has & (run_max_ee[np.maximum(idx - 1, 0)] > s - query.pre)
+        keep = ~reject
+        return s[keep], e[keep], w[keep]
+    raise TypeError(f"not a span query: {type(query).__name__}")
+
+
+def _validate_span_scope(query):
+    """Supported span tree shapes (raises on anything wider): leaves are
+    SpanTermQuery / SpanOrQuery-of-terms; SpanNearQuery clauses may be
+    leaves or nested SpanNearQuery (near-of-near); first/range/not wrap
+    any supported tree (SpanNot's exclude included)."""
+    if isinstance(query, (Q.SpanTermQuery, Q.SpanOrQuery)):
+        _leaf_terms(query)
+        return
+    if isinstance(query, Q.SpanNearQuery):
+        for c in query.clauses:
+            _validate_span_scope(c)
+        return
+    if isinstance(query, (Q.SpanFirstQuery, Q.SpanPositionRangeQuery)):
+        _validate_span_scope(query.match)
+        return
+    if isinstance(query, Q.SpanNotQuery):
+        _validate_span_scope(query.include)
+        _validate_span_scope(query.exclude)
+        return
+    raise TypeError(f"not a span query: {type(query).__name__}")
+
+
+def _required_leaves(query) -> list[list[str]]:
+    """Conjunction structure for the candidate-doc prefilter: a list of
+    term groups where a doc must contain >= 1 term of EVERY group (a
+    SpanNot contributes only its include side; an or-group is its term
+    set; nears require all their clauses)."""
+    if isinstance(query, (Q.SpanTermQuery, Q.SpanOrQuery)):
+        return [_leaf_terms(query)]
+    if isinstance(query, Q.SpanNearQuery):
+        out = []
+        for c in query.clauses:
+            out += _required_leaves(c)
+        return out
+    if isinstance(query, (Q.SpanFirstQuery, Q.SpanPositionRangeQuery)):
+        return _required_leaves(query.match)
+    if isinstance(query, Q.SpanNotQuery):
+        return _required_leaves(query.include)
     raise TypeError(f"not a span query: {type(query).__name__}")
 
 
@@ -218,31 +326,25 @@ def eval_span(reader, query, stats, bm25):
     if not getattr(fr, "has_positions", False):
         raise ValueError("span queries require an index built with index_positions=True")
 
-    clauses = _clause_term_lists(query)  # validates clause scope
+    _validate_span_scope(query)
+    groups = _required_leaves(query)  # conjunction of or-groups
     # per-LEAF postings; absent leaves keep an empty placeholder (an
     # or-clause matches if ANY of its terms does; an absent SpanNot
     # exclude lets includes pass through)
     leaf_post: dict[str, tuple] = {}
-    for terms in clauses:
-        for t in terms:
-            if t not in leaf_post:
-                tpp = fr.term_positions(t)
-                leaf_post[t] = tpp if tpp is not None else (
-                    np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
-                )
+    for t in set(_span_terms(query)):
+        tpp = fr.term_positions(t)
+        leaf_post[t] = tpp if tpp is not None else (
+            np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+        )
 
-    # per-clause doc set = union of its leaves' docs (SpanOrQuery);
-    # candidates = conjunction of clause docs (ConjunctionSpans) — except
-    # SpanNot, whose candidates are the include clause's docs alone
-    clause_docs = [
-        np.unique(np.concatenate([leaf_post[t][0] for t in terms]))
-        for terms in clauses
-    ]
-    cand = clause_docs[0]
-    if not isinstance(query, Q.SpanNotQuery):
-        for cd in clause_docs[1:]:
-            cand = np.intersect1d(cand, cd, assume_unique=True)
-    if len(cand) == 0:
+    # candidates = docs containing >= 1 term of EVERY required group
+    # (ConjunctionSpans prefilter; SpanNot excludes don't gate candidacy)
+    cand = None
+    for terms in groups:
+        gd = np.unique(np.concatenate([leaf_post[t][0] for t in terms]))
+        cand = gd if cand is None else np.intersect1d(cand, gd, assume_unique=True)
+    if cand is None or len(cand) == 0:
         return _empty()
 
     from .scorers import _positions_cursor, sum_idf_weight
@@ -252,28 +354,19 @@ def eval_span(reader, query, stats, bm25):
     leaf_idx = {t: i for i, t in enumerate(leaves)}
     locs, offs = _positions_cursor(per_leaf, cand)
     freqs = np.zeros(len(cand), dtype=np.float64)
+    empty_pos = np.empty(0, dtype=np.int64)
     for ci in range(len(cand)):
-        pos_lists = []
-        for terms in clauses:
-            parts = []
-            for t in terms:
-                ti = leaf_idx[t]
-                d, _f, p = per_leaf[ti]
-                li = locs[ti][ci]
-                if li < len(d) and d[li] == cand[ci]:
-                    parts.append(p[offs[ti][li] : offs[ti][li + 1]])
-            if len(parts) == 1:
-                pos_lists.append(np.asarray(parts[0], dtype=np.int64))
-            elif parts:
-                pos_lists.append(np.unique(np.concatenate(parts)).astype(np.int64))
-            else:
-                pos_lists.append(np.empty(0, dtype=np.int64))
-        if len(pos_lists[0]) == 0 or (
-            not isinstance(query, Q.SpanNotQuery)
-            and any(len(pl) == 0 for pl in pos_lists)
-        ):
-            continue
-        freqs[ci] = float(_sloppy_fold(_span_doc_widths(query, pos_lists)))
+        def pos_of(t: str, _ci=ci) -> np.ndarray:
+            ti = leaf_idx[t]
+            d, _f, p = per_leaf[ti]
+            li = locs[ti][_ci]
+            if li < len(d) and d[li] == cand[_ci]:
+                return np.asarray(p[offs[ti][li] : offs[ti][li + 1]], dtype=np.int64)
+            return empty_pos
+
+        _s, _e, widths = _span_stream(query, pos_of)
+        if len(widths):
+            freqs[ci] = float(_sloppy_fold(widths))
 
     keep = freqs > 0
     cand, freqs = cand[keep], freqs[keep]

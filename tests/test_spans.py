@@ -126,6 +126,90 @@ def test_unordered_literal_duels_declarative_rule():
         assert got == want, (A, B, slop, got, want)
 
 
+def _lit_ordered_streams(streams, slop):
+    """Literal stateful NearSpansOrdered over (start, end) sub-span
+    streams: sub-iterators only move forward; matchWidth = sum of gaps;
+    any clause exhausting ends the doc."""
+    n = len(streams)
+    ptr = [0] * n
+    out = []
+    starts0, ends0 = streams[0]
+    for i0 in range(len(starts0)):
+        prev_end = int(ends0[i0])
+        width = 0
+        for i in range(1, n):
+            si, ei = streams[i]
+            while ptr[i] < len(si) and si[ptr[i]] < prev_end:
+                ptr[i] += 1
+            if ptr[i] >= len(si):
+                return out
+            width += int(si[ptr[i]]) - prev_end
+            prev_end = int(ei[ptr[i]])
+        if width <= slop:
+            out.append((int(starts0[i0]), prev_end, width))
+    return out
+
+
+def test_nested_ordered_vectorized_duels_literal():
+    """near(near(a, b, islop), c, oslop): the vectorized two-level chain
+    (inner matches become the outer's sub-spans) duels a fully stateful
+    literal evaluation — inner matches enumerated by the literal flat
+    loop, outer by the literal sub-span loop."""
+    from lucene_7_x_9_x_ray.search.spans import _ordered_spans, _span_stream
+
+    rng = np.random.default_rng(13)
+    for _ in range(600):
+        pool = rng.permutation(50)
+        la, lb, lc = (int(rng.integers(1, 8)) for _ in range(3))
+        A = np.sort(pool[:la]).astype(np.int64)
+        B = np.sort(pool[la : la + lb]).astype(np.int64)
+        C = np.sort(pool[la + lb : la + lb + lc]).astype(np.int64)
+        islop = int(rng.integers(0, 8))
+        oslop = int(rng.integers(0, 10))
+
+        # literal: inner matches via the flat literal loop -> spans
+        inner = _lit_ordered_streams(
+            [(A, A + 1), (B, B + 1)], islop
+        )
+        want = _lit_ordered_streams(
+            [(np.array([s for s, _, _ in inner], dtype=np.int64),
+              np.array([e for _, e, _ in inner], dtype=np.int64)),
+             (C, C + 1)],
+            oslop,
+        )
+
+        q = Q.SpanNearQuery(
+            (Q.SpanNearQuery((Q.SpanTermQuery("a"), Q.SpanTermQuery("b")),
+                             slop=islop, in_order=True),
+             Q.SpanTermQuery("c")),
+            slop=oslop, in_order=True,
+        )
+        pos = {"a": A, "b": B, "c": C}
+        s, e, w = _span_stream(q, lambda t: pos[t])
+        got = list(zip(map(int, s), map(int, e), map(int, w)))
+        assert got == want, (A, B, C, islop, oslop, got, want)
+
+
+def test_nested_unordered_end_to_end(tmp_path):
+    """unordered near with a nested ordered-near clause, hand-traced:
+    doc 'x a b y y c' — inner ord(a,b,0) matches [1,3); unordered
+    (inner, c) with slop 2: maxEnd 6, minStart 1, totalLen 2+1 ->
+    6-1-3 = 2 <= 2 matches, width 5."""
+    from lucene_7_x_9_x_ray.search.spans import _span_stream
+
+    inner = Q.SpanNearQuery(
+        (Q.SpanTermQuery("a"), Q.SpanTermQuery("b")), slop=0, in_order=True
+    )
+    q = Q.SpanNearQuery((inner, Q.SpanTermQuery("c")), slop=2, in_order=False)
+    pos = {"a": np.array([1]), "b": np.array([2]), "c": np.array([5])}
+    s, e, w = _span_stream(q, lambda t: np.asarray(pos[t], dtype=np.int64))
+    assert list(s) == [1] and list(e) == [6] and list(w) == [5]
+    # slop 1: 6-1-3 = 2 > 1 -> no match
+    q1 = Q.SpanNearQuery((inner, Q.SpanTermQuery("c")), slop=1, in_order=False)
+    s, e, w = _span_stream(q1, lambda t: np.asarray(pos[t], dtype=np.int64))
+    assert len(s) == 0
+
+
 def test_spanfirst_and_spannot_windows(tmp_path):
     s = _index(
         tmp_path,
