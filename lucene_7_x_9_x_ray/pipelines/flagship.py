@@ -547,6 +547,13 @@ PARSED_TOPK_SPECS: list[tuple[str, str, str, list[tuple[str, str, float]], int]]
         [("", "hash", 1.0), ("", "the", 1.0), ("", "value", 1.0)],
         10,
     ),
+    (
+        "p_field_group",
+        "title:(table value) hash",
+        "group_sum",
+        [("title", "table", 1.0), ("title", "value", 1.0), ("", "hash", 1.0)],
+        10,
+    ),
 ]
 
 

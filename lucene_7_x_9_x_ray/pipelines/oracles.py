@@ -877,6 +877,21 @@ def field_topk_sql(
           CAST(CAST(x.s AS DOUBLE) + CAST(y.s AS DOUBLE) AS FLOAT) AS score
         FROM {a} x JOIN {b2} y USING (doc_id)
         WHERE NOT EXISTS (SELECT 1 FROM {c} n WHERE n.doc_id = x.doc_id))"""
+        elif kind == "group_sum":
+            # (c1 c2) c3 — a SHOULD group beside a SHOULD leaf: the group
+            # is a nested BooleanQuery (inner double-sum -> one float32
+            # cast), then an outer SHOULD-sum with c3 (either side may be
+            # absent).
+            assert len(names) == 3, "group_sum oracle takes exactly 3 clauses"
+            a, b2, c = names
+            scored = f"""(SELECT COALESCE(g.doc_id, z.doc_id) AS doc_id,
+          CAST(COALESCE(CAST(g.s AS DOUBLE), 0)
+               + COALESCE(CAST(z.s AS DOUBLE), 0) AS FLOAT) AS score
+        FROM (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS s
+              FROM (SELECT doc_id, s FROM {a}
+                    UNION ALL SELECT doc_id, s FROM {b2})
+              GROUP BY doc_id) g
+        FULL OUTER JOIN {c} z ON g.doc_id = z.doc_id)"""
         elif kind == "sum_notgroup":
             # c1 -(c2 c3) — a MUST_NOT group: c1's docs minus docs matching
             # c2 OR c3; score = c1's score alone.

@@ -654,7 +654,7 @@ _CLASSIC_TOKEN_RE = _re.compile(
     r'[+-]?(?:\w+:)?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'  # [field:]"phrase"~slop^boost
     r"|\[\S+ TO \S+\]"                         # [a TO b] inclusive range
     r"|\{\S+ TO \S+\}"                         # {a TO b} exclusive range
-    r"|[+-]?\("                                # group open (with +/- modifier)
+    r"|[+-]?(?:\w+:)?\("                       # group open (modifier / field scope)
     r"|\)(?:\^\d+(?:\.\d+)?)?"                 # group close (with ^boost)
     r"|[^\s()]+"
 )
@@ -718,12 +718,13 @@ def parse_classic(text: str, analyzer, default_field: str = "") -> Query:
     optional ``~slop``, ``AND`` / ``OR`` / ``NOT``, leading ``+``/``-``,
     ``^boost``, wildcards/prefix/fuzzy/ranges (primary field), and
     parenthesized grouping ``(a OR b) AND c`` with optional group modifier
-    (``+(...)`` / ``-(...)``) and trailing group boost (``(...)^2``).
+    (``+(...)`` / ``-(...)``), trailing group boost (``(...)^2``), and
+    field scoping of a whole group (``title:(a b)`` — the scoped field
+    becomes the group's default field; inner ``field:`` specs override).
     Semantics follow the classic parser's clause model
     (QueryParserBase.java:117 — Clause recursion on '(' producing a nested
     BooleanQuery clause): default operator OR (SHOULD); AND upgrades both
-    neighbours to MUST; NOT / ``-`` mark MUST_NOT; ``+`` marks MUST. Field
-    scoping of a whole group (``title:(a b)``) is not supported."""
+    neighbours to MUST; NOT / ``-`` mark MUST_NOT; ``+`` marks MUST."""
     toks = _CLASSIC_TOKEN_RE.findall(text)
     i, q = _parse_clauses(toks, 0, analyzer, default_field, depth=0)
     if i < len(toks):  # stray ')' at top level
@@ -759,12 +760,20 @@ def _parse_clauses(
             pending_not = True
             continue
         occur = SHOULD
-        if tok in ("(", "+(", "-("):
-            if tok[0] == "+":
+        if tok.endswith("("):
+            body = tok
+            if body[0] == "+":
                 occur = MUST
-            elif tok[0] == "-":
+                body = body[1:]
+            elif body[0] == "-":
                 occur = MUST_NOT
-            i, sub = _parse_clauses(toks, i, analyzer, default_field, depth + 1)
+                body = body[1:]
+            # field-scoped group "field:( ... )": the scoped field is the
+            # group's default field (inner field: specs still override)
+            group_field = default_field
+            if len(body) > 1:
+                group_field = body[:-2]  # strip ":("
+            i, sub = _parse_clauses(toks, i, analyzer, group_field, depth + 1)
             if i >= len(toks) or not toks[i].startswith(")"):
                 raise QueryParseError("unbalanced '(' in query")
             close = toks[i]

@@ -301,6 +301,16 @@ def test_parse_classic_surface():
         [(Q.SHOULD, Q.BoostQuery(inner_ab, 2.0)), (Q.SHOULD, Q.TermQuery("c"))]
     )
     assert P("(a)") == Q.TermQuery("a")  # single-SHOULD group collapses
+    # field-scoped group: the scoped field is the group default; inner
+    # field: specs override
+    assert P("title:(a b)") == Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery("a", field="title")),
+         (Q.SHOULD, Q.TermQuery("b", field="title"))]
+    )
+    assert P("title:(a other:b)") == Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery("a", field="title")),
+         (Q.SHOULD, Q.TermQuery("b", field="other"))]
+    )
     assert P("()") == Q.MatchNoDocsQuery()
     with pytest.raises(Q.QueryParseError):
         P("(a OR b")
