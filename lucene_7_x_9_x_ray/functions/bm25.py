@@ -31,6 +31,8 @@ __all__ = [
     "LegacyBM25TermWeight",
     "ClassicSimilarity",
     "ClassicTermWeight",
+    "LMDirichlet",
+    "LMDirichletTermWeight",
     "LENGTH_TABLE",
     "get_similarity",
 ]
@@ -104,7 +106,10 @@ class BM25:
         doc_count: int,
         sum_total_term_freq: int,
         boost: float = 1.0,
+        ttf: int | None = None,
     ) -> BM25TermWeight:
+        # ttf (the term's totalTermFreq) is part of the Similarity SPI
+        # (TermStatistics) but unused by BM25 — LMDirichlet consumes it
         idf = self.idf(doc_freq, doc_count)
         weight = np.float32(boost) * idf
         cache = self.norm_cache(self.avgdl(sum_total_term_freq, doc_count))
@@ -147,6 +152,7 @@ class LegacyBM25(BM25):
         doc_count: int,
         sum_total_term_freq: int,
         boost: float = 1.0,
+        ttf: int | None = None,
     ) -> LegacyBM25TermWeight:
         one = np.float32(1.0)
         weight = np.float32(self.idf(doc_freq, doc_count) * np.float32(boost))
@@ -223,9 +229,69 @@ class ClassicSimilarity:
         doc_count: int,
         sum_total_term_freq: int,
         boost: float = 1.0,
+        ttf: int | None = None,
     ) -> ClassicTermWeight:
         return ClassicTermWeight(
             query_weight=np.float32(np.float32(boost) * self.idf(doc_freq, doc_count))
+        )
+
+
+@dataclass(frozen=True)
+class LMDirichletTermWeight:
+    """LMDirichlet per-(term, collection) state (s84
+    LMDirichletSimilarity.java:83-87 + LMSimilarity.java:172-174,
+    SimilarityBase.score(float freq, long norm) -> (float) double-score):
+    p = (ttf + 1) / (sumTotalTermFreq + 1) in DOUBLE; score =
+    max(0, boost * (ln(1 + freq/(mu*p)) + ln(mu/(docLen + mu)))) cast to
+    float32; docLen = the byte4-decoded length."""
+
+    boost: np.float64
+    mu: np.float64
+    collection_p: np.float64
+
+    def score(self, freqs, norm_bytes) -> np.ndarray:
+        f = np.asarray(freqs).astype(np.float64, copy=False)
+        dl = BYTE4_DECODE_TABLE[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64
+        )
+        s = self.boost * (
+            np.log(1.0 + f / (self.mu * self.collection_p))
+            + np.log(self.mu / (dl + self.mu))
+        )
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    def score_scalar(self, freq: float, norm_byte: int) -> float:
+        return float(self.score(np.array([freq]), np.array([norm_byte]))[0])
+
+    def max_score(self, imp_freqs, imp_norms) -> float:
+        if len(imp_freqs) == 0:
+            return 0.0
+        return float(self.score(imp_freqs, imp_norms).max())
+
+
+class LMDirichlet:
+    """LM with Dirichlet smoothing (LMDirichletSimilarity, default
+    mu=2000). Needs the term's totalTermFreq — callers pass it via the
+    ``ttf`` keyword of term_weight (TermStatistics.totalTermFreq)."""
+
+    def __init__(self, mu: float = 2000.0):
+        if not np.isfinite(mu) or mu < 0:
+            raise ValueError(f"illegal mu value: {mu}, must be a non-negative finite value")
+        self.mu = np.float64(np.float32(mu))  # Java stores mu as float
+
+    def term_weight(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        ttf: int | None = None,
+    ) -> LMDirichletTermWeight:
+        if ttf is None:
+            raise ValueError("LMDirichlet requires the term's totalTermFreq (ttf=)")
+        p = (np.float64(ttf) + 1.0) / (np.float64(sum_total_term_freq) + 1.0)
+        return LMDirichletTermWeight(
+            boost=np.float64(np.float32(boost)), mu=self.mu, collection_p=p
         )
 
 
@@ -238,6 +304,8 @@ def get_similarity(spec: str = "bm25"):
       "bm25legacy"                -> Lucene 7.x BM25 ((k1+1) numerator)
       "bm25legacy(k1=..., b=...)" -> parameterized 7.x BM25
       "classic"                   -> ClassicSimilarity (TFIDF)
+      "lmdirichlet"               -> LMDirichlet (mu=2000)
+      "lmdirichlet(mu=...)"       -> parameterized LMDirichlet
 
     Searchers accept the returned object via their ``bm25`` argument."""
     import re
@@ -249,15 +317,18 @@ def get_similarity(spec: str = "bm25"):
         return LegacyBM25()
     if spec == "classic":
         return ClassicSimilarity()
-    m = re.fullmatch(r"(bm25legacy|bm25)\(([^)]*)\)", spec)
+    if spec == "lmdirichlet":
+        return LMDirichlet()
+    m = re.fullmatch(r"(bm25legacy|bm25|lmdirichlet)\(([^)]*)\)", spec)
     if m is None:
         raise ValueError(f"unknown similarity spec {spec!r}")
-    cls = LegacyBM25 if m.group(1) == "bm25legacy" else BM25
+    cls = {"bm25legacy": LegacyBM25, "bm25": BM25, "lmdirichlet": LMDirichlet}[m.group(1)]
+    valid = ("mu",) if cls is LMDirichlet else ("k1", "b")
     kwargs = {}
     for part in filter(None, (p.strip() for p in m.group(2).split(","))):
         key, _, val = part.partition("=")
         key = key.strip()
-        if key not in ("k1", "b"):
-            raise ValueError(f"unknown BM25 parameter {key!r} in {spec!r}")
+        if key not in valid:
+            raise ValueError(f"unknown parameter {key!r} in {spec!r}")
         kwargs[key] = float(val)
     return cls(**kwargs)

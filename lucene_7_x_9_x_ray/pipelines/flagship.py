@@ -796,6 +796,7 @@ def q_scoring_variants(sf_dir: str) -> pa.Table:
 SIMILARITY_TOPK_SPECS: list[tuple[str, str]] = [
     ("classic", "classic"),        # TFIDF (ClassicSimilarity.java:44-72)
     ("legacy", "bm25legacy"),      # 7.x BM25 (s75 BM25Similarity.java:257-294)
+    ("lmd", "lmdirichlet"),        # LM Dirichlet mu=2000 (LMDirichletSimilarity)
 ]
 SIMILARITY_TOPK_TERMS = ("key", "hash")
 SIMILARITY_TOPK_K = 10

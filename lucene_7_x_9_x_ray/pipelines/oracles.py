@@ -509,11 +509,24 @@ def similarity_topk_sql(ta: str, tb: str, k: int, relation: str = "documents") -
     - 'legacy': the 7.x BM25 (s75 BM25Similarity.java:257-294) —
       weightValue = idf * (k1+1), norm = k1*((1-b) + (b*nlen)/avgdl),
       leaf = (weightValue * freq) / (freq + norm).
+    - 'lmd': LMDirichlet mu=2000 (LMDirichletSimilarity.java:83-87) —
+      p = (ttf+1)/(sttf+1) DOUBLE, leaf = float32(max(0,
+      ln(1 + freq/(mu*p)) + ln(mu/(nlen + mu)))).
     """
     a, b = _ident(ta), _ident(tb)
     la, lb = ta.replace("'", "''"), tb.replace("'", "''")
     ctes = [base_ctes(relation), term_leaf_ctes(ta), term_leaf_ctes(tb)]
     for t, lit in ((a, la), (b, lb)):
+        ctes.append(f"""
+lmp_{t} AS (SELECT (ttf + 1.0) / ((SELECT sttf FROM cs) + 1.0) AS p
+            FROM (SELECT count(*) AS ttf FROM tok WHERE term = '{lit}')),
+lmd_{t} AS (SELECT tf.doc_id,
+                 CAST(greatest(ln(1.0 + CAST(tf.freq AS DOUBLE)
+                                       / (2000.0 * (SELECT p FROM lmp_{t})))
+                               + ln(2000.0 / (CAST(nl.nlen AS DOUBLE) + 2000.0)),
+                               0.0) AS FLOAT) AS s
+            FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
+            JOIN normlen nl USING (doc_id))""")
         ctes.append(f"""
 cw_{t} AS (SELECT CAST(ln(((SELECT n_docs FROM cs) + 1) / CAST(df + 1 AS DOUBLE)) + 1.0 AS FLOAT) AS w
            FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{lit}')),
@@ -531,7 +544,7 @@ lgs_{t} AS (SELECT tf.doc_id,
             FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
             JOIN normlen nl USING (doc_id))""")
     selects = []
-    for qid, pref in (("classic", "cls"), ("legacy", "lgs")):
+    for qid, pref in (("classic", "cls"), ("legacy", "lgs"), ("lmd", "lmd")):
         scored = f"""(SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
             CAST(COALESCE(CAST(x.s AS DOUBLE), 0)
                  + COALESCE(CAST(y.s AS DOUBLE), 0) AS FLOAT) AS score

@@ -85,6 +85,7 @@ def eval_payload_query(reader, query, stats, bm25):
             stats.n_docs(query.field),
             stats.sttf(query.field),
             query.boost,
+            ttf=stats.ttf(query.term, query.field),
         )
         span = tw.score(freqs, fr.norms[docs]).astype(np.float32, copy=False)
         scores = (span * scores).astype(np.float32, copy=False)

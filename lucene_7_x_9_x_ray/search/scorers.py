@@ -123,6 +123,13 @@ class CollectionStats:
             return self.term_df.get(term, 0)
         return self.field_df.get((field, term), 0)
 
+    def ttf(self, term: str, field: str = "") -> int:
+        """The term's totalTermFreq (TermStatistics.totalTermFreq) —
+        consumed by LM similarities."""
+        if not field:
+            return self.term_ttf.get(term, 0)
+        return self.field_ttf.get((field, term), 0)
+
     def sttf(self, field: str = "") -> int:
         """Per-field sumTotalTermFreq (avgdl numerator)."""
         if not field:
@@ -183,7 +190,8 @@ def term_scores(
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     docs, freqs = tp.decode()
     tw = bm25.term_weight(
-        stats.df(term, field), stats.n_docs(field), stats.sttf(field), boost
+        stats.df(term, field), stats.n_docs(field), stats.sttf(field), boost,
+        ttf=stats.ttf(term, field),
     )
     scores = tw.score(freqs, fr.norms[docs])
     return docs, scores.astype(np.float32, copy=False)
@@ -383,7 +391,8 @@ def eval_query(
         np.add.at(freqs, inv, freqs_cat)
         df = max(stats.df(t, query.field) for t in query.terms)
         tw = bm25.term_weight(
-            df, stats.n_docs(query.field), stats.sttf(query.field), query.boost
+            df, stats.n_docs(query.field), stats.sttf(query.field), query.boost,
+            ttf=sum(stats.ttf(t, query.field) for t in query.terms),
         )
         return docs, tw.score(freqs, fr.norms[docs]).astype(np.float32, copy=False)
 

@@ -239,7 +239,7 @@ def _build_ms_clauses(reader, term_boosts, stats, bm25) -> list[_MSClause]:
         tp = reader.term_postings(term)
         if tp is None:
             continue
-        tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost)
+        tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost, ttf=stats.ttf(term))
         parts = getattr(tp, "parts", None) or [tp]
         for part in parts:
             clauses.append(_MSClause(part, tw, reader.norms))
@@ -297,7 +297,7 @@ def probe_score_floor(reader, term_boosts, k, stats, bm25) -> float:
         tp = reader.term_postings(term)
         if tp is None:
             continue
-        tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost)
+        tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost, ttf=stats.ttf(term))
         parts = getattr(tp, "parts", None) or [tp]
         for part in parts:
             bms = _block_max_scores(part, tw)
@@ -347,7 +347,7 @@ def term_impact_topk(
     tp = reader.term_postings(term)
     if tp is None:
         return coll.result()
-    tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost)
+    tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost, ttf=stats.ttf(term))
     parts = getattr(tp, "parts", None) or [tp]
     from ..functions.codec import decode_docs_blocks, decode_freqs_blocks
 
@@ -479,7 +479,7 @@ def conjunction_topk(
         tp = reader.term_postings(term)
         if tp is None:
             return (collector or TopKCollector(k, total_hits_threshold)).result()
-        tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost)
+        tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost, ttf=stats.ttf(term))
         pre.append((tp, tw))
         parts = getattr(tp, "parts", None) or [tp]
         m = max(
@@ -551,7 +551,7 @@ def wand_topk(
         tp = reader.term_postings(term)
         if tp is None:
             continue
-        tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost)
+        tw = bm25.term_weight(stats.df(term), stats.doc_count, stats.sum_total_term_freq, boost, ttf=stats.ttf(term))
         # a salted hot term on a merged index arrives as FragmentedPostings;
         # its doc-range fragments become independent clauses with the SAME
         # weight — ranges are disjoint, so per-doc scores are unchanged and
