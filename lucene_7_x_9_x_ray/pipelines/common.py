@@ -21,11 +21,13 @@ import math
 __all__ = ["sized_read", "HEAVY_ROWS_PER_BLOCK", "LIGHT_ROWS_PER_BLOCK"]
 
 # heavy per-row kernels (shingling, minhash, per-doc matmul): small blocks
-# so a handful of rows still spreads across the cluster. 64 rows of
-# shingling is ~ms of kernel work — the same order as the task constant —
-# and 5k docs then fan out to ~80 blocks (>2x a 32-cpu node); 512 was
-# measured to starve the minhash stage to 10 tasks (7x wall-time).
-HEAVY_ROWS_PER_BLOCK = 64
+# so a handful of rows still spreads across the cluster. Round-4
+# re-measure after the shingle kernel vectorization (per-row Python set
+# -> object-concat n-grams + lexsort dedup, ~10x less work per row):
+# at sf0.1/32 cpus op_minhash_lsh is 1.4 s at 256 rows/block vs 2.1 s at
+# the old 64 (and 5.1 s at 1024 — candidate-stage starvation returns),
+# so the sweet spot moved up 4x with the kernel cost.
+HEAVY_ROWS_PER_BLOCK = 256
 # light columnar kernels (hash, partial aggregates): big blocks, the work
 # per row is nanoseconds and the task constant is the whole cost
 LIGHT_ROWS_PER_BLOCK = 32_768

@@ -42,24 +42,36 @@ class MediaFeatureStage:
                 "real media decode needs image/audio libs not present in this "
                 "container; wire PIL/ffmpeg here and delete the fake path"
             )
-        payloads = batch["html"].to_pylist()
-        titles, widths, heights, nbytes = [], [], [], []
-        for b in payloads:
-            m = _TITLE_RE.search(b)
-            titles.append((m.group(1) if m else b"").decode("utf-8", "replace"))
-            lo, hi = md5_lower64(b), md5_upper64(b)
-            widths.append(64 + int(lo % 1024))
-            heights.append(64 + int(hi % 1024))
-            nbytes.append(len(b))
-        urls = batch["url"].to_pylist()
-        doc_ids = [int(u.rsplit("/", 1)[1]) for u in urls]
+        import numpy as np
+        import pyarrow.compute as pc
+
+        html = batch["html"].combine_chunks()
+        nbytes = pc.binary_length(html).cast(pa.int64())
+        # payloads are ASCII html by construction: Arrow regex kernel for
+        # the title; per-payload md5 stays the hashlib helper (C digest,
+        # one call per row — the only non-kernel step of the stub)
+        ext = pc.extract_regex(html.cast(pa.string()), r"<title>(?P<t>[^<]*)</title>")
+        titles = pc.coalesce(pc.struct_field(ext, "t"), "")
+        payloads = html.to_pylist()
+        lo = np.fromiter(
+            (md5_lower64(b) for b in payloads), dtype=np.uint64, count=len(payloads)
+        )
+        hi = np.fromiter(
+            (md5_upper64(b) for b in payloads), dtype=np.uint64, count=len(payloads)
+        )
+        # urls are "https://docs.example/d/{doc_id}": element 4 of the
+        # "/"-split (pyarrow list_element takes no negative indices)
+        doc_ids = (
+            pc.list_element(pc.split_pattern(batch["url"], "/"), 4)
+            .cast(pa.int64())
+        )
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "n_bytes": pa.array(nbytes, pa.int64()),
-                "title": pa.array(titles, pa.string()),
-                "fake_w": pa.array(widths, pa.int64()),
-                "fake_h": pa.array(heights, pa.int64()),
+                "doc_id": doc_ids,
+                "n_bytes": nbytes,
+                "title": titles,
+                "fake_w": pa.array((64 + (lo % 1024)).astype(np.int64), pa.int64()),
+                "fake_h": pa.array((64 + (hi % 1024)).astype(np.int64), pa.int64()),
             }
         )
 
