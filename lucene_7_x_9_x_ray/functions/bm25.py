@@ -33,6 +33,8 @@ __all__ = [
     "ClassicTermWeight",
     "LMDirichlet",
     "LMDirichletTermWeight",
+    "DFRSimilarity",
+    "DFRTermWeight",
     "LENGTH_TABLE",
     "get_similarity",
 ]
@@ -295,6 +297,80 @@ class LMDirichlet:
         )
 
 
+@dataclass(frozen=True)
+class DFRTermWeight:
+    """DFR(G, B, H2) per-(term, collection) state (s84 DFRSimilarity.java:
+    118-121, BasicModelG.java:40-54, AfterEffectB.java:36-40,
+    NormalizationH2.java:61, SimilarityBase.java:113-124) — all math in
+    DOUBLE, one float32 cast at the end:
+
+      avgfl = sttf / (double) docCount
+      tfn   = freq * log2(1 + c * avgfl / docLen)
+      F = ttf + 1; lambda = F / (N + F)
+      A = log2(lambda + 1); B = log2((1 + lambda) / lambda)
+      ae1pTfn = (F + 1) / (df + 1)
+      score = boost * (B - (B - A) / (1 + tfn)) * ae1pTfn
+    """
+
+    boost: np.float64
+    c: np.float64
+    avgfl: np.float64
+    a: np.float64
+    b: np.float64
+    ae1p: np.float64
+
+    def score(self, freqs, norm_bytes) -> np.ndarray:
+        f = np.asarray(freqs).astype(np.float64, copy=False)
+        dl = BYTE4_DECODE_TABLE[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64
+        )
+        tfn = f * (np.log(1.0 + self.c * self.avgfl / dl) / np.log(2.0))
+        s = self.boost * (self.b - (self.b - self.a) / (1.0 + tfn)) * self.ae1p
+        return s.astype(np.float32)
+
+    def score_scalar(self, freq: float, norm_byte: int) -> float:
+        return float(self.score(np.array([freq]), np.array([norm_byte]))[0])
+
+    def max_score(self, imp_freqs, imp_norms) -> float:
+        if len(imp_freqs) == 0:
+            return 0.0
+        return float(self.score(imp_freqs, imp_norms).max())
+
+
+class DFRSimilarity:
+    """DFR with the geometric basic model, Bernoulli after-effect and H2
+    normalization — DFRSimilarity(BasicModelG, AfterEffectB,
+    NormalizationH2(c)). Needs the term's totalTermFreq via ``ttf=``."""
+
+    def __init__(self, c: float = 1.0):
+        if not np.isfinite(c) or c <= 0:
+            raise ValueError(f"illegal c value: {c}, must be a positive finite value")
+        self.c = np.float64(np.float32(c))  # NormalizationH2 stores c as float
+
+    def term_weight(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        ttf: int | None = None,
+    ) -> DFRTermWeight:
+        if ttf is None:
+            raise ValueError("DFR requires the term's totalTermFreq (ttf=)")
+        F = np.float64(ttf) + 1.0
+        N = np.float64(doc_count)
+        lam = F / (N + F)
+        log2 = np.log(2.0)
+        return DFRTermWeight(
+            boost=np.float64(np.float32(boost)),
+            c=self.c,
+            avgfl=np.float64(sum_total_term_freq) / np.float64(doc_count),
+            a=np.log(lam + 1.0) / log2,
+            b=np.log((1.0 + lam) / lam) / log2,
+            ae1p=(F + 1.0) / (np.float64(doc_freq) + 1.0),
+        )
+
+
 def get_similarity(spec: str = "bm25"):
     """Similarity registry — the pluggable-Similarity hook (SURVEY.md
     §2.10; IndexSearcher.setSimilarity role). Specs:
@@ -306,6 +382,8 @@ def get_similarity(spec: str = "bm25"):
       "classic"                   -> ClassicSimilarity (TFIDF)
       "lmdirichlet"               -> LMDirichlet (mu=2000)
       "lmdirichlet(mu=...)"       -> parameterized LMDirichlet
+      "dfr"                       -> DFR G/B/H2 (c=1)
+      "dfr(c=...)"                -> parameterized DFR G/B/H2
 
     Searchers accept the returned object via their ``bm25`` argument."""
     import re
@@ -319,11 +397,14 @@ def get_similarity(spec: str = "bm25"):
         return ClassicSimilarity()
     if spec == "lmdirichlet":
         return LMDirichlet()
-    m = re.fullmatch(r"(bm25legacy|bm25|lmdirichlet)\(([^)]*)\)", spec)
+    if spec == "dfr":
+        return DFRSimilarity()
+    m = re.fullmatch(r"(bm25legacy|bm25|lmdirichlet|dfr)\(([^)]*)\)", spec)
     if m is None:
         raise ValueError(f"unknown similarity spec {spec!r}")
-    cls = {"bm25legacy": LegacyBM25, "bm25": BM25, "lmdirichlet": LMDirichlet}[m.group(1)]
-    valid = ("mu",) if cls is LMDirichlet else ("k1", "b")
+    cls = {"bm25legacy": LegacyBM25, "bm25": BM25,
+           "lmdirichlet": LMDirichlet, "dfr": DFRSimilarity}[m.group(1)]
+    valid = {"lmdirichlet": ("mu",), "dfr": ("c",)}.get(m.group(1), ("k1", "b"))
     kwargs = {}
     for part in filter(None, (p.strip() for p in m.group(2).split(","))):
         key, _, val = part.partition("=")

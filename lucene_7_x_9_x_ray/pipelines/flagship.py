@@ -797,6 +797,7 @@ SIMILARITY_TOPK_SPECS: list[tuple[str, str]] = [
     ("classic", "classic"),        # TFIDF (ClassicSimilarity.java:44-72)
     ("legacy", "bm25legacy"),      # 7.x BM25 (s75 BM25Similarity.java:257-294)
     ("lmd", "lmdirichlet"),        # LM Dirichlet mu=2000 (LMDirichletSimilarity)
+    ("dfr", "dfr"),                # DFR G/B/H2 c=1 (DFRSimilarity)
 ]
 SIMILARITY_TOPK_TERMS = ("key", "hash")
 SIMILARITY_TOPK_K = 10

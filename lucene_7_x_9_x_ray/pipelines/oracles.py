@@ -512,12 +512,32 @@ def similarity_topk_sql(ta: str, tb: str, k: int, relation: str = "documents") -
     - 'lmd': LMDirichlet mu=2000 (LMDirichletSimilarity.java:83-87) —
       p = (ttf+1)/(sttf+1) DOUBLE, leaf = float32(max(0,
       ln(1 + freq/(mu*p)) + ln(mu/(nlen + mu)))).
+    - 'dfr': DFR G/B/H2 c=1 (DFRSimilarity.java:118-121) — DOUBLE avgfl =
+      sttf/N, tfn = freq*log2(1 + avgfl/nlen), lambda = (ttf+1)/(N+ttf+1),
+      A = log2(lambda+1), B = log2((1+lambda)/lambda), leaf =
+      float32((B - (B-A)/(1+tfn)) * (ttf+2)/(df+1)).
     """
     a, b = _ident(ta), _ident(tb)
     la, lb = ta.replace("'", "''"), tb.replace("'", "''")
     ctes = [base_ctes(relation), term_leaf_ctes(ta), term_leaf_ctes(tb)]
     for t, lit in ((a, la), (b, lb)):
         ctes.append(f"""
+dfw_{t} AS (SELECT (ttf + 1.0) / ((SELECT n_docs FROM cs) + ttf + 1.0) AS lam,
+                   (ttf + 2.0) / (df + 1.0) AS ae1p
+            FROM (SELECT count(*) AS ttf,
+                         count(DISTINCT doc_id) AS df
+                  FROM tok WHERE term = '{lit}')),
+dfr_{t} AS (SELECT tf.doc_id,
+                 CAST(((ln((1.0 + (SELECT lam FROM dfw_{t})) / (SELECT lam FROM dfw_{t})) / ln(2.0))
+                       - ((ln((1.0 + (SELECT lam FROM dfw_{t})) / (SELECT lam FROM dfw_{t})) / ln(2.0))
+                          - (ln((SELECT lam FROM dfw_{t}) + 1.0) / ln(2.0)))
+                         / (1.0 + CAST(tf.freq AS DOUBLE)
+                                  * (ln(1.0 + (CAST((SELECT sttf FROM cs) AS DOUBLE)
+                                               / (SELECT n_docs FROM cs))
+                                              / CAST(nl.nlen AS DOUBLE)) / ln(2.0))))
+                      * (SELECT ae1p FROM dfw_{t}) AS FLOAT) AS s
+            FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
+            JOIN normlen nl USING (doc_id)),
 lmp_{t} AS (SELECT (ttf + 1.0) / ((SELECT sttf FROM cs) + 1.0) AS p
             FROM (SELECT count(*) AS ttf FROM tok WHERE term = '{lit}')),
 lmd_{t} AS (SELECT tf.doc_id,
@@ -544,7 +564,9 @@ lgs_{t} AS (SELECT tf.doc_id,
             FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
             JOIN normlen nl USING (doc_id))""")
     selects = []
-    for qid, pref in (("classic", "cls"), ("legacy", "lgs"), ("lmd", "lmd")):
+    for qid, pref in (
+        ("classic", "cls"), ("legacy", "lgs"), ("lmd", "lmd"), ("dfr", "dfr"),
+    ):
         scored = f"""(SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
             CAST(COALESCE(CAST(x.s AS DOUBLE), 0)
                  + COALESCE(CAST(y.s AS DOUBLE), 0) AS FLOAT) AS score
