@@ -63,22 +63,20 @@ def _span_terms(query) -> list[str]:
 
 
 def _leaf_terms(clause) -> list[str]:
-    """Terms of ONE clause: a SpanTermQuery or a SpanOrQuery of terms
-    (an or-of-terms still yields width-1 spans whose position list is the
-    merge of its terms' lists — SpanOrQuery's position queue)."""
+    """Terms of a LEAF clause (a SpanTermQuery or a SpanOrQuery of terms
+    — the width-1 fast path whose merged position list is the clause's
+    span stream). General SpanOrQuery clauses take the stream-merge path
+    in _span_stream instead of this helper."""
     if isinstance(clause, Q.SpanTermQuery):
         return [clause.term]
     if isinstance(clause, Q.SpanOrQuery):
         out = []
         for c in clause.clauses:
             if not isinstance(c, Q.SpanTermQuery):
-                raise ValueError("SpanOrQuery clauses are restricted to SpanTermQuery")
+                raise ValueError("_leaf_terms is only for or-of-terms leaves")
             out.append(c.term)
         return out
-    raise ValueError(
-        "span clauses are restricted to SpanTermQuery / SpanOrQuery-of-terms "
-        "(documented scope)"
-    )
+    raise ValueError("not a term/or-of-terms leaf")
 
 
 def span_field(query) -> str:
@@ -133,10 +131,19 @@ def _ordered_spans(streams, slop: int):
     sum of the gaps (start_i - prevEnd) only — inner widths count solely
     against the inner query's own slop (NearSpansOrdered.java:46-100).
     Returns (starts = clause-0 starts, ends = final clause ends,
-    widths)."""
+    widths).
+
+    The vectorized independent-lookup form requires every stream's ends
+    to be non-decreasing (true for term/or-of-term leaves and nested
+    nears — see the stream invariant above). A SpanOr over sub-spans of
+    DIFFERENT widths can emit decreasing ends; those streams take the
+    literal stateful loop (_ordered_spans_literal), which is the Java
+    iterator's actual forward-only behavior."""
     s0, e0, _w0 = streams[0]
     if len(s0) == 0:
         return _EMPTY_STREAM
+    if any(len(ei) and np.any(np.diff(ei) < 0) for _si, ei, _wi in streams):
+        return _ordered_spans_literal(streams, slop)
     prev_end = e0.copy()
     width = np.zeros(len(s0), dtype=np.int64)
     alive = np.ones(len(s0), dtype=bool)
@@ -149,6 +156,40 @@ def _ordered_spans(streams, slop: int):
         prev_end = np.where(alive, ei[safe] if len(ei) else 0, prev_end)
     keep = alive & (width <= slop)
     return s0[keep], prev_end[keep], width[keep]
+
+
+def _ordered_spans_literal(streams, slop: int):
+    """Literal stateful NearSpansOrdered (forward-only sub-iterators,
+    NearSpansOrdered.java:46-100) — the general-streams path used when a
+    clause's ends are non-monotone (or-of-different-width sub-spans)."""
+    n = len(streams)
+    ptr = [0] * n
+    out_s, out_e, out_w = [], [], []
+    starts0, ends0, _ = streams[0]
+    for i0 in range(len(starts0)):
+        prev_end = int(ends0[i0])
+        width = 0
+        for i in range(1, n):
+            si, ei, _wi = streams[i]
+            while ptr[i] < len(si) and si[ptr[i]] < prev_end:
+                ptr[i] += 1
+            if ptr[i] >= len(si):  # oneExhaustedInCurrentDoc
+                return (
+                    np.asarray(out_s, dtype=np.int64),
+                    np.asarray(out_e, dtype=np.int64),
+                    np.asarray(out_w, dtype=np.int64),
+                )
+            width += int(si[ptr[i]]) - prev_end
+            prev_end = int(ei[ptr[i]])
+        if width <= slop:
+            out_s.append(int(starts0[i0]))
+            out_e.append(prev_end)
+            out_w.append(width)
+    return (
+        np.asarray(out_s, dtype=np.int64),
+        np.asarray(out_e, dtype=np.int64),
+        np.asarray(out_w, dtype=np.int64),
+    )
 
 
 def _unordered_spans(streams, slop: int):
@@ -231,8 +272,21 @@ def _span_stream(query, pos_of):
     sorted positions of a term (possibly empty). Nested SpanNearQuery
     clauses are supported: an inner near's (slop-filtered) matches are
     the spans the outer near consumes."""
-    if isinstance(query, (Q.SpanTermQuery, Q.SpanOrQuery)):
+    if isinstance(query, Q.SpanTermQuery):
         return _leaf_stream(query, pos_of)
+    if isinstance(query, Q.SpanOrQuery):
+        if all(isinstance(c, Q.SpanTermQuery) for c in query.clauses):
+            return _leaf_stream(query, pos_of)  # deduped merged positions
+        # general SpanOrQuery: the queue's merged emission in (start, end)
+        # order across sub-spans (SpanOrQuery.java SpanQueue), no dedup.
+        # Different-width sub-spans can make ends non-monotone — consumers
+        # (ordered near) detect that and take the literal stateful path.
+        subs = [_span_stream(c, pos_of) for c in query.clauses]
+        s = np.concatenate([x[0] for x in subs])
+        e = np.concatenate([x[1] for x in subs])
+        w = np.concatenate([x[2] for x in subs])
+        order = np.lexsort((e, s))
+        return s[order], e[order], w[order]
     if isinstance(query, Q.SpanNearQuery):
         streams = [_span_stream(c, pos_of) for c in query.clauses]
         if any(len(s[0]) == 0 for s in streams):
@@ -273,10 +327,9 @@ def _validate_span_scope(query):
     SpanTermQuery / SpanOrQuery-of-terms; SpanNearQuery clauses may be
     leaves or nested SpanNearQuery (near-of-near); first/range/not wrap
     any supported tree (SpanNot's exclude included)."""
-    if isinstance(query, (Q.SpanTermQuery, Q.SpanOrQuery)):
-        _leaf_terms(query)
+    if isinstance(query, Q.SpanTermQuery):
         return
-    if isinstance(query, Q.SpanNearQuery):
+    if isinstance(query, (Q.SpanNearQuery, Q.SpanOrQuery)):
         for c in query.clauses:
             _validate_span_scope(c)
         return
@@ -295,8 +348,13 @@ def _required_leaves(query) -> list[list[str]]:
     term groups where a doc must contain >= 1 term of EVERY group (a
     SpanNot contributes only its include side; an or-group is its term
     set; nears require all their clauses)."""
-    if isinstance(query, (Q.SpanTermQuery, Q.SpanOrQuery)):
-        return [_leaf_terms(query)]
+    if isinstance(query, Q.SpanTermQuery):
+        return [[query.term]]
+    if isinstance(query, Q.SpanOrQuery):
+        # a doc matches the or iff ANY clause matches: the safe prefilter
+        # is one group of ALL leaf terms (a superset; per-doc evaluation
+        # rejects non-matches)
+        return [_span_terms(query)]
     if isinstance(query, Q.SpanNearQuery):
         out = []
         for c in query.clauses:

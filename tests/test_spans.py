@@ -190,6 +190,42 @@ def test_nested_ordered_vectorized_duels_literal():
         assert got == want, (A, B, C, islop, oslop, got, want)
 
 
+def test_or_of_nears_takes_literal_path():
+    """SpanOr over different-width sub-spans emits non-monotone ends, so
+    an outer ordered near must use the literal stateful iterator. Trace:
+    doc tokens: a@0 b@3 c@4 d@5 x@9.
+      or(near(a,b,slop3,ord), near(c,d,0,ord)) -> spans (0,4,w2), (4,6,w0)
+      sorted by start: ends 4 then 6 — monotone here, so craft harder:
+      a@0 b@5 (span (0,6,w4)), c@1 d@2 (span (1,3,w0)) -> ends 6, 3
+      non-monotone. near(or, x@8, slop) stateful: clause-1 iterator only
+      moves forward."""
+    from lucene_7_x_9_x_ray.search.spans import _span_stream
+
+    pos = {"a": np.array([0]), "b": np.array([5]),
+           "c": np.array([1]), "d": np.array([2]), "x": np.array([8])}
+    pf = lambda t: np.asarray(pos[t], dtype=np.int64)
+    inner = Q.SpanOrQuery((
+        Q.SpanNearQuery((Q.SpanTermQuery("a"), Q.SpanTermQuery("b")),
+                        slop=4, in_order=True),
+        Q.SpanNearQuery((Q.SpanTermQuery("c"), Q.SpanTermQuery("d")),
+                        slop=0, in_order=True),
+    ))
+    s, e, w = _span_stream(inner, pf)
+    assert list(s) == [0, 1] and list(e) == [6, 3]  # non-monotone ends
+
+    q = Q.SpanNearQuery((inner, Q.SpanTermQuery("x")), slop=10, in_order=True)
+    s, e, w = _span_stream(q, pf)
+    # literal stateful semantics: or-span (0,6) stretches x to 8 (gap 2,
+    # match); or-span (1,3) stretches x — iterator already AT 8 (forward
+    # only), gap 8-3=5, match. Ordered by clause-0 starts.
+    assert list(s) == [0, 1] and list(e) == [9, 9] and list(w) == [2, 5]
+
+    # tight slop keeps only the first
+    q1 = Q.SpanNearQuery((inner, Q.SpanTermQuery("x")), slop=2, in_order=True)
+    s, e, w = _span_stream(q1, pf)
+    assert list(s) == [0] and list(w) == [2]
+
+
 def test_nested_unordered_end_to_end(tmp_path):
     """unordered near with a nested ordered-near clause, hand-traced:
     doc 'x a b y y c' — inner ord(a,b,0) matches [1,3); unordered
