@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_ts_filtered": flagship.q_bm25_ts_filtered,  # numeric-range FILTER clause
         "field_topk": flagship.q_field_topk,  # multi-field (title vs body)
         "parsed_topk": flagship.q_parsed_topk,  # classic query-parser strings
+        "parsed_topk_served": flagship.q_parsed_topk_served,  # parse at the actor
         "similarity_topk": flagship.q_similarity_topk,  # TFIDF + 7.x BM25 registry
         "function_topk": flagship.q_function_topk,  # FunctionScoreQuery (log1p dl boost)
         "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
@@ -161,6 +162,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "similarity_topk": O.similarity_topk_sql(
             *flagship.SIMILARITY_TOPK_TERMS, flagship.SIMILARITY_TOPK_K
+        ),
+        "parsed_topk_served": O.field_topk_sql(
+            [(qid, kind, cls, k) for qid, _s, kind, cls, k in flagship.PARSED_TOPK_SPECS]
         ),
         "interval_topk": O.interval_topk_sql(flagship.INTERVAL_TOPK_SPECS),
         "payload_topk": O.payload_topk_sql(flagship.PAYLOAD_TOPK_SPECS),

@@ -803,6 +803,28 @@ SIMILARITY_TOPK_TERMS = ("key", "hash")
 SIMILARITY_TOPK_K = 10
 
 
+def q_parsed_topk_served(sf_dir: str) -> pa.Table:
+    """The classic-parser query set scored by the actor-pool serving
+    stage: each actor memory-maps the merged index once and compiles the
+    query STRING itself (parse_classic against the actor's analyzer) —
+    results must equal the driver-side parsed path and the same SQL
+    oracle exactly: (query_id, rank, doc_id, score_r)."""
+    from ..stages.serve import serve_parsed_queries
+
+    index_dir = build_flagship_index(sf_dir)
+    specs = [(qid, qstr, k) for qid, qstr, _kind, _cls, k in PARSED_TOPK_SPECS]
+    t = serve_parsed_queries(index_dir, specs, concurrency=2)
+    scores_r = [round_half_away(s, 4) for s in t["score"].to_pylist()]
+    return pa.table(
+        {
+            "query_id": t["query_id"],
+            "rank": t["rank"],
+            "doc_id": t["doc_id"],
+            "score_r": pa.array(scores_r, pa.float64()),
+        }
+    )
+
+
 def q_similarity_topk(sf_dir: str) -> pa.Table:
     """Similarity-registry variants over one 2-term SHOULD disjunction:
     (query_id, rank, doc_id, score_r). Each spec opens a searcher with

@@ -33,9 +33,15 @@ class QueryScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         for row in batch.to_pylist():
-            query = Q.BooleanQuery.build(
-                [(Q.SHOULD, Q.TermQuery(t)) for t in row["terms"]]
-            )
+            if row.get("qstr") is not None:
+                # classic-parser query string (grouping, field scopes,
+                # phrases, multi-term rewrites — the full parse_classic
+                # surface) compiled per row against the actor's analyzer
+                query = Q.parse_classic(row["qstr"], self.searcher.analyzer)
+            else:
+                query = Q.BooleanQuery.build(
+                    [(Q.SHOULD, Q.TermQuery(t)) for t in row["terms"]]
+                )
             td = self.searcher.search(query, k=int(row["k"]), mode=self.mode)
             for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
                 qids.append(row["query_id"])
@@ -414,6 +420,40 @@ class ServingPool:
         for a in self._actors:
             ray.kill(a, no_restart=True)
         self._actors = []
+
+
+def serve_parsed_queries(
+    index_dir: str,
+    query_specs: list[tuple[str, str, int]],
+    concurrency: int = 2,
+    mode: str = "auto",
+) -> pa.Table:
+    """Run (query_id, classic-parser string, k) specs through the scoring
+    actor pool — the parse-at-the-actor serving path."""
+    import ray
+    import ray.data as rd
+
+    items = [
+        {"query_id": str(qid), "qstr": qstr, "k": k} for qid, qstr, k in query_specs
+    ]
+    ds = rd.from_items(items, override_num_blocks=max(len(items), 1)).map_batches(
+        QueryScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+    parts = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables(parts)
 
 
 def serve_queries(
