@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.rounding import round_half_away_np
-from .common import sized_read
+from .common import _cluster_cpus, sized_read
 from .dedup import _to_table
 
 SORT_TOPN = 20
@@ -211,6 +211,202 @@ def oracle_lineitem_pricing_sql() -> str:
        count(*) AS n
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '{LINEITEM_CUTOFF} 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
+
+
+REVENUE_REGION = "ASIA"
+
+
+def q_revenue_by_nation(sf_dir: str) -> pa.Table:
+    """TPC-H-Q5-style revenue by nation (lineitem x orders x customer x
+    nation x region, one region kept), built the 100 TB way:
+
+    - region/nation are TRUE dimension tables (5 / 25 rows): read on the
+      driver, reduced to a nationkey -> name dict, broadcast via ray.put.
+    - orders x customer is a LARGE-LARGE hash join: both sides stream as
+      (custkey, payload) rows into one union, hash-partitioned by
+      groupby(bucket of custkey); inside each group the customer rows map
+      custkey -> nationkey vectorized (searchsorted) onto the order rows.
+      Only (o_orderkey, n_key) pairs leave the join.
+    - lineitem x that output is the second hash join, partitioned by
+      orderkey; inside each group revenue PARTIALS per nation are
+      combined (TableGroupBy), so the final shuffle moves one row per
+      (group-task, nation).
+    Output: (n_name, revenue_r) — revenue = sum(extprice * (1 - disc)),
+    rounded to 2 (float64 sums at any association order are stable far
+    beyond 2 decimals at these magnitudes)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    rkey = region.filter(pc.equal(region["r_name"], REVENUE_REGION))[
+        "r_regionkey"
+    ].to_pylist()
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=pa.array(rkey)))
+    nkey_to_name = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    keep_ref = ray.put(np.asarray(sorted(nkey_to_name), dtype=np.int64))
+
+    parts = max(4, _cluster_cpus())
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        nk = batch["c_nationkey"].to_numpy()
+        m = np.isin(nk, keep)
+        return pa.table(
+            {
+                "custkey": batch["c_custkey"].to_numpy()[m],
+                "orderkey": pa.array([0] * int(m.sum()), pa.int64()),
+                "nkey": nk[m],
+                "side": pa.array([0] * int(m.sum()), pa.int8()),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "custkey": batch["o_custkey"],
+                "orderkey": batch["o_orderkey"],
+                "nkey": pa.array([0] * n, pa.int64()),
+                "side": pa.array([1] * n, pa.int8()),
+            }
+        )
+
+    def join_cust(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        ck = group["custkey"].to_numpy()
+        cmask = side == 0
+        c_keys = ck[cmask]
+        c_nk = group["nkey"].to_numpy()[cmask]
+        order = np.argsort(c_keys)
+        c_keys, c_nk = c_keys[order], c_nk[order]
+        o_ck = ck[~cmask]
+        o_ok = group["orderkey"].to_numpy()[~cmask]
+        idx = np.searchsorted(c_keys, o_ck)
+        has = (idx < len(c_keys)) & (c_keys[np.minimum(idx, max(len(c_keys) - 1, 0))] == o_ck) if len(c_keys) else np.zeros(len(o_ck), bool)
+        return pa.table(
+            {
+                "orderkey": pa.array(o_ok[has], pa.int64()),
+                "nkey": pa.array(c_nk[idx[has]] if len(c_keys) else [], pa.int64()),
+            }
+        )
+
+    customer = sized_read(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    orders = sized_read(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    def add_cbucket(batch: pa.Table) -> pa.Table:
+        b = ((batch["custkey"].to_numpy().astype(np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(parts)).astype(np.int64)
+        return batch.append_column("cbucket", pa.array(b))
+
+    ord_nat = (
+        customer.union(orders)
+        .map_batches(add_cbucket, batch_format="pyarrow")
+        .repartition(parts)
+        .groupby("cbucket")
+        .map_groups(join_cust, batch_format="pyarrow")
+    )
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table(
+            {
+                "orderkey": batch["l_orderkey"],
+                "nkey": pa.array([0] * batch.num_rows, pa.int64()),
+                "rev": rev,
+                "side": pa.array([1] * batch.num_rows, pa.int8()),
+            }
+        )
+
+    def on_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "orderkey": batch["orderkey"],
+                "nkey": batch["nkey"],
+                "rev": pa.array([0.0] * n, pa.float64()),
+                "side": pa.array([0] * n, pa.int8()),
+            }
+        )
+
+    def join_li(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        ok = group["orderkey"].to_numpy()
+        omask = side == 0
+        o_keys = ok[omask]
+        o_nk = group["nkey"].to_numpy()[omask]
+        order = np.argsort(o_keys)
+        o_keys, o_nk = o_keys[order], o_nk[order]
+        l_ok = ok[~omask]
+        l_rev = group["rev"].to_numpy()[~omask]
+        if len(o_keys) == 0 or len(l_ok) == 0:
+            return pa.table(
+                {"nkey": pa.array([], pa.int64()), "p_rev": pa.array([], pa.float64())}
+            )
+        idx = np.searchsorted(o_keys, l_ok)
+        has = (idx < len(o_keys)) & (o_keys[np.minimum(idx, len(o_keys) - 1)] == l_ok)
+        nk = o_nk[idx[has]]
+        rev = l_rev[has]
+        # in-group combiner: one partial row per nation
+        uniq, inv = np.unique(nk, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {"nkey": pa.array(uniq, pa.int64()), "p_rev": pa.array(sums, pa.float64())}
+        )
+
+    lineitem = sized_read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    def add_obucket(batch: pa.Table) -> pa.Table:
+        b = ((batch["orderkey"].to_numpy().astype(np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(parts)).astype(np.int64)
+        return batch.append_column("obucket", pa.array(b))
+
+    ds = (
+        ord_nat.map_batches(on_rows, batch_format="pyarrow")
+        .union(lineitem)
+        .map_batches(add_obucket, batch_format="pyarrow")
+        .repartition(parts)
+        .groupby("obucket")
+        .map_groups(join_li, batch_format="pyarrow")
+        .groupby("nkey")
+        .aggregate(Sum("p_rev", alias_name="revenue"))
+    )
+    t = _to_table(ds)
+    names = [nkey_to_name[int(k)] for k in t["nkey"].to_pylist()]
+    rev = t["revenue"].to_numpy(zero_copy_only=False).astype(np.float64)
+    out = pa.table(
+        {
+            "n_name": pa.array(names, pa.string()),
+            "revenue_r": pa.array(round_half_away_np(rev, 2), pa.float64()),
+        }
+    )
+    return out.sort_by("n_name")
+
+
+def oracle_revenue_by_nation_sql() -> str:
+    return f"""SELECT n_name, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue_r
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{REVENUE_REGION}'
+GROUP BY n_name"""
 
 
 def q_event_window_agg(sf_dir: str) -> pa.Table:
