@@ -213,6 +213,62 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '{LINEITEM_CUTOFF} 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
 
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucketed_equijoin(ds_union, parts: int, build_cols: list[str],
+                       probe_cols: list[str], emit):
+    """Generic hash-partitioned equijoin over ONE unioned Dataset whose
+    rows carry (key:int64, side:int8 — 0 build / 1 probe, plus every
+    payload column with placeholder values on the other side).
+
+    Shape: salt the key into `parts` buckets -> repartition ->
+    groupby(bucket).map_groups; inside each group the build side sorts by
+    key once and probe rows attach vectorized (searchsorted). ``emit``
+    receives (probe payload dict, attached build payload dict) — or
+    (None, None) for a groups with an empty side — and returns the
+    group's output table (typically a per-group PARTIAL aggregate, so
+    only combiner rows leave the join). The un-salted inner-join shape of
+    SortMergeJoin/Shuffled-HashJoin; at 10^12 rows `parts` scales with
+    input bytes like the dedup semi-join's LUCENE_RAY_DEDUP_PARTITIONS."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = ((batch["key"].to_numpy().astype(np.uint64) * _GOLDEN)
+             % np.uint64(parts)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b))
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        keys = group["key"].to_numpy()
+        bmask = side == 0
+        bk = keys[bmask]
+        order = np.argsort(bk)
+        bk = bk[order]
+        pk = keys[~bmask]
+        if len(bk) == 0 or len(pk) == 0:
+            return emit(None, None)
+        battach = {
+            c: group[c].to_numpy(zero_copy_only=False)[bmask][order]
+            for c in build_cols
+        }
+        pattach = {
+            c: group[c].to_numpy(zero_copy_only=False)[~bmask] for c in probe_cols
+        }
+        idx = np.searchsorted(bk, pk)
+        has = (idx < len(bk)) & (bk[np.minimum(idx, len(bk) - 1)] == pk)
+        return emit(
+            {c: v[has] for c, v in pattach.items()},
+            {c: v[idx[has]] for c, v in battach.items()},
+        )
+
+    return (
+        ds_union.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(parts)
+        .groupby("bucket")
+        .map_groups(join_group, batch_format="pyarrow")
+    )
+
+
 REVENUE_REGION = "ASIA"
 
 
@@ -257,12 +313,13 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
         keep = ray.get(keep_ref)
         nk = batch["c_nationkey"].to_numpy()
         m = np.isin(nk, keep)
+        n = int(m.sum())
         return pa.table(
             {
-                "custkey": batch["c_custkey"].to_numpy()[m],
-                "orderkey": pa.array([0] * int(m.sum()), pa.int64()),
-                "nkey": nk[m],
-                "side": pa.array([0] * int(m.sum()), pa.int8()),
+                "key": pa.array(batch["c_custkey"].to_numpy()[m], pa.int64()),
+                "orderkey": pa.array([0] * n, pa.int64()),
+                "nkey": pa.array(nk[m], pa.int64()),
+                "side": pa.array([0] * n, pa.int8()),
             }
         )
 
@@ -270,29 +327,22 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
         n = batch.num_rows
         return pa.table(
             {
-                "custkey": batch["o_custkey"],
+                "key": batch["o_custkey"].cast(pa.int64()),
                 "orderkey": batch["o_orderkey"],
                 "nkey": pa.array([0] * n, pa.int64()),
                 "side": pa.array([1] * n, pa.int8()),
             }
         )
 
-    def join_cust(group: pa.Table) -> pa.Table:
-        side = group["side"].to_numpy()
-        ck = group["custkey"].to_numpy()
-        cmask = side == 0
-        c_keys = ck[cmask]
-        c_nk = group["nkey"].to_numpy()[cmask]
-        order = np.argsort(c_keys)
-        c_keys, c_nk = c_keys[order], c_nk[order]
-        o_ck = ck[~cmask]
-        o_ok = group["orderkey"].to_numpy()[~cmask]
-        idx = np.searchsorted(c_keys, o_ck)
-        has = (idx < len(c_keys)) & (c_keys[np.minimum(idx, max(len(c_keys) - 1, 0))] == o_ck) if len(c_keys) else np.zeros(len(o_ck), bool)
+    def emit_orders(probe, build) -> pa.Table:
+        if probe is None:
+            return pa.table(
+                {"orderkey": pa.array([], pa.int64()), "nkey": pa.array([], pa.int64())}
+            )
         return pa.table(
             {
-                "orderkey": pa.array(o_ok[has], pa.int64()),
-                "nkey": pa.array(c_nk[idx[has]] if len(c_keys) else [], pa.int64()),
+                "orderkey": pa.array(probe["orderkey"], pa.int64()),
+                "nkey": pa.array(build["nkey"], pa.int64()),
             }
         )
 
@@ -302,30 +352,22 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
     orders = sized_read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     ).map_batches(order_rows, batch_format="pyarrow")
-
-    def add_cbucket(batch: pa.Table) -> pa.Table:
-        b = ((batch["custkey"].to_numpy().astype(np.uint64)
-              * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(parts)).astype(np.int64)
-        return batch.append_column("cbucket", pa.array(b))
-
-    ord_nat = (
-        customer.union(orders)
-        .map_batches(add_cbucket, batch_format="pyarrow")
-        .repartition(parts)
-        .groupby("cbucket")
-        .map_groups(join_cust, batch_format="pyarrow")
+    ord_nat = _bucketed_equijoin(
+        customer.union(orders), parts,
+        build_cols=["nkey"], probe_cols=["orderkey"], emit=emit_orders,
     )
 
     def li_rows(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
+        n = batch.num_rows
         return pa.table(
             {
-                "orderkey": batch["l_orderkey"],
-                "nkey": pa.array([0] * batch.num_rows, pa.int64()),
+                "key": batch["l_orderkey"].cast(pa.int64()),
+                "nkey": pa.array([0] * n, pa.int64()),
                 "rev": rev,
-                "side": pa.array([1] * batch.num_rows, pa.int8()),
+                "side": pa.array([1] * n, pa.int8()),
             }
         )
 
@@ -333,35 +375,22 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
         n = batch.num_rows
         return pa.table(
             {
-                "orderkey": batch["orderkey"],
+                "key": batch["orderkey"].cast(pa.int64()),
                 "nkey": batch["nkey"],
                 "rev": pa.array([0.0] * n, pa.float64()),
                 "side": pa.array([0] * n, pa.int8()),
             }
         )
 
-    def join_li(group: pa.Table) -> pa.Table:
-        side = group["side"].to_numpy()
-        ok = group["orderkey"].to_numpy()
-        omask = side == 0
-        o_keys = ok[omask]
-        o_nk = group["nkey"].to_numpy()[omask]
-        order = np.argsort(o_keys)
-        o_keys, o_nk = o_keys[order], o_nk[order]
-        l_ok = ok[~omask]
-        l_rev = group["rev"].to_numpy()[~omask]
-        if len(o_keys) == 0 or len(l_ok) == 0:
+    def emit_rev(probe, build) -> pa.Table:
+        if probe is None:
             return pa.table(
                 {"nkey": pa.array([], pa.int64()), "p_rev": pa.array([], pa.float64())}
             )
-        idx = np.searchsorted(o_keys, l_ok)
-        has = (idx < len(o_keys)) & (o_keys[np.minimum(idx, len(o_keys) - 1)] == l_ok)
-        nk = o_nk[idx[has]]
-        rev = l_rev[has]
         # in-group combiner: one partial row per nation
-        uniq, inv = np.unique(nk, return_inverse=True)
+        uniq, inv = np.unique(build["nkey"], return_inverse=True)
         sums = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(sums, inv, rev)
+        np.add.at(sums, inv, probe["rev"])
         return pa.table(
             {"nkey": pa.array(uniq, pa.int64()), "p_rev": pa.array(sums, pa.float64())}
         )
@@ -370,19 +399,11 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_rows, batch_format="pyarrow")
-
-    def add_obucket(batch: pa.Table) -> pa.Table:
-        b = ((batch["orderkey"].to_numpy().astype(np.uint64)
-              * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(parts)).astype(np.int64)
-        return batch.append_column("obucket", pa.array(b))
-
     ds = (
-        ord_nat.map_batches(on_rows, batch_format="pyarrow")
-        .union(lineitem)
-        .map_batches(add_obucket, batch_format="pyarrow")
-        .repartition(parts)
-        .groupby("obucket")
-        .map_groups(join_li, batch_format="pyarrow")
+        _bucketed_equijoin(
+            ord_nat.map_batches(on_rows, batch_format="pyarrow").union(lineitem),
+            parts, build_cols=["nkey"], probe_cols=["rev"], emit=emit_rev,
+        )
         .groupby("nkey")
         .aggregate(Sum("p_rev", alias_name="revenue"))
     )
@@ -396,6 +417,100 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
         }
     )
     return out.sort_by("n_name")
+
+
+def q_brand_returned_revenue(sf_dir: str) -> pa.Table:
+    """Returned revenue by part brand: lineitem (l_returnflag = 'R') x
+    part on partkey — a second large-large hash join through the shared
+    _bucketed_equijoin, with a per-group brand-revenue combiner so only
+    (task, brand) partial rows leave the join: (p_brand, revenue_r, n)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    parts = max(4, _cluster_cpus())
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["p_partkey"].cast(pa.int64()),
+                "brand": batch["p_brand"],
+                "rev": pa.array([0.0] * n, pa.float64()),
+                "side": pa.array([0] * n, pa.int8()),
+            }
+        )
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["l_returnflag"], "R")
+        b = batch.filter(m)
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": b["l_partkey"].cast(pa.int64()),
+                "brand": pa.array([""] * n, pa.string()),
+                "rev": rev,
+                "side": pa.array([1] * n, pa.int8()),
+            }
+        )
+
+    def emit(probe, build) -> pa.Table:
+        if probe is None:
+            return pa.table(
+                {
+                    "brand": pa.array([], pa.string()),
+                    "p_rev": pa.array([], pa.float64()),
+                    "p_n": pa.array([], pa.int64()),
+                }
+            )
+        uniq, inv = np.unique(np.asarray(build["brand"], dtype=object), return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, probe["rev"])
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table(
+            {
+                "brand": pa.array(list(uniq), pa.string()),
+                "p_rev": pa.array(sums, pa.float64()),
+                "p_n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    part = sized_read(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(part_rows, batch_format="pyarrow")
+    li = sized_read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_rows, batch_format="pyarrow")
+    ds = (
+        _bucketed_equijoin(
+            part.union(li), parts,
+            build_cols=["brand"], probe_cols=["rev"], emit=emit,
+        )
+        .groupby("brand")
+        .aggregate(Sum("p_rev", alias_name="revenue"), Sum("p_n", alias_name="n"))
+    )
+    t = _to_table(ds)
+    rev = t["revenue"].to_numpy(zero_copy_only=False).astype(np.float64)
+    out = pa.table(
+        {
+            "p_brand": t["brand"],
+            "revenue_r": pa.array(round_half_away_np(rev, 2), pa.float64()),
+            "n": t["n"].cast(pa.int64()),
+        }
+    )
+    return out.sort_by("p_brand")
+
+
+def oracle_brand_returned_revenue_sql() -> str:
+    return """SELECT p_brand,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue_r,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_returnflag = 'R'
+GROUP BY p_brand"""
 
 
 def oracle_revenue_by_nation_sql() -> str:
