@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_topk": flagship.q_join_topk,  # JoinUtil scored query-time join
         "revenue_by_nation": relational.q_revenue_by_nation,  # 2-hop hash join chain
         "brand_returned_revenue": relational.q_brand_returned_revenue,  # part join
+        "supplier_stats_by_nation": relational.q_supplier_stats_by_nation,
         "blockjoin_topk": flagship.q_blockjoin_topk,  # join module: nested doc blocks
         "tochild_topk": flagship.q_tochild_topk,  # inverse block join
         "bm25_topk_docsonly": flagship.q_bm25_topk_docsonly,  # IndexOptions.DOCS
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "join_topk": O.join_topk_sql(flagship.JOIN_FROM_TERM, flagship.JOIN_TOPK_K),
         "revenue_by_nation": relational.oracle_revenue_by_nation_sql(),
         "brand_returned_revenue": relational.oracle_brand_returned_revenue_sql(),
+        "supplier_stats_by_nation": relational.oracle_supplier_stats_sql(),
         "facet_tags": O.facet_tags_sql(flagship.FACET_TERM),
         "bm25_tags_filtered": O.filtered_topk_sql(
             list(flagship.TAGS_FILTER_TERMS),

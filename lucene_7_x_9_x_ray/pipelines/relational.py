@@ -513,6 +513,62 @@ WHERE l_returnflag = 'R'
 GROUP BY p_brand"""
 
 
+def q_supplier_stats_by_nation(sf_dir: str) -> pa.Table:
+    """Supplier account-balance stats per nation: the broadcast-dimension
+    join shape (nation is 25 rows -> ray.put dict; suppliers stream
+    through map_batches with a per-batch combiner, the final groupby sees
+    one row per (batch, nation)): (n_name, n_suppliers, sum_acctbal_r)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nmap_ref = ray.put(
+        dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        nk = batch["s_nationkey"].to_numpy()
+        bal = batch["s_acctbal"].to_numpy()
+        uniq, inv = np.unique(nk, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, bal)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array([nmap[int(k)] for k in uniq], pa.string()),
+                "p_bal": pa.array(sums, pa.float64()),
+                "p_n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    ds = (
+        sized_read(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("p_n", alias_name="n_suppliers"), Sum("p_bal", alias_name="bal"))
+    )
+    t = _to_table(ds)
+    bal = t["bal"].to_numpy(zero_copy_only=False).astype(np.float64)
+    out = pa.table(
+        {
+            "n_name": t["n_name"],
+            "n_suppliers": t["n_suppliers"].cast(pa.int64()),
+            "sum_acctbal_r": pa.array(round_half_away_np(bal, 2), pa.float64()),
+        }
+    )
+    return out.sort_by("n_name")
+
+
+def oracle_supplier_stats_sql() -> str:
+    return """SELECT n_name, count(*) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS sum_acctbal_r
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
 def oracle_revenue_by_nation_sql() -> str:
     return f"""SELECT n_name, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue_r
 FROM lineitem
