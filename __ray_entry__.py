@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_length_ranges": flagship.q_facet_length_ranges,  # numeric range facets
         "facet_taxonomy": flagship.q_facet_taxonomy,  # hierarchical path rollup
         "facet_drilldown": flagship.q_facet_drilldown,  # DrillDownQuery subtree filter
+        "facet_drillsideways": flagship.q_facet_drillsideways,  # DrillSideways
         "facet_tags": flagship.q_facet_tags,  # SORTED_SET multi-valued facets
         "bm25_tags_filtered": flagship.q_bm25_tags_filtered,  # SORTED_SET FILTER
         "grouped_topk": flagship.q_grouped_topk,
@@ -192,6 +193,9 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": relational.oracle_revenue_by_nation_sql(),
         "brand_returned_revenue": relational.oracle_brand_returned_revenue_sql(),
         "supplier_stats_by_nation": relational.oracle_supplier_stats_sql(),
+        "facet_drillsideways": O.facet_drillsideways_sql(
+            flagship.FACET_TERM, flagship.DRILLDOWN_PATH
+        ),
         "facet_tags": O.facet_tags_sql(flagship.FACET_TERM),
         "bm25_tags_filtered": O.filtered_topk_sql(
             list(flagship.TAGS_FILTER_TERMS),

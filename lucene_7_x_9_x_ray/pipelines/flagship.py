@@ -1318,6 +1318,56 @@ JOIN_TOPK_K = 10
 JOIN_SCORE_MODES = ("total", "max", "avg", "none")
 
 
+def q_facet_drillsideways(sf_dir: str) -> pa.Table:
+    """DrillSideways (facet/DrillSideways.java:63): drilling down on one
+    dimension (taxonomy node DRILLDOWN_PATH of the ``path`` dim) returns,
+    in one pass, (a) facet counts for the DRILLED dim computed with its
+    own filter EXCLUDED — the level-1 taxonomy histogram over ALL docs
+    matching the base query — and (b) facet counts of the OTHER dim
+    (lang) over the fully drilled-down doc set.
+
+    Single streaming pass (the DrillSidewaysScorer one-collector model):
+    the matched-rows Dataset carries path + lang; one map_batches emits
+    ("path", level-1 node) rows for every match and ("lang", value) rows
+    only for matches inside the drilled subtree; one Ray groupby counts:
+    (dim, value, n)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def emit(batch: pa.Table) -> pa.Table:
+        full = batch["path"].combine_chunks()
+        lvl1 = pc.list_element(
+            pc.split_pattern(full, "/", max_splits=1), 0
+        ).cast(pa.string())
+        in_drill = pc.equal(lvl1, DRILLDOWN_PATH)
+        langs = batch["lang"].combine_chunks().filter(in_drill)
+        dims = pa.concat_arrays(
+            [
+                pa.array(["path"] * len(lvl1), pa.string()),
+                pa.array(["lang"] * len(langs), pa.string()),
+            ]
+        )
+        vals = pa.concat_arrays([lvl1, langs.combine_chunks()
+                                 if isinstance(langs, pa.ChunkedArray) else langs])
+        return pa.table({"dim": dims, "value": vals})
+
+    rows = (
+        _matched_rows_dataset(sf_dir, [FACET_TERM], with_path=True)
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby(["dim", "value"])
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: (r["dim"], r["value"]))
+    return pa.table(
+        {
+            "dim": pa.array([r["dim"] for r in rows], pa.string()),
+            "value": pa.array([r["value"] for r in rows], pa.string()),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_join_topk(sf_dir: str) -> pa.Table:
     """Scored query-time join: from-side = docs matching JOIN_FROM_TERM,
     join key = the level-1 taxonomy node (source) of each doc, to-side =

@@ -970,6 +970,22 @@ SELECT path, n FROM (
 )"""
 
 
+def facet_drillsideways_sql(
+    term: str, drill: str, relation: str = "documents"
+) -> str:
+    """DrillSideways oracle: level-1 path (= source) counts over ALL docs
+    matching ``term`` (the drilled dim's filter excluded), plus lang
+    counts over the drilled-down subset (source = drill)."""
+    lit = drill.replace("'", "''")
+    return f"""WITH {base_ctes(relation)},
+m AS (SELECT d.source, d.lang FROM {relation} d
+      WHERE EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{term}'))
+SELECT 'path' AS dim, source AS value, count(*) AS n FROM m GROUP BY source
+UNION ALL
+SELECT 'lang' AS dim, lang AS value, count(*) AS n
+FROM m WHERE source = '{lit}' GROUP BY lang"""
+
+
 def facet_tags_sql(term: str, relation: str = "documents") -> str:
     """SORTED_SET facet counts over docs matching ``term``: each doc
     counts once per distinct value of its tag set {lang, source,
