@@ -35,6 +35,8 @@ __all__ = [
     "LMDirichletTermWeight",
     "DFRSimilarity",
     "DFRTermWeight",
+    "IBSimilarity",
+    "IBTermWeight",
     "LENGTH_TABLE",
     "get_similarity",
 ]
@@ -371,6 +373,70 @@ class DFRSimilarity:
         )
 
 
+@dataclass(frozen=True)
+class IBTermWeight:
+    """IB(LL, DF, H1) per-term state (s84 IBSimilarity.java:107-112,
+    DistributionLL.java:37-38, LambdaDF.java:37-42,
+    NormalizationH1.java:59) — lambda computed in float32 per LambdaDF
+    (nextDown at exactly 1), everything else DOUBLE, one float32 cast:
+
+      lambda = (float)((df + 1) / (N + 1))
+      tfn    = (freq * c) * (avgfl / docLen)
+      score  = boost * -ln(lambda / (tfn + lambda))
+    """
+
+    boost: np.float64
+    c: np.float64
+    avgfl: np.float64
+    lam: np.float64
+
+    def score(self, freqs, norm_bytes) -> np.ndarray:
+        f = np.asarray(freqs).astype(np.float64, copy=False)
+        dl = BYTE4_DECODE_TABLE[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64
+        )
+        tfn = (f * self.c) * (self.avgfl / dl)
+        s = self.boost * -np.log(self.lam / (tfn + self.lam))
+        return s.astype(np.float32)
+
+    def score_scalar(self, freq: float, norm_byte: int) -> float:
+        return float(self.score(np.array([freq]), np.array([norm_byte]))[0])
+
+    def max_score(self, imp_freqs, imp_norms) -> float:
+        if len(imp_freqs) == 0:
+            return 0.0
+        return float(self.score(imp_freqs, imp_norms).max())
+
+
+class IBSimilarity:
+    """Information-based similarity with the log-logistic distribution,
+    document-frequency lambda and H1 normalization —
+    IBSimilarity(DistributionLL, LambdaDF, NormalizationH1(c))."""
+
+    def __init__(self, c: float = 1.0):
+        if not np.isfinite(c) or c <= 0:
+            raise ValueError(f"illegal c value: {c}, must be a positive finite value")
+        self.c = np.float64(np.float32(c))  # NormalizationH1 stores c as float
+
+    def term_weight(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        ttf: int | None = None,
+    ) -> IBTermWeight:
+        lam32 = np.float32((doc_freq + 1.0) / (doc_count + 1.0))
+        if lam32 == np.float32(1.0):  # LambdaDF's SPL guard
+            lam32 = np.nextafter(lam32, np.float32(0.0))
+        return IBTermWeight(
+            boost=np.float64(np.float32(boost)),
+            c=self.c,
+            avgfl=np.float64(sum_total_term_freq) / np.float64(doc_count),
+            lam=np.float64(lam32),
+        )
+
+
 def get_similarity(spec: str = "bm25"):
     """Similarity registry — the pluggable-Similarity hook (SURVEY.md
     §2.10; IndexSearcher.setSimilarity role). Specs:
@@ -384,6 +450,8 @@ def get_similarity(spec: str = "bm25"):
       "lmdirichlet(mu=...)"       -> parameterized LMDirichlet
       "dfr"                       -> DFR G/B/H2 (c=1)
       "dfr(c=...)"                -> parameterized DFR G/B/H2
+      "ib"                        -> IB LL/DF/H1 (c=1)
+      "ib(c=...)"                 -> parameterized IB LL/DF/H1
 
     Searchers accept the returned object via their ``bm25`` argument."""
     import re
@@ -399,12 +467,14 @@ def get_similarity(spec: str = "bm25"):
         return LMDirichlet()
     if spec == "dfr":
         return DFRSimilarity()
-    m = re.fullmatch(r"(bm25legacy|bm25|lmdirichlet|dfr)\(([^)]*)\)", spec)
+    if spec == "ib":
+        return IBSimilarity()
+    m = re.fullmatch(r"(bm25legacy|bm25|lmdirichlet|dfr|ib)\(([^)]*)\)", spec)
     if m is None:
         raise ValueError(f"unknown similarity spec {spec!r}")
-    cls = {"bm25legacy": LegacyBM25, "bm25": BM25,
-           "lmdirichlet": LMDirichlet, "dfr": DFRSimilarity}[m.group(1)]
-    valid = {"lmdirichlet": ("mu",), "dfr": ("c",)}.get(m.group(1), ("k1", "b"))
+    cls = {"bm25legacy": LegacyBM25, "bm25": BM25, "lmdirichlet": LMDirichlet,
+           "dfr": DFRSimilarity, "ib": IBSimilarity}[m.group(1)]
+    valid = {"lmdirichlet": ("mu",), "dfr": ("c",), "ib": ("c",)}.get(m.group(1), ("k1", "b"))
     kwargs = {}
     for part in filter(None, (p.strip() for p in m.group(2).split(","))):
         key, _, val = part.partition("=")

@@ -798,6 +798,7 @@ SIMILARITY_TOPK_SPECS: list[tuple[str, str]] = [
     ("legacy", "bm25legacy"),      # 7.x BM25 (s75 BM25Similarity.java:257-294)
     ("lmd", "lmdirichlet"),        # LM Dirichlet mu=2000 (LMDirichletSimilarity)
     ("dfr", "dfr"),                # DFR G/B/H2 c=1 (DFRSimilarity)
+    ("ib", "ib"),                  # IB LL/DF/H1 c=1 (IBSimilarity)
 ]
 SIMILARITY_TOPK_TERMS = ("key", "hash")
 SIMILARITY_TOPK_K = 10

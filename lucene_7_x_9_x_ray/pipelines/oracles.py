@@ -516,6 +516,9 @@ def similarity_topk_sql(ta: str, tb: str, k: int, relation: str = "documents") -
       sttf/N, tfn = freq*log2(1 + avgfl/nlen), lambda = (ttf+1)/(N+ttf+1),
       A = log2(lambda+1), B = log2((1+lambda)/lambda), leaf =
       float32((B - (B-A)/(1+tfn)) * (ttf+2)/(df+1)).
+    - 'ib': IB LL/DF/H1 c=1 (IBSimilarity.java:107-112) — lambda =
+      FLOAT32((df+1)/(N+1)) then used as double, tfn = freq*(avgfl/nlen),
+      leaf = float32(-ln(lambda / (tfn + lambda))).
     """
     a, b = _ident(ta), _ident(tb)
     la, lb = ta.replace("'", "''"), tb.replace("'", "''")
@@ -536,6 +539,17 @@ dfr_{t} AS (SELECT tf.doc_id,
                                                / (SELECT n_docs FROM cs))
                                               / CAST(nl.nlen AS DOUBLE)) / ln(2.0))))
                       * (SELECT ae1p FROM dfw_{t}) AS FLOAT) AS s
+            FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
+            JOIN normlen nl USING (doc_id)),
+ibw_{t} AS (SELECT CAST(CAST((df + 1.0) / ((SELECT n_docs FROM cs) + 1.0) AS FLOAT) AS DOUBLE) AS lam
+            FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{lit}')),
+ibs_{t} AS (SELECT tf.doc_id,
+                 CAST(-ln((SELECT lam FROM ibw_{t})
+                          / ((CAST(tf.freq AS DOUBLE)
+                              * ((CAST((SELECT sttf FROM cs) AS DOUBLE)
+                                  / (SELECT n_docs FROM cs))
+                                 / CAST(nl.nlen AS DOUBLE)))
+                             + (SELECT lam FROM ibw_{t}))) AS FLOAT) AS s
             FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
             JOIN normlen nl USING (doc_id)),
 lmp_{t} AS (SELECT (ttf + 1.0) / ((SELECT sttf FROM cs) + 1.0) AS p
@@ -565,7 +579,8 @@ lgs_{t} AS (SELECT tf.doc_id,
             JOIN normlen nl USING (doc_id))""")
     selects = []
     for qid, pref in (
-        ("classic", "cls"), ("legacy", "lgs"), ("lmd", "lmd"), ("dfr", "dfr"),
+        ("classic", "cls"), ("legacy", "lgs"), ("lmd", "lmd"),
+        ("dfr", "dfr"), ("ib", "ibs"),
     ):
         scored = f"""(SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
             CAST(COALESCE(CAST(x.s AS DOUBLE), 0)
