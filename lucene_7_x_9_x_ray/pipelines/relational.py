@@ -222,6 +222,9 @@ def _bucketed_equijoin(ds_union, parts: int, build_cols: list[str],
     rows carry (key:int64, side:int8 — 0 build / 1 probe, plus every
     payload column with placeholder values on the other side).
 
+    The build side's keys must be UNIQUE (a 1:N join — enforced per
+    group): each probe row attaches at most one build row.
+
     Shape: salt the key into `parts` buckets -> repartition ->
     groupby(bucket).map_groups; inside each group the build side sorts by
     key once and probe rows attach vectorized (searchsorted). ``emit``
@@ -247,6 +250,13 @@ def _bucketed_equijoin(ds_union, parts: int, build_cols: list[str],
         pk = keys[~bmask]
         if len(bk) == 0 or len(pk) == 0:
             return emit(None, None)
+        if len(bk) > 1 and np.any(bk[1:] == bk[:-1]):
+            # the searchsorted attach takes ONE build row per probe key; a
+            # duplicated build key would silently drop join multiplicity
+            raise ValueError(
+                "_bucketed_equijoin requires unique build-side keys "
+                "(1:N join); duplicate key found"
+            )
         battach = {
             c: group[c].to_numpy(zero_copy_only=False)[bmask][order]
             for c in build_cols
