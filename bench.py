@@ -191,6 +191,8 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
             ("op_minhash_lsh", dedup.q_minhash_lsh_pairs),
             ("op_ann_brute_topk", ann.q_ann_brute_topk),
             ("op_lineitem_pricing", relational.q_lineitem_pricing),
+            ("op_revenue_by_nation", relational.q_revenue_by_nation),
+            ("op_brand_returned_revenue", relational.q_brand_returned_revenue),
         ):
             # best-of-2: single-shot op timings swing with VM-neighbor load
             best = float("inf")

@@ -37,6 +37,8 @@ __all__ = [
     "DFRTermWeight",
     "IBSimilarity",
     "IBTermWeight",
+    "DFISimilarity",
+    "DFITermWeight",
     "LENGTH_TABLE",
     "get_similarity",
 ]
@@ -437,6 +439,79 @@ class IBSimilarity:
         )
 
 
+_DFI_MEASURES = ("standardized", "saturated", "chisquared")
+
+
+@dataclass(frozen=True)
+class DFITermWeight:
+    """DFI per-term state (s84 DFISimilarity.java:score + Independence*
+    .java) — all DOUBLE, one float32 cast:
+
+      expected = (ttf + 1) * docLen / (sttf + 1)
+      freq <= expected -> 0
+      measure: standardized (f-e)/sqrt(e) | saturated (f-e)/e |
+               chisquared (f-e)^2/e
+      score = boost * log2(measure + 1)
+    """
+
+    boost: np.float64
+    ttf1: np.float64   # ttf + 1
+    sttf1: np.float64  # sumTotalTermFreq + 1
+    measure: str
+
+    def score(self, freqs, norm_bytes) -> np.ndarray:
+        f = np.asarray(freqs).astype(np.float64, copy=False)
+        dl = BYTE4_DECODE_TABLE[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64
+        )
+        expected = self.ttf1 * dl / self.sttf1
+        d = f - expected
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if self.measure == "standardized":
+                m = d / np.sqrt(expected)
+            elif self.measure == "saturated":
+                m = d / expected
+            else:  # chisquared
+                m = d * d / expected
+            s = self.boost * (np.log(m + 1.0) / np.log(2.0))
+        return np.where(f <= expected, 0.0, s).astype(np.float32)
+
+    def score_scalar(self, freq: float, norm_byte: int) -> float:
+        return float(self.score(np.array([freq]), np.array([norm_byte]))[0])
+
+    def max_score(self, imp_freqs, imp_norms) -> float:
+        if len(imp_freqs) == 0:
+            return 0.0
+        return float(self.score(imp_freqs, imp_norms).max())
+
+
+class DFISimilarity:
+    """Divergence-from-independence similarity (DFISimilarity) with one
+    of the three shipped independence measures."""
+
+    def __init__(self, measure: str = "standardized"):
+        if measure not in _DFI_MEASURES:
+            raise ValueError(f"unknown DFI independence measure {measure!r}")
+        self.measure = measure
+
+    def term_weight(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        ttf: int | None = None,
+    ) -> DFITermWeight:
+        if ttf is None:
+            raise ValueError("DFI requires the term's totalTermFreq (ttf=)")
+        return DFITermWeight(
+            boost=np.float64(np.float32(boost)),
+            ttf1=np.float64(ttf) + 1.0,
+            sttf1=np.float64(sum_total_term_freq) + 1.0,
+            measure=self.measure,
+        )
+
+
 def get_similarity(spec: str = "bm25"):
     """Similarity registry — the pluggable-Similarity hook (SURVEY.md
     §2.10; IndexSearcher.setSimilarity role). Specs:
@@ -452,6 +527,8 @@ def get_similarity(spec: str = "bm25"):
       "dfr(c=...)"                -> parameterized DFR G/B/H2
       "ib"                        -> IB LL/DF/H1 (c=1)
       "ib(c=...)"                 -> parameterized IB LL/DF/H1
+      "dfi"                       -> DFI standardized
+      "dfi(saturated)" etc.       -> DFI with that independence measure
 
     Searchers accept the returned object via their ``bm25`` argument."""
     import re
@@ -469,6 +546,11 @@ def get_similarity(spec: str = "bm25"):
         return DFRSimilarity()
     if spec == "ib":
         return IBSimilarity()
+    if spec == "dfi":
+        return DFISimilarity()
+    mdfi = re.fullmatch(r"dfi\((\w+)\)", spec)
+    if mdfi is not None:
+        return DFISimilarity(mdfi.group(1))
     m = re.fullmatch(r"(bm25legacy|bm25|lmdirichlet|dfr|ib)\(([^)]*)\)", spec)
     if m is None:
         raise ValueError(f"unknown similarity spec {spec!r}")

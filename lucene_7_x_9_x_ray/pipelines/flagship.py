@@ -799,6 +799,7 @@ SIMILARITY_TOPK_SPECS: list[tuple[str, str]] = [
     ("lmd", "lmdirichlet"),        # LM Dirichlet mu=2000 (LMDirichletSimilarity)
     ("dfr", "dfr"),                # DFR G/B/H2 c=1 (DFRSimilarity)
     ("ib", "ib"),                  # IB LL/DF/H1 c=1 (IBSimilarity)
+    ("dfi", "dfi"),                # DFI standardized (DFISimilarity)
 ]
 SIMILARITY_TOPK_TERMS = ("key", "hash")
 SIMILARITY_TOPK_K = 10

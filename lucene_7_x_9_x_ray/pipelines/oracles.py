@@ -519,6 +519,9 @@ def similarity_topk_sql(ta: str, tb: str, k: int, relation: str = "documents") -
     - 'ib': IB LL/DF/H1 c=1 (IBSimilarity.java:107-112) — lambda =
       FLOAT32((df+1)/(N+1)) then used as double, tfn = freq*(avgfl/nlen),
       leaf = float32(-ln(lambda / (tfn + lambda))).
+    - 'dfi': DFI standardized (DFISimilarity.java) — expected =
+      (ttf+1)*nlen/(sttf+1) DOUBLE; 0 when freq <= expected, else
+      float32(log2(((freq-expected)/sqrt(expected)) + 1)).
     """
     a, b = _ident(ta), _ident(tb)
     la, lb = ta.replace("'", "''"), tb.replace("'", "''")
@@ -541,6 +544,17 @@ dfr_{t} AS (SELECT tf.doc_id,
                       * (SELECT ae1p FROM dfw_{t}) AS FLOAT) AS s
             FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
             JOIN normlen nl USING (doc_id)),
+dfiw_{t} AS (SELECT ttf + 1.0 AS ttf1
+             FROM (SELECT count(*) AS ttf FROM tok WHERE term = '{lit}')),
+dfis_{t} AS (SELECT doc_id,
+                 CAST(CASE WHEN f <= expected THEN 0.0
+                           ELSE ln(((f - expected) / sqrt(expected)) + 1.0) / ln(2.0)
+                      END AS FLOAT) AS s
+             FROM (SELECT tf.doc_id, CAST(tf.freq AS DOUBLE) AS f,
+                          ((SELECT ttf1 FROM dfiw_{t}) * CAST(nl.nlen AS DOUBLE))
+                          / ((SELECT sttf FROM cs) + 1.0) AS expected
+                   FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
+                   JOIN normlen nl USING (doc_id))),
 ibw_{t} AS (SELECT CAST(CAST((df + 1.0) / ((SELECT n_docs FROM cs) + 1.0) AS FLOAT) AS DOUBLE) AS lam
             FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{lit}')),
 ibs_{t} AS (SELECT tf.doc_id,
@@ -580,7 +594,7 @@ lgs_{t} AS (SELECT tf.doc_id,
     selects = []
     for qid, pref in (
         ("classic", "cls"), ("legacy", "lgs"), ("lmd", "lmd"),
-        ("dfr", "dfr"), ("ib", "ibs"),
+        ("dfr", "dfr"), ("ib", "ibs"), ("dfi", "dfis"),
     ):
         scored = f"""(SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
             CAST(COALESCE(CAST(x.s AS DOUBLE), 0)
