@@ -217,13 +217,18 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _bucketed_equijoin(ds_union, parts: int, build_cols: list[str],
-                       probe_cols: list[str], emit):
+                       probe_cols: list[str], emit,
+                       unique_build: bool = True):
     """Generic hash-partitioned equijoin over ONE unioned Dataset whose
     rows carry (key:int64, side:int8 — 0 build / 1 probe, plus every
     payload column with placeholder values on the other side).
 
-    The build side's keys must be UNIQUE (a 1:N join — enforced per
-    group): each probe row attaches at most one build row.
+    ``unique_build=True`` (default, enforced per group): a 1:N join —
+    each probe row attaches at most one build row via one searchsorted.
+    ``unique_build=False``: full M:N inner-join multiplicity — each
+    probe row expands to one output row per matching build row (run
+    bounds via two searchsorteds + np.repeat/arange offsets, still no
+    Python loop).
 
     Shape: salt the key into `parts` buckets -> repartition ->
     groupby(bucket).map_groups; inside each group the build side sorts by
@@ -250,13 +255,6 @@ def _bucketed_equijoin(ds_union, parts: int, build_cols: list[str],
         pk = keys[~bmask]
         if len(bk) == 0 or len(pk) == 0:
             return emit(None, None)
-        if len(bk) > 1 and np.any(bk[1:] == bk[:-1]):
-            # the searchsorted attach takes ONE build row per probe key; a
-            # duplicated build key would silently drop join multiplicity
-            raise ValueError(
-                "_bucketed_equijoin requires unique build-side keys "
-                "(1:N join); duplicate key found"
-            )
         battach = {
             c: group[c].to_numpy(zero_copy_only=False)[bmask][order]
             for c in build_cols
@@ -264,11 +262,38 @@ def _bucketed_equijoin(ds_union, parts: int, build_cols: list[str],
         pattach = {
             c: group[c].to_numpy(zero_copy_only=False)[~bmask] for c in probe_cols
         }
-        idx = np.searchsorted(bk, pk)
-        has = (idx < len(bk)) & (bk[np.minimum(idx, len(bk) - 1)] == pk)
+        if unique_build:
+            if len(bk) > 1 and np.any(bk[1:] == bk[:-1]):
+                # one searchsorted takes ONE build row per probe key; a
+                # duplicated build key would silently drop multiplicity
+                raise ValueError(
+                    "_bucketed_equijoin(unique_build=True) requires unique "
+                    "build-side keys; duplicate key found — pass "
+                    "unique_build=False for M:N expansion"
+                )
+            idx = np.searchsorted(bk, pk)
+            has = (idx < len(bk)) & (bk[np.minimum(idx, len(bk) - 1)] == pk)
+            return emit(
+                {c: v[has] for c, v in pattach.items()},
+                {c: v[idx[has]] for c, v in battach.items()},
+            )
+        # M:N expansion: per probe key, the matching build rows form the
+        # run [lo, hi); each probe row repeats (hi - lo) times and pairs
+        # with build indices lo + (0..run-1) via the cumsum-offset trick
+        lo = np.searchsorted(bk, pk, side="left")
+        hi = np.searchsorted(bk, pk, side="right")
+        counts = hi - lo
+        probe_idx = np.repeat(np.arange(len(pk)), counts)
+        starts = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        build_idx = (
+            np.repeat(lo, counts)
+            + np.arange(int(starts[-1]), dtype=np.int64)
+            - np.repeat(starts[:-1], counts)
+        )
         return emit(
-            {c: v[has] for c, v in pattach.items()},
-            {c: v[idx[has]] for c, v in battach.items()},
+            {c: v[probe_idx] for c, v in pattach.items()},
+            {c: v[build_idx] for c, v in battach.items()},
         )
 
     return (

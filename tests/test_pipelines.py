@@ -1178,3 +1178,53 @@ def test_facet_length_ranges_oracle(ray_session):
     key = [("bucket", "ascending")]
     assert got.sort_by(key).equals(want.cast(got.schema).sort_by(key))
     assert got.num_rows >= 2  # multiple buckets populated
+
+
+def test_bucketed_equijoin_mn_expansion(ray_session):
+    """unique_build=False: full M:N inner-join multiplicity — each probe
+    row expands to one output row per matching build row; the 1:N default
+    refuses duplicate build keys instead of silently dropping rows."""
+    import ray.data as rd
+
+    from lucene_7_x_9_x_ray.pipelines.relational import _bucketed_equijoin
+
+    # build: key 1 -> tags a, b; key 2 -> tag c. probe: key 1 x2, key 2,
+    # key 3 (no match). Expected M:N pairs: (1,a)x2, (1,b)x2, (2,c).
+    build = pa.table(
+        {"key": pa.array([1, 1, 2], pa.int64()),
+         "tag": pa.array(["a", "b", "c"], pa.string()),
+         "val": pa.array([0, 0, 0], pa.int64()),
+         "side": pa.array([0, 0, 0], pa.int8())}
+    )
+    probe = pa.table(
+        {"key": pa.array([1, 1, 2, 3], pa.int64()),
+         "tag": pa.array(["", "", "", ""], pa.string()),
+         "val": pa.array([10, 20, 30, 40], pa.int64()),
+         "side": pa.array([1, 1, 1, 1], pa.int8())}
+    )
+
+    def emit(p, b):
+        if p is None:
+            return pa.table({"tag": pa.array([], pa.string()),
+                             "val": pa.array([], pa.int64())})
+        return pa.table({"tag": pa.array(b["tag"], pa.string()),
+                         "val": pa.array(p["val"], pa.int64())})
+
+    ds = _bucketed_equijoin(
+        rd.from_arrow(build).union(rd.from_arrow(probe)), parts=4,
+        build_cols=["tag"], probe_cols=["val"], emit=emit, unique_build=False,
+    )
+    import ray as _ray
+
+    parts_tables = [
+        t for t in _ray.get(ds.materialize().to_arrow_refs()) if t.num_rows
+    ]
+    t = pa.concat_tables(parts_tables)
+    got = sorted(zip(t["tag"].to_pylist(), t["val"].to_pylist()))
+    assert got == [("a", 10), ("a", 20), ("b", 10), ("b", 20), ("c", 30)]
+
+    with pytest.raises(Exception):  # duplicate build keys under the 1:N default
+        _bucketed_equijoin(
+            rd.from_arrow(build).union(rd.from_arrow(probe)), parts=1,
+            build_cols=["tag"], probe_cols=["val"], emit=emit,
+        ).materialize()
