@@ -59,6 +59,17 @@ PHRASE_SPECS: list[tuple[str, list[str], int]] = [
     ("ph3_row_scan_slow", ["row", "scan", "slow"], 10),
 ]
 
+# multi-phrase query set: (query_id, slots, k) — each slot is the list of
+# alternative terms at that phrase position (MultiPhraseQuery.java:58);
+# mp_union1 is the degenerate one-slot union, mp_parse round-trips the
+# classic-parser "a (b|c) d" syntax
+MULTIPHRASE_SPECS: list[tuple[str, list[list[str]], int]] = [
+    ("mp_key_hashvalue", [["key"], ["hash", "value"]], 10),
+    ("mp_thebig_table", [["the", "big"], ["table"]], 10),
+    ("mp3_row_scansort_slowfast", [["row"], ["scan", "sort"], ["slow", "fast"]], 10),
+    ("mp_union1", [["key", "hash"]], 10),
+]
+
 POSTINGS_TERMS = ["the", "table", "dup"]
 FACET_TERM = "table"
 GROUPED_TOPK_TERMS = ["key", "hash"]
@@ -312,6 +323,38 @@ def q_phrase_topk(sf_dir: str) -> pa.Table:
     qids, ranks, docs, scores = [], [], [], []
     for qid, terms, k in PHRASE_SPECS:
         td = merged.search(Q.PhraseQuery(terms=tuple(terms)), k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def q_multiphrase_topk(sf_dir: str) -> pa.Table:
+    """MultiPhraseQuery top-k (per-position term disjunction over union
+    postings, MultiPhraseQuery.java:58): (query_id, rank, doc_id,
+    score_r). The last spec additionally re-parses through the classic
+    '"a (b|c) d"' syntax and asserts the parsed tree equals the spec —
+    the parser hook is exercised on the gate path itself."""
+    from ..functions.analysis import StandardAnalyzer
+
+    merged, _ = get_searchers(sf_dir)
+    parsed = Q.parse_classic('"row (scan|sort) (slow|fast)"', StandardAnalyzer())
+    assert parsed == Q.MultiPhraseQuery(
+        positions=(("row",), ("scan", "sort"), ("slow", "fast"))
+    ), parsed
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, slots, k in MULTIPHRASE_SPECS:
+        q = Q.MultiPhraseQuery(positions=tuple(tuple(s) for s in slots))
+        td = merged.search(q, k=k)
         for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
             qids.append(qid)
             ranks.append(r)

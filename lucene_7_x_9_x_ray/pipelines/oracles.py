@@ -193,6 +193,54 @@ ps_{qid} AS (SELECT pf.doc_id,
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def multiphrase_topk_sql(
+    specs: list[tuple[str, list[list[str]], int]], relation: str = "documents"
+) -> str:
+    """Exact MultiPhraseQuery top-k oracle: (query_id, rank, doc_id,
+    score_r).
+
+    The exact-phrase CTE generalizes per slot: an alignment position i
+    matches when arr[i+j] is IN slot j's term set (union postings =
+    membership test on the one-token-per-position corpus); freq = the
+    number of such i (ExactPhraseMatcher over UnionPostingsEnum,
+    scorers.py _eval_multi_phrase). The score weight is the float32 cast
+    of the DOUBLE sum of per-term f32 idfs over ALL terms flattened in
+    termArrays order (MultiPhraseWeight ctor)."""
+    terms = sorted({t for _, slots, _ in specs for s in slots for t in s})
+    ctes = [base_ctes(relation)]
+    ctes += [term_leaf_ctes(t) for t in terms]
+    for qid, slots, _k in specs:
+        conds = " AND ".join(
+            "arr[i+{}] IN ({})".format(
+                j, ",".join("'" + t.replace("'", "''") + "'" for t in slot)
+            )
+            for j, slot in enumerate(slots)
+        )
+        flat = [t for slot in slots for t in slot]
+        idf_sum = " + ".join(f"CAST((SELECT w FROM w_{_ident(t)}) AS DOUBLE)" for t in flat)
+        ctes.append(f"""
+mpf_{qid} AS (SELECT doc_id, count(*) AS freq
+             FROM (SELECT doc_id, arr,
+                          unnest(generate_series(1, greatest(len(arr) - {len(slots) - 1}, 0))) AS i
+                   FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}))
+             WHERE {conds} GROUP BY doc_id),
+mps_{qid} AS (SELECT pf.doc_id,
+                    CAST({idf_sum} AS FLOAT)
+                    - CAST({idf_sum} AS FLOAT)
+                      / ({ONE_F} + CAST(pf.freq AS FLOAT)
+                         * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                            + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS score
+             FROM mpf_{qid} pf JOIN normlen nl USING (doc_id))""")
+    selects = [
+        f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM mps_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
+        for qid, _slots, k in specs
+    ]
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def sloppy_phrase2_topk_sql(
     specs: list[tuple[str, list[str], int, int]], relation: str = "documents"
 ) -> str:

@@ -251,6 +251,26 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with one or MORE terms per position — the query
+    QueryBuilder.createPhraseQuery produces whenever the analyzer emits
+    stacked (synonym) tokens (s84 search/MultiPhraseQuery.java:58,
+    util/QueryBuilder.java analyzeMultiPhrase). Each slot matches the
+    UNION of its terms' postings (UnionPostingsEnum: merged position
+    streams, no dedup); scoring weight = float32 of the double sum of
+    per-term idfs over ALL terms in termArrays order
+    (MultiPhraseWeight ctor flattening)."""
+
+    positions: tuple[tuple[str, ...], ...]
+    slop: int = 0
+    boost: float = 1.0
+    field: str = ""
+
+    def flat_terms(self) -> tuple[str, ...]:
+        return tuple(t for slot in self.positions for t in slot)
+
+
+@dataclass(frozen=True)
 class IntervalQuery(Query):
     """queries/intervals IntervalQuery (s84 IntervalQuery.java:75): ranks
     docs by the saturation of the minimal-interval sloppy frequency.
@@ -574,6 +594,8 @@ def collect_terms(query: Query) -> set[str]:
         out.add(query.term)
     elif isinstance(query, PhraseQuery):
         out.update(query.terms)
+    elif isinstance(query, MultiPhraseQuery):
+        out.update(query.flat_terms())
     elif isinstance(query, SynonymQuery):
         out.update(query.terms)
     elif isinstance(query, BooleanQuery):
@@ -611,6 +633,8 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
         out.add((query.field, query.term))
     elif isinstance(query, (PhraseQuery, SynonymQuery)):
         out.update((query.field, t) for t in query.terms)
+    elif isinstance(query, MultiPhraseQuery):
+        out.update((query.field, t) for t in query.flat_terms())
     elif isinstance(query, BooleanQuery):
         for c in query.clauses:
             out |= collect_field_terms(c.query)
@@ -673,8 +697,43 @@ def _classic_single(tok: str, analyzer, field: str, boost: float) -> Query | Non
     prefix / range), field- and boost-aware."""
     m = _PHRASE_RE.match(tok)
     if m is not None:
-        terms = tuple(analyzer.tokens(m.group(1)))
+        body = m.group(1)
         slop = int(m.group(2)) if m.group(2) else 0
+        if "(" in body:
+            # multi-phrase syntax: "a (b|c) d" — a parenthesized group is
+            # one phrase position whose |-separated alternatives match as
+            # a union (QueryBuilder.analyzeMultiPhrase outcome for an
+            # analyzer that stacks synonym tokens at one position)
+            slots: list[tuple[str, ...]] = []
+            for part in body.split():
+                if part.startswith("(") and part.endswith(")"):
+                    alts: list[str] = []
+                    for alt in part[1:-1].split("|"):
+                        ts = analyzer.tokens(alt)
+                        if len(ts) != 1:
+                            raise QueryParseError(
+                                "multi-phrase alternative must analyze to one term: "
+                                + alt
+                            )
+                        alts.append(ts[0])
+                    if not alts:
+                        raise QueryParseError("empty multi-phrase group")
+                    slots.append(tuple(alts))
+                else:
+                    # a bare token may analyze to several sequential terms,
+                    # each its own single-term position
+                    slots.extend((t,) for t in analyzer.tokens(part))
+            if not slots:
+                return None
+            if all(len(s) == 1 for s in slots):
+                terms = tuple(s[0] for s in slots)
+                if len(terms) == 1:
+                    return TermQuery(terms[0], boost=boost, field=field)
+                return PhraseQuery(terms=terms, slop=slop, boost=boost, field=field)
+            return MultiPhraseQuery(
+                positions=tuple(slots), slop=slop, boost=boost, field=field
+            )
+        terms = tuple(analyzer.tokens(body))
         if not terms:
             return None
         if len(terms) == 1:

@@ -416,6 +416,9 @@ def eval_query(
     if isinstance(query, Q.PhraseQuery):
         return _eval_phrase(reader, query, stats, bm25)
 
+    if isinstance(query, Q.MultiPhraseQuery):
+        return _eval_multi_phrase(reader, query, stats, bm25)
+
     if isinstance(query, Q.IntervalQuery):
         from .intervals import eval_interval_query
 
@@ -746,6 +749,111 @@ def _eval_phrase(
         return _empty()
 
     tw = sum_idf_weight(query.terms, query.field, stats, bm25, query.boost)
+    scores = tw.score(freqs, fr.norms[cand]).astype(np.float32, copy=False)
+    return cand, scores
+
+
+def _union_term_positions(fr, terms) -> tuple | None:
+    """UnionPostingsEnum equivalent (s84 search/MultiPhraseQuery.java:478-
+    560): the merged postings of every term at one phrase position —
+    docs = union of the term doc lists, per-doc positions = the
+    position-sorted concatenation of each term's positions (no dedup,
+    matching the PriorityQueue merge). Returns the same (docs, freqs,
+    flat_positions) shape as SegmentReader.term_positions, or None when
+    no term exists."""
+    parts = []
+    for t in terms:
+        tpp = fr.term_positions(t)
+        if tpp is not None:
+            parts.append(tpp)
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    docs_all = np.concatenate([np.repeat(d, f) for d, f, _ in parts])
+    pos_all = np.concatenate([p for _, _, p in parts])
+    order = np.lexsort((pos_all, docs_all))
+    docs_all = docs_all[order]
+    pos_all = pos_all[order]
+    docs, freqs = np.unique(docs_all, return_counts=True)
+    return docs, freqs, pos_all
+
+
+def _eval_multi_phrase(
+    reader, query: "Q.MultiPhraseQuery", stats: CollectionStats, bm25: BM25
+) -> tuple[np.ndarray, np.ndarray]:
+    """MultiPhraseQuery over the positions index (s84
+    search/MultiPhraseQuery.java:58): each phrase position holds one or
+    more terms; the slot's postings are the union of its terms' postings
+    (_union_term_positions), and the phrase matcher runs unchanged over
+    the unions. slop=0 follows ExactPhraseMatcher (count of alignment
+    positions); slop>0 the SloppyPhraseMatcher no-repeats traversal —
+    slots sharing a term would need the rptGroups machinery over union
+    enums (SloppyPhraseMatcher.java:279-358), which is out of scope and
+    rejected explicitly. Scoring follows MultiPhraseWeight: one SimScorer
+    whose idf is the double sum of per-term float32 idfs over ALL terms
+    in termArrays order (ctor flattening), freq = (sloppy) phrase freq."""
+    if len(query.positions) == 1:
+        slot = query.positions[0]
+        # MultiPhraseQuery.rewrite: one slot of one term -> TermQuery; one
+        # slot of many terms scores each doc by the union freq with the
+        # summed idf weight (degenerate phrase of length 1)
+        if len(slot) == 1:
+            return term_scores(reader, slot[0], stats, bm25, query.boost, query.field)
+    if query.slop > 0:
+        seen: set[str] = set()
+        for slot in query.positions:
+            if any(t in seen for t in slot):
+                raise ValueError(
+                    "sloppy MultiPhraseQuery with a term repeated across "
+                    "positions (rptGroups over union postings) is not supported"
+                )
+            seen.update(slot)
+    fr = _view(reader, query.field)
+    if not getattr(fr, "has_positions", False):
+        raise ValueError(
+            "MultiPhraseQuery requires an index built with index_positions=True"
+        )
+    per_slot = []
+    for slot in query.positions:
+        u = _union_term_positions(fr, slot)
+        if u is None:
+            return _empty()
+        per_slot.append(u)
+
+    cand = per_slot[0][0]
+    for d, _f, _p in per_slot[1:]:
+        cand = np.intersect1d(cand, d, assume_unique=True)
+    if len(cand) == 0:
+        return _empty()
+
+    locs, offs = _positions_cursor(per_slot, cand)
+    freqs = np.zeros(len(cand), dtype=np.float64)
+    for ci in range(len(cand)):
+        if query.slop == 0:
+            li = locs[0][ci]
+            match = per_slot[0][2][offs[0][li] : offs[0][li + 1]]
+            for ti in range(1, len(per_slot)):
+                li = locs[ti][ci]
+                pos_i = per_slot[ti][2][offs[ti][li] : offs[ti][li + 1]]
+                match = np.intersect1d(match, pos_i - ti)
+                if len(match) == 0:
+                    break
+            freqs[ci] = len(match)
+        else:
+            adj_lists = []
+            for ti in range(len(per_slot)):
+                li = locs[ti][ci]
+                adj_lists.append(
+                    per_slot[ti][2][offs[ti][li] : offs[ti][li + 1]] - ti
+                )
+            freqs[ci] = _sloppy_freq(adj_lists, query.slop)
+    keep = freqs > 0
+    cand, freqs = cand[keep], freqs[keep]
+    if len(cand) == 0:
+        return _empty()
+
+    tw = sum_idf_weight(query.flat_terms(), query.field, stats, bm25, query.boost)
     scores = tw.score(freqs, fr.norms[cand]).astype(np.float32, copy=False)
     return cand, scores
 

@@ -739,3 +739,95 @@ def test_geo_distance_query_over_stored_cols(tmp_path):
     q = Q.BooleanQuery.build([(Q.MUST, Q.TermQuery("lyon")), (Q.FILTER, geo)])
     td2 = s.search(q, k=n, total_hits_threshold=1 << 30)
     assert set(int(d) for d in td2.doc_ids) == {i for i in want if i % 3 == 0}
+
+
+def _mini_index(tmp_path, texts, name="mpi"):
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+    t = pa_.table(
+        {
+            "url": pa_.array([f"u{i}" for i in range(len(texts))]),
+            "warc_ts": pa_.array([0] * len(texts), pa_.timestamp("us")),
+            "text": pa_.array(texts),
+            "lang": pa_.array(["en"] * len(texts)),
+        }
+    )
+    path = str(tmp_path / f"{name}.parquet")
+    pq_.write_table(t, path)
+    idx = str(tmp_path / f"{name}_idx")
+    build_index_local([path], idx, BuildConfig(target_docs_per_segment=100))
+    return IndexSearcher(idx)
+
+
+def test_multiphrase_single_slots_equal_phrase(tmp_path):
+    """All-single-term slots: MultiPhraseQuery is PhraseQuery — identical
+    docs AND float-identical scores for exact and sloppy matching
+    (MultiPhraseQuery degenerates to PhraseQuery when every termArray has
+    one entry)."""
+    s = _mini_index(tmp_path, [
+        "key hash join sort",
+        "key value hash",
+        "hash key",
+        "key a b hash",
+        "nothing here",
+    ])
+    for slop in (0, 2):
+        ph = s.search(Q.PhraseQuery(terms=("key", "hash"), slop=slop), k=10,
+                      total_hits_threshold=1 << 30)
+        mp = s.search(Q.MultiPhraseQuery(positions=(("key",), ("hash",)), slop=slop),
+                      k=10, total_hits_threshold=1 << 30)
+        assert list(ph.doc_ids) == list(mp.doc_ids)
+        assert np.array_equal(ph.scores, mp.scores)
+
+
+def test_multiphrase_union_slot_semantics(tmp_path):
+    """A multi-term slot matches the union of its terms' positions
+    (UnionPostingsEnum): "key (hash|value)" hits docs where key is
+    directly followed by EITHER term; freq counts every alignment."""
+    s = _mini_index(tmp_path, [
+        "key hash join",         # 0: key->hash
+        "key value store",       # 1: key->value
+        "hash key value end",    # 2: key->value (not key->hash)
+        "key join hash",         # 3: gap -> exact miss
+        "key hash key value",    # 4: TWO alignments -> freq 2
+        "value key nothing",     # 5: no alignment
+    ])
+    mp = Q.MultiPhraseQuery(positions=(("key",), ("hash", "value")))
+    td = s.search(mp, k=10, total_hits_threshold=1 << 30)
+    assert set(int(d) for d in td.doc_ids) == {0, 1, 2, 4}
+    # doc 4 has freq 2 -> strictly larger score than the freq-1 docs of
+    # comparable length (doc 0 has 3 tokens vs doc 4's 4; both freq-1 docs
+    # 1/2 rank below 4)
+    by_doc = dict(zip([int(d) for d in td.doc_ids], td.scores))
+    assert by_doc[4] > by_doc[1] and by_doc[4] > by_doc[2]
+
+    # sloppy: slop=1 admits doc 3's key _ hash alignment
+    mp1 = Q.MultiPhraseQuery(positions=(("key",), ("hash", "value")), slop=1)
+    td1 = s.search(mp1, k=10, total_hits_threshold=1 << 30)
+    assert set(int(d) for d in td1.doc_ids) == {0, 1, 2, 3, 4}
+
+    # single-slot union: freq = total occurrences of either term
+    mpu = Q.MultiPhraseQuery(positions=(("hash", "value"),))
+    tdu = s.search(mpu, k=10, total_hits_threshold=1 << 30)
+    assert set(int(d) for d in tdu.doc_ids) == {0, 1, 2, 3, 4, 5}
+
+    # repeated term across slots + slop>0: the unsupported rptGroups path
+    # is rejected, not silently wrong
+    with pytest.raises(ValueError):
+        s.search(Q.MultiPhraseQuery(positions=(("key",), ("key", "hash")), slop=1),
+                 k=10, total_hits_threshold=1 << 30)
+
+
+def test_multiphrase_parser_syntax():
+    """Classic-parser multi-phrase hook: '"a (b|c) d"' builds the slot
+    tree; all-single-slot groups collapse back to PhraseQuery."""
+    an = get_analyzer("standard")
+    q = Q.parse_classic('"key (hash|value) join"', an)
+    assert q == Q.MultiPhraseQuery(positions=(("key",), ("hash", "value"), ("join",)))
+    q2 = Q.parse_classic('"key (hash|value)"~2', an)
+    assert q2 == Q.MultiPhraseQuery(positions=(("key",), ("hash", "value")), slop=2)
+    # degenerate group -> plain phrase
+    q3 = Q.parse_classic('"key (hash) join"', an)
+    assert q3 == Q.PhraseQuery(terms=("key", "hash", "join"))
