@@ -59,12 +59,11 @@ class MediaFeatureStage:
         hi = np.fromiter(
             (md5_upper64(b) for b in payloads), dtype=np.uint64, count=len(payloads)
         )
-        # urls are "https://docs.example/d/{doc_id}": element 4 of the
-        # "/"-split (pyarrow list_element takes no negative indices)
-        doc_ids = (
-            pc.list_element(pc.split_pattern(batch["url"], "/"), 4)
-            .cast(pa.int64())
-        )
+        # doc_id = the trailing numeric path element, tolerant of any URL
+        # prefix shape (the page fixture uses ".../d/{doc_id}")
+        doc_ids = pc.struct_field(
+            pc.extract_regex(batch["url"], r"/(?P<id>\d+)$"), "id"
+        ).cast(pa.int64())
         return pa.table(
             {
                 "doc_id": doc_ids,

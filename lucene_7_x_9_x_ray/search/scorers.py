@@ -275,6 +275,10 @@ def eval_query(
         vals = reader.doc_values(query.col)
         u = vals.astype("U") if vals.dtype == object else vals
         mask = (u == query.path) | np.char.startswith(u, query.path + "/")
+        if vals.dtype == object:
+            # astype("U") renders None as the literal "None"; a null path
+            # must never match (e.g. prefix "No")
+            mask &= np.not_equal(vals, None)
         docs = np.flatnonzero(mask).astype(np.int64)
         return docs, np.zeros(len(docs), dtype=np.float32)
 

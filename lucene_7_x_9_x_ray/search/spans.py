@@ -256,12 +256,15 @@ def _unordered_widths(pos_lists: list[np.ndarray], slop: int) -> list[int]:
 
 
 def _leaf_stream(clause, pos_of):
-    """Stream of a term / or-of-terms clause: merged unique positions as
-    width-0 spans."""
-    parts = [pos_of(t) for t in _leaf_terms(clause) if len(pos_of(t))]
+    """Stream of a term / or-of-terms clause: merged positions as width-0
+    spans. Like SpanOrQuery's SpanQueue merge, equal positions across
+    different terms are NOT deduped (one span per term occurrence,
+    SpanOrQuery.java) — keeping this path consistent with the general
+    nested-SpanOr path below on corpora where positions can collide."""
+    parts = [p for t in _leaf_terms(clause) for p in (pos_of(t),) if len(p)]
     if not parts:
         return _EMPTY_STREAM
-    p = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+    p = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts), kind="stable")
     p = np.asarray(p, dtype=np.int64)
     return p, p + 1, np.zeros(len(p), dtype=np.int64)
 
@@ -276,7 +279,7 @@ def _span_stream(query, pos_of):
         return _leaf_stream(query, pos_of)
     if isinstance(query, Q.SpanOrQuery):
         if all(isinstance(c, Q.SpanTermQuery) for c in query.clauses):
-            return _leaf_stream(query, pos_of)  # deduped merged positions
+            return _leaf_stream(query, pos_of)  # merged positions, no dedup
         # general SpanOrQuery: the queue's merged emission in (start, end)
         # order across sub-spans (SpanOrQuery.java SpanQueue), no dedup.
         # Different-width sub-spans can make ends non-monotone — consumers
