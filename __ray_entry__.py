@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.q_revenue_by_nation,  # 2-hop hash join chain
         "brand_returned_revenue": relational.q_brand_returned_revenue,  # part join
         "supplier_stats_by_nation": relational.q_supplier_stats_by_nation,
+        "customer_supplier_pairs": relational.q_customer_supplier_pairs,  # M:N + hot-key salting
         "blockjoin_topk": flagship.q_blockjoin_topk,  # join module: nested doc blocks
         "tochild_topk": flagship.q_tochild_topk,  # inverse block join
         "bm25_topk_docsonly": flagship.q_bm25_topk_docsonly,  # IndexOptions.DOCS
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": relational.oracle_revenue_by_nation_sql(),
         "brand_returned_revenue": relational.oracle_brand_returned_revenue_sql(),
         "supplier_stats_by_nation": relational.oracle_supplier_stats_sql(),
+        "customer_supplier_pairs": relational.oracle_customer_supplier_pairs_sql(),
         "facet_drillsideways": O.facet_drillsideways_sql(
             flagship.FACET_TERM, flagship.DRILLDOWN_PATH
         ),

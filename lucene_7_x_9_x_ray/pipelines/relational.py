@@ -216,9 +216,42 @@ GROUP BY l_returnflag, l_linestatus"""
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
+def detect_hot_keys(ds, threshold: int, per_block_min: int = 8,
+                    key_col: str = "key") -> np.ndarray:
+    """Heavy-hitter keys for _bucketed_equijoin's ``hot_keys``: each block
+    emits only the keys whose IN-BLOCK count >= per_block_min (bounded
+    partials — at most block_rows/per_block_min rows leave a block), the
+    driver sums the partials, and a key whose summed count >= threshold
+    is hot. A key below per_block_min in every block is missed, but its
+    true count is then < n_blocks * per_block_min — not a heavy hitter.
+    Same detect-then-salt shape as stages/merge.py compute_hot_terms."""
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy()
+        uniq, counts = np.unique(k, return_counts=True)
+        m = counts >= per_block_min
+        return pa.table(
+            {
+                "key": pa.array(uniq[m], pa.int64()),
+                "cnt": pa.array(counts[m].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts_tbl = _to_table(ds.map_batches(block_counts, batch_format="pyarrow"))
+    if parts_tbl.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    keys = parts_tbl["key"].to_numpy()
+    cnts = parts_tbl["cnt"].to_numpy()
+    uniq, inv = np.unique(keys, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, cnts)
+    return uniq[sums >= threshold]
+
+
 def _bucketed_equijoin(ds_union, parts: int, build_cols: list[str],
                        probe_cols: list[str], emit,
-                       unique_build: bool = True):
+                       unique_build: bool = True,
+                       hot_keys=None, n_salts: int = 16):
     """Generic hash-partitioned equijoin over ONE unioned Dataset whose
     rows carry (key:int64, side:int8 — 0 build / 1 probe, plus every
     payload column with placeholder values on the other side).
@@ -236,14 +269,54 @@ def _bucketed_equijoin(ds_union, parts: int, build_cols: list[str],
     receives (probe payload dict, attached build payload dict) — or
     (None, None) for a groups with an empty side — and returns the
     group's output table (typically a per-group PARTIAL aggregate, so
-    only combiner rows leave the join). The un-salted inner-join shape of
+    only combiner rows leave the join). The inner-join shape of
     SortMergeJoin/Shuffled-HashJoin; at 10^12 rows `parts` scales with
-    input bytes like the dedup semi-join's LUCENE_RAY_DEDUP_PARTITIONS."""
+    input bytes like the dedup semi-join's LUCENE_RAY_DEDUP_PARTITIONS.
+
+    ``hot_keys`` (sorted-able int64 array, e.g. from detect_hot_keys):
+    skew mitigation — each hot key's PROBE rows spread round-robin over
+    ``n_salts`` sub-buckets while its BUILD rows replicate once per salt,
+    so no single group holds a hot key's full probe run. Sub-buckets are
+    bucket = base * n_salts + salt, which keeps the salt replicas of one
+    build key in DISJOINT groups (join-on-key stays correct per group
+    with no composite key). Requires the associative-``emit`` contract
+    above — a hot key's partials now arrive from up to n_salts groups.
+    The same detect-then-salt trick as stages/merge.py hot terms."""
+
+    hot_arr = None
+    if hot_keys is not None:
+        hot_arr = np.sort(np.asarray(hot_keys, dtype=np.int64))
+        if len(hot_arr) == 0:
+            hot_arr = None
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = ((batch["key"].to_numpy().astype(np.uint64) * _GOLDEN)
-             % np.uint64(parts)).astype(np.int64)
-        return batch.append_column("bucket", pa.array(b))
+        keys = batch["key"].to_numpy()
+        base = ((keys.astype(np.uint64) * _GOLDEN) % np.uint64(parts)).astype(
+            np.int64
+        )
+        if hot_arr is None:
+            return batch.append_column("bucket", pa.array(base))
+        side = batch["side"].to_numpy()
+        loc = np.searchsorted(hot_arr, keys)
+        ishot = (loc < len(hot_arr)) & (hot_arr[np.minimum(loc, len(hot_arr) - 1)] == keys)
+        salt = np.zeros(len(keys), dtype=np.int64)
+        pm = ishot & (side == 1)
+        salt[pm] = np.arange(int(pm.sum()), dtype=np.int64) % n_salts
+        out = batch.append_column(
+            "bucket", pa.array(base * np.int64(n_salts) + salt)
+        )
+        bm = np.flatnonzero(ishot & (side == 0))
+        if len(bm):
+            # replicate hot build rows into salts 1..n_salts-1 (the
+            # original row already carries salt 0)
+            rep_idx = np.repeat(bm, n_salts - 1)
+            rep = batch.take(pa.array(rep_idx))
+            rsalt = np.tile(np.arange(1, n_salts, dtype=np.int64), len(bm))
+            rep = rep.append_column(
+                "bucket", pa.array(base[rep_idx] * np.int64(n_salts) + rsalt)
+            )
+            out = pa.concat_tables([out, rep]).combine_chunks()
+        return out
 
     def join_group(group: pa.Table) -> pa.Table:
         side = group["side"].to_numpy()
@@ -296,9 +369,11 @@ def _bucketed_equijoin(ds_union, parts: int, build_cols: list[str],
             {c: v[build_idx] for c, v in battach.items()},
         )
 
+    # NOTE: no repartition before the groupby — groupby performs its own
+    # all-to-all, so a repartition(parts) here would be a second full
+    # shuffle of the unioned relation (round-4 verdict item)
     return (
         ds_union.map_batches(add_bucket, batch_format="pyarrow")
-        .repartition(parts)
         .groupby("bucket")
         .map_groups(join_group, batch_format="pyarrow")
     )
@@ -613,6 +688,105 @@ JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = '{REVENUE_REGION}'
 GROUP BY n_name"""
+
+
+def q_customer_supplier_pairs(sf_dir: str) -> pa.Table:
+    """(customer x supplier) pairs co-located in a nation — the M:N
+    equijoin gate: BOTH sides carry many rows per key (25 nation keys),
+    so every probe row must expand to one output row per matching build
+    row (_bucketed_equijoin(unique_build=False) cumsum-offset expansion).
+    The 25-key layout is also maximally skewed, so the join runs with
+    hot_keys = every distinct build key and n_salts=4: customers of one
+    nation spread over 4 sub-buckets, the (small) supplier side
+    replicates per salt, and each group emits one PARTIAL
+    (n_pairs, sum of c_acctbal + s_acctbal) row per nation — associative
+    across salt groups. Output: (nationkey, n_pairs, sum_bal_r)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    parts = max(4, _cluster_cpus())
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["s_nationkey"].cast(pa.int64()),
+                "bal": batch["s_acctbal"].cast(pa.float64()),
+                "side": pa.array([0] * n, pa.int8()),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["c_nationkey"].cast(pa.int64()),
+                "bal": batch["c_acctbal"].cast(pa.float64()),
+                "side": pa.array([1] * n, pa.int8()),
+            }
+        )
+
+    def emit(probe, build) -> pa.Table:
+        if probe is None:
+            return pa.table(
+                {
+                    "nationkey": pa.array([], pa.int64()),
+                    "p_pairs": pa.array([], pa.int64()),
+                    "p_bal": pa.array([], pa.float64()),
+                }
+            )
+        # probe/build arrive pair-expanded; combine per nation key
+        uniq, inv = np.unique(build["key"], return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, probe["bal"] + build["bal"])
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "nationkey": pa.array(uniq, pa.int64()),
+                "p_pairs": pa.array(counts, pa.int64()),
+                "p_bal": pa.array(sums, pa.float64()),
+            }
+        )
+
+    # every nation key is a heavy hitter by construction: read the 25-row
+    # dimension once on the driver for the hot set
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    hot = nation["n_nationkey"].to_numpy().astype(np.int64)
+
+    supplier = sized_read(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    ).map_batches(supp_rows, batch_format="pyarrow")
+    customer = sized_read(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    ds = (
+        _bucketed_equijoin(
+            supplier.union(customer), parts,
+            build_cols=["key", "bal"], probe_cols=["bal"], emit=emit,
+            unique_build=False, hot_keys=hot, n_salts=4,
+        )
+        .groupby("nationkey")
+        .aggregate(Sum("p_pairs", alias_name="n_pairs"),
+                   Sum("p_bal", alias_name="sum_bal"))
+    )
+    t = _to_table(ds)
+    bal = t["sum_bal"].to_numpy(zero_copy_only=False).astype(np.float64)
+    out = pa.table(
+        {
+            "nationkey": t["nationkey"].cast(pa.int64()),
+            "n_pairs": t["n_pairs"].cast(pa.int64()),
+            "sum_bal_r": pa.array(round_half_away_np(bal, 2), pa.float64()),
+        }
+    )
+    return out.sort_by("nationkey")
+
+
+def oracle_customer_supplier_pairs_sql() -> str:
+    return """SELECT c_nationkey AS nationkey, count(*) AS n_pairs,
+       ROUND(SUM(c_acctbal + s_acctbal), 2) AS sum_bal_r
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
+GROUP BY c_nationkey"""
 
 
 def q_event_window_agg(sf_dir: str) -> pa.Table:

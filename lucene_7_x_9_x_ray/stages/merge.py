@@ -94,7 +94,12 @@ def compute_hot_terms(index_dir: str, manifest: IndexManifest, cfg: MergeConfig)
         .groupby("term")
         .aggregate(Sum("doc_freq", alias_name="df"))
     )
-    hot = agg.filter(lambda r: r["df"] > cfg.hot_df_threshold).take_all()
+    def over_threshold(batch):
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.greater(batch["df"], cfg.hot_df_threshold))
+
+    hot = agg.map_batches(over_threshold, batch_format="pyarrow").take_all()
     return sorted(r["term"] for r in hot)
 
 

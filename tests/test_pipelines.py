@@ -1228,3 +1228,87 @@ def test_bucketed_equijoin_mn_expansion(ray_session):
             rd.from_arrow(build).union(rd.from_arrow(probe)), parts=1,
             build_cols=["tag"], probe_cols=["val"], emit=emit,
         ).materialize()
+
+
+def test_bucketed_equijoin_hot_key_salting(ray_session):
+    """Planted skew: ONE key carries 50% of probe rows. detect_hot_keys
+    finds it, the salted join returns results identical to the unsalted
+    run, and no single group sees the hot key's full probe run (memory
+    bound = the round-4 verdict's first-thing-to-break item)."""
+    import ray
+    import ray.data as rd
+
+    from lucene_7_x_9_x_ray.pipelines.relational import (
+        _bucketed_equijoin, detect_hot_keys,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    keys = np.where(
+        np.arange(n) % 2 == 0, 42, rng.integers(1000, 2000, n)
+    ).astype(np.int64)
+    vals = rng.integers(0, 100, n).astype(np.int64)
+    probe = pa.table(
+        {"key": pa.array(keys), "nk": pa.array(np.zeros(n, np.int64)),
+         "val": pa.array(vals), "side": pa.array([1] * n, pa.int8())}
+    )
+    uniq = np.unique(keys)
+    build = pa.table(
+        {"key": pa.array(uniq), "nk": pa.array(uniq * 3),
+         "val": pa.array(np.zeros(len(uniq), np.int64)),
+         "side": pa.array([0] * len(uniq), pa.int8())}
+    )
+
+    hot = detect_hot_keys(rd.from_arrow(probe), threshold=500)
+    assert list(hot) == [42]
+
+    def emit(p, b):
+        if p is None:
+            return pa.table({"nk": pa.array([], pa.int64()),
+                             "p_sum": pa.array([], pa.int64()),
+                             "p_cnt": pa.array([], pa.int64())})
+        u, inv = np.unique(b["nk"], return_inverse=True)
+        sums = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sums, inv, p["val"])
+        return pa.table({"nk": pa.array(u, pa.int64()),
+                         "p_sum": pa.array(sums, pa.int64()),
+                         "p_cnt": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64), pa.int64())})
+
+    def run(hot_keys):
+        ds = _bucketed_equijoin(
+            rd.from_arrow(build).union(rd.from_arrow(probe)), parts=8,
+            build_cols=["nk"], probe_cols=["val"], emit=emit,
+            hot_keys=hot_keys, n_salts=16,
+        )
+        return pa.concat_tables(
+            [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+        )
+
+    plain = run(None)
+    salted = run(hot)
+
+    def totals(t):
+        out = {}
+        for nk, s, c in zip(t["nk"].to_pylist(), t["p_sum"].to_pylist(),
+                            t["p_cnt"].to_pylist()):
+            a, b = out.get(nk, (0, 0))
+            out[nk] = (a + s, b + c)
+        return out
+
+    # identical aggregates, and equal to the numpy oracle
+    assert totals(plain) == totals(salted)
+    want_sum = int(vals[keys == 42].sum())
+    assert totals(salted)[42 * 3] == (want_sum, n // 2)
+    # the unsalted run holds all 2000 hot-probe rows in one group; the
+    # salted run bounds every group's share of the hot key
+    hot_partials = [
+        c for nk, c in zip(salted["nk"].to_pylist(), salted["p_cnt"].to_pylist())
+        if nk == 42 * 3
+    ]
+    assert len(hot_partials) > 1
+    assert max(hot_partials) <= (n // 2) // 16 + 64
+    plain_hot = [
+        c for nk, c in zip(plain["nk"].to_pylist(), plain["p_cnt"].to_pylist())
+        if nk == 42 * 3
+    ]
+    assert max(plain_hot) == n // 2  # the baseline really was unbounded
