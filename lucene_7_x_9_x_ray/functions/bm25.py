@@ -302,6 +302,103 @@ class LMDirichlet:
 
 
 @dataclass(frozen=True)
+class LMJelinekMercerTermWeight:
+    """LM Jelinek-Mercer per-(term, collection) state (s84
+    LMJelinekMercerSimilarity.java:70-75 + LMSimilarity
+    DefaultCollectionModel.computeProbability + SimilarityBase.score
+    float cast & zero clamp): p = (ttf + 1) / (sumTotalTermFreq + 1) in
+    DOUBLE; score = max(0, boost * ln(1 + ((1-λ)·freq/docLen)/(λ·p)))
+    cast to float32; docLen = the byte4-decoded length."""
+
+    boost: np.float64
+    lam: np.float64
+    collection_p: np.float64
+
+    def score(self, freqs, norm_bytes) -> np.ndarray:
+        f = np.asarray(freqs).astype(np.float64, copy=False)
+        dl = BYTE4_DECODE_TABLE[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64
+        )
+        s = self.boost * np.log(
+            1.0 + ((1.0 - self.lam) * f / dl) / (self.lam * self.collection_p)
+        )
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    def score_scalar(self, freq: float, norm_byte: int) -> float:
+        return float(self.score(np.array([freq]), np.array([norm_byte]))[0])
+
+    def max_score(self, imp_freqs, imp_norms) -> float:
+        if len(imp_freqs) == 0:
+            return 0.0
+        return float(self.score(imp_freqs, imp_norms).max())
+
+
+class LMJelinekMercer:
+    """LM with Jelinek-Mercer smoothing (LMJelinekMercerSimilarity;
+    λ near 0.1 for title queries, 0.7 for long queries per the class
+    javadoc). Needs the term's totalTermFreq via ``ttf``."""
+
+    def __init__(self, lam: float = 0.1):
+        if not (0.0 < lam <= 1.0):
+            raise ValueError(
+                f"illegal lambda value: {lam}, must be in (0, 1]"
+            )
+        self.lam = np.float64(np.float32(lam))  # Java stores lambda as float
+
+    def term_weight(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        ttf: int | None = None,
+    ) -> LMJelinekMercerTermWeight:
+        if ttf is None:
+            raise ValueError(
+                "LMJelinekMercer requires the term's totalTermFreq (ttf=)"
+            )
+        p = (np.float64(ttf) + 1.0) / (np.float64(sum_total_term_freq) + 1.0)
+        return LMJelinekMercerTermWeight(
+            boost=np.float64(np.float32(boost)), lam=self.lam, collection_p=p
+        )
+
+
+@dataclass(frozen=True)
+class BooleanTermWeight:
+    """BooleanSimilarity scorer: score(freq, norm) = boost, a constant
+    per matching doc (s84 BooleanSimilarity.java BooleanWeight.score)."""
+
+    boost: np.float32
+
+    def score(self, freqs, norm_bytes) -> np.ndarray:
+        return np.full(len(np.asarray(freqs)), self.boost, dtype=np.float32)
+
+    def score_scalar(self, freq: float, norm_byte: int) -> float:
+        return float(self.boost)
+
+    def max_score(self, imp_freqs, imp_norms) -> float:
+        if len(imp_freqs) == 0:
+            return 0.0
+        return float(self.boost)
+
+
+class BooleanSimilarity:
+    """Query-boost-only similarity (s84 BooleanSimilarity.java:33):
+    every match scores exactly the query boost; norms are still written
+    with the BM25 encoding (computeNorm delegates to BM25Similarity)."""
+
+    def term_weight(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        ttf: int | None = None,
+    ) -> BooleanTermWeight:
+        return BooleanTermWeight(boost=np.float32(boost))
+
+
+@dataclass(frozen=True)
 class DFRTermWeight:
     """DFR(G, B, H2) per-(term, collection) state (s84 DFRSimilarity.java:
     118-121, BasicModelG.java:40-54, AfterEffectB.java:36-40,
@@ -523,6 +620,9 @@ def get_similarity(spec: str = "bm25"):
       "classic"                   -> ClassicSimilarity (TFIDF)
       "lmdirichlet"               -> LMDirichlet (mu=2000)
       "lmdirichlet(mu=...)"       -> parameterized LMDirichlet
+      "lmjelinekmercer"           -> LM Jelinek-Mercer (lambda=0.1)
+      "lmjelinekmercer(lambda=…)" -> parameterized LM Jelinek-Mercer
+      "boolean"                   -> BooleanSimilarity (score = boost)
       "dfr"                       -> DFR G/B/H2 (c=1)
       "dfr(c=...)"                -> parameterized DFR G/B/H2
       "ib"                        -> IB LL/DF/H1 (c=1)
@@ -542,6 +642,10 @@ def get_similarity(spec: str = "bm25"):
         return ClassicSimilarity()
     if spec == "lmdirichlet":
         return LMDirichlet()
+    if spec == "lmjelinekmercer":
+        return LMJelinekMercer()
+    if spec == "boolean":
+        return BooleanSimilarity()
     if spec == "dfr":
         return DFRSimilarity()
     if spec == "ib":
@@ -551,17 +655,22 @@ def get_similarity(spec: str = "bm25"):
     mdfi = re.fullmatch(r"dfi\((\w+)\)", spec)
     if mdfi is not None:
         return DFISimilarity(mdfi.group(1))
-    m = re.fullmatch(r"(bm25legacy|bm25|lmdirichlet|dfr|ib)\(([^)]*)\)", spec)
+    m = re.fullmatch(
+        r"(bm25legacy|bm25|lmdirichlet|lmjelinekmercer|dfr|ib)\(([^)]*)\)", spec
+    )
     if m is None:
         raise ValueError(f"unknown similarity spec {spec!r}")
     cls = {"bm25legacy": LegacyBM25, "bm25": BM25, "lmdirichlet": LMDirichlet,
+           "lmjelinekmercer": LMJelinekMercer,
            "dfr": DFRSimilarity, "ib": IBSimilarity}[m.group(1)]
-    valid = {"lmdirichlet": ("mu",), "dfr": ("c",), "ib": ("c",)}.get(m.group(1), ("k1", "b"))
+    valid = {"lmdirichlet": ("mu",), "lmjelinekmercer": ("lambda",),
+             "dfr": ("c",), "ib": ("c",)}.get(m.group(1), ("k1", "b"))
     kwargs = {}
     for part in filter(None, (p.strip() for p in m.group(2).split(","))):
         key, _, val = part.partition("=")
         key = key.strip()
         if key not in valid:
             raise ValueError(f"unknown parameter {key!r} in {spec!r}")
-        kwargs[key] = float(val)
+        # "lambda" is a Python keyword; the ctor argument is "lam"
+        kwargs["lam" if key == "lambda" else key] = float(val)
     return cls(**kwargs)

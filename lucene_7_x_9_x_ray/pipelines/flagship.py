@@ -843,6 +843,8 @@ SIMILARITY_TOPK_SPECS: list[tuple[str, str]] = [
     ("dfr", "dfr"),                # DFR G/B/H2 c=1 (DFRSimilarity)
     ("ib", "ib"),                  # IB LL/DF/H1 c=1 (IBSimilarity)
     ("dfi", "dfi"),                # DFI standardized (DFISimilarity)
+    ("lmjm", "lmjelinekmercer(lambda=0.7)"),  # LM Jelinek-Mercer (long-query lambda)
+    ("bool", "boolean"),           # BooleanSimilarity (score = query boost)
 ]
 SIMILARITY_TOPK_TERMS = ("key", "hash")
 SIMILARITY_TOPK_K = 10
@@ -899,6 +901,32 @@ def q_similarity_topk(sf_dir: str) -> pa.Table:
             "rank": pa.array(ranks, pa.int64()),
             "doc_id": pa.array(docs, pa.int64()),
             "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def q_similarity_topk_served(sf_dir: str) -> pa.Table:
+    """The similarity-registry query set scored by the actor-pool serving
+    stage (setSimilarity at the actor): each actor binds a cached searcher
+    per requested Similarity spec over its one mmapped index — results
+    must equal the driver-side q_similarity_topk path and the same SQL
+    oracle exactly: (query_id, rank, doc_id, score_r)."""
+    from ..stages.serve import serve_similarity_queries
+
+    index_dir = build_flagship_index(sf_dir)
+    ta, tb = SIMILARITY_TOPK_TERMS
+    specs = [
+        (qid, [ta, tb], SIMILARITY_TOPK_K, sim)
+        for qid, sim in SIMILARITY_TOPK_SPECS
+    ]
+    t = serve_similarity_queries(index_dir, specs, concurrency=2)
+    scores_r = [round_half_away(s, 4) for s in t["score"].to_pylist()]
+    return pa.table(
+        {
+            "query_id": t["query_id"],
+            "rank": t["rank"],
+            "doc_id": t["doc_id"],
+            "score_r": pa.array(scores_r, pa.float64()),
         }
     )
 

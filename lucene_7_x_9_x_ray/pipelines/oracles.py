@@ -570,6 +570,12 @@ def similarity_topk_sql(ta: str, tb: str, k: int, relation: str = "documents") -
     - 'dfi': DFI standardized (DFISimilarity.java) — expected =
       (ttf+1)*nlen/(sttf+1) DOUBLE; 0 when freq <= expected, else
       float32(log2(((freq-expected)/sqrt(expected)) + 1)).
+    - 'lmjm': LM Jelinek-Mercer λ=0.7 (LMJelinekMercerSimilarity.java:70-75)
+      — λ stored float32 then widened, p = (ttf+1)/(sttf+1) DOUBLE, leaf =
+      float32(max(0, ln(1 + ((1-λ)·freq/nlen)/(λ·p)))).
+    - 'bool': BooleanSimilarity (BooleanSimilarity.java) — every matching
+      leaf scores exactly the query boost (1.0); the disjunction sum
+      counts matching clauses.
     """
     a, b = _ident(ta), _ident(tb)
     la, lb = ta.replace("'", "''"), tb.replace("'", "''")
@@ -622,7 +628,18 @@ lmd_{t} AS (SELECT tf.doc_id,
                                + ln(2000.0 / (CAST(nl.nlen AS DOUBLE) + 2000.0)),
                                0.0) AS FLOAT) AS s
             FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
-            JOIN normlen nl USING (doc_id))""")
+            JOIN normlen nl USING (doc_id)),
+lmjm_{t} AS (SELECT tf.doc_id,
+                 CAST(greatest(ln(1.0 + ((1.0 - CAST(CAST(0.7 AS FLOAT) AS DOUBLE))
+                                         * CAST(tf.freq AS DOUBLE)
+                                         / CAST(nl.nlen AS DOUBLE))
+                                        / (CAST(CAST(0.7 AS FLOAT) AS DOUBLE)
+                                           * (SELECT p FROM lmp_{t}))),
+                               0.0) AS FLOAT) AS s
+            FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
+            JOIN normlen nl USING (doc_id)),
+bls_{t} AS (SELECT DISTINCT doc_id, {ONE_F} AS s
+            FROM tok WHERE term = '{lit}')""")
         ctes.append(f"""
 cw_{t} AS (SELECT CAST(ln(((SELECT n_docs FROM cs) + 1) / CAST(df + 1 AS DOUBLE)) + 1.0 AS FLOAT) AS w
            FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{lit}')),
@@ -643,6 +660,7 @@ lgs_{t} AS (SELECT tf.doc_id,
     for qid, pref in (
         ("classic", "cls"), ("legacy", "lgs"), ("lmd", "lmd"),
         ("dfr", "dfr"), ("ib", "ibs"), ("dfi", "dfis"),
+        ("lmjm", "lmjm"), ("bool", "bls"),
     ):
         scored = f"""(SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
             CAST(COALESCE(CAST(x.s AS DOUBLE), 0)

@@ -514,14 +514,17 @@ def _merged_is_fresh(index_dir: str) -> bool:
     return meta.get("fingerprint") == segments_fingerprint(IndexManifest.load(index_dir))
 
 
-def open_searcher(index_dir: str, prefer_merged: bool = True) -> IndexSearcher:
+def open_searcher(index_dir: str, prefer_merged: bool = True,
+                  bm25=None) -> IndexSearcher:
     """Factory: merged searcher when a FRESH merged index exists (built
     from the current segment generation), else the per-segment searcher —
     after an NRT append the merged shards are stale and serving falls back
-    to segments until the next merge."""
+    to segments until the next merge. ``bm25`` is the pluggable
+    Similarity (IndexSearcher.setSimilarity role, functions/bm25.py
+    get_similarity)."""
     if prefer_merged and _merged_is_fresh(index_dir):
-        return MergedIndexSearcher(index_dir)
-    return IndexSearcher(index_dir)
+        return MergedIndexSearcher(index_dir, bm25=bm25)
+    return IndexSearcher(index_dir, bm25=bm25)
 
 
 def open_if_changed(searcher: IndexSearcher) -> IndexSearcher | None:

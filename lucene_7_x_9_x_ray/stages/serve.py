@@ -24,25 +24,46 @@ from ..search.merged import open_searcher
 
 
 class QueryScorer:
-    """map_batches actor: load-once searcher, per-batch top-k scoring."""
+    """map_batches actor: load-once searcher, per-batch top-k scoring.
+
+    A row may carry a ``similarity`` spec string (functions/bm25.py
+    get_similarity — the IndexSearcher.setSimilarity surface at the
+    serving pool): the actor binds a searcher to that Similarity once
+    and caches it, sharing the process's mmapped artifacts across specs
+    (only the lightweight searcher wrapper is per-spec)."""
 
     def __init__(self, index_dir: str, mode: str = "auto"):
+        self.index_dir = index_dir
         self.searcher = open_searcher(index_dir, prefer_merged=True)
         self.mode = mode
+        self._sim_searchers: dict[str, object] = {}
+
+    def _searcher_for(self, sim_spec):
+        if not sim_spec:
+            return self.searcher
+        if sim_spec not in self._sim_searchers:
+            from ..functions.bm25 import get_similarity
+
+            self._sim_searchers[sim_spec] = open_searcher(
+                self.index_dir, prefer_merged=True,
+                bm25=get_similarity(sim_spec),
+            )
+        return self._sim_searchers[sim_spec]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         for row in batch.to_pylist():
+            searcher = self._searcher_for(row.get("similarity"))
             if row.get("qstr") is not None:
                 # classic-parser query string (grouping, field scopes,
                 # phrases, multi-term rewrites — the full parse_classic
                 # surface) compiled per row against the actor's analyzer
-                query = Q.parse_classic(row["qstr"], self.searcher.analyzer)
+                query = Q.parse_classic(row["qstr"], searcher.analyzer)
             else:
                 query = Q.BooleanQuery.build(
                     [(Q.SHOULD, Q.TermQuery(t)) for t in row["terms"]]
                 )
-            td = self.searcher.search(query, k=int(row["k"]), mode=self.mode)
+            td = searcher.search(query, k=int(row["k"]), mode=self.mode)
             for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
                 qids.append(row["query_id"])
                 ranks.append(r)
@@ -435,6 +456,43 @@ def serve_parsed_queries(
 
     items = [
         {"query_id": str(qid), "qstr": qstr, "k": k} for qid, qstr, k in query_specs
+    ]
+    ds = rd.from_items(items, override_num_blocks=max(len(items), 1)).map_batches(
+        QueryScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+    parts = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
+def serve_similarity_queries(
+    index_dir: str,
+    query_specs: list[tuple[str, list[str], int, str]],
+    concurrency: int = 2,
+    mode: str = "auto",
+) -> pa.Table:
+    """Run (query_id, terms, k, similarity_spec) specs through the scoring
+    actor pool — setSimilarity at the actor: each actor binds searchers to
+    the requested Similarity specs once and serves every spec from the
+    same mmapped index."""
+    import ray
+    import ray.data as rd
+
+    items = [
+        {"query_id": str(qid), "terms": terms, "k": k, "similarity": sim}
+        for qid, terms, k, sim in query_specs
     ]
     ds = rd.from_items(items, override_num_blocks=max(len(items), 1)).map_batches(
         QueryScorer,

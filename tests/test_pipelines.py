@@ -123,6 +123,50 @@ def test_similarity_registry_sql_float32_identity():
         assert got_sql == pytest.approx(got_np, abs=0.0), ("classic", n_docs, df, freq, nlen)
 
 
+def test_lmjm_boolean_sql_float32_identity():
+    """LM Jelinek-Mercer (LMJelinekMercerSimilarity.java:70-75) and
+    BooleanSimilarity kernels match DuckDB FLOAT arithmetic bit-for-bit —
+    the lmjm/bool similarity_topk oracle contract."""
+    from lucene_7_x_9_x_ray.functions.bm25 import get_similarity
+
+    con = duckdb.connect()
+    from lucene_7_x_9_x_ray.functions.smallfloat import BYTE4_DECODE_TABLE
+
+    lmjm = get_similarity("lmjelinekmercer(lambda=0.7)")
+    boolean = get_similarity("boolean")
+    rng = np.random.default_rng(13)
+    lmjm_sql = """
+    SELECT CAST(greatest(ln(1.0 + ((1.0 - CAST(CAST(0.7 AS FLOAT) AS DOUBLE))
+                                   * CAST(freq AS DOUBLE) / CAST(nlen AS DOUBLE))
+                                  / (CAST(CAST(0.7 AS FLOAT) AS DOUBLE)
+                                     * ((ttf + 1.0) / (sttf + 1.0)))),
+                         0.0) AS FLOAT)
+    FROM (SELECT ? AS ttf, ? AS sttf, ? AS freq, ? AS nlen)
+    """
+    for _ in range(200):
+        n_docs = int(rng.integers(10, 10_000_000))
+        df = int(rng.integers(1, n_docs + 1))
+        sttf = int(n_docs * rng.integers(5, 500))
+        ttf = int(rng.integers(df, df * 40))
+        freq = int(rng.integers(1, 50))
+        nbyte = int(rng.integers(1, 256))
+        nlen = int(BYTE4_DECODE_TABLE[nbyte])
+
+        got_sql = con.execute(lmjm_sql, [ttf, sttf, freq, nlen]).fetchone()[0]
+        tw = lmjm.term_weight(df, n_docs, sttf, ttf=ttf)
+        got_np = float(tw.score(np.array([freq]), np.array([nbyte]))[0])
+        assert got_sql == pytest.approx(got_np, abs=0.0), ("lmjm", ttf, sttf, freq, nlen)
+
+        tw = boolean.term_weight(df, n_docs, sttf, boost=2.5)
+        assert float(tw.score(np.array([freq]), np.array([nbyte]))[0]) == np.float32(2.5)
+        assert tw.max_score(np.array([freq]), np.array([nbyte])) == np.float32(2.5)
+
+    with pytest.raises(ValueError):
+        get_similarity("lmjelinekmercer(lambda=0)")
+    with pytest.raises(ValueError):
+        get_similarity("lmjelinekmercer(mu=2)")
+
+
 def _planted_corpus() -> pa.Table:
     """12 docs: 0/1 near-dup pair, 2/3 exact dup pair, rest random-ish."""
     base = "the quick brown fox jumps over the lazy dog again and again today"
