@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docsonly": flagship.q_bm25_topk_docsonly,  # IndexOptions.DOCS
         "suggest_completion": flagship.q_suggest_completion,  # suggest module
         "spellcheck": flagship.q_spellcheck,  # DirectSpellChecker
+        "suggest_infix": flagship.q_suggest_infix,  # AnalyzingInfixSuggester analogue
         # --- training-data text ops ---
         "corpus_clean": corpus.q_corpus_clean,  # composed dedup+quality+lang pass
         "doc_stats": textops.q_doc_stats,
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_docsonly": O.bm25_docsonly_topk_sql(flagship.BM25_QUERY_SPECS),
         "suggest_completion": O.completion_sql(flagship.COMPLETION_SPECS),
         "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),
+        "suggest_infix": O.suggest_infix_sql(flagship.INFIX_SPECS, 8),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "facet_length_ranges": O.facet_range_sql(
             flagship.FACET_TERM, flagship.FACET_RANGE_EDGES, flagship.FACET_RANGE_LABELS

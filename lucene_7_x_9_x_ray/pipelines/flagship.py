@@ -1637,6 +1637,61 @@ def q_suggest_completion(sf_dir: str) -> pa.Table:
     )
 
 
+# (query_id, infix query, n) — last token is a prefix, earlier tokens
+# exact (AnalyzingInfixSuggester lookup contract); suggestions are the
+# 8-token page titles weighted by n_chars
+INFIX_SPECS: list[tuple[str, str, int]] = [
+    ("inf_val", "val", 5),
+    ("inf_ta", "ta", 5),
+    ("inf_str", "str", 5),
+    ("inf_row", "row", 5),
+    ("inf_the_ta", "the ta", 5),
+    ("inf_key_hash_w", "key hash w", 5),
+]
+
+
+def q_suggest_infix(sf_dir: str) -> pa.Table:
+    """AnalyzingInfixSuggester gate: (query_id, rank, doc_id, suggestion,
+    weight) — token-start infix matches over the page titles, weight =
+    n_chars, ranked weight desc with doc_id ties ascending."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..search.suggest import InfixSuggester
+    from ..sources.pages import TITLE_TOKENS
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    titles = pc.binary_join(
+        pc.list_slice(pc.split_pattern(docs["text"].combine_chunks(), " "),
+                      0, TITLE_TOKENS),
+        " ",
+    )
+    sug = InfixSuggester().build(
+        docs["doc_id"].to_numpy(),
+        titles.to_numpy(zero_copy_only=False),
+        docs["n_chars"].to_numpy(),
+    )
+    qids, ranks, dids, texts, weights = [], [], [], [], []
+    for qid, q, n in INFIX_SPECS:
+        for r, s in enumerate(sug.lookup(q, n), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            dids.append(s.key)
+            texts.append(s.text)
+            weights.append(s.weight)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "suggestion": pa.array(texts, pa.string()),
+            "weight": pa.array(weights, pa.int64()),
+        }
+    )
+
+
 def q_spellcheck(sf_dir: str) -> pa.Table:
     """DirectSpellChecker gate: (query_id, rank, term, score_r, freq) with
     reference defaults (maxEdits=2, minPrefix=1, accuracy=0.5,

@@ -1231,6 +1231,39 @@ SELECT prefix_id, CAST(rank AS BIGINT) AS rank, term,
 FROM ranked WHERE rank <= n"""
 
 
+def suggest_infix_sql(
+    specs: list[tuple[str, str, int]], title_tokens: int,
+    relation: str = "documents",
+) -> str:
+    """AnalyzingInfixSuggester oracle: (query_id, rank, doc_id, suggestion,
+    weight). A suggestion (the title_tokens-token title, weight = n_chars)
+    matches when every query token but the last occurs EXACTLY among its
+    tokens and the last occurs as a token PREFIX (LIKE 'q%' at a token
+    start); ranked weight desc, doc_id asc (suggest.py InfixSuggester)."""
+    ctes = [f"""
+sugg AS (SELECT doc_id,
+                array_to_string(list_slice(string_split(text, ' '), 1, {title_tokens}), ' ') AS s,
+                n_chars AS w
+         FROM {relation})"""]
+    selects = []
+    for qid, q, n in specs:
+        toks = q.split()
+        conds = [
+            "list_contains(string_split(s, ' '), '{}')".format(t.replace("'", "''"))
+            for t in toks[:-1]
+        ]
+        last = toks[-1].replace("'", "''")
+        conds.append(f"(s LIKE '{last}%' OR s LIKE '% {last}%')")
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY w DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, s AS suggestion, CAST(w AS BIGINT) AS weight
+ FROM sugg WHERE {" AND ".join(conds)}
+ ORDER BY w DESC, doc_id LIMIT {n})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def spellcheck_sql(
     specs: list[tuple[str, str, int]], relation: str = "documents"
 ) -> str:

@@ -294,3 +294,79 @@ class DirectSpellChecker:
         # SuggestWordScoreComparator: score desc, freq desc, term asc
         out.sort(key=lambda s: (-s.score, -s.freq, s.term))
         return out[:num_sug]
+
+
+@dataclass
+class InfixSuggestion:
+    key: int
+    text: str
+    weight: int
+
+
+class InfixSuggester:
+    """AnalyzingInfixSuggester analogue (s84 suggest/src/java/org/apache/
+    lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java) — the
+    suggester real search boxes use: suggestions match when the analyzed
+    query's tokens occur ANYWHERE in the suggestion (not only at its
+    start), ranked by weight desc.
+
+    Semantics mirrored from lookup(): every query token but the last must
+    match a suggestion token EXACTLY; the last query token matches as a
+    token PREFIX (the reference's PrefixQuery-on-last-token / textgrams
+    contract, AnalyzingInfixSuggester.java:355-392). Ties in weight break
+    by insertion key ascending (the reference leaves ties in suggest-index
+    doc order, which is insertion order). Like the reference, build()
+    constructs the suggester's OWN searchable structure from an input
+    iterator (keys, texts, weights) — here one sorted token array +
+    parallel suggestion-ids in place of the dedicated Lucene index, so a
+    lookup is two searchsorteds per query token + an id intersection.
+
+    Scale path: build is embarrassingly partitionable (sort each
+    partition's exploded (token, id) pairs; a lookup fans out and merges
+    per-partition top-n by weight — the stages/serve.py pool shape)."""
+
+    def __init__(self, analyzer=None):
+        from ..functions.analysis import get_analyzer
+
+        self.analyzer = analyzer or get_analyzer("standard")
+        self._n = 0
+
+    def build(self, keys, texts, weights) -> "InfixSuggester":
+        self.keys = np.asarray(keys, dtype=np.int64)
+        self.texts = np.asarray(texts, dtype=object)
+        self.weights = np.asarray(weights, dtype=np.int64)
+        tokens, doc_idx = self.analyzer.tokenize_batch(list(self.texts))
+        order = np.argsort(tokens, kind="stable")
+        self._tokens = tokens[order]
+        self._tok_ids = doc_idx[order]
+        self._n = len(self.keys)
+        return self
+
+    def lookup(self, query: str, n: int) -> list[InfixSuggestion]:
+        if self._n == 0:
+            return []
+        qtoks = self.analyzer.tokens(query)
+        if not qtoks:
+            return []
+        cand = None
+        for i, t in enumerate(qtoks):
+            lo = int(np.searchsorted(self._tokens, t, side="left"))
+            if i == len(qtoks) - 1:  # last token: prefix match
+                hi = int(np.searchsorted(self._tokens, t + _PREFIX_CEILING,
+                                         side="left"))
+            else:  # earlier tokens: exact match
+                hi = int(np.searchsorted(self._tokens, t, side="right"))
+            ids = np.unique(self._tok_ids[lo:hi])
+            cand = ids if cand is None else np.intersect1d(
+                cand, ids, assume_unique=True
+            )
+            if len(cand) == 0:
+                return []
+        w = self.weights[cand]
+        order = np.lexsort((self.keys[cand], -w))[:n]
+        sel = cand[order]
+        return [
+            InfixSuggestion(int(self.keys[i]), str(self.texts[i]),
+                            int(self.weights[i]))
+            for i in sel
+        ]

@@ -142,3 +142,35 @@ def test_spellcheck_modes_and_boundaries(small_index):
 
     # min_query_length: short inputs never suggest
     assert sc.suggest_similar("t0", 5, mode=SUGGEST_ALWAYS) == []
+
+
+def test_infix_suggester_semantics():
+    """InfixSuggester: token-start matches anywhere in the suggestion;
+    earlier query tokens exact, last token prefix; weight-desc key-asc
+    order; empty on no match (AnalyzingInfixSuggester lookup contract)."""
+    import numpy as np
+
+    from lucene_7_x_9_x_ray.search.suggest import InfixSuggester
+
+    texts = [
+        "the fast key order",      # 0
+        "spark group query row",   # 1
+        "join a filter window",    # 2
+        "fast window filter",      # 3
+        "window fast",             # 4  (weight tie with 0)
+    ]
+    s = InfixSuggester().build([0, 1, 2, 3, 4], texts, [128, 441, 348, 348, 128])
+    # prefix hit mid-suggestion ("fi" starts 'filter' at position 2 / 1)
+    assert [x.key for x in s.lookup("fi", 5)] == [2, 3]
+    # weight desc, key asc on ties
+    assert [x.key for x in s.lookup("window", 5)] == [2, 3, 4]
+    assert [x.key for x in s.lookup("fast", 5)] == [3, 0, 4]
+    # multi-token: "the" exact + "fa" prefix — only doc 0 has BOTH
+    assert [x.key for x in s.lookup("the fa", 5)] == [0]
+    # earlier tokens are EXACT: "fas window" must not match (no token "fas")
+    assert s.lookup("fas window", 5) == []
+    # but as the LAST token "fas" is a prefix
+    assert [x.key for x in s.lookup("window fas", 5)] == [3, 4]
+    # n truncates after ordering
+    assert [x.key for x in s.lookup("window", 2)] == [2, 3]
+    assert s.lookup("zzz", 5) == [] and s.lookup("", 5) == []
