@@ -905,6 +905,48 @@ def q_similarity_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# CommonTermsQuery gate: (query_id, terms, high_occur, low_occur,
+# max_term_frequency, low_mns, high_mns, k). The 31-word Zipf corpus puts
+# every common term at df/N ~ 0.75-0.8 and "dup" at ~0.05, so mtf=0.5
+# splits them; ct_abs30 exercises the absolute (>=1) threshold branch and
+# ct_all_high the empty-low-group conjunction guard.
+COMMONTERMS_SPECS: list[tuple[str, list[str], str, str, float, float, float, int]] = [
+    ("ct_should", ["the", "table", "dup"], Q.SHOULD, Q.SHOULD, 0.5, 0.0, 0.0, 10),
+    ("ct_low_must", ["the", "dup", "key"], Q.SHOULD, Q.MUST, 0.5, 0.0, 0.0, 10),
+    ("ct_high_mns", ["the", "table", "key", "dup"], Q.SHOULD, Q.SHOULD, 0.5, 0.0, 0.5, 10),
+    ("ct_all_high", ["the", "table"], Q.SHOULD, Q.SHOULD, 0.5, 0.0, 0.0, 10),
+    ("ct_abs30", ["table", "dup"], Q.SHOULD, Q.SHOULD, 30.0, 0.0, 0.0, 10),
+    ("ct_high_must", ["the", "key", "dup"], Q.MUST, Q.SHOULD, 0.5, 0.0, 0.0, 10),
+]
+
+
+def q_commonterms_topk(sf_dir: str) -> pa.Table:
+    """CommonTermsQuery top-k (df-split high/low frequency groups,
+    CommonTermsQuery.java:61): (query_id, rank, doc_id, score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms, ho, lo, mtf, lmns, hmns, k in COMMONTERMS_SPECS:
+        q = Q.CommonTermsQuery(
+            terms=tuple(terms), high_freq_occur=ho, low_freq_occur=lo,
+            max_term_frequency=mtf, low_freq_min_should_match=lmns,
+            high_freq_min_should_match=hmns,
+        )
+        td = merged.search(q, k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 def q_similarity_topk_served(sf_dir: str) -> pa.Table:
     """The similarity-registry query set scored by the actor-pool serving
     stage (setSimilarity at the actor): each actor binds a cached searcher

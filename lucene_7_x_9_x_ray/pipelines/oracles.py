@@ -1231,6 +1231,93 @@ SELECT prefix_id, CAST(rank AS BIGINT) AS rank, term,
 FROM ranked WHERE rank <= n"""
 
 
+def commonterms_topk_sql(
+    specs: list[tuple[str, list[str], str, str, float, float, float, int]],
+    relation: str = "documents",
+) -> str:
+    """CommonTermsQuery oracle: (query_id, rank, doc_id, score_r).
+
+    The df-threshold classification is done IN SQL (CommonTermsQuery.java
+    buildQuery): a term is high-frequency when df > mtf (absolute, mtf>=1)
+    or df > ceil(float32(mtf) * float32(maxDoc)). Per doc the low/high
+    groups aggregate their matched leaves in DOUBLE and cast FLOAT once
+    (the engine's nested-boolean discipline); the outer query requires the
+    low group (MUST) and adds the high group when it matches (SHOULD),
+    with the empty-low conjunction upgrade and Math.round fractional
+    minShouldMatch mirrored as CASE expressions over the SQL-side counts.
+    All boosts are 1 (float32 identity)."""
+    all_terms = sorted({t for _, ts, *_ in specs for t in ts})
+    ctes = [base_ctes(relation)]
+    ctes += [term_leaf_ctes(t) for t in all_terms]
+    for t in all_terms:
+        ti = _ident(t)
+        lit = t.replace("'", "''")
+        ctes.append(f"""
+ctdf_{ti} AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{lit}')""")
+    selects = []
+    for qid, terms, ho, lo, mtf, lmns, hmns, k in specs:
+        # per-term is_high flag with THIS spec's threshold
+        for t in terms:
+            ti = _ident(t)
+            ctes.append(f"""
+hf_{qid}_{ti} AS (SELECT (CASE WHEN {mtf} >= 1.0 THEN df > {mtf}
+                               ELSE FALSE END)
+                         OR df > ceil(CAST(CAST({mtf} AS FLOAT)
+                                           * CAST((SELECT n_docs FROM cs) AS FLOAT) AS DOUBLE))
+                         AS is_high
+                  FROM ctdf_{_ident(t)})""")
+        low_union = "\n      UNION ALL ".join(
+            f"SELECT doc_id, s FROM s_{_ident(t)} WHERE NOT (SELECT is_high FROM hf_{qid}_{_ident(t)})"
+            for t in terms
+        )
+        high_union = "\n      UNION ALL ".join(
+            f"SELECT doc_id, s FROM s_{_ident(t)} WHERE (SELECT is_high FROM hf_{qid}_{_ident(t)})"
+            for t in terms
+        )
+        n_low = " + ".join(
+            f"(SELECT CASE WHEN is_high THEN 0 ELSE 1 END FROM hf_{qid}_{_ident(t)})"
+            for t in terms
+        )
+        # group sizes + Math.round fractional minShouldMatch as scalar CTEs
+        ctes.append(f"""
+ctn_{qid} AS (SELECT {n_low} AS n_low, {len(terms)} - ({n_low}) AS n_high),
+ctmns_{qid} AS (SELECT
+    CASE WHEN {lmns} >= 1.0 OR {lmns} = 0.0 THEN CAST({lmns} AS BIGINT)
+         ELSE CAST(floor({lmns} * (SELECT n_low FROM ctn_{qid}) + 0.5) AS BIGINT) END AS low_mns,
+    CASE WHEN {hmns} >= 1.0 OR {hmns} = 0.0 THEN CAST({hmns} AS BIGINT)
+         ELSE CAST(floor({hmns} * (SELECT n_high FROM ctn_{qid}) + 0.5) AS BIGINT) END AS high_mns),
+ctl_{qid} AS (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS ls, count(*) AS lc
+              FROM ({low_union}) GROUP BY doc_id),
+cth_{qid} AS (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS hs, count(*) AS hc
+              FROM ({high_union}) GROUP BY doc_id),
+ctj_{qid} AS (SELECT COALESCE(l.doc_id, h.doc_id) AS doc_id,
+                     COALESCE(l.ls, CAST(0 AS FLOAT)) AS ls, COALESCE(l.lc, 0) AS lc,
+                     COALESCE(h.hs, CAST(0 AS FLOAT)) AS hs, COALESCE(h.hc, 0) AS hc
+              FROM ctl_{qid} l FULL OUTER JOIN cth_{qid} h ON l.doc_id = h.doc_id),
+ctm_{qid} AS (SELECT doc_id, ls, hs,
+                     lc >= (CASE WHEN '{lo}' = 'MUST' THEN (SELECT n_low FROM ctn_{qid})
+                                 ELSE greatest(1, (SELECT low_mns FROM ctmns_{qid})) END) AS low_ok,
+                     hc >= (CASE WHEN '{ho}' = 'MUST'
+                                      OR ((SELECT n_low FROM ctn_{qid}) = 0
+                                          AND (SELECT high_mns FROM ctmns_{qid}) = 0)
+                                 THEN (SELECT n_high FROM ctn_{qid})
+                                 ELSE greatest(1, (SELECT high_mns FROM ctmns_{qid})) END) AS high_ok
+              FROM ctj_{qid}),
+cts_{qid} AS (SELECT doc_id,
+                     CAST(CASE WHEN (SELECT n_low FROM ctn_{qid}) > 0 AND low_ok
+                               THEN CAST(ls AS DOUBLE) ELSE 0 END
+                          + CASE WHEN high_ok THEN CAST(hs AS DOUBLE) ELSE 0 END AS FLOAT) AS score
+              FROM ctm_{qid}
+              WHERE CASE WHEN (SELECT n_low FROM ctn_{qid}) > 0 THEN low_ok ELSE high_ok END)""")
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM cts_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def suggest_infix_sql(
     specs: list[tuple[str, str, int]], title_tokens: int,
     relation: str = "documents",

@@ -25,6 +25,7 @@ CONSTANT_SCORE_REWRITE default), so scorers only ever see primitives.
 
 from __future__ import annotations
 
+import math
 import re as _re
 from dataclasses import dataclass
 
@@ -248,6 +249,90 @@ class PhraseQuery(Query):
     slop: int = 0
     boost: float = 1.0
     field: str = ""
+
+
+@dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """High/low-frequency split term query (s84 queries/src/java/org/
+    apache/lucene/queries/CommonTermsQuery.java:61): at rewrite time each
+    term is classified by document frequency against maxTermFrequency
+    (a fraction of maxDoc in [0,1), or an absolute count >= 1); low-freq
+    terms form one sub-boolean (occur = low_freq_occur) that the outer
+    query requires (MUST), high-freq terms one sub-boolean (occur =
+    high_freq_occur) that only contributes score (SHOULD). When no
+    low-freq term exists the high group upgrades to a MUST conjunction
+    (buildQuery's slow-query guard). minShouldMatch values < 1 are
+    fractions of the group's optional clause count (Math.round)."""
+
+    terms: tuple[str, ...]
+    high_freq_occur: str = SHOULD
+    low_freq_occur: str = SHOULD
+    max_term_frequency: float = 0.01
+    low_freq_boost: float = 1.0
+    high_freq_boost: float = 1.0
+    low_freq_min_should_match: float = 0.0
+    high_freq_min_should_match: float = 0.0
+    field: str = ""
+
+    def __post_init__(self):
+        if self.high_freq_occur == MUST_NOT or self.low_freq_occur == MUST_NOT:
+            raise ValueError(
+                "highFreqOccur/lowFreqOccur should be MUST or SHOULD but was MUST_NOT"
+            )
+
+    @staticmethod
+    def _min_nr_should_match(f: float, num_optional: int) -> int:
+        if f >= 1.0 or f == 0.0:
+            return int(f)
+        return int(math.floor(f * num_optional + 0.5))  # Math.round
+
+    def rewrite_with_stats(self, df_of, max_doc: int) -> Query:
+        """buildQuery (CommonTermsQuery.java:139-201) against collected
+        term stats: ``df_of(term)`` returns the term's docFreq."""
+        if not self.terms:
+            return MatchNoDocsQuery()
+        if len(self.terms) == 1:
+            return TermQuery(self.terms[0], field=self.field)
+        frac_cut = int(
+            math.ceil(float(np.float32(self.max_term_frequency) * np.float32(max_doc)))
+        )
+        low: list[Query] = []
+        high: list[Query] = []
+        for t in self.terms:
+            df = int(df_of(t))
+            if df == 0:  # null TermStates -> low-freq group
+                low.append(TermQuery(t, field=self.field))
+            elif (self.max_term_frequency >= 1.0 and df > self.max_term_frequency) or (
+                df > frac_cut
+            ):
+                high.append(TermQuery(t, field=self.field))
+            else:
+                low.append(TermQuery(t, field=self.field))
+        low_occur, high_occur = self.low_freq_occur, self.high_freq_occur
+        low_mns = high_mns = 0
+        if low_occur == SHOULD and low:
+            low_mns = self._min_nr_should_match(
+                self.low_freq_min_should_match, len(low)
+            )
+        if high_occur == SHOULD and high:
+            high_mns = self._min_nr_should_match(
+                self.high_freq_min_should_match, len(high)
+            )
+        if not low and high_mns == 0 and high_occur != MUST:
+            # no low-freq terms: conjunction guard against slow queries
+            high_occur = MUST
+        clauses: list[tuple[str, Query]] = []
+        if low:
+            lq: Query = BooleanQuery.build(
+                [(low_occur, q) for q in low], min_should_match=low_mns
+            )
+            clauses.append((MUST, BoostQuery(lq, self.low_freq_boost)))
+        if high:
+            hq: Query = BooleanQuery.build(
+                [(high_occur, q) for q in high], min_should_match=high_mns
+            )
+            clauses.append((SHOULD, BoostQuery(hq, self.high_freq_boost)))
+        return BooleanQuery.build(clauses)
 
 
 @dataclass(frozen=True)
@@ -596,7 +681,7 @@ def collect_terms(query: Query) -> set[str]:
         out.update(query.terms)
     elif isinstance(query, MultiPhraseQuery):
         out.update(query.flat_terms())
-    elif isinstance(query, SynonymQuery):
+    elif isinstance(query, (SynonymQuery, CommonTermsQuery)):
         out.update(query.terms)
     elif isinstance(query, BooleanQuery):
         for c in query.clauses:
@@ -631,7 +716,7 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
         out.add((query.field, query.term))
     elif isinstance(query, PayloadScoreQuery):
         out.add((query.field, query.term))
-    elif isinstance(query, (PhraseQuery, SynonymQuery)):
+    elif isinstance(query, (PhraseQuery, SynonymQuery, CommonTermsQuery)):
         out.update((query.field, t) for t in query.terms)
     elif isinstance(query, MultiPhraseQuery):
         out.update((query.field, t) for t in query.flat_terms())

@@ -451,6 +451,15 @@ def eval_query(
     if isinstance(query, Q.BooleanQuery):
         return _eval_boolean(reader, query, stats, bm25)
 
+    if isinstance(query, Q.CommonTermsQuery):
+        # rewrite against GLOBAL collected stats (CommonTermsQuery.rewrite
+        # collects TermStates across all leaves before classifying), then
+        # evaluate the resulting boolean tree
+        rewritten = query.rewrite_with_stats(
+            lambda t: stats.df(t, query.field), stats.n_docs(query.field)
+        )
+        return eval_query(reader, rewritten, stats, bm25)
+
     raise TypeError(f"unrewritten or unknown query type: {type(query).__name__}")
 
 

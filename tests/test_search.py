@@ -831,3 +831,44 @@ def test_multiphrase_parser_syntax():
     # degenerate group -> plain phrase
     q3 = Q.parse_classic('"key (hash) join"', an)
     assert q3 == Q.PhraseQuery(terms=("key", "hash", "join"))
+
+
+def test_commonterms_rewrite_shapes():
+    """CommonTermsQuery.rewrite_with_stats: df classification (fraction
+    and absolute thresholds), empty-low conjunction upgrade, fractional
+    minShouldMatch rounding, MUST_NOT rejection."""
+    df = {"the": 400, "table": 390, "dup": 25}.get
+    mk = lambda **kw: Q.CommonTermsQuery(**kw)
+
+    q = mk(terms=("the", "table", "dup"), max_term_frequency=0.5)
+    r = q.rewrite_with_stats(df, 500)
+    assert isinstance(r, Q.BooleanQuery) and len(r.clauses) == 2
+    (lo_occ, lo_q), (hi_occ, hi_q) = [(c.occur, c.query) for c in r.clauses]
+    assert lo_occ == Q.MUST and hi_occ == Q.SHOULD
+    assert {c.query.term for c in lo_q.query.clauses} == {"dup"}
+    assert {c.query.term for c in hi_q.query.clauses} == {"the", "table"}
+
+    # all high -> SHOULD group upgraded to a MUST conjunction
+    r2 = mk(terms=("the", "table"), max_term_frequency=0.5).rewrite_with_stats(df, 500)
+    assert len(r2.clauses) == 1
+    inner = r2.clauses[0].query.query
+    assert all(c.occur == Q.MUST for c in inner.clauses)
+
+    # absolute threshold: df > 30 is high
+    r3 = mk(terms=("table", "dup"), max_term_frequency=30.0).rewrite_with_stats(df, 500)
+    assert len(r3.clauses) == 2
+
+    # fractional high msm: round(0.5 * 3) = 2
+    r4 = mk(terms=("the", "table", "dup", "key"), max_term_frequency=0.5,
+            high_freq_min_should_match=0.5).rewrite_with_stats(
+        lambda t: {"the": 400, "table": 390, "key": 380, "dup": 25}[t], 500)
+    hi = [c.query.query for c in r4.clauses if c.occur == Q.SHOULD][0]
+    assert hi.min_should_match == 2
+
+    # unknown term (df 0) joins the low group; single term collapses
+    r5 = mk(terms=("zzz",), max_term_frequency=0.5).rewrite_with_stats(
+        lambda t: 0, 500)
+    assert r5 == Q.TermQuery("zzz")
+
+    with pytest.raises(ValueError):
+        mk(terms=("a", "b"), low_freq_occur=Q.MUST_NOT)
