@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_caps": curation.q_source_caps,  # per-host document caps
         "corpus_to_sequences": curation.q_corpus_to_sequences,  # filter -> pack
         "quality_filter": textops.q_quality_filter,  # Gopher repetition rules
+        "stem_es_tokens": textops.q_stem_es_tokens,  # Savoy Spanish light stemmer
         # --- dedup suite ---
         "exact_dedup": dedup.q_exact_dedup,
         "jaccard_pairs": dedup.q_jaccard_pairs,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_docsonly": O.bm25_docsonly_topk_sql(flagship.BM25_QUERY_SPECS),
         "suggest_completion": O.completion_sql(flagship.COMPLETION_SPECS),
         "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),
+        "stem_es_tokens": textops.oracle_stem_es_sql(),
         "suggest_infix": O.suggest_infix_sql(flagship.INFIX_SPECS, 8),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "facet_length_ranges": O.facet_range_sql(

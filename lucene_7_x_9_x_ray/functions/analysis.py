@@ -455,6 +455,23 @@ def _ngram_filter(min_gram: int = 1, max_gram: int = 2, edge: bool = False):
     return f
 
 
+# ElisionFilter article set (FrenchAnalyzer.DEFAULT_ARTICLES,
+# analysis/common/.../fr/FrenchAnalyzer.java:60): a leading article +
+# apostrophe is stripped ("l'avion" -> "avion"); both ASCII ' and U+2019
+_ELISION_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c",
+     "jusqu", "quoiqu", "lorsqu", "puisqu"]
+)
+
+
+def _elide_token(t: str) -> str:
+    for apo in ("'", "’"):
+        i = t.find(apo)
+        if i != -1 and t[:i].lower() in _ELISION_ARTICLES:
+            return t[i + 1:]
+    return t
+
+
 def _possessive_strip(tokens: np.ndarray) -> np.ndarray:
     if len(tokens) == 0:
         return tokens
@@ -487,6 +504,9 @@ class CustomAnalyzer(Analyzer):
                        output_unigrams, sep)
       "ngram"          NGramTokenFilter (kwargs: min_gram, max_gram)
       "edge_ngram"     EdgeNGramTokenFilter (kwargs: min_gram, max_gram)
+      "elision"        ElisionFilter (French article+apostrophe strip)
+      "french_light_stem" / "german_light_stem" / "spanish_light_stem"
+                       Savoy light stemmers (functions/lightstem.py)
     """
 
     name = "custom"
@@ -528,6 +548,20 @@ class CustomAnalyzer(Analyzer):
             from .porter import porter_stem
 
             return lambda t, d: (_vocab_map(t, porter_stem), d)
+        if name == "french_light_stem":
+            from .lightstem import french_light_stem
+
+            return lambda t, d: (_vocab_map(t, french_light_stem), d)
+        if name == "german_light_stem":
+            from .lightstem import german_light_stem
+
+            return lambda t, d: (_vocab_map(t, german_light_stem), d)
+        if name == "spanish_light_stem":
+            from .lightstem import spanish_light_stem
+
+            return lambda t, d: (_vocab_map(t, spanish_light_stem), d)
+        if name == "elision":
+            return lambda t, d: (_vocab_map(t, _elide_token), d)
         if name == "possessive":
             return lambda t, d: (_possessive_strip(t), d)
         if name == "shingle":
@@ -596,6 +630,17 @@ def get_analyzer(name: str, stopwords: Iterable[str] | None = None) -> Analyzer:
     through builds/reopens via ``CustomAnalyzer.spec_name``)."""
     if name == "standard_en":
         return StandardAnalyzer(stopwords=ENGLISH_STOP_WORDS)
+    if name in ("french", "german", "spanish"):
+        # FrenchAnalyzer / GermanAnalyzer / SpanishAnalyzer shape (s84
+        # analysis/common/.../fr/FrenchAnalyzer.java:116-124 etc.):
+        # standard tokenizer + (elision for fr) + lowercase + optional
+        # stop set + the language's light stem filter
+        chain: list = ["elision"] if name == "french" else []
+        chain.append("lowercase")
+        if stopwords:
+            chain.append(("stop", {"stopwords": sorted(stopwords)}))
+        chain.append(f"{name}_light_stem")
+        return CustomAnalyzer("standard", chain)
     if name.startswith("custom:"):
         import json
 

@@ -527,3 +527,68 @@ snip_{qid} AS (
  FROM sel_{qid} s JOIN snip_{qid} sn ON sn.doc_id = s.doc_id AND sn.win = s.win
  WHERE s.rk <= {N})""")
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_STEM_ES_ANALYZER = None
+
+
+def stem_es_batch(batch: pa.Table) -> pa.Table:
+    """Per-block partial stem counts through the SpanishAnalyzer chain
+    (standard tokenizer + lowercase + Savoy Spanish light stem,
+    functions/lightstem.py — analysis/common/.../es/SpanishLightStemmer
+    behavior): (stem, p_n). The stemmer runs once per DISTINCT block
+    token (vocab map), the groupby downstream sums partials."""
+    global _STEM_ES_ANALYZER
+    if _STEM_ES_ANALYZER is None:
+        from ..functions.analysis import get_analyzer
+
+        _STEM_ES_ANALYZER = get_analyzer("spanish")
+    tokens, _ = _STEM_ES_ANALYZER.tokenize_batch(
+        batch["text"].to_pylist()
+    )
+    uniq, counts = np.unique(tokens.astype("U"), return_counts=True)
+    return pa.table(
+        {
+            "stem": pa.array(uniq, pa.string()),
+            "p_n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_stem_es_tokens(sf_dir: str) -> pa.Table:
+    """Language-analyzer gate: corpus token counts AFTER the Spanish
+    light stemmer — (stem, n). Distributed shape: per-block vocab-mapped
+    partial counts, one small groupby over distinct stems."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = (
+        sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                   rows_per_block=HEAVY_ROWS_PER_BLOCK)
+        .map_batches(stem_es_batch, batch_format="pyarrow")
+        .groupby("stem")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+    t = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
+    return pa.table(
+        {"stem": t["stem"], "n": t["n"].cast(pa.int64())}
+    ).sort_by("stem")
+
+
+def oracle_stem_es_sql() -> str:
+    """SQL mirror of the Spanish light stemmer (len<5 passthrough, accent
+    fold, suffix rules in algorithm order) over the token stream."""
+    fold = "translate(t, 'àáâäòóôöèéêëùúûüìíîï', 'aaaaooooeeeeuuuuiiii')"
+    return f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+ft AS (SELECT t, {fold} AS f, length(t) AS ln FROM tok),
+st AS (SELECT CASE
+         WHEN ln < 5 THEN t
+         WHEN right(f, 1) IN ('o', 'a', 'e') THEN substr(f, 1, ln - 1)
+         WHEN right(f, 4) = 'eses' THEN substr(f, 1, ln - 2)
+         WHEN right(f, 3) = 'ces' THEN substr(f, 1, ln - 3) || 'z'
+         WHEN right(f, 2) IN ('os', 'as', 'es') THEN substr(f, 1, ln - 2)
+         ELSE f END AS stem
+      FROM ft)
+SELECT stem, count(*) AS n FROM st GROUP BY stem"""

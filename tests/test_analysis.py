@@ -399,3 +399,82 @@ def test_custom_analyzer_index_roundtrip(tmp_path):
     assert sorted(int(d) for d in td.doc_ids) == [0, 1]
     td2 = s.search("Café", k=10, total_hits_threshold=1 << 30)
     assert sorted(int(d) for d in td2.doc_ids) == [0, 1]
+
+
+def test_light_stemmers_conformance():
+    """Savoy light stemmers (functions/lightstem.py) — vectors hand-traced
+    through the published rule tables (FrenchLightStemmer / GermanLight
+    Stemmer / SpanishLightStemmer behavior)."""
+    from lucene_7_x_9_x_ray.functions.lightstem import (
+        french_light_stem, german_light_stem, spanish_light_stem,
+    )
+
+    fr_vectors = {
+        "chevaux": "cheval",     # -aux -> -al, then norm
+        "peaux": "peau",         # len 5: only the bare -x strip applies
+        "hiboux": "hibou",
+        "chantés": "chant",      # -s strip + norm é->e + trailing e strips
+        "chanter": "chant",
+        "chante": "chant",
+        "chanté": "chant",
+        "championnes": "champion",  # -s, norm: e strip + doubled-n strip
+        "confirmation": "confirm",  # -ation rule
+        "confirmement": "confirm",  # -ement rule
+        "organisation": "organ",    # -isation rule
+        "préférence": "preferenc",  # norm accent fold + one trailing e strip
+        "baux": "bau",
+        "x": "x",
+    }
+    for w, want in fr_vectors.items():
+        assert french_light_stem(w) == want, (w, french_light_stem(w))
+
+    de_vectors = {
+        "häuser": "haus",     # umlaut fold + -er
+        "bücher": "buch",
+        "katzen": "katz",     # -en (step1)
+        "kinder": "kind",
+        "kindern": "kind",    # -ern (step1)
+        "schönste": "schon",    # -e (step1) then -st (step2, n passes the guard)
+        "abends": "abend",    # -s after st-ending 'd'
+        "abend": "abend",
+        "haus": "haus",
+    }
+    for w, want in de_vectors.items():
+        assert german_light_stem(w) == want, (w, german_light_stem(w))
+
+    es_vectors = {
+        "casas": "cas",      # -as
+        "casa": "casa",      # len < 5 passthrough
+        "peces": "pez",      # -ces -> z
+        "meses": "mes",      # -eses
+        "corto": "cort",
+        "cortos": "cort",
+        "chicas": "chic",
+        "mes": "mes",        # len < 5 passthrough
+        "río": "río",        # len < 5 passthrough (accents untouched)
+    }
+    for w, want in es_vectors.items():
+        assert spanish_light_stem(w) == want, (w, spanish_light_stem(w))
+
+
+def test_language_analyzers_and_elision():
+    """get_analyzer('french'/'german'/'spanish') chains + ElisionFilter
+    article strip + custom:{json} manifest round-trip."""
+    from lucene_7_x_9_x_ray.functions.analysis import get_analyzer
+
+    fr = get_analyzer("french")
+    assert fr.tokens("L'avion des chevaux") == ["avion", "des", "cheval"]
+    # non-article apostrophe prefixes survive elision untouched
+    assert fr.tokens("aujourd'hui") == ["aujourd'hui"]
+
+    de = get_analyzer("german")
+    assert de.tokens("Häuser und Bücher") == ["haus", "und", "buch"]
+
+    es = get_analyzer("spanish")
+    assert es.tokens("casas y peces") == ["cas", "y", "pez"]
+
+    # stopword-parameterized variant + manifest round-trip
+    es_stop = get_analyzer("spanish", stopwords=["y"])
+    assert es_stop.tokens("casas y peces") == ["cas", "pez"]
+    again = get_analyzer(es_stop.spec_name)
+    assert again.tokens("casas y peces") == ["cas", "pez"]
