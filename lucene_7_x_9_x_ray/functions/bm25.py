@@ -39,6 +39,8 @@ __all__ = [
     "IBTermWeight",
     "DFISimilarity",
     "DFITermWeight",
+    "AxiomaticSimilarity",
+    "AxiomaticTermWeight",
     "LENGTH_TABLE",
     "get_similarity",
 ]
@@ -609,6 +611,114 @@ class DFISimilarity:
         )
 
 
+_AXIOMATIC_VARIANTS = ("f1exp", "f1log", "f2exp", "f2log", "f3exp", "f3log")
+
+
+@dataclass(frozen=True)
+class AxiomaticTermWeight:
+    """Axiomatic per-(term, collection) state (s84 Axiomatic.java:103-112
+    score = tf·ln·tfln·idf − gamma, then ×boost, clamped at 0, one float32
+    cast; AxiomaticF{1,2,3}{EXP,LOG}.java component definitions) — all math
+    in DOUBLE on the float-stored hyperparameters:
+
+      family f1: tf = 1 + ln(1 + ln(freq + 1)),
+                 ln = (avgfl + s) / (avgfl + docLen·s)
+      family f2: tfln = freq / (freq + s + s·docLen/avgfl)
+      family f3: tf as f1; gamma = (docLen − queryLen)·s·queryLen/avgfl
+      idf EXP: ((N + 1) / df)^k     idf LOG: ln((N + 1) / df)
+
+    avgfl = sumTotalTermFreq / docCount (SimilarityBase.fillBasicStats);
+    docLen = the byte4-decoded norm length."""
+
+    boost: np.float64
+    s: np.float64
+    k: np.float64
+    query_len: np.float64
+    avgfl: np.float64
+    idf: np.float64
+    variant: str
+
+    def score(self, freqs, norm_bytes) -> np.ndarray:
+        f = np.asarray(freqs).astype(np.float64, copy=False)
+        dl = BYTE4_DECODE_TABLE[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float64
+        )
+        fam = self.variant[:2]
+        if fam == "f1":
+            tf = 1.0 + np.log(1.0 + np.log(f + 1.0))
+            ln = (self.avgfl + self.s) / (self.avgfl + dl * self.s)
+            core = tf * ln * self.idf
+        elif fam == "f2":
+            tfln = f / (f + self.s + self.s * dl / self.avgfl)
+            core = tfln * self.idf
+        else:  # f3
+            tf = 1.0 + np.log(1.0 + np.log(f + 1.0))
+            gamma = (dl - self.query_len) * self.s * self.query_len / self.avgfl
+            core = tf * self.idf - gamma
+        return np.maximum(core * self.boost, 0.0).astype(np.float32)
+
+    def score_scalar(self, freq: float, norm_byte: int) -> float:
+        return float(self.score(np.array([freq]), np.array([norm_byte]))[0])
+
+    def max_score(self, imp_freqs, imp_norms) -> float:
+        if len(imp_freqs) == 0:
+            return 0.0
+        return float(self.score(imp_freqs, imp_norms).max())
+
+
+class AxiomaticSimilarity:
+    """Axiomatic retrieval models (s84 Axiomatic.java + the six shipped
+    subclasses). ``variant`` picks F1/F2/F3 × EXP/LOG; defaults mirror the
+    Java constructors (s=0.25, queryLen=1, k=0.35; F3 callers should pass
+    their real query length — the Java F3 classes have no default ctor)."""
+
+    def __init__(
+        self,
+        variant: str = "f2exp",
+        s: float = 0.25,
+        query_len: int = 1,
+        k: float = 0.35,
+    ):
+        variant = variant.lower()
+        if variant not in _AXIOMATIC_VARIANTS:
+            raise ValueError(f"unknown Axiomatic variant {variant!r}")
+        if not np.isfinite(s) or not (0.0 <= s <= 1.0):
+            raise ValueError(f"illegal s value: {s}, must be between 0 and 1")
+        if not np.isfinite(k) or not (0.0 <= k <= 1.0):
+            raise ValueError(f"illegal k value: {k}, must be between 0 and 1")
+        if query_len < 0:
+            raise ValueError(f"illegal query length value: {query_len}")
+        self.variant = variant
+        # Java stores s/k as float fields, widened to double in the math
+        self.s = np.float64(np.float32(s))
+        self.k = np.float64(np.float32(k))
+        self.query_len = np.float64(query_len)
+
+    def term_weight(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        ttf: int | None = None,
+    ) -> AxiomaticTermWeight:
+        n1_over_df = (np.float64(doc_count) + 1.0) / np.float64(doc_freq)
+        idf = (
+            np.power(n1_over_df, self.k)
+            if self.variant.endswith("exp")
+            else np.log(n1_over_df)
+        )
+        return AxiomaticTermWeight(
+            boost=np.float64(np.float32(boost)),
+            s=self.s,
+            k=self.k,
+            query_len=self.query_len,
+            avgfl=np.float64(sum_total_term_freq) / np.float64(doc_count),
+            idf=idf,
+            variant=self.variant,
+        )
+
+
 def get_similarity(spec: str = "bm25"):
     """Similarity registry — the pluggable-Similarity hook (SURVEY.md
     §2.10; IndexSearcher.setSimilarity role). Specs:
@@ -629,11 +739,26 @@ def get_similarity(spec: str = "bm25"):
       "ib(c=...)"                 -> parameterized IB LL/DF/H1
       "dfi"                       -> DFI standardized
       "dfi(saturated)" etc.       -> DFI with that independence measure
+      "axiomaticf2exp" etc.       -> Axiomatic F{1,2,3}{EXP,LOG} defaults
+      "axiomaticf3log(s=…, queryLen=…)" -> parameterized Axiomatic
 
     Searchers accept the returned object via their ``bm25`` argument."""
     import re
 
     spec = spec.strip()
+    max_ = re.fullmatch(r"axiomatic(f[123](?:exp|log))(?:\(([^)]*)\))?", spec)
+    if max_ is not None:
+        kwargs: dict = {}
+        for part in filter(None, (p.strip() for p in (max_.group(2) or "").split(","))):
+            key, _, val = part.partition("=")
+            key = key.strip()
+            if key not in ("s", "k", "queryLen"):
+                raise ValueError(f"unknown parameter {key!r} in {spec!r}")
+            if key == "queryLen":
+                kwargs["query_len"] = int(val)
+            else:
+                kwargs[key] = float(val)
+        return AxiomaticSimilarity(max_.group(1), **kwargs)
     if spec == "bm25":
         return BM25()
     if spec == "bm25legacy":

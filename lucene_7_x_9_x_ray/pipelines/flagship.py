@@ -845,6 +845,9 @@ SIMILARITY_TOPK_SPECS: list[tuple[str, str]] = [
     ("dfi", "dfi"),                # DFI standardized (DFISimilarity)
     ("lmjm", "lmjelinekmercer(lambda=0.7)"),  # LM Jelinek-Mercer (long-query lambda)
     ("bool", "boolean"),           # BooleanSimilarity (score = query boost)
+    ("axf1", "axiomaticf1exp"),    # Axiomatic F1EXP (AxiomaticF1EXP.java)
+    ("axf2", "axiomaticf2exp"),    # Axiomatic F2EXP (AxiomaticF2EXP.java)
+    ("axf3", "axiomaticf3log(queryLen=2)"),  # Axiomatic F3LOG, real query length
 ]
 SIMILARITY_TOPK_TERMS = ("key", "hash")
 SIMILARITY_TOPK_K = 10

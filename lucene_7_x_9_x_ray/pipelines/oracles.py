@@ -576,6 +576,11 @@ def similarity_topk_sql(ta: str, tb: str, k: int, relation: str = "documents") -
     - 'bool': BooleanSimilarity (BooleanSimilarity.java) — every matching
       leaf scores exactly the query boost (1.0); the disjunction sum
       counts matching clauses.
+    - 'axf1'/'axf2'/'axf3': Axiomatic F1EXP / F2EXP / F3LOG(queryLen=2)
+      (Axiomatic.java:103-112 + the subclass component definitions) —
+      avgfl = sttf/N DOUBLE, s=0.25 exact-in-float, k widened from the
+      float 0.35f; F3's gamma = (nlen − 2)·0.25·2/avgfl subtracts before
+      the per-leaf zero clamp.
     """
     a, b = _ident(ta), _ident(tb)
     la, lb = ta.replace("'", "''"), tb.replace("'", "''")
@@ -639,7 +644,38 @@ lmjm_{t} AS (SELECT tf.doc_id,
             FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
             JOIN normlen nl USING (doc_id)),
 bls_{t} AS (SELECT DISTINCT doc_id, {ONE_F} AS s
-            FROM tok WHERE term = '{lit}')""")
+            FROM tok WHERE term = '{lit}'),
+axw_{t} AS (SELECT ((SELECT n_docs FROM cs) + 1.0)
+                   / count(DISTINCT doc_id) AS n1df,
+                   CAST((SELECT sttf FROM cs) AS DOUBLE)
+                   / (SELECT n_docs FROM cs) AS avgfl
+            FROM tok WHERE term = '{lit}'),
+axf1_{t} AS (SELECT tf.doc_id,
+                 CAST((1.0 + ln(1.0 + ln(CAST(tf.freq AS DOUBLE) + 1.0)))
+                      * (((SELECT avgfl FROM axw_{t}) + 0.25)
+                         / ((SELECT avgfl FROM axw_{t})
+                            + CAST(nl.nlen AS DOUBLE) * 0.25))
+                      * pow((SELECT n1df FROM axw_{t}),
+                            CAST(CAST(0.35 AS FLOAT) AS DOUBLE)) AS FLOAT) AS s
+            FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
+            JOIN normlen nl USING (doc_id)),
+axf2_{t} AS (SELECT tf.doc_id,
+                 CAST((CAST(tf.freq AS DOUBLE)
+                       / (CAST(tf.freq AS DOUBLE) + 0.25
+                          + 0.25 * CAST(nl.nlen AS DOUBLE)
+                            / (SELECT avgfl FROM axw_{t})))
+                      * pow((SELECT n1df FROM axw_{t}),
+                            CAST(CAST(0.35 AS FLOAT) AS DOUBLE)) AS FLOAT) AS s
+            FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
+            JOIN normlen nl USING (doc_id)),
+axf3_{t} AS (SELECT tf.doc_id,
+                 CAST(greatest((1.0 + ln(1.0 + ln(CAST(tf.freq AS DOUBLE) + 1.0)))
+                               * ln((SELECT n1df FROM axw_{t}))
+                               - (CAST(nl.nlen AS DOUBLE) - 2.0) * 0.25 * 2.0
+                                 / (SELECT avgfl FROM axw_{t}),
+                               0.0) AS FLOAT) AS s
+            FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
+            JOIN normlen nl USING (doc_id))""")
         ctes.append(f"""
 cw_{t} AS (SELECT CAST(ln(((SELECT n_docs FROM cs) + 1) / CAST(df + 1 AS DOUBLE)) + 1.0 AS FLOAT) AS w
            FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{lit}')),
@@ -661,6 +697,7 @@ lgs_{t} AS (SELECT tf.doc_id,
         ("classic", "cls"), ("legacy", "lgs"), ("lmd", "lmd"),
         ("dfr", "dfr"), ("ib", "ibs"), ("dfi", "dfis"),
         ("lmjm", "lmjm"), ("bool", "bls"),
+        ("axf1", "axf1"), ("axf2", "axf2"), ("axf3", "axf3"),
     ):
         scored = f"""(SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
             CAST(COALESCE(CAST(x.s AS DOUBLE), 0)

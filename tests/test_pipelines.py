@@ -167,6 +167,66 @@ def test_lmjm_boolean_sql_float32_identity():
         get_similarity("lmjelinekmercer(mu=2)")
 
 
+def test_axiomatic_sql_float32_identity():
+    """Axiomatic F1EXP / F2EXP / F3LOG kernels (Axiomatic.java:103-112 +
+    subclass components) match DuckDB FLOAT arithmetic bit-for-bit — the
+    axf1/axf2/axf3 similarity_topk oracle contract."""
+    from lucene_7_x_9_x_ray.functions.bm25 import get_similarity
+    from lucene_7_x_9_x_ray.functions.smallfloat import BYTE4_DECODE_TABLE
+
+    con = duckdb.connect()
+    f1 = get_similarity("axiomaticf1exp")
+    f2 = get_similarity("axiomaticf2exp")
+    f3 = get_similarity("axiomaticf3log(queryLen=2)")
+    rng = np.random.default_rng(29)
+    f1_sql = """
+    SELECT CAST((1.0 + ln(1.0 + ln(CAST(freq AS DOUBLE) + 1.0)))
+                * ((avgfl + 0.25) / (avgfl + CAST(nlen AS DOUBLE) * 0.25))
+                * pow((n_docs + 1.0) / df,
+                      CAST(CAST(0.35 AS FLOAT) AS DOUBLE)) AS FLOAT)
+    FROM (SELECT ? AS n_docs, ? AS df, ? AS freq, ? AS nlen,
+                 CAST(? AS DOUBLE) / ? AS avgfl)
+    """
+    f2_sql = """
+    SELECT CAST((CAST(freq AS DOUBLE)
+                 / (CAST(freq AS DOUBLE) + 0.25
+                    + 0.25 * CAST(nlen AS DOUBLE) / avgfl))
+                * pow((n_docs + 1.0) / df,
+                      CAST(CAST(0.35 AS FLOAT) AS DOUBLE)) AS FLOAT)
+    FROM (SELECT ? AS n_docs, ? AS df, ? AS freq, ? AS nlen,
+                 CAST(? AS DOUBLE) / ? AS avgfl)
+    """
+    f3_sql = """
+    SELECT CAST(greatest((1.0 + ln(1.0 + ln(CAST(freq AS DOUBLE) + 1.0)))
+                         * ln((n_docs + 1.0) / df)
+                         - (CAST(nlen AS DOUBLE) - 2.0) * 0.25 * 2.0 / avgfl,
+                         0.0) AS FLOAT)
+    FROM (SELECT ? AS n_docs, ? AS df, ? AS freq, ? AS nlen,
+                 CAST(? AS DOUBLE) / ? AS avgfl)
+    """
+    for _ in range(200):
+        n_docs = int(rng.integers(10, 10_000_000))
+        df = int(rng.integers(1, n_docs + 1))
+        sttf = int(n_docs * rng.integers(5, 500))
+        freq = int(rng.integers(1, 50))
+        nbyte = int(rng.integers(1, 256))
+        nlen = int(BYTE4_DECODE_TABLE[nbyte])
+
+        for sim, sql in ((f1, f1_sql), (f2, f2_sql), (f3, f3_sql)):
+            got_sql = con.execute(sql, [n_docs, df, freq, nlen, sttf, n_docs]).fetchone()[0]
+            tw = sim.term_weight(df, n_docs, sttf)
+            got_np = float(tw.score(np.array([freq]), np.array([nbyte]))[0])
+            assert got_sql == pytest.approx(got_np, abs=0.0), (
+                sim.variant, n_docs, df, freq, nlen)
+
+    with pytest.raises(ValueError):
+        get_similarity("axiomaticf1exp(s=1.5)")
+    with pytest.raises(ValueError):
+        get_similarity("axiomaticf9exp")
+    with pytest.raises(ValueError):
+        get_similarity("axiomaticf2log(k=-0.1)")
+
+
 def _planted_corpus() -> pa.Table:
     """12 docs: 0/1 near-dup pair, 2/3 exact dup pair, rest random-ish."""
     base = "the quick brown fox jumps over the lazy dog again and again today"
