@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parsed_topk_served": flagship.q_parsed_topk_served,  # parse at the actor
         "similarity_topk": flagship.q_similarity_topk,  # TFIDF + 7.x BM25 registry
         "commonterms_topk": flagship.q_commonterms_topk,  # df-split high/low frequency query
+        "blended_topk": flagship.q_blended_topk,  # cross-field blended term statistics
         "similarity_topk_served": flagship.q_similarity_topk_served,  # setSimilarity at the actor
         "function_topk": flagship.q_function_topk,  # FunctionScoreQuery (log1p dl boost)
         "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
             [(qid, kind, cls, k) for qid, _s, kind, cls, k in flagship.PARSED_TOPK_SPECS]
         ),
         "commonterms_topk": O.commonterms_topk_sql(flagship.COMMONTERMS_SPECS),
+        "blended_topk": O.blended_topk_sql(flagship.BLENDED_SPECS),
         "similarity_topk": O.similarity_topk_sql(
             *flagship.SIMILARITY_TOPK_TERMS, flagship.SIMILARITY_TOPK_K
         ),

@@ -950,6 +950,52 @@ def q_commonterms_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# BlendedTermQuery gate: (query_id, members [(field, term)], boosts,
+# rewrite_method, tie_breaker, k). bl_cross* blend the SAME term across
+# body and title (the cross-field use the class exists for: one artificial
+# df = max over both fields' df feeds both leaves); bl_dismax/bl_bool
+# blend two body terms with very different df so the blended idf visibly
+# differs from the per-term idf; bl_boost exercises the member boost fold.
+BLENDED_SPECS: list[
+    tuple[str, list[tuple[str, str]], tuple[float, ...], str, float, int]
+] = [
+    ("bl_dismax", [("", "the"), ("", "dup")], (), "dismax", 0.01, 10),
+    ("bl_bool", [("", "table"), ("", "dup")], (), "boolean", 0.0, 10),
+    ("bl_boost", [("", "key"), ("", "dup")], (2.0, 1.0), "dismax", 0.1, 10),
+    ("bl_cross", [("", "table"), ("title", "table")], (), "dismax", 0.01, 10),
+    ("bl_cross_bool", [("", "key"), ("title", "key")], (), "boolean", 0.0, 10),
+]
+
+
+def q_blended_topk(sf_dir: str) -> pa.Table:
+    """BlendedTermQuery top-k (cross-field blended term statistics,
+    BlendedTermQuery.java:49): (query_id, rank, doc_id, score_r). Each
+    member scores its own field's postings/norms with ONE artificial
+    docFreq = max over members (totalTermFreq = sum), combined dismax
+    (tie_breaker) or SHOULD-boolean per the rewrite method."""
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, members, boosts, method, tie, k in BLENDED_SPECS:
+        q = Q.BlendedTermQuery(
+            terms=tuple(members), boosts=boosts,
+            rewrite_method=method, tie_breaker=tie,
+        )
+        td = merged.search(q, k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 def q_similarity_topk_served(sf_dir: str) -> pa.Table:
     """The similarity-registry query set scored by the actor-pool serving
     stage (setSimilarity at the actor): each actor binds a cached searcher

@@ -1355,6 +1355,78 @@ cts_{qid} AS (SELECT doc_id,
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def blended_topk_sql(
+    specs: list[tuple[str, list[tuple[str, str]], tuple[float, ...], str, float, int]],
+    relation: str = "documents",
+) -> str:
+    """BlendedTermQuery oracle: (query_id, rank, doc_id, score_r).
+
+    specs = (query_id, members [(field, term)], boosts, rewrite_method,
+    tie_breaker, k). Per query ONE artificial docFreq — greatest over each
+    member's own-field df (BlendedTermQuery.java rewrite: df = max,
+    adjustFrequencies) — feeds every member's float32 idf; each member leaf
+    then scores over its OWN field's token stream / avgdl / norm length
+    (per-field CollectionStatistics are NOT blended). Member boost folds
+    into the weight (float32(boost) * idf, the BoostQuery weight-creation
+    fold). Combination: "dismax" = float64(max float32 leaf) + tie *
+    (double-sum - max), one float32 cast (DisjunctionMaxQuery.java:30);
+    "boolean" = SHOULD-sum (double accumulate, one float32 cast)."""
+    fields = sorted({f for _, mem, *_ in specs for f, _ in mem})
+    ctes = ["lt AS (SELECT unnest(" + LENGTH_TABLE_SQL + ") AS v)"]
+    ctes += [field_stream_ctes(f, relation) for f in fields]
+    selects = []
+    for qid, members, boosts, method, tie, k in specs:
+        bs = boosts or tuple(1.0 for _ in members)
+        df_subs = ", ".join(
+            f"(SELECT count(DISTINCT doc_id) FROM {_fp(f)}tok"
+            f" WHERE term = '{t.replace(chr(39), chr(39) * 2)}')"
+            for f, t in members
+        )
+        df_expr = f"greatest({df_subs})" if len(members) > 1 else df_subs
+        ctes.append(f"""
+df_{qid} AS (SELECT {df_expr} AS df)""")
+        leaf_names = []
+        for i, ((f, t), b) in enumerate(zip(members, bs)):
+            p = _fp(f)
+            lit = t.replace("'", "''")
+            w_expr = f"CAST(ln(1 + (({p}cs.n_docs) - df + 0.5) / (df + 0.5)) AS FLOAT)"
+            if b != 1.0:
+                w_expr = f"CAST({b} AS FLOAT) * {w_expr}"
+            nm = f"bl_{qid}_{i}"
+            ctes.append(f"""
+w_{nm} AS (SELECT {w_expr} AS w FROM df_{qid}, {p}cs),
+s_{nm} AS (SELECT tf.doc_id,
+                 (SELECT w FROM w_{nm})
+                 - (SELECT w FROM w_{nm})
+                   / ({ONE_F} + CAST(tf.freq AS FLOAT)
+                      * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                         + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM {p}cs))))) AS s
+          FROM (SELECT doc_id, count(*) AS freq FROM {p}tok WHERE term = '{lit}' GROUP BY doc_id) tf
+          JOIN {p}normlen nl USING (doc_id))""")
+            leaf_names.append(f"s_{nm}")
+        union = "\n      UNION ALL ".join(
+            f"SELECT doc_id, s FROM {nm}" for nm in leaf_names
+        )
+        if method == "boolean":
+            ctes.append(f"""
+scored_{qid} AS (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+                 FROM ({union}) GROUP BY doc_id)""")
+        else:
+            ctes.append(f"""
+scored_{qid} AS (SELECT doc_id,
+                        CAST(CAST(max(s) AS DOUBLE)
+                             + {tie!r} * (SUM(CAST(s AS DOUBLE)) - CAST(max(s) AS DOUBLE))
+                             AS FLOAT) AS score
+                 FROM ({union}) GROUP BY doc_id)""")
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM scored_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def suggest_infix_sql(
     specs: list[tuple[str, str, int]], title_tokens: int,
     relation: str = "documents",

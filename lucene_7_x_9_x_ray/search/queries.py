@@ -50,6 +50,11 @@ class TermQuery(Query):
     # document/FieldType.java:32): each field has its own postings, norms
     # and collection statistics.
     field: str = ""
+    # Artificial aggregated TermStatistics attached by BlendedTermQuery's
+    # rewrite (TermStates.accumulateStatistics role): -1 = use the index's
+    # own docFreq / totalTermFreq for this (field, term).
+    df_override: int = -1
+    ttf_override: int = -1
 
 
 @dataclass(frozen=True)
@@ -353,6 +358,53 @@ class MultiPhraseQuery(Query):
 
     def flat_terms(self) -> tuple[str, ...]:
         return tuple(t for slot in self.positions for t in slot)
+
+
+@dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """Blended term statistics across fields/terms (s84
+    core/src/java/org/apache/lucene/search/BlendedTermQuery.java:49) — the
+    cross-field query behind "treat title:foo and body:foo as one term".
+
+    rewrite (BlendedTermQuery.java rewrite + adjustFrequencies): build one
+    ARTIFICIAL TermStatistics shared by every member — docFreq = max over
+    members' own docFreq, totalTermFreq = sum over members' totalTermFreq
+    (TermStates.accumulateStatistics) — then score each member as a plain
+    TermQuery over its OWN field's postings/norms/CollectionStatistics but
+    with the blended stats, combined by the RewriteMethod:
+
+    - "dismax": DisjunctionMaxQuery(tie_breaker) (DisjunctionMaxRewrite;
+      the class javadoc recommends tieBreakerMultiplier = 0.01, the
+      DISJUNCTION_MAX_REWRITE constant uses 1.0).
+    - "boolean": SHOULD-only BooleanQuery (BOOLEAN_REWRITE).
+
+    ``boosts`` aligns with ``terms`` (Builder.add(term, boost): the boost
+    wraps the member in a BoostQuery, whose weight-creation fold means the
+    leaf weight = float32(boost) * idf — folded into TermQuery.boost here,
+    the same fold the engine's term_weight applies); empty = all 1.0.
+    """
+
+    terms: tuple[tuple[str, str], ...]  # (field, term) members
+    boosts: tuple[float, ...] = ()
+    rewrite_method: str = "dismax"  # "dismax" | "boolean"
+    tie_breaker: float = 0.01
+
+    def rewrite_with_stats(self, df_of, ttf_of) -> Query:
+        """BlendedTermQuery.rewrite against collected stats: ``df_of(field,
+        term)`` / ``ttf_of(field, term)`` return the member's own docFreq /
+        totalTermFreq from the searcher's CollectionStats."""
+        if not self.terms:
+            return MatchNoDocsQuery()
+        boosts = self.boosts or tuple(1.0 for _ in self.terms)
+        df = max(int(df_of(f, t)) for f, t in self.terms)
+        ttf = sum(int(ttf_of(f, t)) for f, t in self.terms)
+        subs: list[Query] = [
+            TermQuery(t, boost=b, field=f, df_override=df, ttf_override=ttf)
+            for (f, t), b in zip(self.terms, boosts)
+        ]
+        if self.rewrite_method == "boolean":
+            return BooleanQuery.build([(SHOULD, q) for q in subs])
+        return DisjunctionMaxQuery(tuple(subs), tie_breaker=self.tie_breaker)
 
 
 @dataclass(frozen=True)
@@ -683,6 +735,8 @@ def collect_terms(query: Query) -> set[str]:
         out.update(query.flat_terms())
     elif isinstance(query, (SynonymQuery, CommonTermsQuery)):
         out.update(query.terms)
+    elif isinstance(query, BlendedTermQuery):
+        out.update(t for _, t in query.terms)
     elif isinstance(query, BooleanQuery):
         for c in query.clauses:
             out |= collect_terms(c.query)
@@ -718,6 +772,8 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
         out.add((query.field, query.term))
     elif isinstance(query, (PhraseQuery, SynonymQuery, CommonTermsQuery)):
         out.update((query.field, t) for t in query.terms)
+    elif isinstance(query, BlendedTermQuery):
+        out.update(query.terms)
     elif isinstance(query, MultiPhraseQuery):
         out.update((query.field, t) for t in query.flat_terms())
     elif isinstance(query, BooleanQuery):

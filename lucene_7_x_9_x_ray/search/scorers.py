@@ -180,18 +180,22 @@ def _view(reader, field: str):
 def term_scores(
     reader: SegmentReader, term: str, stats: CollectionStats, bm25: BM25,
     boost: float = 1.0, field: str = "",
+    df_override: int = -1, ttf_override: int = -1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """TermQuery leaf: decode postings, score all docs (TermScorer.java:29).
     Scoring uses the FIELD's statistics (df over its postings, its own
-    docCount/avgdl) and the field's norm bytes."""
+    docCount/avgdl) and the field's norm bytes. ``df_override`` /
+    ``ttf_override`` >= 0 substitute artificial aggregated TermStatistics
+    (BlendedTermQuery rewrite, TermStates.accumulateStatistics)."""
     fr = _view(reader, field)
     tp = fr.term_postings(term)
     if tp is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     docs, freqs = tp.decode()
+    df = stats.df(term, field) if df_override < 0 else df_override
+    ttf = stats.ttf(term, field) if ttf_override < 0 else ttf_override
     tw = bm25.term_weight(
-        stats.df(term, field), stats.n_docs(field), stats.sttf(field), boost,
-        ttf=stats.ttf(term, field),
+        df, stats.n_docs(field), stats.sttf(field), boost, ttf=ttf,
     )
     scores = tw.score(freqs, fr.norms[docs])
     return docs, scores.astype(np.float32, copy=False)
@@ -209,7 +213,10 @@ def eval_query(
     Returns (local docIDs ascending, float32 scores aligned).
     """
     if isinstance(query, Q.TermQuery):
-        return term_scores(reader, query.term, stats, bm25, query.boost, query.field)
+        return term_scores(
+            reader, query.term, stats, bm25, query.boost, query.field,
+            df_override=query.df_override, ttf_override=query.ttf_override,
+        )
 
     if isinstance(query, Q.MatchAllDocsQuery):
         docs = np.arange(reader.doc_count, dtype=np.int64)
@@ -457,6 +464,15 @@ def eval_query(
         # evaluate the resulting boolean tree
         rewritten = query.rewrite_with_stats(
             lambda t: stats.df(t, query.field), stats.n_docs(query.field)
+        )
+        return eval_query(reader, rewritten, stats, bm25)
+
+    if isinstance(query, Q.BlendedTermQuery):
+        # blend ONE artificial TermStatistics (df = max, ttf = sum) over
+        # GLOBAL collected stats, then evaluate the dismax/boolean tree of
+        # stat-overridden TermQueries (BlendedTermQuery.java:274 rewrite)
+        rewritten = query.rewrite_with_stats(
+            lambda f, t: stats.df(t, f), lambda f, t: stats.ttf(t, f)
         )
         return eval_query(reader, rewritten, stats, bm25)
 

@@ -33,9 +33,22 @@ from .wand import wand_topk
 __all__ = ["IndexSearcher"]
 
 
+def _plain_term(q: Q.Query) -> bool:
+    """Primary-field TermQuery with the index's OWN statistics — the only
+    leaves the WAND/MaxScore term paths may score (their term_weight calls
+    read stats directly, so BlendedTermQuery's df/ttf overrides must take
+    the exhaustive scorer instead)."""
+    return (
+        isinstance(q, Q.TermQuery)
+        and not q.field
+        and q.df_override < 0
+        and q.ttf_override < 0
+    )
+
+
 def _as_term_disjunction(query: Q.Query) -> list[tuple[str, float]] | None:
     """[(term, boost)] if the query is a SHOULD-only term disjunction."""
-    if isinstance(query, Q.TermQuery) and not query.field:
+    if _plain_term(query):
         return [(query.term, query.boost)]
     if isinstance(query, Q.BooleanQuery) and query.min_should_match <= 1:
         out = []
@@ -43,13 +56,9 @@ def _as_term_disjunction(query: Q.Query) -> list[tuple[str, float]] | None:
             q = c.query
             if c.occur != Q.SHOULD:
                 return None
-            if isinstance(q, Q.TermQuery) and not q.field:
+            if _plain_term(q):
                 out.append((q.term, q.boost))
-            elif (
-                isinstance(q, Q.BoostQuery)
-                and isinstance(q.query, Q.TermQuery)
-                and not q.query.field
-            ):
+            elif isinstance(q, Q.BoostQuery) and _plain_term(q.query):
                 out.append((q.query.term, float(q.boost) * q.query.boost))
             else:
                 return None
@@ -63,7 +72,7 @@ def _as_term_conjunction(query: Q.Query) -> list[tuple[str, float]] | None:
         out = []
         for c in query.clauses:
             q = c.query
-            if c.occur != Q.MUST or not isinstance(q, Q.TermQuery) or q.field:
+            if c.occur != Q.MUST or not _plain_term(q):
                 return None
             out.append((q.term, q.boost))
         return out if len(out) >= 2 else None

@@ -872,3 +872,90 @@ def test_commonterms_rewrite_shapes():
 
     with pytest.raises(ValueError):
         mk(terms=("a", "b"), low_freq_occur=Q.MUST_NOT)
+
+
+def _oracle_scores_blended(term: str, df_forced: int, boost: float = 1.0):
+    """oracle_scores with an artificial docFreq (BlendedTermQuery's
+    adjustFrequencies): idf from df_forced, freq/norms the term's own."""
+    an = get_analyzer("standard")
+    toks = [an.tokens(d) for d in DOCS]
+    n_docs = len(DOCS)
+    sttf = sum(len(t) for t in toks)
+    idf = np.float32(
+        np.log(1.0 + (np.float64(n_docs) - df_forced + 0.5) / (df_forced + 0.5))
+    )
+    weight = np.float32(boost) * idf
+    avgdl = np.float32(np.float64(sttf) / np.float64(n_docs))
+    one, k1, b = np.float32(1), np.float32(1.2), np.float32(0.75)
+    out = {}
+    for d, t in enumerate(toks):
+        freq = t.count(term)
+        if freq:
+            dl = np.float32(byte4_to_int(int_to_byte4(np.array([len(t)]))[0]))
+            ninv = one / (k1 * ((one - b) + b * dl / avgdl))
+            out[d] = weight - weight / (one + np.float32(freq) * ninv)
+    return out
+
+
+def test_blended_rewrite_shapes():
+    """BlendedTermQuery.rewrite_with_stats: df = max over members, ttf =
+    sum, per-member boost folds into TermQuery.boost, dismax vs boolean
+    rewrite methods, empty -> MatchNoDocs."""
+    df = {("", "a"): 3, ("", "b"): 4, ("title", "a"): 2}
+    ttf = {("", "a"): 5, ("", "b"): 6, ("title", "a"): 2}
+    df_of = lambda f, t: df[(f, t)]
+    ttf_of = lambda f, t: ttf[(f, t)]
+
+    q = Q.BlendedTermQuery(terms=(("", "a"), ("title", "a")), tie_breaker=0.2)
+    r = q.rewrite_with_stats(df_of, ttf_of)
+    assert isinstance(r, Q.DisjunctionMaxQuery) and r.tie_breaker == 0.2
+    assert r.queries == (
+        Q.TermQuery("a", field="", df_override=3, ttf_override=7),
+        Q.TermQuery("a", field="title", df_override=3, ttf_override=7),
+    )
+
+    r2 = Q.BlendedTermQuery(
+        terms=(("", "a"), ("", "b")), boosts=(2.0, 1.0), rewrite_method="boolean"
+    ).rewrite_with_stats(df_of, ttf_of)
+    assert isinstance(r2, Q.BooleanQuery)
+    assert [c.occur for c in r2.clauses] == [Q.SHOULD, Q.SHOULD]
+    assert r2.clauses[0].query == Q.TermQuery(
+        "a", boost=2.0, field="", df_override=4, ttf_override=11
+    )
+
+    assert Q.BlendedTermQuery(terms=()).rewrite_with_stats(
+        df_of, ttf_of
+    ) == Q.MatchNoDocsQuery()
+
+
+def test_blended_scoring_literal(idx):
+    """BlendedTermQuery scoring against a literal float32 oracle over the
+    pinned corpus: both members share df = max(df_a, df_b); dismax = f64
+    max + tie*(sum-max) cast f32; boolean = SHOULD-sum."""
+    df_a = sum(1 for d in DOCS if "a" in d.split())
+    df_b = sum(1 for d in DOCS if "b" in d.split())
+    df_bl = max(df_a, df_b)
+    sa = _oracle_scores_blended("a", df_bl)
+    sb = _oracle_scores_blended("b", df_bl)
+
+    # dismax, tie 0.3
+    exp = {}
+    for d in set(sa) | set(sb):
+        vals = [np.float64(m[d]) for m in (sa, sb) if d in m]
+        mx = max(vals)
+        exp[d] = np.float32(mx + np.float64(0.3) * (sum(vals) - mx))
+    td = idx.search(
+        Q.BlendedTermQuery(terms=(("", "a"), ("", "b")), tie_breaker=0.3), k=10
+    )
+    assert_matches(td, exp)
+
+    # boolean rewrite with a member boost
+    sa2 = _oracle_scores_blended("a", df_bl, boost=2.0)
+    td2 = idx.search(
+        Q.BlendedTermQuery(
+            terms=(("", "a"), ("", "b")), boosts=(2.0, 1.0),
+            rewrite_method="boolean",
+        ),
+        k=10,
+    )
+    assert_matches(td2, combine(sa2, sb))
