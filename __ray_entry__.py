@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_completion": flagship.q_suggest_completion,  # suggest module
         "spellcheck": flagship.q_spellcheck,  # DirectSpellChecker
         "suggest_infix": flagship.q_suggest_infix,  # AnalyzingInfixSuggester analogue
+        "suggest_fuzzy": flagship.q_suggest_fuzzy,  # FuzzySuggester (Levenshtein prefix)
+        "suggest_freetext": flagship.q_suggest_freetext,  # stupid-backoff ngram model
         # --- training-data text ops ---
         "corpus_clean": corpus.q_corpus_clean,  # composed dedup+quality+lang pass
         "doc_stats": textops.q_doc_stats,
@@ -199,6 +201,8 @@ def oracle_sql() -> dict[str, str]:
         "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),
         "stem_es_tokens": textops.oracle_stem_es_sql(),
         "suggest_infix": O.suggest_infix_sql(flagship.INFIX_SPECS, 8),
+        "suggest_fuzzy": O.fuzzy_suggest_sql(flagship.FUZZY_SUGGEST_SPECS),
+        "suggest_freetext": O.freetext_suggest_sql(flagship.FREETEXT_SPECS),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "facet_length_ranges": O.facet_range_sql(
             flagship.FACET_TERM, flagship.FACET_RANGE_EDGES, flagship.FACET_RANGE_LABELS

@@ -1810,6 +1810,138 @@ def q_spellcheck(sf_dir: str) -> pa.Table:
     )
 
 
+# FuzzySuggester gate: (query_id, key, n) with reference defaults
+# (max_edits=1, non_fuzzy_prefix=1, min_fuzzy_length=3, exact_first).
+# fz_jion/fz_vlaue pin the transposition primitive, fz_ke the
+# below-min-fuzzy-length exact-prefix path, fz_sort the EXACT_FIRST rule
+# (present key outranks weight), fz_cable the non-fuzzy first character
+# ("table" is 1 edit away but its first char differs -> no rows).
+FUZZY_SUGGEST_SPECS: list[tuple[str, str, int]] = [
+    ("fz_tabel", "tabel", 5),
+    ("fz_jion", "jion", 5),
+    ("fz_sprk", "sprk", 5),
+    ("fz_vlaue", "vlaue", 5),
+    ("fz_ke", "ke", 5),
+    ("fz_sort", "sort", 5),
+    ("fz_cable", "cable", 5),
+    # 4 candidates (scan, small, spark, stream) at distance 1, n=3 —
+    # exercises weight-desc ranking AND top-n truncation
+    ("fz_sta", "sta", 3),
+]
+
+
+def q_suggest_fuzzy(sf_dir: str) -> pa.Table:
+    """FuzzySuggester gate: (query_id, rank, term, weight) — Levenshtein-
+    automaton prefix completions over the merged term dictionary, weight =
+    corpus total_term_freq, exact key first then weight desc / term asc."""
+    from ..search.suggest import FuzzySuggester
+
+    merged, _ = get_searchers(sf_dir)
+    sug = FuzzySuggester(merged)
+    qids, ranks, terms, weights = [], [], [], []
+    for qid, key, n in FUZZY_SUGGEST_SPECS:
+        for r, s in enumerate(sug.lookup(key, n), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            terms.append(s.term)
+            weights.append(s.freq)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "weight": pa.array(weights, pa.int64()),
+        }
+    )
+
+
+# FreeTextSuggester gate: (query_id, key, n). ft_the_ / ft_key_ predict
+# continuations (trailing space upgrades to the bigram model only);
+# ft_the_ta / ft_key_va complete a fragment with bigram+unigram backoff;
+# ft_qu is a context-free unigram lookup; ft_zz_ta backs off to unigrams
+# after an unseen bigram context (backoff 0.4).
+FREETEXT_SPECS: list[tuple[str, str, int]] = [
+    ("ft_the_", "the ", 5),
+    ("ft_key_", "key ", 5),
+    ("ft_the_ta", "the ta", 5),
+    ("ft_key_va", "key va", 5),
+    ("ft_qu", "qu", 5),
+    ("ft_zz_ta", "zz ta", 5),
+]
+
+
+def q_suggest_freetext(sf_dir: str) -> pa.Table:
+    """FreeTextSuggester gate: (query_id, rank, suggestion, score_r) — a
+    bigram stupid-backoff language model fitted by a DISTRIBUTED gram
+    count (per-batch combiner inside map_batches, then one
+    vocabulary-sized groupby sum — shingles never leave their partition),
+    broadcast to the driver-side model for lookups."""
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.common import sized_read
+    from ..search.suggest import FreeTextSuggester
+
+    ds = sized_read(f"{sf_dir}/documents.parquet", columns=["text"])
+    agg = (
+        ds.map_batches(_gram_count_batch, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    uni: dict[str, int] = {}
+    big: dict[str, int] = {}
+    # vocabulary-bounded aggregate (|V| + |V|^2 rows max) — safe to collect
+    for batch in agg.iter_batches(batch_format="pyarrow"):
+        for g, c in zip(batch["gram"].to_pylist(), batch["cnt"].to_pylist()):
+            (big if " " in g else uni)[g] = int(c)
+    sug = FreeTextSuggester(grams=2).build_from_counts(
+        {1: uni, 2: big}, tot_tokens=sum(uni.values())
+    )
+    qids, ranks, texts, scores = [], [], [], []
+    for qid, key, n in FREETEXT_SPECS:
+        for r, s in enumerate(sug.lookup(key, n), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            texts.append(s.text)
+            scores.append(round_half_away(s.score, 9))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "suggestion": pa.array(texts, pa.string()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _gram_count_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch unigram+bigram partial counts (the pre-aggregation
+    combiner): whitespace split, flatten, shift-pair within rows, one
+    np.unique per order. Bigrams never cross document boundaries."""
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern(batch["text"].combine_chunks(), " ")
+    flat = lists.flatten().to_numpy(zero_copy_only=False).astype(object)
+    lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    uni_t, uni_c = np.unique(flat, return_counts=True)
+    # mask off each row's last token for the left side of the bigram
+    ends = np.cumsum(lens) - 1  # flat index of each row's last token
+    keep = np.ones(len(flat), dtype=bool)
+    keep[ends[lens > 0]] = False
+    w1 = flat[keep]
+    w2 = flat[1:][keep[:-1]] if len(flat) else flat[:0]
+    big_t, big_c = np.unique(w1 + " " + w2, return_counts=True) if len(w1) else (
+        np.array([], dtype=object), np.array([], dtype=np.int64),
+    )
+    return pa.table(
+        {
+            "gram": pa.array(
+                np.concatenate([uni_t, big_t]).tolist(), pa.string()
+            ),
+            "cnt": pa.array(np.concatenate([uni_c, big_c]), pa.int64()),
+        }
+    )
+
+
 # --- payload queries (queries/payloads module) -------------------------------
 
 # (query_id, term, func, include_span_score, k)

@@ -1427,6 +1427,130 @@ scored_{qid} AS (SELECT doc_id,
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def fuzzy_suggest_sql(
+    specs: list[tuple[str, str, int]],
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+    relation: str = "documents",
+) -> str:
+    """FuzzySuggester oracle: (query_id, rank, term, weight).
+
+    A dictionary term matches when its first non_fuzzy_prefix chars equal
+    the key's and SOME prefix of it is within max_edits (Damerau) of the
+    key past that shared prefix; keys shorter than min_fuzzy_length allow
+    zero edits (FuzzySuggester.toLevenshteinAutomata). Since distance >=
+    length difference, only prefix lengths within max_edits of len(key)
+    are enumerated. Rank: exact key first, weight (ttf) desc, term asc."""
+    rows = []
+    for qid, key, n in specs:
+        me = (
+            0
+            if (len(key) <= non_fuzzy_prefix or len(key) < min_fuzzy_length)
+            else max_edits
+        )
+        lit = key.replace("'", "''")
+        rows.append(f"('{qid}', '{lit}', {n}, {me}, {non_fuzzy_prefix})")
+    vals = ",".join(rows)
+    return f"""WITH {base_ctes(relation)},
+td AS (SELECT term, count(*) AS weight FROM tok GROUP BY term),
+p(query_id, key, n, me, nfp) AS (VALUES {vals}),
+pl AS (SELECT p.query_id, p.key, p.n, p.me, p.nfp, t.term, t.weight,
+              unnest(generate_series(greatest(p.nfp, length(p.key) - p.me),
+                                     least(length(t.term), length(p.key) + p.me))) AS plen
+       FROM p JOIN td t ON substr(t.term, 1, p.nfp) = substr(p.key, 1, p.nfp)),
+m AS (SELECT query_id, key, n, term, weight,
+             min(damerau_levenshtein(substr(term, nfp + 1, plen - nfp),
+                                     substr(key, nfp + 1, length(key)))) AS pd,
+             max(me) AS me
+      FROM pl GROUP BY query_id, key, n, nfp, term, weight),
+r AS (SELECT query_id, term, weight, n,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY (term = key) DESC, weight DESC, term) AS rank
+      FROM m WHERE pd <= me)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, term, CAST(weight AS BIGINT) AS weight
+FROM r WHERE rank <= n"""
+
+
+def freetext_suggest_sql(
+    specs: list[tuple[str, str, int]], relation: str = "documents"
+) -> str:
+    """FreeTextSuggester oracle (bigram stupid backoff, ALPHA = 0.4):
+    (query_id, rank, suggestion, score_r).
+
+    Python precomputes each key's analyzed shape (FreeTextSuggester.lookup
+    token bookkeeping): context token (NULL when the key has a single
+    unfinished token), last-token fragment, whether the unigram model is
+    skipped (trailing separator upgrade), and the unigram-stage backoff
+    (1.0 when the bigram stage was skipped for lack of input, else ALPHA —
+    the reference multiplies after BOTH a processed order and a
+    prefix-miss). Per order the top-n candidates rank count desc / gram
+    asc; the unigram stage excludes last tokens the bigram stage accepted
+    (the seen set) BEFORE ranking. score = (backoff * count) /
+    contextCount in DOUBLE, contextCount = the context's unigram count or
+    total token count."""
+    rows = []
+    for qid, key, n in specs:
+        toks = key.split()
+        trailing = key != key.rstrip()
+        if not toks:
+            continue
+        if trailing:
+            ctx, frag, skip_uni = toks[-1], "", True
+        elif len(toks) >= 2:
+            ctx, frag, skip_uni = toks[-2], toks[-1], False
+        else:
+            ctx, frag, skip_uni = None, toks[-1], False
+        ub = 1.0 if ctx is None else 0.4
+        ctx_sql = "NULL" if ctx is None else f"'{ctx}'"
+        rows.append(
+            f"('{qid}', {ctx_sql}, '{frag}', {n}, {str(skip_uni).lower()}, {ub!r})"
+        )
+    vals = ",".join(rows)
+    return f"""WITH
+tokp AS (SELECT doc_id,
+                unnest(string_split(text, ' ')) AS term,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         FROM {relation}),
+uni AS (SELECT term, count(*) AS cnt FROM tokp GROUP BY term),
+tot AS (SELECT count(*) AS c FROM tokp),
+big AS (SELECT w1, w2, count(*) AS cnt
+        FROM (SELECT term AS w1,
+                     lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM tokp)
+        WHERE w2 IS NOT NULL GROUP BY w1, w2),
+p(query_id, ctx, frag, n, skip_uni, ub) AS (VALUES {vals}),
+bcand AS (SELECT p.query_id, p.n, b.w1 || ' ' || b.w2 AS gram, b.w2 AS last_tok,
+                 (CAST(1.0 AS DOUBLE) * CAST(b.cnt AS DOUBLE))
+                   / CAST(uc.cnt AS DOUBLE) AS score,
+                 row_number() OVER (PARTITION BY p.query_id
+                                    ORDER BY b.cnt DESC, b.w2) AS rk
+          FROM p
+          JOIN big b ON b.w1 = p.ctx AND starts_with(b.w2, p.frag)
+          JOIN uni uc ON uc.term = p.ctx),
+btop AS (SELECT * FROM bcand WHERE rk <= n),
+ucand AS (SELECT p.query_id, p.n, u.term AS gram,
+                 (CAST(p.ub AS DOUBLE) * CAST(u.cnt AS DOUBLE))
+                   / CAST((SELECT c FROM tot) AS DOUBLE) AS score,
+                 row_number() OVER (PARTITION BY p.query_id
+                                    ORDER BY u.cnt DESC, u.term) AS rk
+          FROM p
+          JOIN uni u ON NOT p.skip_uni AND starts_with(u.term, p.frag)
+          WHERE NOT EXISTS (SELECT 1 FROM btop bt
+                            WHERE bt.query_id = p.query_id
+                              AND bt.last_tok = u.term)),
+utop AS (SELECT query_id, n, gram, score FROM ucand WHERE rk <= n),
+allr AS (SELECT query_id, n, gram, score FROM btop
+         UNION ALL SELECT query_id, n, gram, score FROM utop),
+r AS (SELECT query_id, gram, score, n,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, gram) AS rank
+      FROM allr)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, gram AS suggestion,
+       ROUND(score, 9) AS score_r
+FROM r WHERE rank <= n"""
+
+
 def suggest_infix_sql(
     specs: list[tuple[str, str, int]], title_tokens: int,
     relation: str = "documents",

@@ -296,6 +296,234 @@ class DirectSpellChecker:
         return out[:num_sug]
 
 
+class FuzzySuggester:
+    """FuzzySuggester analogue over the index term dictionary (s84
+    suggest/src/java/org/apache/lucene/search/suggest/analyzing/
+    FuzzySuggester.java): completions whose analyzed form starts with some
+    string within ``max_edits`` of the lookup key, where the first
+    ``non_fuzzy_prefix`` characters must match exactly and NO edits are
+    allowed when the key is shorter than ``min_fuzzy_length``
+    (toLevenshteinAutomata: exact-string automaton when ``len(key) <=
+    nonFuzzyPrefix or len(key) < minFuzzyLength``, else
+    key[:nfp] + LevenshteinAutomata(key[nfp:])). Defaults mirror
+    DEFAULT_MAX_EDITS=1 / DEFAULT_NON_FUZZY_PREFIX=1 /
+    DEFAULT_MIN_FUZZY_LENGTH=3 / transpositions=true.
+
+    The automaton-vs-FST intersection becomes: dict term T matches iff
+    T[:nfp] == key[:nfp] and min over prefix lengths ``plen`` of
+    damerau(T[nfp:plen], key[nfp:]) <= max_edits; since edit distance >=
+    length difference, only plen in [len(key)-me, len(key)+me] can match
+    (the banded window — O(2*me+1) DP calls per candidate, candidates
+    pruned to the nfp-prefix dictionary range exactly like
+    DirectSpellChecker). Ranking: AnalyzingSuggester's EXACT_FIRST default
+    (the key itself, when present, outranks any weight), then weight
+    (LuceneDictionary total_term_freq) desc, term asc (TopNSearcher ties
+    resolve by input bytes ascending). Damerau is the unrestricted variant
+    (see module docstring deviation note)."""
+
+    def __init__(
+        self,
+        searcher,
+        max_edits: int = 1,
+        non_fuzzy_prefix: int = 1,
+        min_fuzzy_length: int = 3,
+        exact_first: bool = True,
+    ):
+        if max_edits < 0 or max_edits > 2:
+            raise ValueError("max_edits must be between 0 and 2")
+        self.searcher = searcher
+        self.max_edits = max_edits
+        self.non_fuzzy_prefix = non_fuzzy_prefix
+        self.min_fuzzy_length = min_fuzzy_length
+        self.exact_first = exact_first
+
+    def lookup(self, key: str, n: int) -> list[Suggestion]:
+        if not key:
+            return []
+        nfp = self.non_fuzzy_prefix
+        me = (
+            0
+            if (len(key) <= nfp or len(key) < self.min_fuzzy_length)
+            else self.max_edits
+        )
+        pfx = key[:nfp]
+        terms, dfs, ttfs = dict_range_stats(
+            self.searcher, pfx, pfx + _PREFIX_CEILING
+        ) if pfx else dict_range_stats(self.searcher, "", _PREFIX_CEILING)
+        if len(terms) == 0:
+            return []
+        key_rest = key[nfp:]
+        out: list[Suggestion] = []
+        for i in range(len(terms)):
+            t = str(terms[i])
+            lo = max(nfp, len(key) - me)
+            hi = min(len(t), len(key) + me)
+            if any(
+                damerau_levenshtein(t[nfp:plen], key_rest) <= me
+                for plen in range(lo, hi + 1)
+            ):
+                out.append(Suggestion(t, float(ttfs[i]), int(ttfs[i])))
+        out.sort(
+            key=lambda s: (
+                not (self.exact_first and s.term == key),
+                -s.freq,
+                s.term,
+            )
+        )
+        return out[:n]
+
+
+@dataclass
+class FreeTextSuggestion:
+    text: str  # the full gram (context + predicted token, space-joined)
+    score: float  # stupid-backoff probability (double)
+
+
+class FreeTextSuggester:
+    """FreeTextSuggester analogue (s84 suggest/src/java/org/apache/lucene/
+    search/suggest/analyzing/FreeTextSuggester.java): an n-gram "stupid
+    backoff" language model (ALPHA = 0.4) predicting the next/current
+    token from gram counts. Lookup semantics mirrored from lookup():
+
+    - The analyzed key keeps its last (g+1)-grams; a key ending at a token
+      boundary (trailing separator) "upgrades" each gram with a trailing
+      separator — "foo " suggests bigram continuations of foo, never
+      unigrams (FreeTextSuggester.java:515-530) — and the empty unigram is
+      skipped for non-empty keys.
+    - Orders run highest first. A missing model prefix multiplies backoff
+      by ALPHA and falls through; a processed order ALSO multiplies
+      backoff afterwards; an order skipped for lack of input tokens does
+      NOT (the reference's plain continue before the multiply).
+    - Per order: candidates = this order's grams extending the token,
+      ranked count desc / gram asc (TopNSearcher cost order, ties by input
+      bytes); the first ``num`` whose LAST token was not already suggested
+      by a higher order are accepted (acceptResult seen-set, queue depth
+      num+len(seen)); score = (backoff * count) / contextCount where
+      contextCount = the context gram's own count, or totTokens at order 1.
+    - Final ranking: score desc, full gram text asc.
+
+    Deviation (documented): the reference quantizes scores to a long via
+    (long)(Long.MAX_VALUE * score) before comparing; this keeps the raw
+    double (ranking-identical unless two distinct scores differ by less
+    than one long ULP ~ 1e-16 relative, impossible for the small-rational
+    count ratios the model produces). Stopword-hole positions
+    (endPosInc-gated in the reference) are out of scope: the analyzer here
+    emits no holes.
+
+    Scale: gram counting is a distributed partial-combine map_batches →
+    groupby sum (pipelines/flagship.q_suggest_freetext); the fitted model
+    (vocabulary-bounded) broadcasts to lookups."""
+
+    ALPHA = 0.4
+
+    def __init__(self, grams: int = 2, analyzer=None):
+        from ..functions.analysis import get_analyzer
+
+        if grams < 1:
+            raise ValueError("grams must be >= 1")
+        self.grams = grams
+        self.analyzer = analyzer or get_analyzer("standard")
+        # per order o (1-based): sorted gram strings + aligned counts
+        self._terms: dict[int, np.ndarray] = {}
+        self._counts: dict[int, np.ndarray] = {}
+        self.tot_tokens = 0
+
+    def build_from_counts(
+        self, gram_counts: dict[int, dict[str, int]], tot_tokens: int
+    ) -> "FreeTextSuggester":
+        """gram_counts[order] = {space-joined gram: count}."""
+        for o in range(1, self.grams + 1):
+            m = gram_counts.get(o, {})
+            terms = np.array(sorted(m), dtype=object)
+            self._terms[o] = terms
+            self._counts[o] = np.array([m[t] for t in terms], dtype=np.int64)
+        self.tot_tokens = int(tot_tokens)
+        return self
+
+    def build(self, texts) -> "FreeTextSuggester":
+        """Local (driver-side) gram counting for small corpora/tests; the
+        distributed path lives in pipelines/flagship.q_suggest_freetext."""
+        counts: dict[int, dict[str, int]] = {o: {} for o in range(1, self.grams + 1)}
+        tot = 0
+        for text in texts:
+            toks = self.analyzer.tokens(str(text))
+            tot += len(toks)
+            for o in range(1, self.grams + 1):
+                for j in range(len(toks) - o + 1):
+                    g = " ".join(toks[j : j + o])
+                    counts[o][g] = counts[o].get(g, 0) + 1
+        return self.build_from_counts(counts, tot)
+
+    def _order_range(self, order: int, prefix: str) -> tuple[int, int]:
+        terms = self._terms.get(order)
+        if terms is None or len(terms) == 0:
+            return 0, 0
+        lo = int(np.searchsorted(terms, prefix, side="left"))
+        hi = int(np.searchsorted(terms, prefix + _PREFIX_CEILING, side="left"))
+        return lo, hi
+
+    def lookup(self, key: str, n: int) -> list[FreeTextSuggestion]:
+        toks = self.analyzer.tokens(key)
+        if not toks:
+            return []
+        # offsetAtt.endOffset() > maxEndOffset in the reference — the key
+        # ends past the last token; trailing whitespace is the signal here
+        last_token_ended = key != key.rstrip()
+        # last (g+1)-grams of the analyzed key; None = not enough tokens
+        last: list[str | None] = [
+            " ".join(toks[len(toks) - (g + 1) :]) if len(toks) >= g + 1 else None
+            for g in range(self.grams)
+        ]
+        if last_token_ended:
+            # upgrade: predict continuations, not completions
+            for g in range(self.grams - 1, 0, -1):
+                if last[g - 1] is not None:
+                    last[g] = last[g - 1] + " "
+            last[0] = ""
+
+        backoff = 1.0
+        seen: set[str] = set()
+        results: list[FreeTextSuggestion] = []
+        for g in range(self.grams - 1, -1, -1):
+            token = last[g]
+            if token is None or (token == "" and len(key) > 0):
+                continue  # not enough input: NO backoff multiply
+            order = g + 1
+            lo, hi = self._order_range(order, token)
+            if lo == hi:
+                backoff *= self.ALPHA  # model never saw this prefix
+                continue
+            if " " in token:
+                context = token[: token.rindex(" ")]
+                corder = context.count(" ") + 1
+                cterms = self._terms[corder]
+                ci = int(np.searchsorted(cterms, context))
+                context_count = int(self._counts[corder][ci])
+            else:
+                context_count = self.tot_tokens
+            cand_terms = self._terms[order][lo:hi]
+            cand_counts = self._counts[order][lo:hi]
+            order_ix = np.lexsort((cand_terms, -cand_counts))
+            accepted = 0
+            for ix in order_ix:
+                if accepted >= n:
+                    break
+                gram = str(cand_terms[ix])
+                last_tok = gram.rsplit(" ", 1)[-1]
+                if last_tok in seen:
+                    continue
+                seen.add(last_tok)
+                accepted += 1
+                score = float(
+                    (np.float64(backoff) * np.float64(cand_counts[ix]))
+                    / np.float64(context_count)
+                )
+                results.append(FreeTextSuggestion(gram, score))
+            backoff *= self.ALPHA
+        results.sort(key=lambda r: (-r.score, r.text))
+        return results[:n]
+
+
 @dataclass
 class InfixSuggestion:
     key: int

@@ -174,3 +174,83 @@ def test_infix_suggester_semantics():
     # n truncates after ordering
     assert [x.key for x in s.lookup("window", 2)] == [2, 3]
     assert s.lookup("zzz", 5) == [] and s.lookup("", 5) == []
+
+
+def test_fuzzy_suggester_semantics(small_index):
+    """FuzzySuggester over the merged dictionary vs a brute-force oracle:
+    nfp-exact first char, banded prefix-edit window, min_fuzzy_length
+    zero-edit gate, EXACT_FIRST rank, weight desc / term asc ties."""
+    from lucene_7_x_9_x_ray.search.merged import MergedIndexSearcher
+    from lucene_7_x_9_x_ray.search.suggest import FuzzySuggester, damerau_levenshtein
+
+    idx, toks = small_index
+    stats = _brute_stats(toks)
+    s = MergedIndexSearcher(idx)
+
+    def brute(key, n, me=1, nfp=1, mfl=3):
+        eff = 0 if (len(key) <= nfp or len(key) < mfl) else me
+        out = []
+        for t, (_, ttf) in stats.items():
+            if t[:nfp] != key[:nfp]:
+                continue
+            lo, hi = max(nfp, len(key) - eff), min(len(t), len(key) + eff)
+            if any(
+                damerau_levenshtein(t[nfp:p], key[nfp:]) <= eff
+                for p in range(lo, hi + 1)
+            ):
+                out.append((t, ttf))
+        out.sort(key=lambda x: (x[0] != key, -x[1], x[0]))
+        return [(t, w) for t, w in out[:n]]
+
+    sug = FuzzySuggester(s)
+    # vocab is t00000..t00299: "t0012" fuzzes across many neighbours
+    for key in ["t0012", "t00123", "t0", "t00", "t00299", "t99999", "t001"]:
+        got = [(r.term, r.freq) for r in sug.lookup(key, 8)]
+        assert got == brute(key, 8), key
+    # exact term ranks first even when a neighbour has higher weight
+    got = sug.lookup("t00250", 5)
+    assert got and got[0].term == "t00250"
+    assert brute("t00250", 5)[0][0] == "t00250"
+    # zero-edit path for short keys: plain prefix completions
+    short = sug.lookup("t0", 5)
+    assert all(r.term.startswith("t0") for r in short)
+
+
+def test_freetext_suggester_semantics():
+    """FreeTextSuggester stupid backoff (FreeTextSuggester.java lookup):
+    trailing-space upgrade (bigram only), fragment completion with
+    unigram backoff 0.4, seen-set dedup across orders, prefix-miss
+    backoff, per-order top-n, score desc / text asc ranking."""
+    from lucene_7_x_9_x_ray.search.suggest import FreeTextSuggester
+
+    s = FreeTextSuggester().build(["a b c a b d a c", "b c a b"])
+    # corpus: uni a4 b4 c3 d1 (tot 12); big: ab3 ac1 bc2 bd1 ca2 da1
+
+    # trailing space: continuations of 'a' only, no unigram predictions
+    got = s.lookup("a ", 5)
+    assert [(r.text, round(r.score, 6)) for r in got] == [
+        ("a b", 0.75), ("a c", 0.25)
+    ]
+    # fragment: bigram "a b" (3/4) wins; unigram "b" is seen-suppressed
+    assert [(r.text, round(r.score, 6)) for r in s.lookup("a b", 5)] == [
+        ("a b", 0.75)
+    ]
+    # fragment with no bigram support: unigram model at backoff 0.4
+    # key "d c": bigram "d c" absent -> backoff 0.4; uni c=3/12 * 0.4 = 0.1
+    assert [(r.text, round(r.score, 6)) for r in s.lookup("d c", 5)] == [
+        ("c", 0.1)
+    ]
+    # single token, no context: unigram model at backoff 1.0
+    assert [(r.text, round(r.score, 6)) for r in s.lookup("c", 5)] == [
+        ("c", 0.25)
+    ]
+    # unigram fallback adds UNSEEN last tokens after the bigram stage:
+    # "b c"(2/4) then "b d"(1/4); unigram 'b' (4/12)*0.4 = 0.1333.. ranks between
+    got = s.lookup("b ", 5)  # trailing space: bigram only
+    assert [r.text for r in got] == ["b c", "b d"]
+    got2 = s.lookup("b b", 5)  # fragment 'b': no bigram 'b b...'; uni 'b'
+    assert [(r.text, round(r.score, 6)) for r in got2] == [("b", 0.133333)]
+    # per-order top-n: n=1 keeps only the best bigram
+    assert [r.text for r in s.lookup("a ", 1)] == ["a b"]
+    # empty / unseen everything
+    assert s.lookup("zz xx", 5) == [] and s.lookup("", 5) == []
