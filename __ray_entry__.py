@@ -38,7 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_pfor": flagship.q_bm25_topk_pfor,  # PFOR codec-SPI variant index
         "phrase_topk": flagship.q_phrase_topk,
         "multiphrase_topk": flagship.q_multiphrase_topk,  # per-position term disjunction
-        "phrase_sloppy_topk": flagship.q_phrase_sloppy_topk,  # repeats path: rows-only
+        "phrase_sloppy_topk": flagship.q_phrase_sloppy_topk,  # repeats path (rptGroups)
         "phrase_sloppy2_topk": flagship.q_phrase_sloppy2_topk,  # 2-term: oracle-exact
         "scoring_variants": flagship.q_scoring_variants,
         "boolean_counts": flagship.q_boolean_counts,
@@ -145,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "phrase_topk": O.phrase_topk_sql(flagship.PHRASE_SPECS),
         "multiphrase_topk": O.multiphrase_topk_sql(flagship.MULTIPHRASE_SPECS),
+        "phrase_sloppy_topk": O.sloppy_phrase_rpt_topk_sql(flagship.SLOPPY_PHRASE_SPECS),
         "phrase_sloppy2_topk": O.sloppy_phrase2_topk_sql(flagship.SLOPPY_PHRASE2_SPECS),
         "scoring_variants": O.scoring_variants_sql(
             *flagship.SCORING_VARIANT_TERMS, flagship.SCORING_VARIANTS_K

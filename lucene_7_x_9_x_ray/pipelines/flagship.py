@@ -453,7 +453,8 @@ SLOPPY_PHRASE2_SPECS: list[tuple[str, list[str], int, int]] = [
 ]
 SLOPPY_PHRASE_SPECS: list[tuple[str, list[str], int, int]] = [
     # repeated term -> the rptGroups matcher path (_sloppy_freq_repeats);
-    # genuinely non-SQL (group staggering), stays rows-only
+    # ORACLE-EXACT for the [A, B, A] shape via the flattened three-cursor
+    # state machine (oracles.sloppy_phrase_rpt_topk_sql)
     ("sp_rpt_the_key_the_s2", ["the", "key", "the"], 2, 10),
 ]
 
@@ -490,9 +491,13 @@ def q_phrase_sloppy2_topk(sf_dir: str) -> pa.Table:
 
 def q_phrase_sloppy_topk(sf_dir: str) -> pa.Table:
     """Sloppy PhraseQuery with a REPEATED term (rptGroups matcher path —
-    scorers._sloppy_freq_repeats). Not ANSI-SQL-expressible (group
-    staggering + collision advance), so the driver records a rows-only
-    check; semantics are pinned by
+    scorers._sloppy_freq_repeats) — ORACLE-EXACT: for the [A, B, A] shape
+    the group machinery flattens to a three-cursor state machine (the
+    stagger pins i0 < i2, so collisions degenerate to "bump the staggered
+    cursor"), which oracles.sloppy_phrase_rpt_topk_sql walks with a
+    recursive CTE; equivalence to the heap transcription is duel-tested
+    exhaustively in tests/test_search.py::
+    test_sloppy_repeat_flat_state_machine and the semantics are pinned by
     tests/test_pipelines.py::test_sloppy_phrase_javadoc_examples."""
     merged, _ = get_searchers(sf_dir)
     qids, ranks, docs, scores = [], [], [], []

@@ -320,6 +320,120 @@ ps_{qid} AS (SELECT pf.doc_id,
     return "WITH RECURSIVE " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def sloppy_phrase_rpt_topk_sql(
+    specs: list[tuple[str, list[str], int, int]], relation: str = "documents"
+) -> str:
+    """Sloppy-phrase oracle for the REPEATED-term [A, B, A] shape
+    (rptGroups matcher path): (query_id, rank, doc_id, score_r).
+
+    scorers._sloppy_freq_repeats transcribes SloppyPhraseMatcher's
+    repeat-group machinery (SloppyPhraseMatcher.java:279-358 group
+    detection + advanceRpts:278-318). For terms [A, B, A] it flattens to
+    a three-cursor state machine over the offset-adjusted lists
+    a0(i)=posA[i], a1(j)=posB[j]-1, a2(k)=posA[k]-2:
+
+    - init: i0=0, j=0, k=1 (the stagger — the 2nd group member starts one
+      real position in; docs with fewer than two A occurrences never
+      match), pop = argmin by (position, offset);
+    - invariant i0 < k, so the only possible collision (two group members
+      on one real token) is cursor 0 advancing onto k; the LESSER member
+      is always the staggered one (a2 = posA[k]-2 < posA[k] = a0), so the
+      collision rule degenerates to "bump k once";
+    - end == max of the three current adjusted positions at every step
+      (every advance routes through advance_pp, which raises end), so end
+      need not be carried;
+    - each step advances the in-hand cursor, resolves the collision, then
+      branches on the CARRIED next_pos (stale by design — the heap
+      recomputes it only at pops, even if a collision moved a queued
+      cursor): past next_pos -> emit sloppyWeight if match_length <= slop
+      and re-pop (argmin + fresh match_length/next_pos); otherwise
+      match_length = min(match_length, end - pos) and keep the hand;
+    - exhaustion emits the final match_length <= slop window once.
+
+    Equivalence to the heap transcription is duel-tested exhaustively in
+    tests/test_search.py::test_sloppy_repeat_flat_state_machine (158k+
+    position-set x slop combinations). The SQL walks one recursive CTE
+    per spec, one row per (doc, step); freq accumulates FLOAT like
+    PhraseScorer. Scoring = shared phrase BM25, idf summed over the
+    phrase terms WITH the repeat (PhraseWeight order)."""
+    for _qid, ts, _slop, _k in specs:
+        if len(ts) != 3 or ts[0] != ts[2] or ts[0] == ts[1]:
+            raise ValueError(f"sloppy_phrase_rpt oracle covers [A, B, A] shapes only: {ts}")
+    terms = sorted({t for _, ts, _, _ in specs for t in ts})
+    ctes = [f"t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation})"]
+    ctes.append(base_ctes(relation))
+    ctes += [term_leaf_ctes(t) for t in terms]
+    for t in terms:
+        lit = t.replace("'", "''")
+        ctes.append(f"""
+pos_{_ident(t)} AS (SELECT doc_id, i - 1 AS p
+      FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM t0)
+      WHERE arr[i] = '{lit}')""")
+    selects = []
+    nhand = "CASE WHEN a0 <= least(a1, a2) THEN 0 WHEN a1 <= a2 THEN 1 ELSE 2 END"
+    nnext = ("CASE WHEN a0 <= least(a1, a2) THEN least(a1, a2) "
+             "WHEN a1 <= a2 THEN least(a0, a2) ELSE least(a0, a1) END")
+    for qid, (ta, tb, _ta2), slop, k in specs:
+        ia, ib = _ident(ta), _ident(tb)
+        idf_sum = (
+            f"CAST((SELECT w FROM w_{ia}) AS DOUBLE)"
+            f" + CAST((SELECT w FROM w_{ib}) AS DOUBLE)"
+            f" + CAST((SELECT w FROM w_{ia}) AS DOUBLE)"
+        )
+        ctes.append(f"""
+lst_{qid} AS (SELECT a.doc_id, a.la, b.lb
+  FROM (SELECT doc_id, list(p ORDER BY p) AS la FROM pos_{ia}
+        GROUP BY doc_id HAVING count(*) >= 2) a
+  JOIN (SELECT doc_id, list(p ORDER BY p) AS lb FROM pos_{ib} GROUP BY doc_id) b
+  USING (doc_id)),
+rec_{qid}(doc_id, la, lb, i0, i1, i2, hand, ml, np, freq, done) AS (
+  SELECT doc_id, la, lb, 0, 0, 1,
+         {nhand},
+         greatest(a0, a1, a2) - least(a0, a1, a2),
+         {nnext},
+         CAST(0 AS FLOAT), FALSE
+  FROM (SELECT doc_id, la, lb, la[1] AS a0, lb[1] - 1 AS a1, la[2] - 2 AS a2
+        FROM lst_{qid})
+  UNION ALL
+  SELECT doc_id, la, lb, n_i0, n_i1, n_i2,
+         CASE WHEN fin THEN hand WHEN p > np THEN {nhand} ELSE hand END,
+         CASE WHEN fin THEN ml
+              WHEN p > np THEN endp - least(a0, a1, a2)
+              ELSE least(ml, endp - p) END,
+         CASE WHEN fin THEN np WHEN p > np THEN {nnext} ELSE np END,
+         CASE WHEN (fin OR p > np) AND ml <= {slop}
+              THEN CAST(freq + CAST(1.0 AS FLOAT) / CAST(1 + ml AS FLOAT) AS FLOAT)
+              ELSE freq END,
+         fin
+  FROM (SELECT *,
+               (n_i0 >= len(la) OR n_i2 >= len(la) OR n_i1 >= len(lb)) AS fin,
+               la[n_i0 + 1] AS a0, lb[n_i1 + 1] - 1 AS a1, la[n_i2 + 1] - 2 AS a2,
+               greatest(la[n_i0 + 1], lb[n_i1 + 1] - 1, la[n_i2 + 1] - 2) AS endp,
+               CASE hand WHEN 0 THEN la[n_i0 + 1]
+                         WHEN 1 THEN lb[n_i1 + 1] - 1
+                         ELSE la[n_i2 + 1] - 2 END AS p
+        FROM (SELECT *,
+                     i0 + CASE WHEN hand = 0 THEN 1 ELSE 0 END AS n_i0,
+                     i1 + CASE WHEN hand = 1 THEN 1 ELSE 0 END AS n_i1,
+                     i2 + CASE WHEN hand = 2 THEN 1
+                               WHEN hand = 0 AND i0 + 1 = i2 THEN 1
+                               ELSE 0 END AS n_i2
+              FROM rec_{qid} WHERE NOT done) s1) s2),
+pf_{qid} AS (SELECT doc_id, freq FROM rec_{qid} WHERE done AND freq > 0),
+ps_{qid} AS (SELECT pf.doc_id,
+                    CAST({idf_sum} AS FLOAT)
+                    - CAST({idf_sum} AS FLOAT)
+                      / ({ONE_F} + pf.freq
+                         * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                            + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS score
+             FROM pf_{qid} pf JOIN normlen nl USING (doc_id))""")
+        selects.append(f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM ps_{qid} ORDER BY score DESC, doc_id LIMIT {k})""")
+    return "WITH RECURSIVE " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def span_topk_sql(
     specs: list[tuple[str, str, tuple, object, int]], relation: str = "documents"
 ) -> str:

@@ -364,6 +364,144 @@ def test_sloppy_two_term_chain_closed_form():
         assert chain_freq(A.tolist(), B.tolist(), slop) == got, (A, B, slop)
 
 
+def test_sloppy_repeat_flat_state_machine():
+    """The flattened three-cursor state machine used by the
+    phrase_sloppy_topk SQL oracle (oracles.sloppy_phrase_rpt_topk_sql)
+    equals the rptGroups heap transcription for the [A, B, A] repeated
+    shape — exhaustively over position-set pairs plus randomized larger
+    lists. Key reductions the machine relies on (see the oracle
+    docstring): stagger pins i0 < i2 so the only collision is cursor 0
+    advancing onto i2 (the staggered member is always the LESSER, so the
+    resolution is one bump), and end == max of current adjusted
+    positions at every step."""
+    import itertools as it
+
+    from lucene_7_x_9_x_ray.search.scorers import _sloppy_freq_repeats
+
+    def flat_aba(posA, posB, slop):
+        nA, nB = len(posA), len(posB)
+        if nA < 2 or nB < 1:
+            return 0.0
+        one = np.float32(1.0)
+        i0, i1, i2 = 0, 0, 1
+
+        def pos(h):
+            return (posA[i0], posB[i1] - 1, posA[i2] - 2)[h]
+
+        hand = min((0, 1, 2), key=lambda h: (pos(h), h))
+        end = max(pos(h) for h in (0, 1, 2))
+        ml = end - pos(hand)
+        np_ = min(pos(h) for h in (0, 1, 2) if h != hand)
+        freq = np.float32(0.0)
+        while True:
+            if hand == 0:
+                i0 += 1
+                if i0 >= nA:
+                    break
+                if i0 == i2:
+                    i2 += 1
+                    if i2 >= nA:
+                        break
+            elif hand == 1:
+                i1 += 1
+                if i1 >= nB:
+                    break
+            else:
+                i2 += 1
+                if i2 >= nA:
+                    break
+            end = max(pos(h) for h in (0, 1, 2))
+            p = pos(hand)
+            if p > np_:
+                if ml <= slop:
+                    freq = np.float32(freq + one / np.float32(1 + ml))
+                hand = min((0, 1, 2), key=lambda h: (pos(h), h))
+                ml = end - pos(hand)
+                np_ = min(pos(h) for h in (0, 1, 2) if h != hand)
+            else:
+                ml = min(ml, end - p)
+        if ml <= slop:
+            freq = np.float32(freq + one / np.float32(1 + ml))
+        return float(freq)
+
+    def ref_aba(posA, posB, slop):
+        A = np.asarray(posA, dtype=np.int64)
+        B = np.asarray(posB, dtype=np.int64)
+        return _sloppy_freq_repeats([A, B - 1, A - 2], ["a", "b", "a"], slop)
+
+    R = range(7)
+    for ka, kb in it.product((2, 3), (1, 2)):
+        for A in it.combinations(R, ka):
+            for B in it.combinations(R, kb):
+                for slop in (0, 1, 2, 3):
+                    assert flat_aba(list(A), list(B), slop) == ref_aba(
+                        list(A), list(B), slop
+                    ), (A, B, slop)
+
+    rng = np.random.default_rng(7)
+    for _ in range(1500):
+        A = np.sort(rng.choice(40, size=int(rng.integers(2, 9)), replace=False))
+        B = np.sort(rng.choice(40, size=int(rng.integers(1, 9)), replace=False))
+        slop = int(rng.integers(0, 7))
+        assert flat_aba(A.tolist(), B.tolist(), slop) == ref_aba(
+            A.tolist(), B.tolist(), slop
+        ), (A, B, slop)
+
+
+def test_sloppy_rpt_sql_oracle_freq_duel():
+    """The recursive-CTE walk in sloppy_phrase_rpt_topk_sql reproduces
+    _sloppy_freq_repeats per-doc frequencies on randomized corpora (the
+    BM25 shell around it is shared with the proven phrase oracles)."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+
+    from lucene_7_x_9_x_ray.pipelines.oracles import sloppy_phrase_rpt_topk_sql
+    from lucene_7_x_9_x_ray.search.scorers import _sloppy_freq_repeats
+
+    rng = random.Random(11)
+    for trial in range(4):
+        docs = [
+            " ".join(
+                rng.choices(["the", "key", "x", "y"], weights=[3, 2, 3, 2],
+                            k=rng.randint(3, 40))
+            )
+            for _ in range(50)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+        for slop in (0, 2):
+            sql = sloppy_phrase_rpt_topk_sql(
+                [("q", ["the", "key", "the"], slop, 10)], relation="documents"
+            )
+            head = sql[: sql.rindex("(SELECT 'q'")]
+            con = duckdb.connect()
+            con.register("documents", tbl)
+            got = dict(
+                con.execute(head + "SELECT doc_id, freq FROM pf_q").fetchall()
+            )
+            con.close()
+            exp = {}
+            for did, text in enumerate(docs):
+                toks = text.split(" ")
+                A = np.array([i for i, t in enumerate(toks) if t == "the"],
+                             dtype=np.int64)
+                B = np.array([i for i, t in enumerate(toks) if t == "key"],
+                             dtype=np.int64)
+                if len(A) == 0 or len(B) == 0:
+                    continue
+                f = _sloppy_freq_repeats([A, B - 1, A - 2],
+                                         ["the", "key", "the"], slop)
+                if f > 0:
+                    exp[did] = np.float32(f)
+            assert {k: np.float32(v) for k, v in got.items()} == exp, (trial, slop)
+
+
 def test_sloppy_repeats_hand_traced():
     """Repeated-term sloppy freq pinned to hand-traces of the
     SloppyPhraseMatcher rptGroups algorithm (group staggering at init,
