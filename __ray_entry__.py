@@ -28,7 +28,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lucene_7_x_9_x_ray.pipelines import ann, corpus, curation, dedup, flagship, multimodal, relational, textops
+    from lucene_7_x_9_x_ray.pipelines import ann, classify, corpus, curation, dedup, flagship, multimodal, relational, textops
 
     return {
         # --- full-text engine (index-backed) ---
@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_infix": flagship.q_suggest_infix,  # AnalyzingInfixSuggester analogue
         "suggest_fuzzy": flagship.q_suggest_fuzzy,  # FuzzySuggester (Levenshtein prefix)
         "suggest_freetext": flagship.q_suggest_freetext,  # stupid-backoff ngram model
+        "classify_nb": classify.q_classify_nb,  # SimpleNaiveBayesClassifier
+        "classify_knn": classify.q_classify_knn,  # KNearestNeighborClassifier
         # --- training-data text ops ---
         "corpus_clean": corpus.q_corpus_clean,  # composed dedup+quality+lang pass
         "doc_stats": textops.q_doc_stats,
@@ -121,7 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from lucene_7_x_9_x_ray.pipelines import ann, corpus, curation, dedup, flagship, multimodal, relational, textops
+    from lucene_7_x_9_x_ray.pipelines import ann, classify, corpus, curation, dedup, flagship, multimodal, relational, textops
     from lucene_7_x_9_x_ray.pipelines import oracles as O
 
     multiterm_specs = [
@@ -204,6 +206,8 @@ def oracle_sql() -> dict[str, str]:
         "suggest_infix": O.suggest_infix_sql(flagship.INFIX_SPECS, 8),
         "suggest_fuzzy": O.fuzzy_suggest_sql(flagship.FUZZY_SUGGEST_SPECS),
         "suggest_freetext": O.freetext_suggest_sql(flagship.FREETEXT_SPECS),
+        "classify_nb": O.classify_nb_sql(classify.NB_INPUT_DOCS),
+        "classify_knn": O.classify_knn_sql(classify.KNN_INPUT_DOCS, classify.KNN_K),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "facet_length_ranges": O.facet_range_sql(
             flagship.FACET_TERM, flagship.FACET_RANGE_EDGES, flagship.FACET_RANGE_LABELS

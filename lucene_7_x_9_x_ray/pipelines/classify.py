@@ -1,0 +1,273 @@
+"""Classification module: Lucene's classification package re-expressed
+Ray-Data-first.
+
+* ``SimpleNaiveBayesClassifier`` (s84 classification/src/java/org/apache/
+  lucene/classification/SimpleNaiveBayesClassifier.java:48) — add-one
+  smoothed multinomial-ish NB whose statistics are INDEX statistics:
+  P(c) = docFreq(class:c) / docsWithClass and
+  P(w|c) = (hits(w AND c) + 1) / (avgUniqueTermsPerDoc * docFreq(c)
+  + docsWithClass), scored as logPrior + sum(log P(w|c)) over the input
+  tokens and softmax-normalized (normClassificationResults, the
+  log-sum-exp at SimpleNaiveBayesClassifier.java:283-309).
+
+  Ray-Data shape: the training statistics are ONE streaming pass over the
+  corpus — ``map_batches`` emits tiny per-batch partial count rows
+  (class doc counts, per-(class, query-word) doc hits, distinct
+  (doc, term) pair count) which a ``groupby().sum()`` over the
+  vocabulary-sized partial stream folds into the model. The corpus never
+  shuffles; only (classes x query-vocab) count rows move. Classification
+  of the (small) input set is then pure arithmetic against the broadcast
+  model — at 100 TB the same kernel classifies a full corpus via
+  ``map_batches`` with the model in ``ray.put``.
+
+* ``KNearestNeighborClassifier`` (KNearestNeighborClassifier.java:98) —
+  MoreLikeThis query from the input text, top-k BM25 hits over the index,
+  then the vote fold of buildListFromTopDocs (java:192-238): per class
+  count + sum(score/maxScore), score_c = (count * (boostSum/count)) / k,
+  scaled by k/sumdoc when fewer than k hits carry a class. Class labels
+  are stored-field reads (IndexSearcher.doc() at java:197) — here the
+  searcher's ``lookup_docs`` docmap rows (the stored ``lang`` field).
+
+Both gates are oracle-exact: double math with the same operation order
+as DuckDB's ordered aggregates, rounded half-away at 6 decimals.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.rounding import round_half_away
+from .common import sized_read
+
+# classification corpus: the documents table; class field = lang,
+# text field = text (space-tokenized, the repo-wide oracle convention)
+NB_INPUT_DOCS = (3, 7, 42)
+KNN_INPUT_DOCS = (7, 42)
+KNN_K = 10
+
+
+def _input_texts(sf_dir: str, doc_ids: tuple[int, ...]) -> dict[int, str]:
+    import duckdb
+
+    ids = ",".join(str(d) for d in doc_ids)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id IN ({ids})"
+    ).fetchall()
+    return {int(d): t for d, t in rows}
+
+
+# --- Naive Bayes: distributed index statistics ------------------------------
+
+
+def _nb_partials(batch: pa.Table, vocab: np.ndarray) -> pa.Table:
+    """Per-batch partial counts for the NB model, all Arrow/numpy:
+
+    kind="cls"  key=lang            cnt=#docs of that class
+    kind="hit"  key=lang+\\x1f+term cnt=#docs of class containing term
+    kind="sdf"  key=""              cnt=#distinct (doc, term) pairs
+    kind="docs" key=""              cnt=#docs with >=1 token
+    """
+    toks = pc.split_pattern(batch["text"], pattern=" ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy()
+    langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+
+    kinds: list[str] = []
+    keys: list[str] = []
+    cnts: list[int] = []
+
+    # class doc counts (lang is single-valued; nulls would be skipped the
+    # way TermsEnum skips the empty class term, java:146)
+    valid = np.array([l is not None and l != "" for l in langs], dtype=bool)
+    cls, cls_n = np.unique(langs[valid].astype("U"), return_counts=True)
+    kinds.extend(["cls"] * len(cls))
+    keys.extend(cls.tolist())
+    cnts.extend(int(x) for x in cls_n)
+
+    # distinct (doc, term) pairs via (parent, token-code) dedup
+    codes = pc.dictionary_encode(flat).combine_chunks().indices.to_numpy()
+    if len(codes):
+        width = int(codes.max()) + 1
+        pair = parents.astype(np.int64) * width + codes
+        first = np.unique(pair, return_index=True)[1]
+    else:
+        first = np.array([], dtype=np.int64)
+    kinds.append("sdf")
+    keys.append("")
+    cnts.append(int(len(first)))
+
+    n_tok = pc.list_value_length(toks).to_numpy()
+    kinds.append("docs")
+    keys.append("")
+    cnts.append(int(np.count_nonzero(n_tok > 0)))
+
+    # per-(class, query-word) doc hits over the DISTINCT pairs only
+    if len(first):
+        d_par = parents[first]
+        d_tok = np.asarray(flat.take(pa.array(first)).to_pylist(), dtype=object)
+        in_vocab = np.isin(d_tok.astype("U"), vocab)
+        sel = in_vocab & valid[d_par]
+        if sel.any():
+            combo = np.char.add(
+                np.char.add(langs[d_par[sel]].astype("U"), "\x1f"),
+                d_tok[sel].astype("U"),
+            )
+            hk, hn = np.unique(combo, return_counts=True)
+            kinds.extend(["hit"] * len(hk))
+            keys.extend(hk.tolist())
+            cnts.extend(int(x) for x in hn)
+
+    return pa.table(
+        {
+            "kind": pa.array(kinds, pa.string()),
+            "key": pa.array(keys, pa.string()),
+            "cnt": pa.array(cnts, pa.int64()),
+        }
+    )
+
+
+def nb_model(sf_dir: str, vocab: set[str]) -> dict:
+    """One streaming corpus pass -> the tiny NB model dict. The groupby
+    folds (classes x vocab)-sized partial rows, never corpus rows."""
+    varr = np.array(sorted(vocab), dtype="U")
+    ds = sized_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text", "lang"])
+    parts = ds.map_batches(
+        lambda b: _nb_partials(b, varr), batch_format="pyarrow"
+    )
+    agg = parts.groupby(["kind", "key"]).sum("cnt")
+    model: dict = {"cls": {}, "hit": {}, "sdf": 0, "docs": 0}
+    for row in agg.take_all():  # classes x vocab rows — tiny by design
+        kind, key, n = row["kind"], row["key"], int(row["sum(cnt)"])
+        if kind == "cls":
+            model["cls"][key] = n
+        elif kind == "hit":
+            lang, term = key.split("\x1f", 1)
+            model["hit"][(lang, term)] = n
+        else:
+            model[kind] = n
+    return model
+
+
+def nb_scores(tokens: list[str], model: dict) -> list[tuple[str, float]]:
+    """assignClassNormalizedList (java:136-155): per class
+    logPrior + logLikelihood, then the log-sum-exp softmax
+    (normClassificationResults java:283). Returns (lang, prob) sorted
+    score DESC, lang ASC — double ops in the reference's order."""
+    docs_with_class = sum(model["cls"].values())  # single-valued class field
+    avg_unique = model["sdf"] / float(model["docs"])  # java:233-242
+    raw: list[tuple[str, float]] = []
+    for lang in sorted(model["cls"]):
+        dfc = model["cls"][lang]
+        prior = math.log(float(dfc)) - math.log(float(docs_with_class))
+        den = avg_unique * dfc + docs_with_class
+        ll = 0.0
+        for w in tokens:  # input order, sequential adds (java:204-224)
+            num = model["hit"].get((lang, w), 0) + 1.0
+            ll += math.log(num / den)
+        # prior + completed sum (the oracle's `prior + sum(...)` op order)
+        raw.append((lang, prior + ll))
+    # normClassificationResults: sort desc, smax = best, softmax
+    raw.sort(key=lambda x: (-x[1], x[0]))
+    smax = raw[0][1]
+    sum_exp = 0.0
+    for _, v in raw:  # sorted order, sequential adds (java:295-298)
+        sum_exp += math.exp(v - smax)
+    loga = smax + math.log(sum_exp)
+    return [(lang, math.exp(v - loga)) for lang, v in raw]
+
+
+def q_classify_nb(sf_dir: str) -> pa.Table:
+    """Gate: classify NB_INPUT_DOCS' texts against the corpus ->
+    (input_doc, rank, lang, prob_r)."""
+    texts = _input_texts(sf_dir, NB_INPUT_DOCS)
+    vocab = set()
+    tok_lists = {}
+    for d, t in texts.items():
+        tok_lists[d] = t.split(" ")
+        vocab.update(tok_lists[d])
+    model = nb_model(sf_dir, vocab)
+    rows = {"input_doc": [], "rank": [], "lang": [], "prob_r": []}
+    for d in NB_INPUT_DOCS:
+        for r, (lang, prob) in enumerate(nb_scores(tok_lists[d], model), 1):
+            rows["input_doc"].append(d)
+            rows["rank"].append(r)
+            rows["lang"].append(lang)
+            rows["prob_r"].append(round_half_away(prob, 6))
+    return pa.table(
+        {
+            "input_doc": pa.array(rows["input_doc"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "prob_r": pa.array(rows["prob_r"], pa.float64()),
+        }
+    )
+
+
+# --- KNN classifier: MLT top-k + class vote ---------------------------------
+
+
+def knn_vote(
+    hit_scores: list[float], hit_classes: list[str], k: int
+) -> list[tuple[str, int, float]]:
+    """buildListFromTopDocs (java:192-238): per class count and
+    sum(score/maxScore) folded in HIT ORDER; score_c = (count *
+    (boostSum/count)) / k, scaled by k/sumdoc when sumdoc < k. Returns
+    (lang, count, score) sorted score DESC, lang ASC."""
+    if not hit_scores:
+        return []
+    max_score = float(hit_scores[0])
+    counts: dict[str, int] = {}
+    boosts: dict[str, float] = {}
+    for s, c in zip(hit_scores, hit_classes):
+        counts[c] = counts.get(c, 0) + 1
+        boosts[c] = boosts.get(c, 0.0) + float(s) / max_score
+    sumdoc = sum(counts.values())
+    out = []
+    for c in counts:
+        norm_boost = boosts[c] / counts[c]  # java:224
+        score = (counts[c] * norm_boost) / float(k)
+        if sumdoc < k:  # correction, java:230-233
+            score = score * k / float(sumdoc)
+        out.append((c, counts[c], score))
+    out.sort(key=lambda x: (-x[2], x[0]))
+    return out
+
+
+def q_classify_knn(sf_dir: str) -> pa.Table:
+    """Gate: KNN-classify KNN_INPUT_DOCS' texts -> (input_doc, lang, cnt,
+    score_r). MLT interesting-term selection (repo defaults = MLT
+    defaults), BM25 top-KNN_K over the flagship index, class = the lang
+    suffix of the stored facet_path doc value (source/lang)."""
+    from ..search.mlt import mlt_query
+    from .flagship import get_searchers
+
+    merged, _ = get_searchers(sf_dir)
+    texts = _input_texts(sf_dir, KNN_INPUT_DOCS)
+    rows = {"input_doc": [], "lang": [], "cnt": [], "score_r": []}
+    for d in KNN_INPUT_DOCS:
+        query = mlt_query(merged, texts[d])
+        td = merged.search(query, k=KNN_K)
+        # stored-field class labels: IndexSearcher.doc(scoreDoc.doc)
+        # .getFields(classFieldName) (java:197-199)
+        classes = [r["lang"] for r in merged.lookup_docs(td.doc_ids)]
+        for lang, cnt, score in knn_vote(
+            [float(s) for s in td.scores], classes, KNN_K
+        ):
+            rows["input_doc"].append(d)
+            rows["lang"].append(lang)
+            rows["cnt"].append(cnt)
+            rows["score_r"].append(round_half_away(score, 6))
+    return pa.table(
+        {
+            "input_doc": pa.array(rows["input_doc"], pa.int64()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+            "score_r": pa.array(rows["score_r"], pa.float64()),
+        }
+    )

@@ -1989,3 +1989,110 @@ sc_{qid} AS (SELECT doc_id,
         doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
  FROM sc_{qid} ORDER BY score DESC, doc_id LIMIT {k})""")
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def classify_nb_sql(input_docs: tuple[int, ...],
+                    relation: str = "documents") -> str:
+    """SimpleNaiveBayesClassifier oracle (SimpleNaiveBayesClassifier.java:
+    136-309): per class clVal = ln(dfc) - ln(docsWithClass) + ordered sum
+    over the input tokens of ln((hits+1) / (avgUnique*dfc +
+    docsWithClass)), then the log-sum-exp softmax folded in clVal-DESC
+    order. Double math with the engine's operation order throughout."""
+    ids = ",".join(str(d) for d in input_docs)
+    return f"""WITH
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {relation}),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+gs AS (SELECT CAST((SELECT count(*) FROM dt) AS DOUBLE)
+            / (SELECT count(*) FROM {relation}
+               WHERE len(string_split(text, ' ')) > 0) AS avg_unique,
+            (SELECT count(*) FROM {relation}
+             WHERE lang IS NOT NULL AND lang <> '') AS dwc),
+cls AS (SELECT lang, count(*) AS dfc FROM {relation}
+        WHERE lang IS NOT NULL AND lang <> '' GROUP BY lang),
+itok AS (SELECT d.doc_id AS input_doc,
+                unnest(string_split(d.text, ' ')) AS term,
+                unnest(generate_series(1, len(string_split(d.text, ' ')))) AS pos
+         FROM {relation} d WHERE d.doc_id IN ({ids})),
+hits AS (SELECT d.lang, dt.term, count(*) AS h
+         FROM dt JOIN {relation} d USING (doc_id)
+         WHERE dt.term IN (SELECT DISTINCT term FROM itok)
+           AND d.lang IS NOT NULL AND d.lang <> ''
+         GROUP BY d.lang, dt.term),
+raw AS (SELECT i.input_doc, c.lang,
+               ln(CAST(c.dfc AS DOUBLE))
+                 - ln(CAST((SELECT dwc FROM gs) AS DOUBLE))
+                 + sum(ln((COALESCE(h.h, 0) + 1.0)
+                          / ((SELECT avg_unique FROM gs) * c.dfc
+                             + (SELECT dwc FROM gs)))
+                       ORDER BY i.pos) AS clval
+        FROM itok i CROSS JOIN cls c
+        LEFT JOIN hits h ON h.lang = c.lang AND h.term = i.term
+        GROUP BY i.input_doc, c.lang, c.dfc),
+sm AS (SELECT input_doc, max(clval) AS smax FROM raw GROUP BY input_doc),
+lg AS (SELECT r.input_doc,
+              s.smax + ln(sum(exp(r.clval - s.smax)
+                              ORDER BY r.clval DESC, r.lang)) AS loga
+       FROM raw r JOIN sm s USING (input_doc)
+       GROUP BY r.input_doc, s.smax)
+SELECT r.input_doc,
+       CAST(row_number() OVER (PARTITION BY r.input_doc
+                               ORDER BY r.clval DESC, r.lang) AS BIGINT) AS rank,
+       r.lang, ROUND(exp(r.clval - l.loga), 6) AS prob_r
+FROM raw r JOIN lg l USING (input_doc)
+ORDER BY r.input_doc, rank"""
+
+
+def classify_knn_sql(input_docs: tuple[int, ...], k: int,
+                     min_tf: int = 2, min_df: int = 5, max_terms: int = 25,
+                     relation: str = "documents") -> str:
+    """KNearestNeighborClassifier oracle (KNearestNeighborClassifier.java:
+    192-238): the MLT interesting-term selection + float32 BM25 top-k of
+    mlt_topk_sql per input doc, then the class vote — per class count and
+    sum(score/maxScore) folded in rank order, score = (count *
+    (boostSum/count)) / k, scaled (score*k)/sumdoc when sumdoc < k."""
+    ninv = (
+        f"({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})"
+        f" + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))"
+    )
+    ctes = [base_ctes(relation)]
+    selects = []
+    for d in input_docs:
+        ctes.append(f"""
+qtf_{d} AS (SELECT x AS term, count(*) AS tf
+        FROM (SELECT unnest(string_split(
+                 (SELECT text FROM {relation} WHERE doc_id = {d}), ' ')) AS x)
+        GROUP BY x HAVING count(*) >= {min_tf}),
+qdf_{d} AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        WHERE term IN (SELECT term FROM qtf_{d}) GROUP BY term),
+sel_{d} AS (SELECT q.term, dd.df,
+               q.tf * (1 + ln((SELECT n_docs FROM cs) / (dd.df + 1.0))) AS mscore
+        FROM qtf_{d} q JOIN qdf_{d} dd USING (term)
+        WHERE dd.df >= {min_df}
+        ORDER BY mscore DESC, q.term LIMIT {max_terms}),
+w_{d} AS (SELECT term,
+             CAST(ln(1 + ((SELECT n_docs FROM cs) - df + 0.5) / (df + 0.5)) AS FLOAT) AS w
+      FROM sel_{d}),
+leaf_{d} AS (SELECT tk.doc_id,
+                w.w - w.w / ({ONE_F} + CAST(tk.freq AS FLOAT) * {ninv}) AS s
+         FROM (SELECT doc_id, term, count(*) AS freq FROM tok
+               WHERE term IN (SELECT term FROM sel_{d}) GROUP BY doc_id, term) tk
+         JOIN w_{d} w USING (term) JOIN normlen nl USING (doc_id)),
+topk_{d} AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                    doc_id, CAST(score AS DOUBLE) AS s
+             FROM (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+                   FROM leaf_{d} GROUP BY doc_id)
+             ORDER BY score DESC, doc_id LIMIT {k}),
+mx_{d} AS (SELECT max(s) AS maxs FROM topk_{d}),
+cl_{d} AS (SELECT t.rank, t.s, dd.lang
+           FROM topk_{d} t JOIN {relation} dd USING (doc_id)),
+v_{d} AS (SELECT lang, count(*) AS cnt,
+                 sum(s / (SELECT maxs FROM mx_{d}) ORDER BY rank) AS bsum
+          FROM cl_{d} GROUP BY lang),
+tot_{d} AS (SELECT sum(cnt) AS sumdoc FROM v_{d})""")
+        selects.append(f"""(SELECT CAST({d} AS BIGINT) AS input_doc, lang, cnt,
+        ROUND(CASE WHEN (SELECT sumdoc FROM tot_{d}) < {k}
+              THEN (((cnt * (bsum / cnt)) / CAST({k} AS DOUBLE)) * {k})
+                   / (SELECT sumdoc FROM tot_{d})
+              ELSE (cnt * (bsum / cnt)) / CAST({k} AS DOUBLE) END, 6) AS score_r
+ FROM v_{d})""")
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

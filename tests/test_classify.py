@@ -1,0 +1,128 @@
+"""Classification module tests: SimpleNaiveBayes + KNearestNeighbor
+(s84 classification/src/java/org/apache/lucene/classification/) —
+model-statistics parity vs DuckDB, vote-fold semantics, and the two
+gates against their SQL oracles at sf0.001.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from lucene_7_x_9_x_ray.pipelines import classify
+from lucene_7_x_9_x_ray.pipelines import oracles as O
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def nb_model(ray_session):
+    texts = classify._input_texts(SF, classify.NB_INPUT_DOCS)
+    vocab = set()
+    for t in texts.values():
+        vocab.update(t.split(" "))
+    return classify.nb_model(SF, vocab), texts, vocab
+
+
+def test_nb_model_statistics_match_sql(nb_model):
+    """The one-pass distributed stats equal direct DuckDB aggregation:
+    class doc counts, docsWithClass, sumDocFreq-derived avgUnique, and a
+    spot-checked (class, word) hit count."""
+    model, texts, vocab = nb_model
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    cls = dict(
+        con.execute(
+            "SELECT lang, count(*) FROM documents GROUP BY lang"
+        ).fetchall()
+    )
+    assert model["cls"] == cls
+    assert sum(model["cls"].values()) == con.execute(
+        "SELECT count(*) FROM documents WHERE lang IS NOT NULL AND lang <> ''"
+    ).fetchone()[0]
+    sdf, docs = con.execute(
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                        FROM documents)
+           SELECT (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM tok)),
+                  (SELECT count(DISTINCT doc_id) FROM tok)"""
+    ).fetchone()
+    assert (model["sdf"], model["docs"]) == (sdf, docs)
+    word = sorted(vocab)[len(vocab) // 2]
+    for lang in cls:
+        want = con.execute(
+            """SELECT count(DISTINCT doc_id) FROM (
+                 SELECT doc_id, unnest(string_split(text,' ')) AS term, lang
+                 FROM documents) WHERE lang = ? AND term = ?""",
+            [lang, word],
+        ).fetchone()[0]
+        assert model["hit"].get((lang, word), 0) == want
+
+
+def test_nb_scores_are_a_distribution(nb_model):
+    """normClassificationResults output: probabilities in (0,1], summing
+    to 1, sorted descending (java:283-309)."""
+    model, texts, _ = nb_model
+    for d, t in texts.items():
+        scored = classify.nb_scores(t.split(" "), model)
+        probs = [p for _, p in scored]
+        assert all(0.0 < p <= 1.0 for p in probs)
+        assert math.isclose(sum(probs), 1.0, rel_tol=1e-9)
+        assert probs == sorted(probs, reverse=True)
+        assert len(scored) == len(model["cls"])
+
+
+def test_knn_vote_fold_semantics():
+    """buildListFromTopDocs: per-class (count * (boostSum/count)) / k and
+    the sumdoc<k correction (java:192-238)."""
+    # 10 hits, k=10: no correction
+    scores = [10.0, 8.0, 8.0, 6.0, 4.0, 4.0, 3.0, 2.0, 2.0, 1.0]
+    classes = ["en", "en", "de", "en", "fr", "de", "en", "fr", "en", "en"]
+    out = dict((c, (n, s)) for c, n, s in classify.knn_vote(scores, classes, 10))
+    b_en = (10 + 8 + 6 + 3 + 2 + 1) / 10.0
+    assert out["en"][0] == 6
+    assert math.isclose(out["en"][1], (6 * (b_en / 6)) / 10.0, rel_tol=1e-12)
+    # 4 hits, k=10: every class score scales by k/sumdoc
+    out4 = dict(
+        (c, s) for c, _, s in classify.knn_vote([5.0, 4.0, 3.0, 2.0],
+                                                ["en", "de", "en", "de"], 10)
+    )
+    b_en4 = 5.0 / 5.0 + 3.0 / 5.0
+    expect = ((2 * (b_en4 / 2)) / 10.0) * 10 / 4.0
+    assert math.isclose(out4["en"], expect, rel_tol=1e-12)
+    # ordering: score desc, then class asc
+    order = [c for c, _, _ in classify.knn_vote(scores, classes, 10)]
+    assert order == ["en", "de", "fr"]
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+def test_classify_nb_gate_matches_oracle(ray_session):
+    mine = classify.q_classify_nb(SF).to_pandas()
+    want = _oracle(O.classify_nb_sql(classify.NB_INPUT_DOCS))
+    key = ["input_doc", "rank"]
+    mine = mine.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert mine[["input_doc", "rank", "lang", "prob_r"]].equals(
+        want[["input_doc", "rank", "lang", "prob_r"]]
+    )
+
+
+def test_classify_knn_gate_matches_oracle(ray_session):
+    mine = classify.q_classify_knn(SF).to_pandas()
+    want = _oracle(O.classify_knn_sql(classify.KNN_INPUT_DOCS, classify.KNN_K))
+    key = ["input_doc", "lang"]
+    mine = mine.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert mine[["input_doc", "lang", "cnt", "score_r"]].equals(
+        want[["input_doc", "lang", "cnt", "score_r"]]
+    )
