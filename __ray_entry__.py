@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_freetext": flagship.q_suggest_freetext,  # stupid-backoff ngram model
         "classify_nb": classify.q_classify_nb,  # SimpleNaiveBayesClassifier
         "classify_knn": classify.q_classify_knn,  # KNearestNeighborClassifier
+        "classify_bm25nb": classify.q_classify_bm25nb,  # BM25NBClassifier
         # --- training-data text ops ---
         "corpus_clean": corpus.q_corpus_clean,  # composed dedup+quality+lang pass
         "doc_stats": textops.q_doc_stats,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_freetext": O.freetext_suggest_sql(flagship.FREETEXT_SPECS),
         "classify_nb": O.classify_nb_sql(classify.NB_INPUT_DOCS),
         "classify_knn": O.classify_knn_sql(classify.KNN_INPUT_DOCS, classify.KNN_K),
+        "classify_bm25nb": O.classify_bm25nb_sql(classify.NB_INPUT_DOCS),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "facet_length_ranges": O.facet_range_sql(
             flagship.FACET_TERM, flagship.FACET_RANGE_EDGES, flagship.FACET_RANGE_LABELS

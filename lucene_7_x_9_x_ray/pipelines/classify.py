@@ -172,8 +172,13 @@ def nb_scores(tokens: list[str], model: dict) -> list[tuple[str, float]]:
             ll += math.log(num / den)
         # prior + completed sum (the oracle's `prior + sum(...)` op order)
         raw.append((lang, prior + ll))
-    # normClassificationResults: sort desc, smax = best, softmax
-    raw.sort(key=lambda x: (-x[1], x[0]))
+    return softmax_norm(raw)
+
+
+def softmax_norm(raw: list[tuple[str, float]]) -> list[tuple[str, float]]:
+    """normClassificationResults (java:283-309): sort desc, smax = best,
+    log-sum-exp softmax with the fold in sorted order."""
+    raw = sorted(raw, key=lambda x: (-x[1], x[0]))
     smax = raw[0][1]
     sum_exp = 0.0
     for _, v in raw:  # sorted order, sequential adds (java:295-298)
@@ -195,6 +200,72 @@ def q_classify_nb(sf_dir: str) -> pa.Table:
     rows = {"input_doc": [], "rank": [], "lang": [], "prob_r": []}
     for d in NB_INPUT_DOCS:
         for r, (lang, prob) in enumerate(nb_scores(tok_lists[d], model), 1):
+            rows["input_doc"].append(d)
+            rows["rank"].append(r)
+            rows["lang"].append(lang)
+            rows["prob_r"].append(round_half_away(prob, 6))
+    return pa.table(
+        {
+            "input_doc": pa.array(rows["input_doc"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "prob_r": pa.array(rows["prob_r"], pa.float64()),
+        }
+    )
+
+
+# --- BM25NBClassifier: NB over BM25 query scores -----------------------------
+
+
+def q_classify_bm25nb(sf_dir: str) -> pa.Table:
+    """BM25NBClassifier (BM25NBClassifier.java:48): NB whose statistics
+    are live BM25 QUERY SCORES against the index — the class field (lang)
+    is indexed as its own single-token field, prior = ln(top-1 score of
+    TermQuery(lang:c)) (java:223-232), and P(w|c) = top-1 score of
+    `MUST lang:c SHOULD text:w` (java:208-221, 1 when no hit — cannot
+    happen here since the class term always matches). clVal = prior +
+    sum(ln P(w|c)) over input tokens, softmax-normalized. Gate ->
+    (input_doc, rank, lang, prob_r)."""
+    import duckdb
+
+    from ..search import queries as Q
+    from .flagship import get_searchers
+
+    merged, _ = get_searchers(sf_dir)
+    texts = _input_texts(sf_dir, NB_INPUT_DOCS)
+    tok_lists = {d: t.split(" ") for d, t in texts.items()}
+    vocab = sorted({w for ts in tok_lists.values() for w in ts})
+    # class enumeration = the lang field's term dictionary (TermsEnum
+    # order); equivalently the distinct non-empty lang values
+    classes = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT lang FROM '{sf_dir}/documents.parquet' "
+            "WHERE lang IS NOT NULL AND lang <> '' ORDER BY lang"
+        ).fetchall()
+    ]
+    priors: dict[str, float] = {}
+    log_prob: dict[tuple[str, str], float] = {}
+    for c in classes:
+        td = merged.search(Q.TermQuery(c, field="lang"), k=1)
+        priors[c] = math.log(float(td.scores[0])) if len(td.doc_ids) else 0.0
+        for w in vocab:
+            q = Q.BooleanQuery.build(
+                [(Q.MUST, Q.TermQuery(c, field="lang")),
+                 (Q.SHOULD, Q.TermQuery(w))]
+            )
+            td = merged.search(q, k=1)
+            p = float(td.scores[0]) if len(td.doc_ids) else 1.0
+            log_prob[(c, w)] = math.log(p)
+    rows = {"input_doc": [], "rank": [], "lang": [], "prob_r": []}
+    for d in NB_INPUT_DOCS:
+        raw = []
+        for c in classes:
+            ll = 0.0
+            for w in tok_lists[d]:  # token order, sequential adds
+                ll += log_prob[(c, w)]
+            raw.append((c, priors[c] + ll))
+        for r, (lang, prob) in enumerate(softmax_norm(raw), 1):
             rows["input_doc"].append(d)
             rows["rank"].append(r)
             rows["lang"].append(lang)

@@ -83,13 +83,14 @@ _SEARCHERS: dict[str, tuple[IndexSearcher, IndexSearcher]] = {}
 
 
 def _cache_dir(sf_dir: str) -> str:
-    # v7: tags multi-valued (SORTED_SET) stored column; v6: facet_path
-    # stored column (taxonomy facets + drill-down); v5: on-disk
+    # v8: lang indexed as its own field (BM25NBClassifier scores the class
+    # term); v7: tags multi-valued (SORTED_SET) stored column; v6:
+    # facet_path stored column (taxonomy facets + drill-down); v5: on-disk
     # FORMAT_VERSION 2 (postings regions lead with a fmt_id byte — codec
     # SPI); v4 added the nullable score_hint stored column, v3 the title
     # field, v2 the positions .pos artifact
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(CACHE_ROOT, f"idx_{key}_v7")
+    return os.path.join(CACHE_ROOT, f"idx_{key}_v8")
 
 
 def _variant_cache_dir(sf_dir: str, variant: str) -> str:
@@ -135,7 +136,12 @@ def build_flagship_index(
         target_docs_per_segment=10**9,
         # multi-field schema: title (first TITLE_TOKENS body tokens) indexed
         # as its own field with per-field postings/norms/stats
-        extra_fields=(FieldSpec("title", "title", index_positions=True),),
+        extra_fields=(
+            FieldSpec("title", "title", index_positions=True),
+            # class field for the classification module: single-token
+            # StringField-style per-doc value, BM25-scorable
+            FieldSpec("lang", "lang"),
+        ),
         # nullable user doc-values column -> DocValuesFieldExistsQuery gate;
         # facet_path -> taxonomy facet dimension (source/lang);
         # tags -> multi-valued SORTED_SET doc values

@@ -2096,3 +2096,78 @@ tot_{d} AS (SELECT sum(cnt) AS sumdoc FROM v_{d})""")
               ELSE (cnt * (bsum / cnt)) / CAST({k} AS DOUBLE) END, 6) AS score_r
  FROM v_{d})""")
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def classify_bm25nb_sql(input_docs: tuple[int, ...],
+                        relation: str = "documents") -> str:
+    """BM25NBClassifier oracle (BM25NBClassifier.java:128-232): prior =
+    ln(top-1 BM25 score of the class term on the single-token lang field:
+    dl=1, tf=1, avgdl=1, df=class doc count, N=docs with lang) and
+    P(w|c) = top-1 score of `MUST lang:c SHOULD text:w` = float32(cls_leaf
+    + max body leaf over docs of the class), cls_leaf alone when no class
+    doc contains w. Leaf kernels are the engine's float32 BM25 op-for-op;
+    the boolean fold is the double-sum-cast-once convention."""
+    ids = ",".join(str(d) for d in input_docs)
+    # lang-field leaf: nlen=1, avgdl=1.0, tf=1 -> w - w/(1f + 1f * 1f/(k1*((1f-b) + (b*1f)/1f)))
+    cls_ninv = (
+        f"({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})"
+        f" + ({B_F} * {ONE_F}) / {ONE_F})))"
+    )
+    ninv = (
+        f"({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})"
+        f" + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))"
+    )
+    return f"""WITH {base_ctes(relation)},
+nlang AS (SELECT count(*) AS n FROM {relation}
+          WHERE lang IS NOT NULL AND lang <> ''),
+cls AS (SELECT lang, count(*) AS dfc FROM {relation}
+        WHERE lang IS NOT NULL AND lang <> '' GROUP BY lang),
+clsleaf AS (SELECT lang, dfc,
+                   w - w / ({ONE_F} + CAST(1 AS FLOAT) * {cls_ninv}) AS s
+            FROM (SELECT lang, dfc,
+                         CAST(ln(1 + ((SELECT n FROM nlang) - dfc + 0.5)
+                                 / (dfc + 0.5)) AS FLOAT) AS w
+                  FROM cls)),
+itok AS (SELECT d.doc_id AS input_doc,
+                unnest(string_split(d.text, ' ')) AS term,
+                unnest(generate_series(1, len(string_split(d.text, ' ')))) AS pos
+         FROM {relation} d WHERE d.doc_id IN ({ids})),
+vterms AS (SELECT DISTINCT term FROM itok),
+vw AS (SELECT term,
+              CAST(ln(1 + ((SELECT n_docs FROM cs) - df + 0.5)
+                      / (df + 0.5)) AS FLOAT) AS w
+       FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+             WHERE term IN (SELECT term FROM vterms) GROUP BY term)),
+vleaf AS (SELECT tk.doc_id, tk.term,
+                 w.w - w.w / ({ONE_F} + CAST(tk.freq AS FLOAT) * {ninv}) AS s
+          FROM (SELECT doc_id, term, count(*) AS freq FROM tok
+                WHERE term IN (SELECT term FROM vterms)
+                GROUP BY doc_id, term) tk
+          JOIN vw w USING (term) JOIN normlen nl USING (doc_id)),
+wmax AS (SELECT d.lang, l.term, max(CAST(l.s AS DOUBLE)) AS m
+         FROM vleaf l JOIN {relation} d USING (doc_id)
+         WHERE d.lang IS NOT NULL AND d.lang <> ''
+         GROUP BY d.lang, l.term),
+tp AS (SELECT c.lang, v.term,
+              CASE WHEN m.m IS NULL THEN c.s
+                   ELSE CAST(CAST(c.s AS DOUBLE) + m.m AS FLOAT) END AS p
+       FROM clsleaf c CROSS JOIN vterms v
+       LEFT JOIN wmax m ON m.lang = c.lang AND m.term = v.term),
+raw AS (SELECT i.input_doc, c.lang,
+               ln(CAST(c.s AS DOUBLE))
+                 + sum(ln(CAST(t.p AS DOUBLE)) ORDER BY i.pos) AS clval
+        FROM itok i CROSS JOIN clsleaf c
+        JOIN tp t ON t.lang = c.lang AND t.term = i.term
+        GROUP BY i.input_doc, c.lang, c.s),
+sm AS (SELECT input_doc, max(clval) AS smax FROM raw GROUP BY input_doc),
+lg AS (SELECT r.input_doc,
+              s.smax + ln(sum(exp(r.clval - s.smax)
+                              ORDER BY r.clval DESC, r.lang)) AS loga
+       FROM raw r JOIN sm s USING (input_doc)
+       GROUP BY r.input_doc, s.smax)
+SELECT r.input_doc,
+       CAST(row_number() OVER (PARTITION BY r.input_doc
+                               ORDER BY r.clval DESC, r.lang) AS BIGINT) AS rank,
+       r.lang, ROUND(exp(r.clval - l.loga), 6) AS prob_r
+FROM raw r JOIN lg l USING (input_doc)
+ORDER BY r.input_doc, rank"""

@@ -126,3 +126,41 @@ def test_classify_knn_gate_matches_oracle(ray_session):
     assert mine[["input_doc", "lang", "cnt", "score_r"]].equals(
         want[["input_doc", "lang", "cnt", "score_r"]]
     )
+
+
+def test_classify_bm25nb_gate_matches_oracle(ray_session):
+    mine = classify.q_classify_bm25nb(SF).to_pandas()
+    want = _oracle(O.classify_bm25nb_sql(classify.NB_INPUT_DOCS))
+    key = ["input_doc", "rank"]
+    mine = mine.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert mine[["input_doc", "rank", "lang", "prob_r"]].equals(
+        want[["input_doc", "rank", "lang", "prob_r"]]
+    )
+
+
+def test_bm25nb_prior_is_class_term_score(ray_session):
+    """The lang field scores like any indexed field: top-1 TermQuery(lang:c)
+    score = the float32 single-token-field BM25 leaf (dl=1, tf=1,
+    avgdl=1)."""
+    import numpy as np
+
+    from lucene_7_x_9_x_ray.pipelines.flagship import get_searchers
+    from lucene_7_x_9_x_ray.search import queries as Q
+
+    merged, _ = get_searchers(SF)
+    con = duckdb.connect()
+    n, dfc = con.execute(
+        f"""SELECT (SELECT count(*) FROM read_parquet('{SF}/documents.parquet')
+                    WHERE lang IS NOT NULL AND lang <> ''),
+                   (SELECT count(*) FROM read_parquet('{SF}/documents.parquet')
+                    WHERE lang = 'en')"""
+    ).fetchone()
+    td = merged.search(Q.TermQuery("en", field="lang"), k=1)
+    w = np.float32(np.log(np.float64(1 + (n - dfc + 0.5) / (dfc + 0.5))))
+    ninv = np.float32(1.0) / (
+        np.float32(1.2) * ((np.float32(1.0) - np.float32(0.75))
+                           + (np.float32(0.75) * np.float32(1.0)) / np.float32(1.0))
+    )
+    leaf = w - w / (np.float32(1.0) + np.float32(1.0) * ninv)
+    assert np.float32(td.scores[0]) == leaf
