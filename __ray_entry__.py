@@ -28,7 +28,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lucene_7_x_9_x_ray.pipelines import ann, classify, corpus, curation, dedup, flagship, multimodal, relational, textops
+    from lucene_7_x_9_x_ray.pipelines import ann, classify, corpus, curation, dedup, flagship, monitor, multimodal, relational, textops
 
     return {
         # --- full-text engine (index-backed) ---
@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_nb": classify.q_classify_nb,  # SimpleNaiveBayesClassifier
         "classify_knn": classify.q_classify_knn,  # KNearestNeighborClassifier
         "classify_bm25nb": classify.q_classify_bm25nb,  # BM25NBClassifier
+        "percolate": monitor.q_percolate,  # monitor module: registered-query stream
         # --- training-data text ops ---
         "corpus_clean": corpus.q_corpus_clean,  # composed dedup+quality+lang pass
         "doc_stats": textops.q_doc_stats,
@@ -124,7 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from lucene_7_x_9_x_ray.pipelines import ann, classify, corpus, curation, dedup, flagship, multimodal, relational, textops
+    from lucene_7_x_9_x_ray.pipelines import ann, classify, corpus, curation, dedup, flagship, monitor, multimodal, relational, textops
     from lucene_7_x_9_x_ray.pipelines import oracles as O
 
     multiterm_specs = [
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "classify_nb": O.classify_nb_sql(classify.NB_INPUT_DOCS),
         "classify_knn": O.classify_knn_sql(classify.KNN_INPUT_DOCS, classify.KNN_K),
         "classify_bm25nb": O.classify_bm25nb_sql(classify.NB_INPUT_DOCS),
+        "percolate": O.percolate_sql(),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "facet_length_ranges": O.facet_range_sql(
             flagship.FACET_TERM, flagship.FACET_RANGE_EDGES, flagship.FACET_RANGE_LABELS

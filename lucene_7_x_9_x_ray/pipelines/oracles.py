@@ -2171,3 +2171,38 @@ SELECT r.input_doc,
        r.lang, ROUND(exp(r.clval - l.loga), 6) AS prob_r
 FROM raw r JOIN lg l USING (input_doc)
 ORDER BY r.input_doc, rank"""
+
+
+def percolate_sql(relation: str = "documents") -> str:
+    """Monitor-module percolation oracle: the exact match set of each
+    registered query in pipelines/monitor.py MONITOR_QUERIES, written as
+    containment/position predicates (the presearcher is pruning-only and
+    must not change results). title = the first TITLE_TOKENS body tokens
+    (sources/pages.py convention)."""
+    from ..sources.pages import TITLE_TOKENS
+
+    has = (
+        "SELECT DISTINCT doc_id FROM tok WHERE term = '{}'"
+    )
+    blocks = [
+        f"(SELECT doc_id, 'q_term' AS query_id FROM ({has.format('hash')}))",
+        f"""(SELECT doc_id, 'q_and' AS query_id FROM ({has.format('key')})
+  WHERE doc_id IN ({has.format('table')}))""",
+        f"""(SELECT DISTINCT doc_id, 'q_or' AS query_id FROM tok
+  WHERE term IN ('window', 'stream'))""",
+        f"""(SELECT doc_id, 'q_not' AS query_id FROM ({has.format('scan')})
+  WHERE doc_id NOT IN ({has.format('merge')}))""",
+        """(SELECT DISTINCT t1.doc_id, 'q_phrase' AS query_id
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'batch' AND t2.term = 'batch')""",
+        f"""(SELECT DISTINCT doc_id, 'q_title' AS query_id FROM tok
+  WHERE term = 'key' AND pos <= {TITLE_TOKENS})""",
+        """(SELECT DISTINCT doc_id, 'q_prefix' AS query_id FROM tok
+  WHERE term LIKE 'wind%')""",
+        f"(SELECT doc_id, 'q_mix' AS query_id FROM ({has.format('key')}))",
+    ]
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM {relation})
+""" + "\nUNION ALL\n".join(blocks)
