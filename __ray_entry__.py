@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_topk": flagship.q_field_topk,  # multi-field (title vs body)
         "parsed_topk": flagship.q_parsed_topk,  # classic query-parser strings
         "parsed_topk_served": flagship.q_parsed_topk_served,  # parse at the actor
+        "simple_topk": flagship.q_simple_topk,  # SimpleQueryParser (+ | - syntax)
         "similarity_topk": flagship.q_similarity_topk,  # TFIDF + 7.x BM25 registry
         "commonterms_topk": flagship.q_commonterms_topk,  # df-split high/low frequency query
         "blended_topk": flagship.q_blended_topk,  # cross-field blended term statistics
@@ -189,6 +190,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "parsed_topk_served": O.field_topk_sql(
             [(qid, kind, cls, k) for qid, _s, kind, cls, k in flagship.PARSED_TOPK_SPECS]
+        ),
+        "simple_topk": O.field_topk_sql(
+            [(qid, kind, cls, k) for qid, _s, kind, cls, k in flagship.SIMPLE_TOPK_SPECS]
+            + [(flagship.SIMPLE_FIELDS_SPEC[0], flagship.SIMPLE_FIELDS_SPEC[2],
+                flagship.SIMPLE_FIELDS_SPEC[3], flagship.SIMPLE_FIELDS_SPEC[4])]
         ),
         "interval_topk": O.interval_topk_sql(flagship.INTERVAL_TOPK_SPECS),
         "payload_topk": O.payload_topk_sql(flagship.PAYLOAD_TOPK_SPECS),

@@ -611,6 +611,67 @@ PARSED_TOPK_SPECS: list[tuple[str, str, str, list[tuple[str, str, float]], int]]
 ]
 
 
+SIMPLE_TOPK_SPECS: list[tuple[str, str, str, list[tuple[str, str, float]], int]] = [
+    # SimpleQueryParser strings (search/simpleparser.py): qid, string,
+    # oracle kind, compiled clause structure, k
+    ("s_or", "key | hash", "sum", [("", "key", 1.0), ("", "hash", 1.0)], 10),
+    ("s_and", "key + hash", "must", [("", "key", 1.0), ("", "hash", 1.0)], 10),
+    ("s_ws", "key hash", "sum", [("", "key", 1.0), ("", "hash", 1.0)], 10),
+    (
+        "s_group",
+        "(key | hash) + value",
+        "or_and",
+        [("", "key", 1.0), ("", "hash", 1.0), ("", "value", 1.0)],
+        10,
+    ),
+    (
+        "s_neg",
+        "table -the",
+        "sum_negmatchall",
+        [("", "table", 1.0), ("", "the", 1.0)],
+        10,
+    ),
+]
+# multi-field weight map for the s_fields spec (newDefaultQuery expansion)
+SIMPLE_FIELDS_SPEC = (
+    "s_fields", "table", "sum",
+    [("", "table", 1.0), ("title", "table", 2.0)], 10,
+)
+SIMPLE_FIELD_WEIGHTS = {"": 1.0, "title": 2.0}
+
+
+def q_simple_topk(sf_dir: str) -> pa.Table:
+    """SimpleQueryParser strings -> top-k: (query_id, rank, doc_id,
+    score_r). The tolerant +/|/- web-box syntax (SimpleQueryParser.java:99)
+    compiles through parse_simple and must score identically to the SQL of
+    its declared clause structure; s_fields exercises the multi-field
+    weight expansion (newDefaultQuery, java:574-583)."""
+    from ..search.simpleparser import parse_simple
+
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    specs = [(q, s, k) for q, s, _kind, _cls, k in SIMPLE_TOPK_SPECS]
+    specs.append((SIMPLE_FIELDS_SPEC[0], SIMPLE_FIELDS_SPEC[1],
+                  SIMPLE_FIELDS_SPEC[4]))
+    for qid, qstr, k in specs:
+        weights = SIMPLE_FIELD_WEIGHTS if qid == "s_fields" else None
+        query = parse_simple(qstr, merged.analyzer, weights=weights)
+        td = merged.search(query, k=k, total_hits_threshold=1 << 30)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 def q_parsed_topk(sf_dir: str) -> pa.Table:
     """Classic query-parser strings -> top-k: (query_id, rank, doc_id,
     score_r). Each string compiles through parse_classic (field:term,

@@ -1173,6 +1173,21 @@ def field_topk_sql(
                     UNION ALL SELECT doc_id, s FROM {b2})
               GROUP BY doc_id) g
         FULL OUTER JOIN {c} z ON g.doc_id = z.doc_id)"""
+        elif kind == "sum_negmatchall":
+            # c1 -c2 under SimpleQueryParser semantics: the negated term
+            # wraps as BQ(MUST_NOT c2, SHOULD MatchAll), so the outer
+            # disjunction matches docs with c1 OR docs WITHOUT c2; the
+            # wrapped branch contributes the MatchAll score 1.0f through
+            # the inner float32 cast (identity), outer double-sum -> f32.
+            assert len(names) == 2, "sum_negmatchall oracle takes 2 clauses"
+            a, b2 = names
+            scored = f"""(SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
+          CAST(COALESCE(CAST(x.s AS DOUBLE), 0)
+               + COALESCE(y.one, 0) AS FLOAT) AS score
+        FROM {a} x FULL OUTER JOIN
+          (SELECT doc_id, CAST(1.0 AS DOUBLE) AS one FROM {relation} d
+           WHERE NOT EXISTS (SELECT 1 FROM {b2} n WHERE n.doc_id = d.doc_id)) y
+        ON x.doc_id = y.doc_id)"""
         elif kind == "sum_notgroup":
             # c1 -(c2 c3) — a MUST_NOT group: c1's docs minus docs matching
             # c2 OR c3; score = c1's score alone.
