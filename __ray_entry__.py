@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_drilldown": flagship.q_facet_drilldown,  # DrillDownQuery subtree filter
         "facet_drillsideways": flagship.q_facet_drillsideways,  # DrillSideways
         "facet_tags": flagship.q_facet_tags,  # SORTED_SET multi-valued facets
+        "facet_assoc": flagship.q_facet_assoc,  # int-association sum facets
         "bm25_tags_filtered": flagship.q_bm25_tags_filtered,  # SORTED_SET FILTER
         "grouped_topk": flagship.q_grouped_topk,
         "interval_topk": flagship.q_interval_topk,  # queries/intervals module
@@ -219,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "classify_bm25nb": O.classify_bm25nb_sql(classify.NB_INPUT_DOCS),
         "percolate": O.percolate_sql(),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
+        "facet_assoc": O.facet_assoc_sql(flagship.FACET_TERM),
         "facet_length_ranges": O.facet_range_sql(
             flagship.FACET_TERM, flagship.FACET_RANGE_EDGES, flagship.FACET_RANGE_LABELS
         ),

@@ -1372,6 +1372,31 @@ def _matched_rows_dataset(
     )
 
 
+def q_facet_assoc(sf_dir: str) -> pa.Table:
+    """Association facets (TaxonomyFacetSumIntAssociations, s84 facet/src/
+    java/org/apache/lucene/facet/taxonomy/TaxonomyFacetSumIntAssociations.
+    java:33): per taxonomy path, the SUM of each matching doc\'s int
+    association value — here the ``length`` doc-values column — over docs
+    matching FACET_TERM. The rollup is a Ray Data groupby-sum over the
+    matched-rows Dataset (facet counts never pass through a driver dict)."""
+    from ray.data.aggregate import Sum
+
+    rows = (
+        _matched_rows_dataset(sf_dir, [FACET_TERM], with_length=True,
+                              with_path=True)
+        .groupby("path")
+        .aggregate(Sum(on="dl", alias_name="total"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["path"])
+    return pa.table(
+        {
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "total": pa.array([int(r["total"]) for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_facet_lang(sf_dir: str) -> pa.Table:
     """Facet counts (SSDV-facet analogue): lang histogram of docs matching
     the facet term — matched rows stay a Dataset; the histogram is a Ray

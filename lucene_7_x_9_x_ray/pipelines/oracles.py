@@ -2221,3 +2221,15 @@ def percolate_sql(relation: str = "documents") -> str:
          unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
   FROM {relation})
 """ + "\nUNION ALL\n".join(blocks)
+
+
+def facet_assoc_sql(term: str, relation: str = "documents") -> str:
+    """Association-facet oracle: per "source/lang" taxonomy path, the sum
+    of doc lengths (the int association value) over docs matching
+    ``term``."""
+    return f"""WITH {base_ctes(relation)}
+SELECT d.source || '/' || d.lang AS path,
+       CAST(SUM(dl.dl) AS BIGINT) AS total
+FROM {relation} d JOIN dl ON dl.doc_id = d.doc_id
+WHERE EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{term}')
+GROUP BY d.source, d.lang"""

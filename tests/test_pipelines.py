@@ -1416,3 +1416,20 @@ def test_bucketed_equijoin_hot_key_salting(ray_session):
         if nk == 42 * 3
     ]
     assert max(plain_hot) == n // 2  # the baseline really was unbounded
+
+
+def test_facet_assoc_matches_oracle(ray_session):
+    """Association facets (TaxonomyFacetSumIntAssociations role): per-path
+    sum of the int association (doc length) over matching docs."""
+    import __ray_entry__ as E
+
+    mine = E.queries()["facet_assoc"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(E.oracle_sql()["facet_assoc"]).df()
+    mine = mine.sort_values("path").reset_index(drop=True)
+    want = want.sort_values("path").reset_index(drop=True)
+    assert mine["path"].tolist() == want["path"].tolist()
+    assert mine["total"].tolist() == want["total"].tolist()
