@@ -180,7 +180,7 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
     # training-data operator timings over the raw sf tables (the quick
     # subset; exact all-pairs Jaccard is quadratic and benched separately)
     if os.environ.get("GRAFT_BENCH_OPS", "1") != "0":
-        from lucene_7_x_9_x_ray.pipelines import ann, curation, dedup, relational, textops
+        from lucene_7_x_9_x_ray.pipelines import ann, classify, curation, dedup, monitor, relational, textops
 
         for name, fn in (
             ("op_doc_stats", textops.q_doc_stats),
@@ -193,6 +193,8 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
             ("op_lineitem_pricing", relational.q_lineitem_pricing),
             ("op_revenue_by_nation", relational.q_revenue_by_nation),
             ("op_brand_returned_revenue", relational.q_brand_returned_revenue),
+            ("op_percolate", monitor.q_percolate),
+            ("op_classify_nb", classify.q_classify_nb),
         ):
             # best-of-2: single-shot op timings swing with VM-neighbor load
             best = float("inf")

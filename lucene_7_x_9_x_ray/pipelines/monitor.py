@@ -169,37 +169,180 @@ class Percolator:
             cands[int(p)].update(qid_lists[int(j)])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..state.memindex import MemoryIndex
-
         n = batch.num_rows
         toks = pc.split_pattern(batch["text"], pattern=" ")
         cands: list[set[str]] = [set(self.anytoken) for _ in range(n)]
         self._accumulate(cands, "", toks)
         self._accumulate(cands, "title", pc.list_slice(toks, 0, TITLE_TOKENS))
-        # MemoryIndex confirmation, candidate docs only (work is bounded
-        # by the presearcher's candidate volume, not |queries| x |docs|)
+        # group the candidate pairs by QUERY and confirm each against ONE
+        # in-RAM index of the whole batch (the reference's DocumentBatch
+        # model, Monitor.match -> CandidateMatcher over a batch index) —
+        # per-query vectorized masks instead of a per-doc MemoryIndex
+        by_query: dict[str, list[int]] = {}
+        for i, cs in enumerate(cands):
+            for qid in cs:
+                by_query.setdefault(qid, []).append(i)
+        bidx = _BatchIndex(toks, n)
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
         out_doc: list[int] = []
         out_q: list[str] = []
-        for i in range(n):
-            if not cands[i]:
-                continue
-            body = texts[i]
-            mi = MemoryIndex(body, analyzer=self.analyzer)
-            mi.add_field(
-                "title", " ".join(body.split(" ")[:TITLE_TOKENS])
-            )
-            for qid in sorted(cands[i]):
-                if mi.match(self.parsed[qid]) is not None:
-                    out_doc.append(int(doc_ids[i]))
-                    out_q.append(qid)
+        for qid in sorted(by_query):
+            cand_rows = np.asarray(by_query[qid], dtype=np.int64)
+            hit = bidx.eval(self.parsed[qid], cand_rows, batch)
+            for i in hit:
+                out_doc.append(int(doc_ids[int(i)]))
+                out_q.append(qid)
+        order = np.lexsort((np.asarray(out_q, dtype=object),
+                            np.asarray(out_doc, dtype=np.int64))) \
+            if out_doc else np.array([], dtype=np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "query_id": pa.array(out_q, pa.string()),
+                "doc_id": pa.array([out_doc[i] for i in order], pa.int64()),
+                "query_id": pa.array([out_q[i] for i in order], pa.string()),
             }
         )
+
+
+class _BatchIndex:
+    """One in-RAM inverted index over a WHOLE Arrow batch (the reference's
+    DocumentBatch, DocumentBatch.java role): term -> (doc rows, positions)
+    built with one vectorized explode + lexsort per field. Candidate
+    queries evaluate as masks over their candidate rows — Term, Boolean,
+    exact Phrase and Prefix natively; anything else falls back to a
+    per-candidate-doc MemoryIndex (rare by construction)."""
+
+    def __init__(self, toks, n: int):
+        self.n = n
+        self._fields: dict[str, tuple] = {}
+        self._build("", toks)
+        self._build("title", pc.list_slice(toks, 0, TITLE_TOKENS))
+
+    def _build(self, field: str, toks_list) -> None:
+        la = (toks_list.combine_chunks()
+              if isinstance(toks_list, pa.ChunkedArray) else toks_list)
+        flat = pc.list_flatten(la)
+        parents = pc.list_parent_indices(la).to_numpy()
+        m = len(parents)
+        idxs = np.arange(m, dtype=np.int64)
+        if m:
+            run_start = np.zeros(m, dtype=np.int64)
+            starts = np.flatnonzero(np.r_[True, parents[1:] != parents[:-1]])
+            run_start[starts] = idxs[starts]
+            run_start = np.maximum.accumulate(run_start)
+            pos = idxs - run_start
+        else:
+            pos = idxs
+        terms = flat.to_numpy(zero_copy_only=False).astype("U")
+        order = np.lexsort((pos, parents, terms))
+        t_sorted = terms[order]
+        bounds = np.flatnonzero(np.r_[True, t_sorted[1:] != t_sorted[:-1]]) \
+            if m else np.array([], dtype=np.int64)
+        uniq = t_sorted[bounds] if m else np.array([], dtype="U")
+        self._fields[field] = (
+            uniq, np.r_[bounds, m], parents[order], pos[order]
+        )
+
+    def _slice(self, field: str, term: str) -> tuple[np.ndarray, np.ndarray]:
+        uniq, bounds, parents, pos = self._fields[field]
+        i = int(np.searchsorted(uniq, term))
+        if i >= len(uniq) or uniq[i] != term:
+            e = np.array([], dtype=np.int64)
+            return e, e
+        return parents[bounds[i]:bounds[i + 1]], pos[bounds[i]:bounds[i + 1]]
+
+    def _term_docs(self, field: str, term: str) -> np.ndarray:
+        p, _ = self._slice(field, term)
+        return np.unique(p)
+
+    def eval(self, query, cand: np.ndarray, batch: pa.Table) -> np.ndarray:
+        """Rows of ``cand`` matching ``query`` (match-only semantics equal
+        to MemoryIndex.match / scorers' boolean rules)."""
+        mask = self._mask(query, cand, batch)
+        return cand[mask]
+
+    def _mask(self, query, cand: np.ndarray, batch) -> np.ndarray:
+        if isinstance(query, Q.TermQuery):
+            return np.isin(cand, self._term_docs(query.field, query.term))
+        if isinstance(query, Q.MatchAllDocsQuery):
+            return np.ones(len(cand), dtype=bool)
+        if isinstance(query, Q.MatchNoDocsQuery):
+            return np.zeros(len(cand), dtype=bool)
+        if isinstance(query, Q.PrefixQuery):
+            uniq = self._fields[""][0]
+            lo = int(np.searchsorted(uniq, query.prefix))
+            hi = int(np.searchsorted(uniq, query.prefix + "￿"))
+            docs = [self._term_docs("", str(t)) for t in uniq[lo:hi]]
+            hit = np.unique(np.concatenate(docs)) if docs else \
+                np.array([], dtype=np.int64)
+            return np.isin(cand, hit)
+        if isinstance(query, Q.PhraseQuery) and query.slop == 0 \
+                and len(query.terms) >= 1:
+            return self._phrase_mask(query, cand)
+        if isinstance(query, Q.BooleanQuery):
+            musts = [c.query for c in query.clauses
+                     if c.occur in (Q.MUST, Q.FILTER)]
+            shoulds = [c.query for c in query.clauses if c.occur == Q.SHOULD]
+            nots = [c.query for c in query.clauses if c.occur == Q.MUST_NOT]
+            if musts:
+                mask = np.ones(len(cand), dtype=bool)
+                for q in musts:
+                    mask &= self._mask(q, cand, batch)
+                need = query.min_should_match
+            else:
+                mask = np.ones(len(cand), dtype=bool)
+                need = max(1, query.min_should_match)
+            if shoulds and need > 0:
+                cnt = np.zeros(len(cand), dtype=np.int64)
+                for q in shoulds:
+                    cnt += self._mask(q, cand, batch)
+                mask &= cnt >= need
+            elif shoulds and not musts:
+                cnt = np.zeros(len(cand), dtype=np.int64)
+                for q in shoulds:
+                    cnt += self._mask(q, cand, batch)
+                mask &= cnt >= 1
+            elif not musts and not shoulds:
+                # MUST_NOT-only boolean matches nothing (scorers rule)
+                mask = np.zeros(len(cand), dtype=bool)
+            for q in nots:
+                mask &= ~self._mask(q, cand, batch)
+            return mask
+        return self._fallback_mask(query, cand, batch)
+
+    def _phrase_mask(self, query: Q.PhraseQuery, cand: np.ndarray) -> np.ndarray:
+        field = query.field
+        slices = [self._slice(field, t) for t in query.terms]
+        alive = cand
+        for p, _ in slices:
+            alive = alive[np.isin(alive, np.unique(p))]
+            if len(alive) == 0:
+                break
+        out = np.zeros(len(cand), dtype=bool)
+        pos_c = np.searchsorted(cand, alive)
+        for k, d in zip(pos_c, alive):
+            p0, q0 = slices[0]
+            cur = q0[p0 == d]
+            for i in range(1, len(slices)):
+                pi, qi = slices[i]
+                cur = np.intersect1d(cur + 1, qi[pi == d],
+                                     assume_unique=False)
+                if len(cur) == 0:
+                    break
+            if len(cur):
+                out[k] = True
+        return out
+
+    def _fallback_mask(self, query, cand: np.ndarray, batch) -> np.ndarray:
+        from ..state.memindex import MemoryIndex
+
+        texts = batch["text"].to_pylist()
+        out = np.zeros(len(cand), dtype=bool)
+        for k, d in enumerate(cand):
+            body = texts[int(d)]
+            mi = MemoryIndex(body)
+            mi.add_field("title", " ".join(body.split(" ")[:TITLE_TOKENS]))
+            out[k] = mi.match(query) is not None
+        return out
 
 
 def q_percolate(sf_dir: str) -> pa.Table:
@@ -207,7 +350,7 @@ def q_percolate(sf_dir: str) -> pa.Table:
     (doc_id, query_id) match rows."""
     ds = sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     matched = ds.map_batches(
-        Percolator, concurrency=(1, 4), batch_size=256,
+        Percolator, concurrency=(1, 8), batch_size=512,
         batch_format="pyarrow",
     )
     return pa.Table.from_pandas(
