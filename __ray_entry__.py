@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blended_topk": flagship.q_blended_topk,  # cross-field blended term statistics
         "similarity_topk_served": flagship.q_similarity_topk_served,  # setSimilarity at the actor
         "function_topk": flagship.q_function_topk,  # FunctionScoreQuery (log1p dl boost)
+        "feature_topk": flagship.q_feature_topk,  # FeatureField static-feature ranking
         "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
@@ -174,6 +175,9 @@ def oracle_sql() -> dict[str, str]:
         "mlt_topk": O.mlt_topk_sql(flagship.MLT_SRC_DOC, flagship.MLT_K),
         "function_topk": O.function_topk_sql(
             list(flagship.FUNCTION_TOPK_TERMS), flagship.FUNCTION_TOPK_K
+        ),
+        "feature_topk": O.feature_topk_sql(
+            flagship.FEATURE_TOPK_SPECS, flagship.FEATURE_TOPK_K
         ),
         "expr_topk": O.expression_topk_sql(
             list(flagship.EXPR_TOPK_TERMS), flagship.EXPR_TOPK_K

@@ -798,6 +798,42 @@ def q_mlt_topk(sf_dir: str) -> pa.Table:
     )
 
 
+FEATURE_TOPK_SPECS: list[tuple[str, str, float, float, float]] = [
+    # (query_id, function, pivot, a, boost) over the score_hint column
+    ("f_log", "log", 0.0, 1.0, 1.0),
+    ("f_satu", "saturation", 100.0, 0.0, 2.0),
+    ("f_sigm", "sigmoid", 100.0, 2.0, 1.0),
+]
+FEATURE_TOPK_K = 10
+
+
+def q_feature_topk(sf_dir: str) -> pa.Table:
+    """FeatureField static-feature ranking (FeatureField.java:229-400
+    analogue): the sparse score_hint doc-values column scored by the
+    log / saturation / sigmoid feature functions, norm-free, top-k:
+    (query_id, rank, doc_id, score_r). NULL-feature docs never match
+    (the feature term is absent from them)."""
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, fn, pivot, a, boost in FEATURE_TOPK_SPECS:
+        query = Q.FeatureQuery("score_hint", function=fn, pivot=pivot,
+                               a=a, boost=boost)
+        td = merged.search(query, k=FEATURE_TOPK_K)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 FUNCTION_TOPK_TERMS = ("key", "table")
 FUNCTION_TOPK_K = 10
 

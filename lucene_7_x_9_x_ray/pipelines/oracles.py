@@ -2233,3 +2233,58 @@ SELECT d.source || '/' || d.lang AS path,
 FROM {relation} d JOIN dl ON dl.doc_id = d.doc_id
 WHERE EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{term}')
 GROUP BY d.source, d.lang"""
+
+
+def feature_topk_sql(
+    specs: list[tuple[str, str, float, float, float]], k: int,
+    relation: str = "documents",
+) -> str:
+    """FeatureField oracle (FeatureField.java:229-400): score_hint is the
+    feature; the freq-encoding round-trip keeps 9 significant bits, which
+    for integer features v (1 <= v < 2^52) is exact double arithmetic:
+    f = floor(v / 2^e * 256) / 256 * 2^e with e = floor(log2(v)). Each
+    function mirrors the engine's float32/double op order."""
+    import math
+
+    blocks = []
+    # score_hint is derived (pages_from_documents: NULL iff doc_id % 3 == 0,
+    # else n_chars) — the same CASE mirror field_exists_sql uses
+    feat = """sh AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars END AS score_hint
+      FROM {rel}),
+q AS (SELECT doc_id, CAST(score_hint AS DOUBLE) AS v,
+             floor(log2(CAST(score_hint AS DOUBLE))) AS e
+      FROM sh WHERE score_hint IS NOT NULL),
+feat AS (SELECT doc_id,
+                floor(v / pow(2, e) * 256) / 256 * pow(2, e) AS f
+         FROM q)""".format(rel=relation)
+    for qid, fn, pivot, a, boost in specs:
+        if fn == "log":
+            expr = (
+                f"CAST(CAST({boost!r} AS DOUBLE)"
+                f" * ln(CAST(CAST(CAST({a!r} AS FLOAT)"
+                f" + CAST(f AS FLOAT) AS FLOAT) AS DOUBLE)) AS FLOAT)"
+            )
+        elif fn == "saturation":
+            expr = (
+                f"CAST(CAST({boost!r} AS FLOAT)"
+                f" * CAST(CAST(1 AS FLOAT)"
+                f" - CAST(CAST({pivot!r} AS FLOAT)"
+                f" / CAST(CAST(f AS FLOAT) + CAST({pivot!r} AS FLOAT)"
+                f" AS FLOAT) AS FLOAT) AS FLOAT) AS FLOAT)"
+            )
+        elif fn == "sigmoid":
+            pp = math.pow(pivot, a)
+            expr = (
+                f"CAST(CAST({boost!r} AS DOUBLE)"
+                f" * (1 - {pp!r} / (pow(CAST(f AS DOUBLE), {a!r})"
+                f" + {pp!r})) AS FLOAT)"
+            )
+        else:
+            raise ValueError(fn)
+        blocks.append(f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM (SELECT doc_id, {expr} AS score FROM feat)
+ ORDER BY score DESC, doc_id LIMIT {k})""")
+    return "WITH " + feat + "\n" + "\nUNION ALL\n".join(blocks)

@@ -203,6 +203,29 @@ class GeoDistanceQuery(Query):
 
 
 @dataclass(frozen=True)
+class FeatureQuery(Query):
+    """FeatureField static-feature scoring (s84 core document/
+    FeatureField.java:229-400): the per-doc feature value is freq-ENCODED
+    at index time (floatToIntBits(v) >>> 15 — only the top 8 mantissa
+    bits survive the round-trip) and scored norm-free by one of three
+    monotone functions of the decoded value f:
+
+      log:        f32(boost * ln(f32(a + f)))                (java:260)
+      saturation: f32(boost * f32(1 - f32(pivot / f32(f + pivot))))
+                                                             (java:327)
+      sigmoid:    f32(boost * (1 - pivot^a / (f^a + pivot^a))) (java:386)
+
+    Docs whose feature column is NULL don't match (no feature term was
+    indexed for them)."""
+
+    col: str
+    function: str = "saturation"  # "log" | "saturation" | "sigmoid"
+    pivot: float = 1.0
+    a: float = 1.0  # log scalingFactor / sigmoid exponent
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FunctionScoreQuery(Query):
     """Re-score a query from a per-doc VALUE source (s84 queries/.../
     function/FunctionScoreQuery.java:47 — DoubleValuesSource semantics):

