@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_served": flagship.q_similarity_topk_served,  # setSimilarity at the actor
         "function_topk": flagship.q_function_topk,  # FunctionScoreQuery (log1p dl boost)
         "feature_topk": flagship.q_feature_topk,  # FeatureField static-feature ranking
+        "covering_topk": flagship.q_covering_topk,  # sandbox CoveringQuery (dynamic msm)
         "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
@@ -178,6 +179,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "feature_topk": O.feature_topk_sql(
             flagship.FEATURE_TOPK_SPECS, flagship.FEATURE_TOPK_K
+        ),
+        "covering_topk": O.covering_topk_sql(
+            flagship.COVERING_TERMS, flagship.COVERING_K
         ),
         "expr_topk": O.expression_topk_sql(
             list(flagship.EXPR_TOPK_TERMS), flagship.EXPR_TOPK_K

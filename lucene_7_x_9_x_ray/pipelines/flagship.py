@@ -798,6 +798,33 @@ def q_mlt_topk(sf_dir: str) -> pa.Table:
     )
 
 
+COVERING_TERMS = ("key", "hash", "table", "window")
+COVERING_MIN_EXPR = "1 + length % 3"  # per-doc dynamic minimum (1..3)
+COVERING_K = 15
+
+
+def q_covering_topk(sf_dir: str) -> pa.Table:
+    """sandbox CoveringQuery (CoveringQuery.java:42): four SHOULD term
+    clauses, per-doc minimum match count = 1 + length%3 via the
+    expressions-module LongValuesSource analogue; score = the matching
+    clauses' double sum -> float32: (rank, doc_id, score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    query = Q.CoveringQuery(
+        queries=tuple(Q.TermQuery(t) for t in COVERING_TERMS),
+        min_expr=COVERING_MIN_EXPR,
+    )
+    td = merged.search(query, k=COVERING_K)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(td.doc_ids) + 1), pa.int64()),
+            "doc_id": pa.array([int(d) for d in td.doc_ids], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in td.scores], pa.float64()
+            ),
+        }
+    )
+
+
 FEATURE_TOPK_SPECS: list[tuple[str, str, float, float, float]] = [
     # (query_id, function, pivot, a, boost) over the score_hint column
     ("f_log", "log", 0.0, 1.0, 1.0),

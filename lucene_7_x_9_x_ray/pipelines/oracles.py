@@ -2288,3 +2288,24 @@ feat AS (SELECT doc_id,
  FROM (SELECT doc_id, {expr} AS score FROM feat)
  ORDER BY score DESC, doc_id LIMIT {k})""")
     return "WITH " + feat + "\n" + "\nUNION ALL\n".join(blocks)
+
+
+def covering_topk_sql(terms: tuple[str, ...], k: int,
+                      relation: str = "documents") -> str:
+    """CoveringQuery oracle (CoveringQuery.java:42): per doc, the count
+    and double sum of matching float32 term leaves; keep docs whose count
+    >= max(1, 1 + dl % 3) (the engine's min_expr over the length
+    doc-values column); score = one float32 cast of the sum."""
+    leaf_ctes = ",".join(term_leaf_ctes(t) for t in terms)
+    union = "\nUNION ALL ".join(
+        f"SELECT doc_id, s FROM s_{_ident(t)}" for t in terms
+    )
+    return f"""WITH {base_ctes(relation)},{leaf_ctes},
+m AS (SELECT doc_id, count(*) AS cnt,
+             CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+      FROM ({union}) GROUP BY doc_id),
+kept AS (SELECT m.doc_id, m.score FROM m JOIN dl USING (doc_id)
+         WHERE m.cnt >= greatest(1, 1 + dl.dl % 3))
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+FROM kept ORDER BY score DESC, doc_id LIMIT {k}"""

@@ -203,6 +203,21 @@ class GeoDistanceQuery(Query):
 
 
 @dataclass(frozen=True)
+class CoveringQuery(Query):
+    """sandbox CoveringQuery (s84 sandbox/src/java/org/apache/lucene/
+    search/CoveringQuery.java:42 + CoveringScorer.java:96-162): SHOULD
+    clauses with a PER-DOC minimum match count from a LongValuesSource —
+    here a compiled expressions-module formula over doc-values columns.
+    minMatch = max(1, long(value)); docs whose source has no value never
+    match (advanceExact miss -> Long.MAX_VALUE, CoveringScorer.java:135);
+    score = double sum of the matching clauses' scores, one float32
+    cast."""
+
+    queries: tuple[Query, ...]
+    min_expr: str
+
+
+@dataclass(frozen=True)
 class FeatureQuery(Query):
     """FeatureField static-feature scoring (s84 core document/
     FeatureField.java:229-400): the per-doc feature value is freq-ENCODED
@@ -722,6 +737,11 @@ def rewrite(query: Query, term_dict: np.ndarray) -> Query:
             queries=tuple(rewrite(q, term_dict) for q in query.queries),
             tie_breaker=query.tie_breaker,
         )
+    if isinstance(query, CoveringQuery):
+        return CoveringQuery(
+            queries=tuple(rewrite(q, term_dict) for q in query.queries),
+            min_expr=query.min_expr,
+        )
     return query
 
 
@@ -741,6 +761,8 @@ def needs_rewrite(query: Query) -> bool:
     if isinstance(query, (BoostQuery, ConstantScoreQuery, FunctionScoreQuery, ExpressionScoreQuery)):
         return needs_rewrite(query.query)
     if isinstance(query, DisjunctionMaxQuery):
+        return any(needs_rewrite(q) for q in query.queries)
+    if isinstance(query, CoveringQuery):
         return any(needs_rewrite(q) for q in query.queries)
     return False
 
@@ -778,7 +800,7 @@ def collect_terms(query: Query) -> set[str]:
         out |= collect_terms(query.match)
     elif isinstance(query, SpanNotQuery):
         out |= collect_terms(query.include) | collect_terms(query.exclude)
-    elif isinstance(query, DisjunctionMaxQuery):
+    elif isinstance(query, (DisjunctionMaxQuery, CoveringQuery)):
         for q in query.queries:
             out |= collect_terms(q)
     return out
@@ -817,7 +839,7 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
         out |= collect_field_terms(query.match)
     elif isinstance(query, SpanNotQuery):
         out |= collect_field_terms(query.include) | collect_field_terms(query.exclude)
-    elif isinstance(query, DisjunctionMaxQuery):
+    elif isinstance(query, (DisjunctionMaxQuery, CoveringQuery)):
         for q in query.queries:
             out |= collect_field_terms(q)
     return out

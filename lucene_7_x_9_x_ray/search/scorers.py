@@ -329,6 +329,37 @@ def eval_query(
         docs = cand[dist <= query.radius_m].astype(np.int64)
         return docs, np.zeros(len(docs), dtype=np.float32)
 
+    if isinstance(query, Q.CoveringQuery):
+        # CoveringScorer: per-doc clause-match count vs the dynamic
+        # minimum from the LongValuesSource expression
+        from ..functions.expressions import compile_expression
+
+        subs = [eval_query(reader, sub, stats, bm25) for sub in query.queries]
+        subs = [(d, s) for d, s in subs if len(d)]
+        if not subs:
+            return _empty()
+        docs_cat = np.concatenate([d for d, _ in subs])
+        scores_cat = np.concatenate([s.astype(np.float64) for _, s in subs])
+        order = np.argsort(docs_cat, kind="stable")
+        ds, ss = docs_cat[order], scores_cat[order]
+        starts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
+        uniq = ds[starts].astype(np.int64)
+        counts = np.diff(np.r_[starts, len(ds)])
+        sums = np.add.reduceat(ss, starts)
+        expr = compile_expression(query.min_expr)
+        bind = {
+            v: np.asarray(reader.doc_values(v)[uniq], dtype=np.float64)
+            for v in expr.variables
+        }
+        mv = np.asarray(expr.evaluate(bind), dtype=np.float64)
+        if mv.ndim == 0:
+            mv = np.full(len(uniq), float(mv), dtype=np.float64)
+        # advanceExact miss (NaN value) -> unreachable minimum
+        minmatch = np.where(np.isnan(mv), np.inf,
+                            np.maximum(1.0, np.trunc(mv)))
+        keep = counts >= minmatch
+        return uniq[keep], sums[keep].astype(np.float32)
+
     if isinstance(query, Q.FeatureQuery):
         # FeatureField (FeatureField.java:229-400): docs = feature-column
         # validity; value goes through the freq-encoding round-trip

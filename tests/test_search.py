@@ -1131,3 +1131,32 @@ def test_feature_query_functions(ray_session):
                                        pivot=100.0, a=2.0), k=100)
     s = np.asarray(tdq.scores)
     assert np.all(s > 0) and np.all(s < 1)
+
+
+def test_covering_query_dynamic_minimum(ray_session):
+    """CoveringQuery (CoveringQuery.java:42): per-doc minimum from the
+    expression source; raising the minimum shrinks the match set
+    monotonically, and a doc matches iff its clause count clears its own
+    minimum."""
+    import numpy as np
+
+    from lucene_7_x_9_x_ray.pipelines.flagship import get_searchers
+    from lucene_7_x_9_x_ray.search import queries as Q
+
+    merged, _ = get_searchers("/root/testdata/sf0.001")
+    clauses = tuple(Q.TermQuery(t) for t in ("key", "hash", "table", "window"))
+    n = {}
+    for expr in ("1", "2", "3", "4"):
+        q = Q.CoveringQuery(queries=clauses, min_expr=expr)
+        td = merged.search(q, k=10_000, total_hits_threshold=1 << 30)
+        n[expr] = len(td.doc_ids)
+    assert n["1"] >= n["2"] >= n["3"] >= n["4"]
+    # constant minimum k == boolean msm=k over the same clauses
+    bq = Q.BooleanQuery.build([(Q.SHOULD, c) for c in clauses],
+                              min_should_match=3)
+    td_b = merged.search(bq, k=10_000, total_hits_threshold=1 << 30)
+    q3 = Q.CoveringQuery(queries=clauses, min_expr="3")
+    td_c = merged.search(q3, k=10_000, total_hits_threshold=1 << 30)
+    assert sorted(map(int, td_b.doc_ids)) == sorted(map(int, td_c.doc_ids))
+    assert np.allclose(sorted(map(float, td_b.scores)),
+                       sorted(map(float, td_c.scores)))
