@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_nb": classify.q_classify_nb,  # SimpleNaiveBayesClassifier
         "classify_knn": classify.q_classify_knn,  # KNearestNeighborClassifier
         "classify_bm25nb": classify.q_classify_bm25nb,  # BM25NBClassifier
+        "classify_perceptron": classify.q_classify_perceptron,  # rows-only (online fold)
         "percolate": monitor.q_percolate,  # monitor module: registered-query stream
         # --- training-data text ops ---
         "corpus_clean": corpus.q_corpus_clean,  # composed dedup+quality+lang pass

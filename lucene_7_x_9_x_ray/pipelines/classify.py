@@ -342,3 +342,114 @@ def q_classify_knn(sf_dir: str) -> pa.Table:
             "score_r": pa.array(rows["score_r"], pa.float64()),
         }
     )
+
+
+# --- BooleanPerceptronClassifier: online binary perceptron -------------------
+
+
+def perceptron_train(
+    sf_dir: str,
+    positive_lang: str = "en",
+    bias: float | None = None,
+) -> tuple[dict[str, float], float]:
+    """BooleanPerceptronClassifier training (s84 classification/.../
+    BooleanPerceptronClassifier.java:82-150): weights initialize to each
+    term's totalTermFreq, bias defaults to sumTotalTermFreq/docCount (the
+    average doc length), then ONE sequential pass over the training docs
+    in index order — classify with the current weights, and on a
+    misclassification nudge the doc's term weights by
+    max(0, w + modifier * tf) (java:176), modifier = correct - assigned.
+
+    The algorithm is inherently ONLINE (each update depends on every
+    prior one), so the pass itself is a driver fold over a STREAMED
+    Dataset (iter_batches, read order = doc order); both statistics
+    passes (ttf init, bias) are distributed map_batches + groupby. This
+    is the batchSize=1 configuration — weights take effect immediately
+    (the reference's FST refresh cadence)."""
+    import ray
+
+    ds = sized_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text", "lang"])
+
+    def ttf_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        flat = pc.list_flatten(toks)
+        t = pc.value_counts(flat)
+        # the batch's doc count rides on the first row (groupby-summable)
+        docs = [0] * len(t)
+        if docs:
+            docs[0] = batch.num_rows
+        return pa.table(
+            {
+                "term": t.field("values"),
+                "cnt": t.field("counts").cast(pa.int64()),
+                "docs": pa.array(docs, pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(ttf_partial, batch_format="pyarrow") \
+            .groupby("term").sum(["cnt", "docs"])
+    weights: dict[str, float] = {}
+    total_tokens = 0
+    total_docs = 0
+    for row in agg.take_all():  # vocab-sized
+        weights[row["term"]] = float(row["sum(cnt)"])
+        total_tokens += int(row["sum(cnt)"])
+        total_docs += int(row["sum(docs)"])
+    if bias is None or bias == 0.0:
+        bias = total_tokens / float(total_docs)  # java:93-96
+
+    # the online pass: stream in doc order, fold on the driver
+    for batch in ds.sort("doc_id").iter_batches(batch_format="pyarrow"):
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        for text, lang in zip(texts, langs):
+            tokens = text.split(" ")
+            output = 0.0
+            for t in tokens:  # token order, duplicates counted (java:208)
+                output += weights.get(t, 0.0)
+            assigned = output >= bias
+            correct = lang == positive_lang
+            modifier = int(correct) - int(assigned)  # Boolean.compareTo
+            if modifier != 0:
+                tf: dict[str, int] = {}
+                for t in tokens:
+                    tf[t] = tf.get(t, 0) + 1
+                for t, f in tf.items():
+                    prev = weights.get(t)
+                    weights[t] = 0.0 if prev is None else max(
+                        0.0, prev + modifier * f
+                    )
+    return weights, float(bias)
+
+
+def perceptron_assign(text: str, weights: dict[str, float],
+                      bias: float) -> tuple[bool, float]:
+    """assignClass (java:199-217): output = sum of token weights;
+    class = output >= bias; score = 1 - exp(-|bias - output| / bias)."""
+    output = 0.0
+    for t in text.split(" "):
+        output += weights.get(t, 0.0)
+    score = 1.0 - math.exp(-1.0 * abs(bias - output) / bias)
+    return output >= bias, score
+
+
+def q_classify_perceptron(sf_dir: str) -> pa.Table:
+    """Gate (rows-only: the training fold is order-dependent and not
+    SQL-expressible): train on the corpus (positive class lang='en'),
+    assign NB_INPUT_DOCS' texts -> (input_doc, assigned, score_r)."""
+    weights, bias = perceptron_train(sf_dir)
+    texts = _input_texts(sf_dir, NB_INPUT_DOCS)
+    rows = {"input_doc": [], "assigned": [], "score_r": []}
+    for d in NB_INPUT_DOCS:
+        assigned, score = perceptron_assign(texts[d], weights, bias)
+        rows["input_doc"].append(d)
+        rows["assigned"].append(bool(assigned))
+        rows["score_r"].append(round_half_away(score, 6))
+    return pa.table(
+        {
+            "input_doc": pa.array(rows["input_doc"], pa.int64()),
+            "assigned": pa.array(rows["assigned"], pa.bool_()),
+            "score_r": pa.array(rows["score_r"], pa.float64()),
+        }
+    )

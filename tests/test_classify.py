@@ -164,3 +164,50 @@ def test_bm25nb_prior_is_class_term_score(ray_session):
     )
     leaf = w - w / (np.float32(1.0) + np.float32(1.0) * ninv)
     assert np.float32(td.scores[0]) == leaf
+
+
+def test_perceptron_learns_separable_corpus(ray_session, tmp_path):
+    """BooleanPerceptronClassifier (java:82-217): on a linearly separable
+    toy corpus (positive docs 'aaa', negative docs 'bbb') one online pass
+    drives the negative term's weight to 0, flipping its class below the
+    bias."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_7_x_9_x_ray.pipelines.classify import (
+        perceptron_assign, perceptron_train)
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "bbb bbb bbb", "de"))
+    for i in range(10, 20):
+        rows.append((i, "aaa aaa aaa", "en"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    weights, bias = perceptron_train(str(tmp_path), positive_lang="en")
+    # bias = avg doc length = 3; ttf init aaa=bbb=30; ten -3 updates
+    # zero out bbb (java:176 max(0, w + modifier*tf))
+    assert bias == 3.0
+    assert weights["bbb"] == 0.0
+    assert weights["aaa"] == 30.0
+    assert perceptron_assign("aaa aaa aaa", weights, bias)[0] is True
+    assert perceptron_assign("bbb bbb bbb", weights, bias)[0] is False
+    # score formula: 1 - exp(-|bias - output| / bias)
+    import math
+
+    _, s = perceptron_assign("bbb", weights, bias)
+    assert s == 1.0 - math.exp(-abs(3.0 - 0.0) / 3.0)
+
+
+def test_perceptron_gate_shape(ray_session):
+    from lucene_7_x_9_x_ray.pipelines.classify import q_classify_perceptron
+
+    t = q_classify_perceptron(SF)
+    assert t.num_rows == len(classify.NB_INPUT_DOCS)
+    assert t.column_names == ["input_doc", "assigned", "score_r"]
