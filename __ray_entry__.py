@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_topk": flagship.q_function_topk,  # FunctionScoreQuery (log1p dl boost)
         "feature_topk": flagship.q_feature_topk,  # FeatureField static-feature ranking
         "covering_topk": flagship.q_covering_topk,  # sandbox CoveringQuery (dynamic msm)
+        "rescored_topk": flagship.q_rescored_topk,  # QueryRescorer two-phase ranking
         "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
@@ -183,6 +184,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "covering_topk": O.covering_topk_sql(
             flagship.COVERING_TERMS, flagship.COVERING_K
+        ),
+        "rescored_topk": O.rescored_topk_sql(
+            flagship.RESCORE_FIRST_TERMS, flagship.RESCORE_QUERY_TERM,
+            flagship.RESCORE_WEIGHT, flagship.RESCORE_FIRST_K,
+            flagship.RESCORE_TOP_N,
         ),
         "expr_topk": O.expression_topk_sql(
             list(flagship.EXPR_TOPK_TERMS), flagship.EXPR_TOPK_K

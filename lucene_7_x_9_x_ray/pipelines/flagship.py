@@ -798,6 +798,40 @@ def q_mlt_topk(sf_dir: str) -> pa.Table:
     )
 
 
+RESCORE_FIRST_TERMS = ("key", "hash")
+RESCORE_QUERY_TERM = "table"
+RESCORE_WEIGHT = 2.0
+RESCORE_FIRST_K = 40
+RESCORE_TOP_N = 10
+
+
+def q_rescored_topk(sf_dir: str) -> pa.Table:
+    """QueryRescorer two-phase ranking (QueryRescorer.java:57-186): BM25
+    disjunction top-40 first pass, rescored by a second TermQuery with
+    combined = f32(first + weight * second), re-sorted, top-10:
+    (rank, doc_id, score_r)."""
+    from ..search.rescorer import query_rescore
+
+    merged, _ = get_searchers(sf_dir)
+    first = merged.search(
+        Q.BooleanQuery.build(
+            [(Q.SHOULD, Q.TermQuery(t)) for t in RESCORE_FIRST_TERMS]
+        ),
+        k=RESCORE_FIRST_K,
+    )
+    td = query_rescore(merged, first, Q.TermQuery(RESCORE_QUERY_TERM),
+                       RESCORE_WEIGHT, RESCORE_TOP_N)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(td.doc_ids) + 1), pa.int64()),
+            "doc_id": pa.array([int(d) for d in td.doc_ids], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in td.scores], pa.float64()
+            ),
+        }
+    )
+
+
 COVERING_TERMS = ("key", "hash", "table", "window")
 COVERING_MIN_EXPR = "1 + length % 3"  # per-doc dynamic minimum (1..3)
 COVERING_K = 15

@@ -2309,3 +2309,31 @@ kept AS (SELECT m.doc_id, m.score FROM m JOIN dl USING (doc_id)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
 FROM kept ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def rescored_topk_sql(first_terms: tuple[str, ...], rescore_term: str,
+                      weight: float, first_k: int, top_n: int,
+                      relation: str = "documents") -> str:
+    """QueryRescorer oracle (QueryRescorer.java:175-186): first-pass BM25
+    disjunction top first_k (score DESC, doc ASC), then combined =
+    f32(double(first) + weight * double(second-term leaf)) when the
+    rescore term matches, first unchanged otherwise; re-sorted, top_n."""
+    leaf_ctes = ",".join(term_leaf_ctes(t)
+                         for t in (*first_terms, rescore_term))
+    union = "\nUNION ALL ".join(
+        f"SELECT doc_id, s FROM s_{_ident(t)}" for t in first_terms
+    )
+    rt = _ident(rescore_term)
+    return f"""WITH {base_ctes(relation)},{leaf_ctes},
+first AS (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+          FROM ({union}) GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT {first_k}),
+comb AS (SELECT f.doc_id,
+                CASE WHEN r.s IS NULL THEN f.score
+                     ELSE CAST(CAST(f.score AS DOUBLE)
+                               + {weight!r} * CAST(r.s AS DOUBLE) AS FLOAT)
+                END AS score
+         FROM first f LEFT JOIN s_{rt} r USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+FROM comb ORDER BY score DESC, doc_id LIMIT {top_n}"""

@@ -1160,3 +1160,40 @@ def test_covering_query_dynamic_minimum(ray_session):
     assert sorted(map(int, td_b.doc_ids)) == sorted(map(int, td_c.doc_ids))
     assert np.allclose(sorted(map(float, td_b.scores)),
                        sorted(map(float, td_c.scores)))
+
+
+def test_query_rescorer_semantics(ray_session):
+    """QueryRescorer (QueryRescorer.java:57-186): docs the second query
+    misses keep their first-pass score bit-for-bit; matched docs gain
+    exactly f32(first + weight * second); the result re-sorts and
+    truncates."""
+    import numpy as np
+
+    from lucene_7_x_9_x_ray.pipelines.flagship import get_searchers
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.rescorer import query_rescore
+
+    merged, _ = get_searchers("/root/testdata/sf0.001")
+    first = merged.search(
+        Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery("key"))]), k=30
+    )
+    second = Q.TermQuery("window")
+    td = query_rescore(merged, first, second, 3.0, 30)
+    first_map = dict(zip(map(int, first.doc_ids), map(float, first.scores)))
+    win = merged.search(
+        Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery("window"))]),
+        k=10_000, total_hits_threshold=1 << 30
+    )
+    win_map = dict(zip(map(int, win.doc_ids), map(float, win.scores)))
+    for d, s in zip(map(int, td.doc_ids), map(float, td.scores)):
+        if d in win_map:
+            want = np.float32(np.float64(first_map[d]) + 3.0 * np.float64(win_map[d]))
+            assert np.float32(s) == want
+        else:
+            assert s == first_map[d]
+    # sorted desc, doc asc on ties
+    ss = [float(s) for s in td.scores]
+    assert ss == sorted(ss, reverse=True)
+    # weight 0 == identity re-sort of the first pass
+    td0 = query_rescore(merged, first, second, 0.0, 30)
+    assert sorted(map(int, td0.doc_ids)) == sorted(map(int, first.doc_ids))
