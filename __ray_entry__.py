@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_knn": classify.q_classify_knn,  # KNearestNeighborClassifier
         "classify_bm25nb": classify.q_classify_bm25nb,  # BM25NBClassifier
         "classify_perceptron": classify.q_classify_perceptron,  # rows-only (online fold)
+        "classify_nb_corpus": classify.q_classify_nb_corpus,  # corpus-wide broadcast apply
         "percolate": monitor.q_percolate,  # monitor module: registered-query stream
         # --- training-data text ops ---
         "corpus_clean": corpus.q_corpus_clean,  # composed dedup+quality+lang pass
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "classify_nb": O.classify_nb_sql(classify.NB_INPUT_DOCS),
         "classify_knn": O.classify_knn_sql(classify.KNN_INPUT_DOCS, classify.KNN_K),
         "classify_bm25nb": O.classify_bm25nb_sql(classify.NB_INPUT_DOCS),
+        "classify_nb_corpus": O.classify_nb_corpus_sql(),
         "percolate": O.percolate_sql(),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "facet_assoc": O.facet_assoc_sql(flagship.FACET_TERM),

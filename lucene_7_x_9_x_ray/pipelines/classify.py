@@ -110,8 +110,10 @@ def _nb_partials(batch: pa.Table, vocab: np.ndarray) -> pa.Table:
     if len(first):
         d_par = parents[first]
         d_tok = np.asarray(flat.take(pa.array(first)).to_pylist(), dtype=object)
-        in_vocab = np.isin(d_tok.astype("U"), vocab)
-        sel = in_vocab & valid[d_par]
+        if vocab is None:  # full-vocabulary model (corpus classification)
+            sel = valid[d_par]
+        else:
+            sel = np.isin(d_tok.astype("U"), vocab) & valid[d_par]
         if sel.any():
             combo = np.char.add(
                 np.char.add(langs[d_par[sel]].astype("U"), "\x1f"),
@@ -131,10 +133,13 @@ def _nb_partials(batch: pa.Table, vocab: np.ndarray) -> pa.Table:
     )
 
 
-def nb_model(sf_dir: str, vocab: set[str]) -> dict:
+def nb_model(sf_dir: str, vocab: set[str] | None) -> dict:
     """One streaming corpus pass -> the tiny NB model dict. The groupby
-    folds (classes x vocab)-sized partial rows, never corpus rows."""
-    varr = np.array(sorted(vocab), dtype="U")
+    folds (classes x vocab)-sized partial rows, never corpus rows.
+    ``vocab=None`` keeps every corpus term (the corpus-classification
+    model; fine while |classes| x |vocab| fits an actor — at web-scale
+    vocabularies, swap the broadcast for a (class, term) equijoin)."""
+    varr = None if vocab is None else np.array(sorted(vocab), dtype="U")
     ds = sized_read(f"{sf_dir}/documents.parquet",
                     columns=["doc_id", "text", "lang"])
     parts = ds.map_batches(
@@ -453,3 +458,96 @@ def q_classify_perceptron(sf_dir: str) -> pa.Table:
             "score_r": pa.array(rows["score_r"], pa.float64()),
         }
     )
+
+
+# --- corpus-wide NB classification: broadcast model + map_batches ------------
+
+
+class NbCorpusClassifier:
+    """Actor-pool stage: classify EVERY doc with a broadcast NB model.
+    ``__init__`` turns the model into a (classes x vocab) log-probability
+    matrix once per actor; ``__call__`` scores one Arrow batch with
+    explode + searchsorted + per-class segmented reduceat (token sums in
+    document order — the oracle's ordered aggregate), then the per-row
+    softmax/argmax (|classes|-sized, bounded)."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        model = ray.get(model_ref) if not isinstance(model_ref, dict) \
+            else model_ref
+        self.classes = sorted(model["cls"])
+        dwc = sum(model["cls"].values())
+        avg_unique = model["sdf"] / float(model["docs"])
+        vocab = sorted({t for _, t in model["hit"]})
+        self.vocab = np.array(vocab, dtype="U")
+        vidx = {t: i for i, t in enumerate(vocab)}
+        self.logp = np.empty((len(self.classes), len(vocab)), np.float64)
+        self.miss = np.empty(len(self.classes), np.float64)
+        self.prior = np.empty(len(self.classes), np.float64)
+        for ci, c in enumerate(self.classes):
+            dfc = model["cls"][c]
+            den = avg_unique * dfc + dwc
+            self.prior[ci] = math.log(float(dfc)) - math.log(float(dwc))
+            self.miss[ci] = math.log(1.0 / den)
+            row = np.full(len(vocab), self.miss[ci], np.float64)
+            for (lang, term), h in model["hit"].items():
+                if lang == c:
+                    row[vidx[term]] = math.log((h + 1.0) / den)
+            self.logp[ci] = row
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy()
+        n = batch.num_rows
+        terms = flat.to_numpy(zero_copy_only=False).astype("U")
+        idx = np.searchsorted(self.vocab, terms)
+        idx_c = np.minimum(idx, len(self.vocab) - 1)
+        known = self.vocab[idx_c] == terms
+        starts = np.flatnonzero(np.r_[True, parents[1:] != parents[:-1]]) \
+            if len(parents) else np.array([], np.int64)
+        clv = np.tile(self.prior[:, None], (1, n))
+        for ci in range(len(self.classes)):
+            vals = np.where(known, self.logp[ci][idx_c], self.miss[ci])
+            if len(starts):
+                # reduceat folds LEFT-TO-RIGHT inside each doc segment —
+                # the oracle's sum(... ORDER BY pos) op order
+                sums = np.add.reduceat(vals, starts)
+                clv[ci, parents[starts]] = self.prior[ci] + sums
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_lang, out_prob = [], [], []
+        for i in range(n):  # |classes|-bounded per row (softmax + argmax)
+            scored = softmax_norm(
+                [(c, float(clv[ci, i]))
+                 for ci, c in enumerate(self.classes)]
+            )
+            lang, prob = scored[0]
+            out_doc.append(int(doc_ids[i]))
+            out_lang.append(lang)
+            out_prob.append(round_half_away(prob, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "lang": pa.array(out_lang, pa.string()),
+                "prob_r": pa.array(out_prob, pa.float64()),
+            }
+        )
+
+
+def q_classify_nb_corpus(sf_dir: str) -> pa.Table:
+    """Gate: NB-classify EVERY corpus doc (argmax class + softmax prob) —
+    the model trains in one distributed pass, broadcasts once via
+    ray.put, and applies corpus-wide through an actor-pool map_batches:
+    (doc_id, lang, prob_r)."""
+    import ray
+
+    model = nb_model(sf_dir, vocab=None)
+    model_ref = ray.put(model)
+    ds = sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        NbCorpusClassifier, fn_constructor_args=(model_ref,),
+        concurrency=(1, 4), batch_size=512, batch_format="pyarrow",
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False) \
+        .sort_by([("doc_id", "ascending")])

@@ -2337,3 +2337,49 @@ comb AS (SELECT f.doc_id,
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
 FROM comb ORDER BY score DESC, doc_id LIMIT {top_n}"""
+
+
+def classify_nb_corpus_sql(relation: str = "documents") -> str:
+    """Corpus-wide NB classification oracle: classify_nb_sql's math over
+    EVERY doc's own text, argmax class only (rank = 1)."""
+    return f"""WITH
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {relation}),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+gs AS (SELECT CAST((SELECT count(*) FROM dt) AS DOUBLE)
+            / (SELECT count(*) FROM {relation}
+               WHERE len(string_split(text, ' ')) > 0) AS avg_unique,
+            (SELECT count(*) FROM {relation}
+             WHERE lang IS NOT NULL AND lang <> '') AS dwc),
+cls AS (SELECT lang, count(*) AS dfc FROM {relation}
+        WHERE lang IS NOT NULL AND lang <> '' GROUP BY lang),
+itok AS (SELECT d.doc_id AS input_doc,
+                unnest(string_split(d.text, ' ')) AS term,
+                unnest(generate_series(1, len(string_split(d.text, ' ')))) AS pos
+         FROM {relation} d),
+hits AS (SELECT d.lang, dt.term, count(*) AS h
+         FROM dt JOIN {relation} d USING (doc_id)
+         WHERE d.lang IS NOT NULL AND d.lang <> ''
+         GROUP BY d.lang, dt.term),
+raw AS (SELECT i.input_doc, c.lang,
+               ln(CAST(c.dfc AS DOUBLE))
+                 - ln(CAST((SELECT dwc FROM gs) AS DOUBLE))
+                 + sum(ln((COALESCE(h.h, 0) + 1.0)
+                          / ((SELECT avg_unique FROM gs) * c.dfc
+                             + (SELECT dwc FROM gs)))
+                       ORDER BY i.pos) AS clval
+        FROM itok i CROSS JOIN cls c
+        LEFT JOIN hits h ON h.lang = c.lang AND h.term = i.term
+        GROUP BY i.input_doc, c.lang, c.dfc),
+sm AS (SELECT input_doc, max(clval) AS smax FROM raw GROUP BY input_doc),
+lg AS (SELECT r.input_doc,
+              s.smax + ln(sum(exp(r.clval - s.smax)
+                              ORDER BY r.clval DESC, r.lang)) AS loga
+       FROM raw r JOIN sm s USING (input_doc)
+       GROUP BY r.input_doc, s.smax)
+SELECT input_doc AS doc_id, lang, prob_r FROM (
+  SELECT r.input_doc, r.lang,
+         ROUND(exp(r.clval - l.loga), 6) AS prob_r,
+         row_number() OVER (PARTITION BY r.input_doc
+                            ORDER BY r.clval DESC, r.lang) AS rk
+  FROM raw r JOIN lg l USING (input_doc))
+WHERE rk = 1 ORDER BY doc_id"""

@@ -211,3 +211,20 @@ def test_perceptron_gate_shape(ray_session):
     t = q_classify_perceptron(SF)
     assert t.num_rows == len(classify.NB_INPUT_DOCS)
     assert t.column_names == ["input_doc", "assigned", "score_r"]
+
+
+def test_classify_nb_corpus_matches_pointwise(ray_session):
+    """Corpus-wide broadcast classification equals the pointwise
+    nb_scores fold on sampled docs (the vectorized reduceat kernel must
+    reproduce the sequential sum bit-for-bit)."""
+    from lucene_7_x_9_x_ray.pipelines.classify import (
+        nb_model, nb_scores, q_classify_nb_corpus)
+
+    t = q_classify_nb_corpus(SF).to_pandas().set_index("doc_id")
+    model = nb_model(SF, vocab=None)
+    texts = classify._input_texts(SF, (0, 11, 99, 250, 499))
+    for d, text in texts.items():
+        lang, prob = nb_scores(text.split(" "), model)[0]
+        assert t.loc[d, "lang"] == lang
+        assert t.loc[d, "prob_r"] == round(prob, 6) or \
+            abs(t.loc[d, "prob_r"] - prob) < 1e-6
