@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_topk": flagship.q_feature_topk,  # FeatureField static-feature ranking
         "covering_topk": flagship.q_covering_topk,  # sandbox CoveringQuery (dynamic msm)
         "rescored_topk": flagship.q_rescored_topk,  # QueryRescorer two-phase ranking
+        "sort_rescored_topk": flagship.q_sort_rescored_topk,  # SortRescorer
         "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
@@ -185,6 +186,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "covering_topk": O.covering_topk_sql(
             flagship.COVERING_TERMS, flagship.COVERING_K
+        ),
+        "sort_rescored_topk": O.sort_rescored_topk_sql(
+            flagship.RESCORE_FIRST_TERMS, flagship.RESCORE_FIRST_K,
+            flagship.RESCORE_TOP_N,
         ),
         "rescored_topk": O.rescored_topk_sql(
             flagship.RESCORE_FIRST_TERMS, flagship.RESCORE_QUERY_TERM,

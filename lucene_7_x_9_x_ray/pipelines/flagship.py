@@ -832,6 +832,32 @@ def q_rescored_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_sort_rescored_topk(sf_dir: str) -> pa.Table:
+    """SortRescorer (SortRescorer.java:42): the BM25 first-pass top-40
+    re-sorted by the length doc-values field DESC (tie: docID), top-10,
+    first-pass scores preserved: (rank, doc_id, dl, score_r)."""
+    from ..search.rescorer import sort_rescore
+
+    merged, _ = get_searchers(sf_dir)
+    first = merged.search(
+        Q.BooleanQuery.build(
+            [(Q.SHOULD, Q.TermQuery(t)) for t in RESCORE_FIRST_TERMS]
+        ),
+        k=RESCORE_FIRST_K,
+    )
+    td, vals = sort_rescore(merged, first, "length", True, RESCORE_TOP_N)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(td.doc_ids) + 1), pa.int64()),
+            "doc_id": pa.array([int(d) for d in td.doc_ids], pa.int64()),
+            "dl": pa.array([int(v) for v in vals], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in td.scores], pa.float64()
+            ),
+        }
+    )
+
+
 COVERING_TERMS = ("key", "hash", "table", "window")
 COVERING_MIN_EXPR = "1 + length % 3"  # per-doc dynamic minimum (1..3)
 COVERING_K = 15

@@ -2383,3 +2383,21 @@ SELECT input_doc AS doc_id, lang, prob_r FROM (
                             ORDER BY r.clval DESC, r.lang) AS rk
   FROM raw r JOIN lg l USING (input_doc))
 WHERE rk = 1 ORDER BY doc_id"""
+
+
+def sort_rescored_topk_sql(first_terms: tuple[str, ...], first_k: int,
+                           top_n: int, relation: str = "documents") -> str:
+    """SortRescorer oracle: first-pass BM25 disjunction top first_k, then
+    re-sorted by doc length DESC (tie: doc_id), first-pass score kept."""
+    leaf_ctes = ",".join(term_leaf_ctes(t) for t in first_terms)
+    union = "\nUNION ALL ".join(
+        f"SELECT doc_id, s FROM s_{_ident(t)}" for t in first_terms
+    )
+    return f"""WITH {base_ctes(relation)},{leaf_ctes},
+first AS (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+          FROM ({union}) GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT {first_k})
+SELECT CAST(row_number() OVER (ORDER BY d.dl DESC, f.doc_id) AS BIGINT) AS rank,
+       f.doc_id, d.dl AS dl, ROUND(CAST(f.score AS DOUBLE), 4) AS score_r
+FROM first f JOIN dl d USING (doc_id)
+ORDER BY d.dl DESC, f.doc_id LIMIT {top_n}"""

@@ -66,3 +66,39 @@ def query_rescore(searcher, first_td: TopDocs, query, weight: float,
         total_hits=first_td.total_hits,
         total_hits_is_lower_bound=first_td.total_hits_is_lower_bound,
     )
+
+
+def sort_rescore(searcher, first_td: TopDocs, sort_col: str,
+                 reverse: bool, top_n: int):
+    """SortRescorer (s84 core/.../search/SortRescorer.java:42): re-sort
+    the first pass's hits by a doc-values field through a field collector
+    (tie: docID ascending), truncate to topN; the first-pass scores ride
+    along unchanged (the ScoreAndDoc passthrough). Returns (TopDocs,
+    sort values)."""
+    docs = np.asarray(first_td.doc_ids, dtype=np.int64)
+    first = np.asarray(first_td.scores, dtype=np.float32)
+    if len(docs) == 0:
+        return first_td, np.array([], dtype=np.float64)
+    route = getattr(searcher, "_route", None)
+    if route is not None:
+        _, delegate = route(Q.MatchAllDocsQuery())
+        if delegate is not None:
+            searcher = delegate
+    bases = np.asarray([r.doc_base for r in searcher.readers], dtype=np.int64)
+    si = np.searchsorted(bases, docs, side="right") - 1
+    vals = np.empty(len(docs), dtype=np.float64)
+    for i, r in enumerate(searcher.readers):
+        m = si == i
+        if m.any():
+            dv = np.asarray(r.doc_values(sort_col), dtype=np.float64)
+            vals[m] = dv[docs[m] - r.doc_base]
+    key = -vals if reverse else vals
+    order = np.lexsort((docs, key))[:top_n]
+    return (
+        TopDocs(
+            doc_ids=docs[order], scores=first[order],
+            total_hits=first_td.total_hits,
+            total_hits_is_lower_bound=first_td.total_hits_is_lower_bound,
+        ),
+        vals[order],
+    )

@@ -1197,3 +1197,32 @@ def test_query_rescorer_semantics(ray_session):
     # weight 0 == identity re-sort of the first pass
     td0 = query_rescore(merged, first, second, 0.0, 30)
     assert sorted(map(int, td0.doc_ids)) == sorted(map(int, first.doc_ids))
+
+
+def test_sort_rescorer_semantics(ray_session):
+    """SortRescorer (SortRescorer.java:42-75): the rescored set is exactly
+    the first-pass top-N re-ordered by the sort field (desc, docID tie),
+    first-pass scores preserved unchanged."""
+    import numpy as np
+
+    from lucene_7_x_9_x_ray.pipelines.flagship import get_searchers
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.rescorer import sort_rescore
+
+    merged, _ = get_searchers("/root/testdata/sf0.001")
+    first = merged.search(
+        Q.BooleanQuery.build([(Q.SHOULD, Q.TermQuery("key")),
+                              (Q.SHOULD, Q.TermQuery("hash"))]), k=25
+    )
+    td, vals = sort_rescore(merged, first, "length", True, 10)
+    assert len(td.doc_ids) == 10
+    # subset of the first pass, scores carried through untouched
+    first_map = dict(zip(map(int, first.doc_ids), map(float, first.scores)))
+    for d, s in zip(map(int, td.doc_ids), map(float, td.scores)):
+        assert float(s) == first_map[d]
+    # ordered by the sort value desc, docID asc on ties
+    pairs = list(zip([-float(v) for v in vals], map(int, td.doc_ids)))
+    assert pairs == sorted(pairs)
+    # top_n >= len(first) == a pure permutation of the first pass
+    td_all, _ = sort_rescore(merged, first, "length", True, 1000)
+    assert sorted(map(int, td_all.doc_ids)) == sorted(map(int, first.doc_ids))
