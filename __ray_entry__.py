@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covering_topk": flagship.q_covering_topk,  # sandbox CoveringQuery (dynamic msm)
         "rescored_topk": flagship.q_rescored_topk,  # QueryRescorer two-phase ranking
         "sort_rescored_topk": flagship.q_sort_rescored_topk,  # SortRescorer
+        "diversified_topk": flagship.q_diversified_topk,  # max-N-per-key top-k
         "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
@@ -186,6 +187,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "covering_topk": O.covering_topk_sql(
             flagship.COVERING_TERMS, flagship.COVERING_K
+        ),
+        "diversified_topk": O.diversified_topk_sql(
+            flagship.DIVERSIFIED_TERMS, flagship.DIVERSIFIED_K,
+            flagship.DIVERSIFIED_MAX_PER_KEY,
         ),
         "sort_rescored_topk": O.sort_rescored_topk_sql(
             flagship.RESCORE_FIRST_TERMS, flagship.RESCORE_FIRST_K,

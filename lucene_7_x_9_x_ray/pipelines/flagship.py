@@ -74,6 +74,9 @@ POSTINGS_TERMS = ["the", "table", "dup"]
 FACET_TERM = "table"
 GROUPED_TOPK_TERMS = ["key", "hash"]
 GROUPED_TOPK_PER_GROUP = 2
+DIVERSIFIED_TERMS = ["window", "batch", "spark"]
+DIVERSIFIED_K = 12
+DIVERSIFIED_MAX_PER_KEY = 3
 # numeric range-facet buckets over the doc-length doc-values column:
 # [0,30) short, [30,60) mid, [60,inf) long (corpus dl spans 10-99)
 FACET_RANGE_EDGES = [30, 60]
@@ -1891,6 +1894,48 @@ def q_grouped_topk(sf_dir: str) -> pa.Table:
             "doc_id": pa.array([int(r["doc_id"]) for r in parts], pa.int64()),
             "score_r": pa.array(
                 [round_half_away(float(r["score"]), 4) for r in parts], pa.float64()
+            ),
+        }
+    )
+
+
+def q_diversified_topk(sf_dir: str) -> pa.Table:
+    """Diversified top-k (DiversifiedTopDocsCollector.java:48): global BM25
+    top-k for the disjunction with at most MAX_PER_KEY hits per lang key.
+    Per-segment per-lang top-MAX_PER_KEY partials (any doc in the global
+    diversified set is in its key's global top MAX_PER_KEY, which is in
+    the union of per-segment per-key tops), groupby(lang) combine, then
+    the greedy (score desc, docID) driver selection over keys*MAX rows."""
+    from ..search.topk import diversified_top_k
+
+    def lang_top(group: pa.Table) -> pa.Table:
+        scores = group["score"].to_numpy()
+        gids = group["doc_id"].to_numpy()
+        order = np.lexsort((gids, -scores.astype(np.float64)))
+        return group.take(pa.array(order[:DIVERSIFIED_MAX_PER_KEY]))
+
+    parts = (
+        _matched_rows_dataset(
+            sf_dir, list(DIVERSIFIED_TERMS),
+            per_seg_topk_per_lang=DIVERSIFIED_MAX_PER_KEY,
+        )
+        .groupby("lang")
+        .map_groups(lang_top, batch_format="pyarrow")
+        .take_all()
+    )
+    docs = np.asarray([int(r["doc_id"]) for r in parts], dtype=np.int64)
+    langs = np.asarray([r["lang"] for r in parts], dtype=object)
+    scores = np.asarray([float(r["score"]) for r in parts], dtype=np.float32)
+    sel = diversified_top_k(
+        docs, langs, scores, DIVERSIFIED_K, DIVERSIFIED_MAX_PER_KEY
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+            "doc_id": pa.array(docs[sel]),
+            "lang": pa.array([str(v) for v in langs[sel]], pa.string()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in scores[sel]], pa.float64()
             ),
         }
     )

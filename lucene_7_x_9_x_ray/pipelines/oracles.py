@@ -2401,3 +2401,25 @@ SELECT CAST(row_number() OVER (ORDER BY d.dl DESC, f.doc_id) AS BIGINT) AS rank,
        f.doc_id, d.dl AS dl, ROUND(CAST(f.score AS DOUBLE), 4) AS score_r
 FROM first f JOIN dl d USING (doc_id)
 ORDER BY d.dl DESC, f.doc_id LIMIT {top_n}"""
+
+
+def diversified_topk_sql(terms: list[str], k: int, max_per_key: int,
+                         relation: str = "documents") -> str:
+    """DiversifiedTopDocsCollector oracle: keep each lang key's top
+    max_per_key by (score desc, doc_id), then the global top-k — provably
+    equal to the engine's greedy acceptance in global score order."""
+    ctes = [base_ctes(relation)]
+    ctes += [term_leaf_ctes(t) for t in sorted(set(terms))]
+    ctes += [disjunction_scored_cte("dv", terms)]
+    return (
+        "WITH " + ",".join(ctes) + f""",
+ranked AS (
+  SELECT s.doc_id, d.lang, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS kr
+  FROM scored_dv s JOIN {relation} d USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, lang, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+FROM ranked WHERE kr <= {max_per_key}
+ORDER BY score DESC, doc_id LIMIT {k}"""
+    )

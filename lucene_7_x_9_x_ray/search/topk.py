@@ -126,3 +126,36 @@ def merge_topk(parts: list[TopDocs], k: int) -> TopDocs:
         total_hits=sum(p.total_hits for p in parts),
         total_hits_is_lower_bound=any(p.total_hits_is_lower_bound for p in parts),
     )
+
+
+def diversified_top_k(
+    docs: np.ndarray,
+    keys: np.ndarray,
+    scores: np.ndarray,
+    k: int,
+    max_per_key: int,
+) -> np.ndarray:
+    """DiversifiedTopDocsCollector (s84 misc/.../search/
+    DiversifiedTopDocsCollector.java:48): global top-k by (score desc,
+    docID asc) with at most ``max_per_key`` hits sharing one key.
+
+    Greedy acceptance in global score order is equivalent to "keep each
+    key's top max_per_key, then the global top-k": when the doc with
+    key-rank r is reached, exactly r-1 same-key predecessors have been
+    accepted, so docs with key-rank <= max_per_key are always accepted
+    and the rest never are. Returns the selected indices into the input
+    arrays, in final rank order."""
+    if len(docs) == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((docs, -np.asarray(scores, dtype=np.float64)))
+    kk = np.asarray(keys)[order]
+    _, inv = np.unique(kk, return_inverse=True)
+    # occurrence number of each key along the score-ordered stream,
+    # vectorized: stable-sort by key preserves score order inside a key,
+    # so position-minus-group-start is the within-key rank
+    sidx = np.argsort(inv, kind="stable")
+    grp = inv[sidx]
+    starts = np.searchsorted(grp, np.arange(grp[-1] + 1 if len(grp) else 0))
+    krank = np.empty(len(kk), dtype=np.int64)
+    krank[sidx] = np.arange(len(kk)) - starts[grp]
+    return order[krank < max_per_key][:k]

@@ -1226,3 +1226,41 @@ def test_sort_rescorer_semantics(ray_session):
     # top_n >= len(first) == a pure permutation of the first pass
     td_all, _ = sort_rescore(merged, first, "length", True, 1000)
     assert sorted(map(int, td_all.doc_ids)) == sorted(map(int, first.doc_ids))
+
+
+def test_diversified_topk_kernel_and_gate(ray_session):
+    """diversified_top_k: 300 random duels vs the naive greedy scan, plus
+    the gate-level per-key cap / rank-order invariants at sf0.001."""
+    import numpy as np
+
+    from lucene_7_x_9_x_ray.search.topk import diversified_top_k
+
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        n = int(rng.integers(1, 80))
+        docs = rng.permutation(n).astype(np.int64)
+        keys = rng.integers(0, 6, n)
+        scores = rng.random(n).astype(np.float32)
+        k = int(rng.integers(1, 25))
+        m = int(rng.integers(1, 5))
+        sel = diversified_top_k(docs, keys, scores, k, m)
+        order = np.lexsort((docs, -scores.astype(np.float64)))
+        cnt: dict = {}
+        want = []
+        for i in order:
+            if cnt.get(keys[i], 0) < m:
+                cnt[keys[i]] = cnt.get(keys[i], 0) + 1
+                want.append(i)
+                if len(want) == k:
+                    break
+        assert list(sel) == want
+
+    from lucene_7_x_9_x_ray.pipelines import flagship as F
+
+    tbl = F.q_diversified_topk("/root/testdata/sf0.001")
+    langs = tbl["lang"].to_pylist()
+    scores = tbl["score_r"].to_pylist()
+    assert len(tbl) <= F.DIVERSIFIED_K
+    for lang in set(langs):
+        assert langs.count(lang) <= F.DIVERSIFIED_MAX_PER_KEY
+    assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
