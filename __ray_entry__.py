@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rescored_topk": flagship.q_rescored_topk,  # QueryRescorer two-phase ranking
         "sort_rescored_topk": flagship.q_sort_rescored_topk,  # SortRescorer
         "diversified_topk": flagship.q_diversified_topk,  # max-N-per-key top-k
+        "wordbreak": flagship.q_wordbreak,  # WordBreakSpellChecker break/combine
         "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
@@ -187,6 +188,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "covering_topk": O.covering_topk_sql(
             flagship.COVERING_TERMS, flagship.COVERING_K
+        ),
+        "wordbreak": O.wordbreak_sql(
+            flagship.WORDBREAK_BREAK_SPECS, flagship.WORDBREAK_COMBINE_SPECS,
         ),
         "diversified_topk": O.diversified_topk_sql(
             flagship.DIVERSIFIED_TERMS, flagship.DIVERSIFIED_K,

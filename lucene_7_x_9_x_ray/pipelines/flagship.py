@@ -1899,6 +1899,64 @@ def q_grouped_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# WordBreakSpellChecker gate specs — breaks: out-of-dictionary compounds
+# (wb_bigdatascan / wb_sortmergejoin only resolve via the 2-change
+# recursion); combines: adjacent query-word runs whose concat is a
+# dictionary word
+WORDBREAK_BREAK_SPECS: list[tuple[str, str, int]] = [
+    ("wb_keyhash", "keyhash", 5),
+    ("wb_thetable", "thetable", 5),
+    ("wb_bigdatascan", "bigdatascan", 5),
+    ("wb_sortmergejoin", "sortmergejoin", 8),
+    ("wb_nohit", "zzqq", 3),
+]
+WORDBREAK_COMBINE_SPECS: list[tuple[str, str, int]] = [
+    ("cb_table", "tab le", 3),
+    ("cb_window", "wind ow", 3),
+    ("cb_nohit", "foo bar", 3),
+]
+
+
+def q_wordbreak(sf_dir: str) -> pa.Table:
+    """WordBreakSpellChecker gate (WordBreakSpellChecker.java:45-230):
+    break suggestions (max_changes=2, NUM_CHANGES_THEN_SUMMED_FREQUENCY)
+    and two-word combine suggestions over the merged dictionary:
+    (query_id, kind, rank, suggestion, changes, freq_sum)."""
+    from ..search.suggest import WordBreakSpellChecker
+
+    merged, _ = get_searchers(sf_dir)
+    wb = WordBreakSpellChecker(merged, max_changes=2)
+    qids, kinds, ranks, sugs, chgs, fsums = [], [], [], [], [], []
+    for qid, text, n in WORDBREAK_BREAK_SPECS:
+        for r, s in enumerate(wb.suggest_word_breaks(text, n), start=1):
+            qids.append(qid)
+            kinds.append("break")
+            ranks.append(r)
+            sugs.append(" ".join(s.words))
+            chgs.append(s.changes)
+            fsums.append(s.freq_sum)
+    for qid, text, n in WORDBREAK_COMBINE_SPECS:
+        for r, s in enumerate(
+            wb.suggest_word_combinations(text.split(" "), n), start=1
+        ):
+            qids.append(qid)
+            kinds.append("combine")
+            ranks.append(r)
+            sugs.append(s.words[0])
+            chgs.append(s.changes)
+            fsums.append(s.freq_sum)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "suggestion": pa.array(sugs, pa.string()),
+            "changes": pa.array(chgs, pa.int64()),
+            "freq_sum": pa.array(fsums, pa.int64()),
+        }
+    )
+
+
 def q_diversified_topk(sf_dir: str) -> pa.Table:
     """Diversified top-k (DiversifiedTopDocsCollector.java:48): global BM25
     top-k for the disjunction with at most MAX_PER_KEY hits per lang key.

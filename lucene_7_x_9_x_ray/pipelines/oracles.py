@@ -2423,3 +2423,58 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
 FROM ranked WHERE kr <= {max_per_key}
 ORDER BY score DESC, doc_id LIMIT {k}"""
     )
+
+
+def wordbreak_sql(
+    break_specs: list[tuple[str, str, int]],
+    combine_specs: list[tuple[str, str, int]],
+    relation: str = "documents",
+) -> str:
+    """WordBreakSpellChecker oracle. Breaks: all 1-split (changes=1) and
+    2-split (changes=2) decompositions of an out-of-dictionary input whose
+    parts are all dictionary terms, ranked changes asc / summed df desc /
+    suggestion asc. Combines: two adjacent words whose concatenation is a
+    dictionary term, ranked df desc."""
+    bvals = ",".join(f"('{q}', '{t}', {n})" for q, t, n in break_specs)
+    cvals = ",".join(f"('{q}', '{t}', {n})" for q, t, n in combine_specs)
+    return f"""WITH {base_ctes(relation)},
+td AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+bq(query_id, qt, n) AS (VALUES {bvals}),
+bq_oov AS (SELECT * FROM bq
+           WHERE qt NOT IN (SELECT term FROM td)),
+pos AS (SELECT CAST(i AS INTEGER) AS i FROM generate_series(1, 40) g(i)),
+one AS (
+  SELECT b.query_id, b.n,
+         l.term || ' ' || r.term AS suggestion,
+         1 AS changes, l.df + r.df AS freq_sum
+  FROM bq_oov b
+  JOIN pos p ON p.i <= length(b.qt) - 1
+  JOIN td l ON l.term = substr(b.qt, 1, p.i)
+  JOIN td r ON r.term = substr(b.qt, p.i + 1)),
+two AS (
+  SELECT b.query_id, b.n,
+         l.term || ' ' || m.term || ' ' || r.term AS suggestion,
+         2 AS changes, l.df + m.df + r.df AS freq_sum
+  FROM bq_oov b
+  JOIN pos pi ON pi.i <= length(b.qt) - 2
+  JOIN pos pj ON pj.i > pi.i AND pj.i <= length(b.qt) - 1
+  JOIN td l ON l.term = substr(b.qt, 1, pi.i)
+  JOIN td m ON m.term = substr(b.qt, pi.i + 1, pj.i - pi.i)
+  JOIN td r ON r.term = substr(b.qt, pj.i + 1)),
+breaks AS (
+  SELECT query_id, 'break' AS kind,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY changes, freq_sum DESC, suggestion) AS BIGINT) AS rank,
+         suggestion, CAST(changes AS BIGINT) AS changes,
+         CAST(freq_sum AS BIGINT) AS freq_sum, n
+  FROM (SELECT * FROM one UNION ALL SELECT * FROM two)),
+cq(query_id, qt, n) AS (VALUES {cvals}),
+combines AS (
+  SELECT c.query_id, 'combine' AS kind,
+         CAST(1 AS BIGINT) AS rank,
+         t.term AS suggestion, CAST(1 AS BIGINT) AS changes,
+         CAST(t.df AS BIGINT) AS freq_sum, c.n
+  FROM cq c JOIN td t ON t.term = replace(c.qt, ' ', ''))
+SELECT query_id, kind, rank, suggestion, changes, freq_sum
+FROM (SELECT * FROM breaks UNION ALL SELECT * FROM combines)
+WHERE rank <= n"""

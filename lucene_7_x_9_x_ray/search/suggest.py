@@ -598,3 +598,114 @@ class InfixSuggester:
                             int(self.weights[i]))
             for i in sel
         ]
+
+
+@dataclass
+class BreakSuggestion:
+    words: tuple[str, ...]
+    freqs: tuple[int, ...]
+    changes: int
+
+    @property
+    def freq_sum(self) -> int:
+        return sum(self.freqs)
+
+
+class WordBreakSpellChecker:
+    """Word-break / word-combine suggestions from the index dictionary.
+
+    Mirrors suggest/.../spell/WordBreakSpellChecker.java:45-120 semantics:
+    ``suggest_word_breaks`` recursively splits an out-of-dictionary term
+    into parts that each occur in the index with freq >=
+    min_suggestion_frequency (up to max_changes splits, each part >=
+    min_break_word_length chars); ``suggest_word_combinations`` joins
+    adjacent query words into one dictionary word (combined length <=
+    max_combine_word_length). Break results rank by
+    NUM_CHANGES_THEN_SUMMED_FREQUENCY (WordBreakSpellChecker.java:383):
+    fewer changes first, then summed freq desc, then the joined suggestion
+    ascending for determinism.
+    """
+
+    def __init__(
+        self,
+        searcher,
+        min_suggestion_frequency: int = 1,
+        min_break_word_length: int = 1,
+        max_changes: int = 1,
+        max_combine_word_length: int = 20,
+        max_evaluations: int = 1000,
+    ):
+        self.searcher = searcher
+        self.min_suggestion_frequency = min_suggestion_frequency
+        self.min_break_word_length = min_break_word_length
+        self.max_changes = max_changes
+        self.max_combine_word_length = max_combine_word_length
+        self.max_evaluations = max_evaluations
+
+    def _df(self, text: str) -> int:
+        df = 0
+        for r in self.searcher.readers:
+            d, _ = r.term_stats(text)
+            df += int(d)
+        return df
+
+    def suggest_word_breaks(self, term: str, n: int) -> list[BreakSuggestion]:
+        """SUGGEST_WHEN_NOT_IN_INDEX: no suggestions if the term itself is
+        a dictionary word (WordBreakSpellChecker.java:134-139)."""
+        if self._df(term) >= max(1, self.min_suggestion_frequency):
+            return []
+        out: list[BreakSuggestion] = []
+        self._evals = 0
+        self._break_rec(term, (), (), self.max_changes, out)
+        out.sort(key=lambda s: (s.changes, -s.freq_sum, " ".join(s.words)))
+        return out[:n]
+
+    def _break_rec(
+        self,
+        rest: str,
+        words: tuple[str, ...],
+        freqs: tuple[int, ...],
+        changes_left: int,
+        out: list,
+    ) -> None:
+        m = self.min_break_word_length
+        for i in range(m, len(rest) - m + 1):
+            if self._evals >= self.max_evaluations:
+                return
+            self._evals += 1
+            left, right = rest[:i], rest[i:]
+            ldf = self._df(left)
+            if ldf < self.min_suggestion_frequency:
+                continue
+            rdf = self._df(right)
+            if rdf >= self.min_suggestion_frequency:
+                out.append(
+                    BreakSuggestion(
+                        words + (left, right), freqs + (ldf, rdf),
+                        changes=len(words) + 1,
+                    )
+                )
+            if changes_left > 1 and len(right) >= 2 * m:
+                self._break_rec(
+                    right, words + (left,), freqs + (ldf,), changes_left - 1, out
+                )
+
+    def suggest_word_combinations(
+        self, terms: list[str], n: int
+    ) -> list[BreakSuggestion]:
+        """Join runs of 2+ adjacent query words into one dictionary word
+        (WordBreakSpellChecker.java:175-230); rank freq desc, word asc."""
+        out: list[BreakSuggestion] = []
+        for i in range(len(terms)):
+            combined = terms[i]
+            for j in range(i + 1, len(terms)):
+                combined = combined + terms[j]
+                if len(combined) > self.max_combine_word_length:
+                    break
+                df = self._df(combined)
+                if df >= self.min_suggestion_frequency:
+                    out.append(
+                        BreakSuggestion((combined,), (df,), changes=j - i)
+                    )
+        out.sort(key=lambda s: (-s.freq_sum, s.words[0]))
+        return out[:n]

@@ -254,3 +254,36 @@ def test_freetext_suggester_semantics():
     assert [r.text for r in s.lookup("a ", 1)] == ["a b"]
     # empty / unseen everything
     assert s.lookup("zz xx", 5) == [] and s.lookup("", 5) == []
+
+
+def test_wordbreak_spellchecker(ray_session):
+    """WordBreakSpellChecker: break/combine semantics over the sf0.001
+    dictionary — in-dictionary inputs yield nothing, compounds split at
+    every all-dictionary decomposition, ranking is changes asc then
+    summed-freq desc, combinations only fire on dictionary concats."""
+    from lucene_7_x_9_x_ray.pipelines.flagship import get_searchers
+    from lucene_7_x_9_x_ray.search.suggest import WordBreakSpellChecker
+
+    merged, _ = get_searchers("/root/testdata/sf0.001")
+    wb = WordBreakSpellChecker(merged, max_changes=2)
+
+    # SUGGEST_WHEN_NOT_IN_INDEX: dictionary words are never broken
+    assert wb.suggest_word_breaks("table", 5) == []
+    # 1-change split
+    br = wb.suggest_word_breaks("keyhash", 5)
+    assert br and br[0].words == ("key", "hash") and br[0].changes == 1
+    assert br[0].freq_sum == sum(br[0].freqs)
+    # 2-change recursion
+    br2 = wb.suggest_word_breaks("sortmergejoin", 5)
+    assert ("sort", "merge", "join") in [s.words for s in br2]
+    assert all(s.changes <= 2 for s in br2)
+    # ranking: changes asc, then freq_sum desc
+    keys = [(s.changes, -s.freq_sum) for s in br2]
+    assert keys == sorted(keys)
+    # combinations: only dictionary concats fire
+    cb = wb.suggest_word_combinations(["tab", "le"], 3)
+    assert [s.words for s in cb] == [("table",)]
+    assert wb.suggest_word_combinations(["foo", "bar"], 3) == []
+    # max_combine_word_length guard
+    wb2 = WordBreakSpellChecker(merged, max_combine_word_length=4)
+    assert wb2.suggest_word_combinations(["tab", "le"], 3) == []
