@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_rescored_topk": flagship.q_sort_rescored_topk,  # SortRescorer
         "diversified_topk": flagship.q_diversified_topk,  # max-N-per-key top-k
         "wordbreak": flagship.q_wordbreak,  # WordBreakSpellChecker break/combine
+        "complexphrase_topk": flagship.q_complexphrase_topk,  # wildcard/fuzzy phrases
         "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "covering_topk": O.covering_topk_sql(
             flagship.COVERING_TERMS, flagship.COVERING_K
         ),
+        "complexphrase_topk": O.complexphrase_topk_sql(flagship.COMPLEXPHRASE_SPECS),
         "wordbreak": O.wordbreak_sql(
             flagship.WORDBREAK_BREAK_SPECS, flagship.WORDBREAK_COMBINE_SPECS,
         ),

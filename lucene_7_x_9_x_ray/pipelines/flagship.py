@@ -1899,6 +1899,44 @@ def q_grouped_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# ComplexPhraseQueryParser gate specs: (query_id, quoted phrase, k) —
+# wildcard slots (ha*, s*, h?sh), a fuzzy slot (kei~1), and an
+# empty-expansion phrase (zz* -> MatchNoDocs)
+COMPLEXPHRASE_SPECS: list[tuple[str, str, int]] = [
+    ("cp_key_hastar", '"key ha*"', 10),
+    ("cp_sstar_merge", '"s* merge"', 10),
+    ("cp_fuzzy_kei", '"kei~1 hash"', 10),
+    ("cp_qmark", '"h?sh table"', 10),
+    ("cp_nohit", '"zz* hash"', 5),
+]
+
+
+def q_complexphrase_topk(sf_dir: str) -> pa.Table:
+    """ComplexPhraseQueryParser gate (ComplexPhraseQueryParser.java:66):
+    each spec's quoted phrase parses against the merged dictionary into a
+    MultiPhraseQuery (wildcard/fuzzy slots expand at parse time) and runs
+    through the standard search path: (query_id, rank, doc_id, score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    tdict = merged.term_dict_union()
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, phrase, k in COMPLEXPHRASE_SPECS:
+        q = Q.parse_complex_phrase(phrase, tdict)
+        td = merged.search(q, k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 # WordBreakSpellChecker gate specs — breaks: out-of-dictionary compounds
 # (wb_bigdatascan / wb_sortmergejoin only resolve via the 2-change
 # recursion); combines: adjacent query-word runs whose concat is a

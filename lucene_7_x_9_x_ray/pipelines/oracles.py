@@ -2478,3 +2478,78 @@ combines AS (
 SELECT query_id, kind, rank, suggestion, changes, freq_sum
 FROM (SELECT * FROM breaks UNION ALL SELECT * FROM combines)
 WHERE rank <= n"""
+
+
+def _cp_slot_condition(tok: str) -> str:
+    """SQL dictionary-membership condition for one complex-phrase token,
+    mirroring queries.parse_complex_phrase token classification."""
+    import re as _re
+
+    tok = tok.lower()
+    m = _re.fullmatch(r"(.+?)~(\d)?", tok)
+    if "*" in tok or "?" in tok:
+        like = tok.replace("*", "%").replace("?", "_").replace("'", "''")
+        return f"term LIKE '{like}'"
+    if m:
+        base = m.group(1).replace("'", "''")
+        edits = int(m.group(2)) if m.group(2) is not None else 2
+        return f"levenshtein(term, '{base}') <= {edits}"
+    lit = tok.replace("'", "''")
+    return f"term = '{lit}'"
+
+
+def complexphrase_topk_sql(
+    specs: list[tuple[str, str, int]], relation: str = "documents"
+) -> str:
+    """ComplexPhraseQueryParser oracle: each slot's term set is expanded
+    IN SQL from the corpus dictionary (LIKE for wildcards, levenshtein
+    for fuzzies — the same plain-Levenshtein the engine's fuzzy expansion
+    uses), then scored exactly like the MultiPhraseQuery oracle: phrase
+    freq = alignment positions whose every slot matches, weight = float32
+    of the double sum of per-term float32 idfs over the expanded union."""
+    ctes = [base_ctes(relation)]
+    ctes.append("""
+td2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+wall AS (SELECT term,
+                CAST(ln(1 + ((SELECT n_docs FROM cs) - df + 0.5) / (df + 0.5))
+                     AS FLOAT) AS w
+         FROM td2)""")
+    selects = []
+    for qid, phrase, k in specs:
+        body = phrase.strip().strip('"')
+        toks = body.split()
+        for j, tok in enumerate(toks):
+            ctes.append(
+                f"""
+slot_{qid}_{j} AS (SELECT term FROM td2 WHERE {_cp_slot_condition(tok)})"""
+            )
+        wsum = " + ".join(
+            f"""COALESCE((SELECT SUM(CAST(w AS DOUBLE)) FROM wall
+              WHERE term IN (SELECT term FROM slot_{qid}_{j})), 0)"""
+            for j in range(len(toks))
+        )
+        conds = " AND ".join(
+            f"arr[i+{j}] IN (SELECT term FROM slot_{qid}_{j})"
+            for j in range(len(toks))
+        )
+        ctes.append(f"""
+wsum_{qid} AS (SELECT CAST({wsum} AS FLOAT) AS w),
+cpf_{qid} AS (SELECT doc_id, count(*) AS freq
+  FROM (SELECT doc_id, arr,
+               unnest(generate_series(1, greatest(len(arr) - {len(toks) - 1}, 0))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}))
+  WHERE {conds} GROUP BY doc_id),
+cps_{qid} AS (SELECT pf.doc_id,
+       (SELECT w FROM wsum_{qid})
+       - (SELECT w FROM wsum_{qid})
+         / ({ONE_F} + CAST(pf.freq AS FLOAT)
+            * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+               + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS score
+  FROM cpf_{qid} pf JOIN normlen nl USING (doc_id))""")
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM cps_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -679,6 +679,75 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
     return prev[len(b)] <= k
 
 
+def _expand_wildcard(term_dict: np.ndarray, pattern: str) -> list[str]:
+    """Dictionary terms matching a *//? wildcard, in sorted term order,
+    scanning only the constant-prefix dict range (WildcardQuery rewrite)."""
+    rx = _re.compile(
+        "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern
+        )
+    )
+    pfx = pattern.split("*")[0].split("?")[0]
+    cand = (
+        _dict_range(term_dict, pfx, pfx + _PREFIX_CEILING)
+        if pfx
+        else [str(t) for t in term_dict]
+    )
+    return [t for t in cand if rx.fullmatch(t)]
+
+
+def _expand_fuzzy(
+    term_dict: np.ndarray, term: str, max_edits: int, prefix_length: int
+) -> list[str]:
+    """Dictionary terms within Levenshtein max_edits, sorted term order."""
+    pfx = term[:prefix_length]
+    cand = (
+        _dict_range(term_dict, pfx, pfx + _PREFIX_CEILING)
+        if pfx
+        else [str(t) for t in term_dict]
+    )
+    return [t for t in cand if _edit_distance_le(t, term, max_edits)]
+
+
+def parse_complex_phrase(
+    text: str,
+    term_dict: np.ndarray,
+    slop: int = 0,
+    fuzzy_max_edits: int = 2,
+) -> Query:
+    """ComplexPhraseQueryParser analogue (s84 queryparser/.../complexPhrase/
+    ComplexPhraseQueryParser.java:66): a quoted phrase whose tokens may be
+    wildcards (``ha*``, ``h?sh``) or fuzzies (``kei~1``, bare ``kei~`` =
+    maxEdits 2). Each such token expands against the dictionary into that
+    position's term set (sorted term order) and the phrase compiles to a
+    MultiPhraseQuery; an empty expansion makes the phrase unmatchable
+    (the reference rewrites to MatchNoDocsQuery when a clause has no
+    matching terms)."""
+    body = text.strip()
+    if body.startswith('"') and body.endswith('"') and len(body) >= 2:
+        body = body[1:-1]
+    slots: list[tuple[str, ...]] = []
+    for raw in body.split():
+        tok = raw.lower()
+        m = _re.fullmatch(r"(.+?)~(\d)?", tok)
+        if "*" in tok or "?" in tok:
+            slot = _expand_wildcard(term_dict, tok)
+        elif m:
+            edits = int(m.group(2)) if m.group(2) is not None else fuzzy_max_edits
+            slot = _expand_fuzzy(term_dict, m.group(1), edits, 0)
+        else:
+            slot = [tok]
+        if not slot:
+            return MatchNoDocsQuery()
+        if len(slot) > MAX_CLAUSE_COUNT:
+            raise TooManyClauses(f"{len(slot)} terms > {MAX_CLAUSE_COUNT}")
+        slots.append(tuple(slot))
+    if not slots:
+        return MatchNoDocsQuery()
+    return MultiPhraseQuery(positions=tuple(slots), slop=slop)
+
+
 def rewrite(query: Query, term_dict: np.ndarray) -> Query:
     """Expand multi-term queries against a sorted term dictionary.
 
@@ -702,24 +771,16 @@ def rewrite(query: Query, term_dict: np.ndarray) -> Query:
             )
         return _expand_to_constant_score([str(t) for t in term_dict[a:b]])
     if isinstance(query, WildcardQuery):
-        rx = _re.compile(
-            "".join(
-                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
-                for c in query.pattern
-            )
+        return _expand_to_constant_score(
+            _expand_wildcard(term_dict, query.pattern)
         )
-        # constant prefix optimisation: scan only the dict range sharing it
-        pfx = query.pattern.split("*")[0].split("?")[0]
-        cand = _dict_range(term_dict, pfx, pfx + _PREFIX_CEILING) if pfx else [str(t) for t in term_dict]
-        return _expand_to_constant_score([t for t in cand if rx.fullmatch(t)])
     if isinstance(query, RegexpQuery):
         rx = _re.compile(query.pattern)
         return _expand_to_constant_score([str(t) for t in term_dict if rx.fullmatch(str(t))])
     if isinstance(query, FuzzyQuery):
-        pfx = query.term[: query.prefix_length]
-        cand = _dict_range(term_dict, pfx, pfx + _PREFIX_CEILING) if pfx else [str(t) for t in term_dict]
-        matched = [t for t in cand if _edit_distance_le(t, query.term, query.max_edits)]
-        return _expand_to_constant_score(matched)
+        return _expand_to_constant_score(
+            _expand_fuzzy(term_dict, query.term, query.max_edits, query.prefix_length)
+        )
     if isinstance(query, TermInSetQuery):
         present = set(query.terms) & set(map(str, term_dict))
         return _expand_to_constant_score(sorted(present))

@@ -1264,3 +1264,35 @@ def test_diversified_topk_kernel_and_gate(ray_session):
     for lang in set(langs):
         assert langs.count(lang) <= F.DIVERSIFIED_MAX_PER_KEY
     assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
+
+
+def test_complex_phrase_parser(ray_session):
+    """parse_complex_phrase: wildcard/fuzzy slots expand against the
+    dictionary into MultiPhraseQuery positions; empty expansions collapse
+    to MatchNoDocsQuery; plain phrases equal the literal PhraseQuery
+    result through the search path."""
+    from lucene_7_x_9_x_ray.pipelines.flagship import get_searchers
+    from lucene_7_x_9_x_ray.search import queries as Q
+
+    merged, _ = get_searchers("/root/testdata/sf0.001")
+    tdict = merged.term_dict_union()
+
+    q = Q.parse_complex_phrase('"key ha*"', tdict)
+    assert isinstance(q, Q.MultiPhraseQuery)
+    assert q.positions[0] == ("key",)
+    assert "hash" in q.positions[1]
+    assert all(t.startswith("ha") for t in q.positions[1])
+
+    qf = Q.parse_complex_phrase('"kei~1 hash"', tdict)
+    assert "key" in qf.positions[0]
+
+    assert isinstance(
+        Q.parse_complex_phrase('"zz* hash"', tdict), Q.MatchNoDocsQuery
+    )
+
+    # a phrase with single-term slots scores identically to PhraseQuery
+    qp = Q.parse_complex_phrase('"key hash"', tdict)
+    td_mp = merged.search(qp, k=10)
+    td_ph = merged.search(Q.PhraseQuery(terms=("key", "hash")), k=10)
+    assert list(map(int, td_mp.doc_ids)) == list(map(int, td_ph.doc_ids))
+    assert [float(s) for s in td_mp.scores] == [float(s) for s in td_ph.scores]
