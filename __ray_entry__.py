@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversified_topk": flagship.q_diversified_topk,  # max-N-per-key top-k
         "wordbreak": flagship.q_wordbreak,  # WordBreakSpellChecker break/combine
         "complexphrase_topk": flagship.q_complexphrase_topk,  # wildcard/fuzzy phrases
+        "dv_update": flagship.q_dv_update,  # updateNumericDocValue patch paths
         "expr_topk": flagship.q_expr_topk,  # expressions-module compiled arithmetic
         "mlt_topk": flagship.q_mlt_topk,  # MoreLikeThis query-by-document
         "facet_lang": flagship.q_facet_lang,
@@ -191,6 +192,10 @@ def oracle_sql() -> dict[str, str]:
             flagship.COVERING_TERMS, flagship.COVERING_K
         ),
         "complexphrase_topk": O.complexphrase_topk_sql(flagship.COMPLEXPHRASE_SPECS),
+        "dv_update": O.dv_update_sql(
+            flagship.DV_UPDATE_TERM, flagship.DV_UPDATE_RANGE,
+            flagship.DV_UPDATE_FILTER_LO, flagship.DV_UPDATE_K,
+        ),
         "wordbreak": O.wordbreak_sql(
             flagship.WORDBREAK_BREAK_SPECS, flagship.WORDBREAK_COMBINE_SPECS,
         ),

@@ -1899,6 +1899,82 @@ def q_grouped_topk(sf_dir: str) -> pa.Table:
     )
 
 
+DV_UPDATE_RANGE = (50, 150)   # inclusive range-count window
+DV_UPDATE_FILTER_LO = 100     # topk FILTER lower bound
+DV_UPDATE_TERM = "table"
+DV_UPDATE_K = 10
+
+
+def q_dv_update(sf_dir: str) -> pa.Table:
+    """Numeric doc-values updates (IndexWriter.updateNumericDocValue,
+    s84 index/DocValuesUpdate.java:36): hardlink-copy the flagship index,
+    patch score_hint for every doc_id %% 5 == 0 to (doc_id*3+7) %% 250
+    (overriding values AND filling previously-missing ones), reopen, and
+    serve three DV read paths through the patched reader: a pruned range
+    count, a field-exists count (validity patch), and a BM25 top-k with a
+    DV-range FILTER clause. Rows: (kind, rank, doc_id, val_r)."""
+    import shutil
+
+    from ..state.dvupdates import DV_UPDATES_FILE, update_numeric_doc_values
+
+    base = build_flagship_index(sf_dir)
+    root = _variant_cache_dir(sf_dir, "dvup")
+    index_dir = os.path.join(root, "index")
+    if not os.path.exists(os.path.join(index_dir, DV_UPDATES_FILE)):
+        if os.path.exists(index_dir):
+            shutil.rmtree(index_dir)
+        os.makedirs(root, exist_ok=True)
+        shutil.copytree(base, index_dir, copy_function=os.link)
+        _, seg_s = get_searchers(sf_dir)
+        update_numeric_doc_values(
+            index_dir, "score_hint",
+            {d: (d * 3 + 7) % 250 for d in range(0, seg_s.doc_count, 5)},
+        )
+    key = "dvup:" + os.path.abspath(sf_dir)
+    if key not in _SEARCHERS:
+        s = open_searcher(index_dir)
+        _SEARCHERS[key] = (s, s)
+    merged = _SEARCHERS[key][0]
+
+    lo, hi = DV_UPDATE_RANGE
+    td_range = merged.search(
+        Q.BooleanQuery.build(
+            [(Q.FILTER, Q.NumericRangeQuery("score_hint", lo, hi))]
+        ),
+        k=1, total_hits_threshold=1 << 30,
+    )
+    td_exists = merged.search(
+        Q.BooleanQuery.build(
+            [(Q.FILTER, Q.DocValuesFieldExistsQuery("score_hint"))]
+        ),
+        k=1, total_hits_threshold=1 << 30,
+    )
+    td_top = merged.search(
+        Q.BooleanQuery.build(
+            [(Q.SHOULD, Q.TermQuery(DV_UPDATE_TERM)),
+             (Q.FILTER, Q.NumericRangeQuery("score_hint", DV_UPDATE_FILTER_LO, None))]
+        ),
+        k=DV_UPDATE_K,
+    )
+    kinds = ["range_count", "exists_count"]
+    ranks = [0, 0]
+    docs = [0, 0]
+    vals = [float(td_range.total_hits), float(td_exists.total_hits)]
+    for r, (d, s) in enumerate(zip(td_top.doc_ids, td_top.scores), start=1):
+        kinds.append("topk")
+        ranks.append(r)
+        docs.append(int(d))
+        vals.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "kind": pa.array(kinds, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "val_r": pa.array(vals, pa.float64()),
+        }
+    )
+
+
 # ComplexPhraseQueryParser gate specs: (query_id, quoted phrase, k) —
 # wildcard slots (ha*, s*, h?sh), a fuzzy slot (kei~1), and an
 # empty-expansion phrase (zz* -> MatchNoDocs)

@@ -2553,3 +2553,36 @@ cps_{qid} AS (SELECT pf.doc_id,
  FROM cps_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
         )
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def dv_update_sql(term: str, rng: tuple[int, int], filter_lo: int, k: int,
+                  relation: str = "documents") -> str:
+    """Numeric DV-update oracle: score_hint is derived in
+    pages_from_documents as NULL iff doc_id %% 3 == 0 else n_chars; the
+    gate then patches every doc_id %% 5 == 0 to (doc_id*3+7) %% 250 (the
+    patch CASE arm comes first — updates override, including fills of
+    previously-missing values). Three read paths over the patched column:
+    inclusive range count, exists count, BM25 top-k with a >= filter."""
+    t = _ident(term)
+    lo, hi = rng
+    return f"""WITH {base_ctes(relation)},{term_leaf_ctes(term)},
+patched AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN (doc_id * 3 + 7) % 250
+              WHEN doc_id % 3 = 0 THEN NULL
+              ELSE n_chars END AS sh
+  FROM {relation})
+SELECT 'range_count' AS kind, CAST(0 AS BIGINT) AS rank,
+       CAST(0 AS BIGINT) AS doc_id,
+       CAST((SELECT count(*) FROM patched
+             WHERE sh >= {lo} AND sh <= {hi}) AS DOUBLE) AS val_r
+UNION ALL
+SELECT 'exists_count', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST((SELECT count(*) FROM patched WHERE sh IS NOT NULL) AS DOUBLE)
+UNION ALL
+(SELECT 'topk',
+        CAST(row_number() OVER (ORDER BY s.s DESC, s.doc_id) AS BIGINT),
+        s.doc_id, ROUND(CAST(s.s AS DOUBLE), 4)
+ FROM s_{t} s JOIN patched p USING (doc_id)
+ WHERE p.sh >= {filter_lo}
+ ORDER BY s.s DESC, s.doc_id LIMIT {k})"""

@@ -322,6 +322,11 @@ class MergedReader(_ShardedTermLookup):
             self.meta["shards"],
         )
         self._dv_cache: dict[str, np.ndarray] = {}
+        # numeric DV updates (state/dvupdates.py): loaded at open time —
+        # NRT semantics, an already-open reader keeps its generation
+        from ..state.dvupdates import load_dv_updates
+
+        self._dv_updates = load_dv_updates(index_dir)
         self._field_views: dict[str, _MergedFieldView] = {}
         self._field_doc_counts = {
             k: int(v.get("doc_count", self.doc_count))
@@ -355,6 +360,11 @@ class MergedReader(_ShardedTermLookup):
             from ..state.segment import read_doc_values
 
             arr = np.concatenate([read_doc_values(d, col) for d in self._seg_dirs])
+            upd = self._dv_updates.get(col)
+            if upd is not None:
+                ids, vals = upd
+                arr = arr.copy()
+                arr[ids] = vals.astype(arr.dtype)
             self._dv_cache[col] = arr
         return arr
 
@@ -416,7 +426,20 @@ class MergedReader(_ShardedTermLookup):
                     mask &= (vals <= upper) if include_upper else (vals < upper)
                 docs = np.flatnonzero(mask).astype(np.int64)
             parts.append(docs + base)
-        return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        out = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        upd = self._dv_updates.get(col)
+        if upd is not None:
+            # block stats predate the patch: drop patched docs from the
+            # pruned result, then re-admit those whose NEW value matches
+            ids, vals = upd
+            out = np.setdiff1d(out, ids, assume_unique=False)
+            m = np.ones(len(ids), dtype=bool)
+            if lower is not None:
+                m &= (vals >= lower) if include_lower else (vals > lower)
+            if upper is not None:
+                m &= (vals <= upper) if include_upper else (vals < upper)
+            out = np.union1d(out, ids[m])
+        return out
 
     def doc_values_valid(self, col: str) -> np.ndarray:
         """Global-docID-aligned validity bitmap (per-segment bitmaps
@@ -429,6 +452,12 @@ class MergedReader(_ShardedTermLookup):
             arr = np.concatenate(
                 [read_doc_values_validity(d, col) for d in self._seg_dirs]
             )
+            upd = self._dv_updates.get(col)
+            if upd is not None:
+                # updating a previously-missing value SETS it
+                # (NumericDocValuesField update semantics)
+                arr = arr.copy()
+                arr[upd[0]] = True
             self._dv_cache[key] = arr
         return arr
 

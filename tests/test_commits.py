@@ -149,3 +149,56 @@ def test_gc_never_touches_unmanifested_segment_dirs(ray_session, tmp_path):
     release_snapshot(idx, snap)
     assert os.path.isdir(stray)  # untouched by the sweep
     assert gc_unreferenced(idx) == []
+
+
+def test_numeric_dv_updates(ray_session, tmp_path):
+    """updateNumericDocValue analogue: patched values/validity are visible
+    to readers opened AFTER the update; already-open readers keep their
+    generation; range reads re-admit patched docs by NEW value; norms and
+    postings are untouched (scores of unfiltered queries identical)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from lucene_7_x_9_x_ray.pipelines.flagship import build_flagship_index
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.merged import open_searcher
+    from lucene_7_x_9_x_ray.state.dvupdates import update_numeric_doc_values
+
+    base = build_flagship_index("/root/testdata/sf0.001")
+    idx = str(tmp_path / "index")
+    shutil.copytree(base, idx, copy_function=os.link)
+
+    before = open_searcher(idx)
+    old_vals = before.readers[0].doc_values("score_hint").copy()
+    old_valid = before.readers[0].doc_values_valid("score_hint").copy()
+    td_before = before.search(Q.TermQuery("table"), k=10)
+
+    n = update_numeric_doc_values(idx, "score_hint", {0: 999, 3: 123, 5: 77})
+    assert n == 3
+    # last-write-wins merge on re-update
+    n = update_numeric_doc_values(idx, "score_hint", {3: 124})
+    assert n == 3
+
+    after = open_searcher(idx)
+    vals = after.readers[0].doc_values("score_hint")
+    valid = after.readers[0].doc_values_valid("score_hint")
+    assert vals[0] == 999 and vals[3] == 124 and vals[5] == 77
+    # doc 0 and 3 were NULL (doc_id % 3 == 0) — update sets validity
+    assert not old_valid[0] and valid[0] and valid[3]
+    # already-open reader still serves the pre-update generation
+    assert np.array_equal(
+        before.readers[0].doc_values("score_hint"), old_vals, equal_nan=True
+    )
+
+    # range read through the pruned path honors the patch
+    docs = after.readers[0].doc_values_range_docs("score_hint", 900, None, True, True)
+    assert 0 in docs.tolist()
+    docs2 = after.readers[0].doc_values_range_docs("score_hint", None, 130, True, True)
+    assert 3 in docs2.tolist() and 5 in docs2.tolist()
+
+    # scoring paths untouched: same top-k, same float scores
+    td_after = after.search(Q.TermQuery("table"), k=10)
+    assert list(map(int, td_after.doc_ids)) == list(map(int, td_before.doc_ids))
+    assert [float(s) for s in td_after.scores] == [float(s) for s in td_before.scores]
