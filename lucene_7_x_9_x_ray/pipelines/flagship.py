@@ -395,6 +395,10 @@ SPAN_TOPK_SPECS: list[tuple[str, str, tuple, object, int]] = [
     # nested span tree: near(near(key, hash, slop=4), value, slop=6) —
     # the inner near's slop-filtered matches are the outer's sub-spans
     ("sp_ord_nest", "ord_nest", (("key",), ("hash",), ("value",)), (4, 6), 10),
+    # SpanContaining / SpanWithin: big = ordered near of the first two
+    # clauses (slop = param), little = the third clause's term
+    ("sp_contain", "containing", (("data",), ("join",), ("the",)), 6, 10),
+    ("sp_within", "within", (("data",), ("join",), ("the",)), 6, 10),
 ]
 
 
@@ -427,6 +431,10 @@ def _span_query_from_spec(kind: str, clauses: tuple, param) -> Q.Query:
         islop, oslop = param
         inner = Q.SpanNearQuery(subs[:2], slop=int(islop), in_order=True)
         return Q.SpanNearQuery((inner, subs[2]), slop=int(oslop), in_order=True)
+    if kind in ("containing", "within"):
+        big = Q.SpanNearQuery(subs[:2], slop=int(param), in_order=True)
+        cls = Q.SpanContainingQuery if kind == "containing" else Q.SpanWithinQuery
+        return cls(big=big, little=subs[2])
     raise ValueError(kind)
 
 

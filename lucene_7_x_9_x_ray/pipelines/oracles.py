@@ -561,6 +561,35 @@ wv_{qid} AS (SELECT doc_id, p AS s0, 0 AS width FROM {ids[0]})""")
             ctes.append(f"""
 wv_{qid} AS (SELECT doc_id, p AS s0, 0 AS width
   FROM {ids[0]} WHERE p >= {start} AND p + 1 <= {end})""")
+        elif kind in ("containing", "within"):
+            # big = ordered 2-clause near (slop = param) of clauses 0-1,
+            # little = clause 2's positions. ContainSpans' forward-only
+            # cursor over width-0 littles / monotone-end bigs equals the
+            # declarative EXISTS (see search/spans.py); containing emits
+            # big spans [s0, s1+1) holding a little p (s0 <= p <= s1),
+            # within emits little positions p enclosed by some big.
+            slop = int(param)
+            ctes.append(f"""
+bg_{qid} AS (SELECT c.doc_id, c.s0, c.s1, c.s1 - c.s0 - 1 AS width
+  FROM (SELECT x.doc_id, x.p AS s0,
+               (SELECT min(y.p) FROM {ids[1]} y
+                WHERE y.doc_id = x.doc_id AND y.p >= x.p + 1) AS s1
+        FROM {ids[0]} x) c
+  WHERE c.s1 IS NOT NULL AND c.s1 - c.s0 - 1 <= {slop})""")
+            if kind == "containing":
+                ctes.append(f"""
+wv_{qid} AS (SELECT b.doc_id, b.s0, b.width
+  FROM bg_{qid} b
+  WHERE EXISTS (SELECT 1 FROM {ids[2]} l
+                WHERE l.doc_id = b.doc_id
+                  AND l.p >= b.s0 AND l.p <= b.s1))""")
+            else:
+                ctes.append(f"""
+wv_{qid} AS (SELECT l.doc_id, l.p AS s0, 0 AS width
+  FROM {ids[2]} l
+  WHERE EXISTS (SELECT 1 FROM bg_{qid} b
+                WHERE b.doc_id = l.doc_id
+                  AND b.s0 <= l.p AND b.s1 >= l.p))""")
         else:
             raise ValueError(f"unknown span kind {kind!r}")
         scoring = sorted(

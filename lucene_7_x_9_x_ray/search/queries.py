@@ -582,9 +582,36 @@ class SpanNotQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class SpanContainingQuery(Query):
+    """spans module SpanContainingQuery (s84 search/spans/
+    SpanContainingQuery.java:33): spans from ``big`` that contain at
+    least one span of ``little`` (big.start <= little.start and
+    little.end <= big.end); emitted spans (and widths) are big's.
+    Scoring stats come from BOTH sides (SpanContainQuery.java:100
+    extractTermStates folds big then little)."""
+
+    big: Query
+    little: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery(Query):
+    """spans module SpanWithinQuery (s84 search/spans/
+    SpanWithinQuery.java:33): spans from ``little`` that lie inside a
+    span of ``big``; emitted spans (and widths) are little's. Scoring
+    stats come from both sides, like SpanContainingQuery."""
+
+    big: Query
+    little: Query
+    boost: float = 1.0
+
+
 SPAN_QUERY_TYPES = (
     SpanTermQuery, SpanNearQuery, SpanOrQuery, SpanFirstQuery,
-    SpanPositionRangeQuery, SpanNotQuery
+    SpanPositionRangeQuery, SpanNotQuery, SpanContainingQuery,
+    SpanWithinQuery
 )
 
 
@@ -900,6 +927,8 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
         out |= collect_field_terms(query.match)
     elif isinstance(query, SpanNotQuery):
         out |= collect_field_terms(query.include) | collect_field_terms(query.exclude)
+    elif isinstance(query, (SpanContainingQuery, SpanWithinQuery)):
+        out |= collect_field_terms(query.big) | collect_field_terms(query.little)
     elif isinstance(query, (DisjunctionMaxQuery, CoveringQuery)):
         for q in query.queries:
             out |= collect_field_terms(q)

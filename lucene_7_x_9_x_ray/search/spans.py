@@ -27,6 +27,11 @@ Reference semantics (s84 core search/spans/*):
 - ``SpanNotQuery`` (SpanNotQuery.java:193-204): keep include spans with
   no exclude span overlapping [start - pre, end + post); scoring stats
   come from the include side only (SpanNotWeight.extractTermStates).
+- ``SpanContainingQuery`` / ``SpanWithinQuery`` (SpanContainingQuery
+  .java:58, SpanWithinQuery.java:58): ContainSpans forward-cursor
+  conjunction of big and little; containing emits big spans holding a
+  little span, within emits little spans enclosed by a big span; both
+  score with BOTH sides' terms (SpanContainQuery.java:100).
 
 Scoring = SpanScorer.setFreqCurrentDoc (SpanScorer.java): per match, the
 FLOAT freq accumulates the DOUBLE contribution 1.0/(1.0 + width()) —
@@ -59,6 +64,8 @@ def _span_terms(query) -> list[str]:
         return _span_terms(query.match)
     if isinstance(query, Q.SpanNotQuery):
         return _span_terms(query.include) + _span_terms(query.exclude)
+    if isinstance(query, (Q.SpanContainingQuery, Q.SpanWithinQuery)):
+        return _span_terms(query.big) + _span_terms(query.little)
     raise TypeError(f"not a span query: {type(query).__name__}")
 
 
@@ -94,6 +101,11 @@ def span_field(query) -> str:
         if fi != fe:
             raise ValueError("Clauses must have same field.")
         return fi
+    if isinstance(query, (Q.SpanContainingQuery, Q.SpanWithinQuery)):
+        fb, fl = span_field(query.big), span_field(query.little)
+        if fb != fl:
+            raise ValueError("Clauses must have same field.")
+        return fb
     raise TypeError(f"not a span query: {type(query).__name__}")
 
 
@@ -322,7 +334,79 @@ def _span_stream(query, pos_of):
         reject = has & (run_max_ee[np.maximum(idx - 1, 0)] > s - query.pre)
         keep = ~reject
         return s[keep], e[keep], w[keep]
+    if isinstance(query, Q.SpanContainingQuery):
+        bs, be, bw = _span_stream(query.big, pos_of)
+        ls, le, _lw = _span_stream(query.little, pos_of)
+        if len(bs) == 0 or len(ls) == 0:
+            return _EMPTY_STREAM  # prepareConjunction: both sides required
+        # ContainSpans (SpanContainingQuery.java:58): per big span, the
+        # forward-only little cursor stops at the first little.start >=
+        # big.start; match iff big.end >= that little's end. Big starts
+        # ascending makes the cursor = searchsorted; with non-decreasing
+        # little ends the checked little has the minimal end of the
+        # suffix, so the lookup equals the declarative "exists contained
+        # little". Non-monotone little ends take the literal cursor loop.
+        if len(le) and np.any(np.diff(le) < 0):
+            return _contain_spans_literal(bs, be, bw, ls, le, source="big")
+        idx = np.searchsorted(ls, bs)
+        ok = idx < len(ls)
+        safe = np.minimum(idx, len(ls) - 1)
+        keep = ok & (be >= le[safe])
+        return bs[keep], be[keep], bw[keep]
+    if isinstance(query, Q.SpanWithinQuery):
+        bs, be, _bw = _span_stream(query.big, pos_of)
+        ls, le, lw = _span_stream(query.little, pos_of)
+        if len(bs) == 0 or len(ls) == 0:
+            return _EMPTY_STREAM
+        # SpanWithinQuery.java:58: per little span, the forward-only big
+        # cursor stops at the first big.end >= little.end; match iff that
+        # big's start <= little.start. Non-decreasing big ends make the
+        # cursor a searchsorted over ends (the suffix's minimal start is
+        # its first element, so the single check equals "exists
+        # enclosing big").
+        if len(be) and np.any(np.diff(be) < 0):
+            return _contain_spans_literal(bs, be, lw, ls, le, source="little")
+        idx = np.searchsorted(be, le)
+        ok = idx < len(bs)
+        safe = np.minimum(idx, len(bs) - 1)
+        keep = ok & (bs[safe] <= ls)
+        return ls[keep], le[keep], lw[keep]
     raise TypeError(f"not a span query: {type(query).__name__}")
+
+
+def _contain_spans_literal(bs, be, sw, ls, le, *, source: str):
+    """Literal forward-cursor ContainSpans for non-monotone-end streams
+    (ContainSpans.java iterators transcribed; ``source`` picks which side
+    is emitted, 'big' = SpanContaining, 'little' = SpanWithin). ``sw`` is
+    the emitted side's width array."""
+    out_s, out_e, out_w = [], [], []
+    if source == "big":
+        j = 0
+        for i in range(len(bs)):
+            while j < len(ls) and ls[j] < bs[i]:
+                j += 1
+            if j >= len(ls):
+                break  # oneExhaustedInCurrentDoc
+            if be[i] >= le[j]:
+                out_s.append(int(bs[i]))
+                out_e.append(int(be[i]))
+                out_w.append(int(sw[i]))
+    else:
+        j = 0
+        for i in range(len(ls)):
+            while j < len(bs) and be[j] < le[i]:
+                j += 1
+            if j >= len(bs):
+                break
+            if bs[j] <= ls[i]:
+                out_s.append(int(ls[i]))
+                out_e.append(int(le[i]))
+                out_w.append(int(sw[i]))
+    return (
+        np.asarray(out_s, dtype=np.int64),
+        np.asarray(out_e, dtype=np.int64),
+        np.asarray(out_w, dtype=np.int64),
+    )
 
 
 def _validate_span_scope(query):
@@ -342,6 +426,10 @@ def _validate_span_scope(query):
     if isinstance(query, Q.SpanNotQuery):
         _validate_span_scope(query.include)
         _validate_span_scope(query.exclude)
+        return
+    if isinstance(query, (Q.SpanContainingQuery, Q.SpanWithinQuery)):
+        _validate_span_scope(query.big)
+        _validate_span_scope(query.little)
         return
     raise TypeError(f"not a span query: {type(query).__name__}")
 
@@ -367,6 +455,9 @@ def _required_leaves(query) -> list[list[str]]:
         return _required_leaves(query.match)
     if isinstance(query, Q.SpanNotQuery):
         return _required_leaves(query.include)
+    if isinstance(query, (Q.SpanContainingQuery, Q.SpanWithinQuery)):
+        # prepareConjunction: a doc must produce spans on BOTH sides
+        return _required_leaves(query.big) + _required_leaves(query.little)
     raise TypeError(f"not a span query: {type(query).__name__}")
 
 

@@ -402,3 +402,62 @@ def test_spanor_leaf_matches_general_on_colliding_positions():
     assert np.array_equal(leaf[0], np.sort(s))
     assert len(leaf[0]) == 5  # a@4 and b@4 both emitted
     assert np.array_equal(leaf[1], leaf[0] + 1)
+
+
+def test_spancontaining_and_within_hand_corpus(tmp_path):
+    # doc0: big = near(x, y, slop 2) matches [0, 4) (width 2); 'z'@2 is
+    # inside -> containing emits the big span, within emits z@2.
+    # doc1: big matches [0, 2) (width 0) but z@5 is outside both sides.
+    # doc2: z present, no big match (y missing) -> conjunction drops it.
+    s = _index(tmp_path, [
+        "x a z y q z",   # x@0 .. y@3, z@2 inside; z@5 outside
+        "x y q q q z",   # big [0,2), z@5 not contained
+        "x z q q q q",   # no y -> no big span
+    ])
+    big = Q.SpanNearQuery((Q.SpanTermQuery("x"), Q.SpanTermQuery("y")),
+                          slop=2, in_order=True)
+    little = Q.SpanTermQuery("z")
+    contain = s.search(Q.SpanContainingQuery(big=big, little=little), k=10)
+    within = s.search(Q.SpanWithinQuery(big=big, little=little), k=10)
+    assert list(contain.doc_ids) == [0]
+    assert list(within.doc_ids) == [0]
+    # containing scores with the BIG span's width (2), within with the
+    # little's width (0): freq 1/(1+2) vs 1/(1+0) -> within scores higher
+    assert within.scores[0] > contain.scores[0]
+
+
+def test_contain_spans_vectorized_duels_literal():
+    """_span_stream's searchsorted contain/within lookups must equal the
+    literal forward-cursor ContainSpans iterators (the literal loop IS
+    the Java transcription and the non-monotone-end fallback). Bigs are
+    real nested nears so the vectorized branch is exercised end to end."""
+    from lucene_7_x_9_x_ray.search.spans import (
+        _contain_spans_literal, _span_stream,
+    )
+
+    rng = np.random.default_rng(7)
+    big_q = Q.SpanNearQuery((Q.SpanTermQuery("a"), Q.SpanTermQuery("b")),
+                            slop=4, in_order=True)
+    for _ in range(400):
+        pool = rng.permutation(60)
+        na, nb_, nc = (int(rng.integers(1, 8)) for _ in range(3))
+        pos = {
+            "a": np.sort(pool[:na]).astype(np.int64),
+            "b": np.sort(pool[na : na + nb_]).astype(np.int64),
+            "c": np.sort(pool[na + nb_ : na + nb_ + nc]).astype(np.int64),
+        }
+        pos_of = lambda t: pos[t]  # noqa: E731
+        bs, be, bw = _span_stream(big_q, pos_of)
+        ls, le, lw = _span_stream(Q.SpanTermQuery("c"), pos_of)
+        for cls, src, sw in (
+            (Q.SpanContainingQuery, "big", bw),
+            (Q.SpanWithinQuery, "little", lw),
+        ):
+            got = _span_stream(cls(big=big_q, little=Q.SpanTermQuery("c")),
+                               pos_of)
+            if len(bs) == 0 or len(ls) == 0:
+                assert len(got[0]) == 0
+                continue
+            want = _contain_spans_literal(bs, be, sw, ls, le, source=src)
+            assert all(np.array_equal(g, w) for g, w in zip(got, want)), (
+                pos, got, want, src)
