@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_tags_filtered": flagship.q_bm25_tags_filtered,  # SORTED_SET FILTER
         "grouped_topk": flagship.q_grouped_topk,
         "interval_topk": flagship.q_interval_topk,  # queries/intervals module
+        "geo_match": flagship.q_geo_match,  # LatLonPoint distance/box predicates
+        "geo_nearest": flagship.q_geo_nearest,  # LatLonDocValuesField distance sort
         "span_topk": flagship.q_span_topk,  # search/spans module
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
         "join_topk": flagship.q_join_topk,  # JoinUtil scored query-time join
@@ -235,6 +237,10 @@ def oracle_sql() -> dict[str, str]:
                 flagship.SIMPLE_FIELDS_SPEC[3], flagship.SIMPLE_FIELDS_SPEC[4])]
         ),
         "interval_topk": O.interval_topk_sql(flagship.INTERVAL_TOPK_SPECS),
+        "geo_match": O.geo_match_sql(
+            flagship.GEO_CENTER, flagship.GEO_RADIUS_M, flagship.GEO_BOX
+        ),
+        "geo_nearest": O.geo_nearest_sql(flagship.GEO_CENTER, flagship.GEO_K),
         "payload_topk": O.payload_topk_sql(flagship.PAYLOAD_TOPK_SPECS),
         "blockjoin_topk": O.blockjoin_topk_sql(
             flagship.BLOCKJOIN_TOPK_SPECS, flagship.BLOCKJOIN_CHUNK_W,

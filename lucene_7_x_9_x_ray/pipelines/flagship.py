@@ -2724,3 +2724,115 @@ def q_interval_topk(sf_dir: str) -> pa.Table:
             "score_r": pa.array(scores, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Geo gates: LatLonPoint.newDistanceQuery / newBoxQuery predicates and the
+# LatLonDocValuesField.newDistanceSort top-k over a variant index whose
+# lat/lon doc-values columns derive deterministically from doc_id — the
+# same integer-lattice formula is reproduced verbatim in the SQL oracle
+# (oracles.geo_ctes), so both sides score identical coordinates.
+GEO_CENTER = (12.0, 34.0)
+GEO_RADIUS_M = 2_000_000.0
+GEO_BOX = (-20.0, 25.0, 10.0, 80.0)  # min_lat, max_lat, min_lon, max_lon
+GEO_K = 15
+
+
+def geo_lat_lon(doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic synthetic coordinates on a 0.01-degree lattice:
+    lat = ((doc_id*7919) % 18000)/100 - 90, lon = ((doc_id*104729) %
+    36000)/100 - 180. Integer arithmetic then one exact double divide —
+    bit-identical between numpy and the DuckDB oracle."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    lat = ((d * 7919) % 18000) / 100.0 - 90.0
+    lon = ((d * 104729) % 36000) / 100.0 - 180.0
+    return lat, lon
+
+
+def build_geo_index(sf_dir: str) -> str:
+    """Variant index whose pages carry lat/lon columns (stored as NUMERIC
+    doc values via store_cols) — the LatLonDocValuesField fixture."""
+    root = _variant_cache_dir(sf_dir, "geo")
+    index_dir = os.path.join(root, "index")
+    done_flag = os.path.join(index_dir, "merged", "merged.json")
+    if os.path.exists(done_flag):
+        return index_dir
+    os.makedirs(root, exist_ok=True)
+    pages_path = os.path.join(root, "pages.parquet")
+    if not os.path.exists(pages_path):
+        pages = pages_from_documents(sf_dir, with_html=False)
+        lat, lon = geo_lat_lon(np.arange(pages.num_rows, dtype=np.int64))
+        pages = pages.append_column("lat", pa.array(lat, pa.float64()))
+        pages = pages.append_column("lon", pa.array(lon, pa.float64()))
+        write_pages_parquet(
+            pages, pages_path + ".tmp", rows_per_row_group=max(128, pages.num_rows // 8)
+        )
+        os.replace(pages_path + ".tmp", pages_path)
+    cfg = BuildConfig(
+        store_cols=("lat", "lon"),
+        target_docs_per_segment=max(128, _pages_rows(pages_path) // 8),
+    )
+    build_index([pages_path], index_dir, cfg)
+    merge_index(index_dir, MergeConfig(n_shards=8, hot_df_threshold=10**9))
+    return index_dir
+
+
+def _geo_searcher(sf_dir: str) -> IndexSearcher:
+    key = "geo:" + os.path.abspath(sf_dir)
+    if key not in _SEARCHERS:
+        s = open_searcher(build_geo_index(sf_dir))
+        _SEARCHERS[key] = (s, s)
+    return _SEARCHERS[key][0]
+
+
+def q_geo_match(sf_dir: str) -> pa.Table:
+    """Geo predicate gate: kind='radius' rows match GeoDistanceQuery
+    (haversine <= GEO_RADIUS_M around GEO_CENTER); kind='box' rows match
+    GeoBoxQuery over GEO_BOX. Both run as FILTER clauses (constant score)
+    through the searcher: (kind, doc_id)."""
+    s = _geo_searcher(sf_dir)
+    kinds: list[str] = []
+    docs: list[int] = []
+    radius = Q.GeoDistanceQuery("lat", "lon", *GEO_CENTER, GEO_RADIUS_M)
+    td = s.search(
+        Q.BooleanQuery.build([(Q.FILTER, radius)]),
+        k=s.doc_count, total_hits_threshold=1 << 62,
+    )
+    for d in sorted(int(x) for x in td.doc_ids):
+        kinds.append("radius")
+        docs.append(d)
+    box = Q.GeoBoxQuery("lat", "lon", *GEO_BOX)
+    td = s.search(
+        Q.BooleanQuery.build([(Q.FILTER, box)]),
+        k=s.doc_count, total_hits_threshold=1 << 62,
+    )
+    for d in sorted(int(x) for x in td.doc_ids):
+        kinds.append("box")
+        docs.append(d)
+    return pa.table(
+        {
+            "kind": pa.array(kinds, pa.string()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
+def q_geo_nearest(sf_dir: str) -> pa.Table:
+    """Distance-sort gate (LatLonDocValuesField.newDistanceSort role):
+    top-GEO_K docs nearest GEO_CENTER via per-segment vectorized haversine
+    partials + heap merge: (rank, doc_id, dist_r) with dist_r the distance
+    in meters rounded to 0.1 m (trig ulp noise is ~1e-9 m — far below the
+    rounding grid)."""
+    from ..search.geo import distance_sort_topk
+
+    s = _geo_searcher(sf_dir)
+    top = distance_sort_topk(s, "lat", "lon", *GEO_CENTER, GEO_K)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+            "doc_id": pa.array([d for _, d in top], pa.int64()),
+            "dist_r": pa.array(
+                [round_half_away(dist, 1) for dist, _ in top], pa.float64()
+            ),
+        }
+    )

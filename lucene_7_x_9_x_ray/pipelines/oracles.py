@@ -2615,3 +2615,64 @@ UNION ALL
  FROM s_{t} s JOIN patched p USING (doc_id)
  WHERE p.sh >= {filter_lo}
  ORDER BY s.s DESC, s.doc_id LIMIT {k})"""
+
+
+# --- geo gates (flagship.geo_lat_lon lattice + haversine) ------------------
+
+
+def geo_ctes(relation: str = "documents") -> str:
+    """Synthetic-coordinate CTE: the exact integer-lattice formula of
+    flagship.geo_lat_lon (integer multiply/mod, one exact double divide) —
+    bit-identical to the numpy side by IEEE determinism."""
+    return f"""geo AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM {relation})"""
+
+
+def geo_dist_expr(lat0: float, lon0: float) -> str:
+    """Haversine distance (meters) from (lat0, lon0) to (lat, lon), the
+    same double formula as search.geo.haversine_m. libm sin/cos/asin may
+    differ from numpy by ~1 ulp (~1e-9 m at earth scale) — callers round
+    to 0.1 m / compare against radii chosen off the lattice boundary."""
+    return (
+        f"2 * 6371008.8 * asin(sqrt(least(1.0, "
+        f"pow(sin((radians(lat) - radians({lat0!r})) / 2), 2) + "
+        f"cos(radians({lat0!r})) * cos(radians(lat)) * "
+        f"pow(sin((radians(lon) - radians({lon0!r})) / 2), 2))))"
+    )
+
+
+def geo_match_sql(
+    center: tuple[float, float],
+    radius_m: float,
+    box: tuple[float, float, float, float],
+    relation: str = "documents",
+) -> str:
+    """(kind, doc_id) mirror of flagship.q_geo_match: kind='radius' =
+    haversine <= radius_m; kind='box' = lat/lon inside the box (lattice
+    values are bit-identical on both sides, so boundary equality is
+    exact)."""
+    min_lat, max_lat, min_lon, max_lon = box
+    dist = geo_dist_expr(*center)
+    return f"""WITH {geo_ctes(relation)}
+(SELECT 'radius' AS kind, doc_id FROM geo WHERE {dist} <= {radius_m!r} ORDER BY doc_id)
+UNION ALL
+(SELECT 'box' AS kind, doc_id FROM geo
+ WHERE lat >= {min_lat!r} AND lat <= {max_lat!r}
+   AND lon >= {min_lon!r} AND lon <= {max_lon!r} ORDER BY doc_id)"""
+
+
+def geo_nearest_sql(
+    center: tuple[float, float], k: int, relation: str = "documents"
+) -> str:
+    """(rank, doc_id, dist_r) mirror of flagship.q_geo_nearest: ORDER BY
+    distance then docID (the Lucene implicit tie-break), distance rounded
+    to 0.1 m."""
+    dist = geo_dist_expr(*center)
+    return f"""WITH {geo_ctes(relation)},
+d AS (SELECT doc_id, {dist} AS dist FROM geo)
+SELECT CAST(row_number() OVER (ORDER BY dist, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(CAST(dist AS DOUBLE), 1) AS dist_r
+FROM d ORDER BY dist, doc_id LIMIT {k}"""

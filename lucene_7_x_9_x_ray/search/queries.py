@@ -203,6 +203,24 @@ class GeoDistanceQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoBoxQuery(Query):
+    """Constant-score (0) geo bounding-box predicate over stored lat/lon
+    doc-values columns — the LatLonPoint.newBoxQuery role (s84 core
+    document/LatLonPoint.java:210): docs with min_lat <= lat <= max_lat
+    AND min_lon <= lon <= max_lon match. Boxes crossing the antimeridian
+    (min_lon > max_lon) match the OR of the two wrapped lon intervals,
+    like the reference's two-range rewrite. Evaluated as one vectorized
+    mask per segment; FILTER-cacheable."""
+
+    lat_col: str
+    lon_col: str
+    min_lat: float
+    max_lat: float
+    min_lon: float
+    max_lon: float
+
+
+@dataclass(frozen=True)
 class CoveringQuery(Query):
     """sandbox CoveringQuery (s84 sandbox/src/java/org/apache/lucene/
     search/CoveringQuery.java:42 + CoveringScorer.java:96-162): SHOULD

@@ -307,26 +307,33 @@ def eval_query(
         return docs, np.zeros(len(docs), dtype=np.float32)
 
     if isinstance(query, Q.GeoDistanceQuery):
+        from .geo import EARTH_RADIUS_M, haversine_m
+
         lat = np.asarray(reader.doc_values(query.lat_col), dtype=np.float64)
         lon = np.asarray(reader.doc_values(query.lon_col), dtype=np.float64)
-        R = 6_371_008.8  # mean earth radius, meters
         # bounding-box prefilter: only candidate rows pay the haversine
-        dlat_max = np.degrees(query.radius_m / R)
+        dlat_max = np.degrees(query.radius_m / EARTH_RADIUS_M)
         coslat = max(np.cos(np.radians(query.lat)), 1e-12)
-        dlon_max = np.degrees(query.radius_m / (R * coslat))
+        dlon_max = np.degrees(query.radius_m / (EARTH_RADIUS_M * coslat))
         cand = np.flatnonzero(
             (np.abs(lat - query.lat) <= dlat_max)
             & (np.abs((lon - query.lon + 180.0) % 360.0 - 180.0) <= dlon_max)
         )
         if len(cand) == 0:
             return _empty()
-        la1 = np.radians(query.lat)
-        la2 = np.radians(lat[cand])
-        dla = la2 - la1
-        dlo = np.radians(lon[cand] - query.lon)
-        a = np.sin(dla / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(dlo / 2) ** 2
-        dist = 2 * R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+        dist = haversine_m(query.lat, query.lon, lat[cand], lon[cand])
         docs = cand[dist <= query.radius_m].astype(np.int64)
+        return docs, np.zeros(len(docs), dtype=np.float32)
+
+    if isinstance(query, Q.GeoBoxQuery):
+        lat = np.asarray(reader.doc_values(query.lat_col), dtype=np.float64)
+        lon = np.asarray(reader.doc_values(query.lon_col), dtype=np.float64)
+        mask = (lat >= query.min_lat) & (lat <= query.max_lat)
+        if query.min_lon <= query.max_lon:
+            mask &= (lon >= query.min_lon) & (lon <= query.max_lon)
+        else:  # antimeridian crossing: two wrapped lon ranges (OR)
+            mask &= (lon >= query.min_lon) | (lon <= query.max_lon)
+        docs = np.flatnonzero(mask).astype(np.int64)
         return docs, np.zeros(len(docs), dtype=np.float32)
 
     if isinstance(query, Q.CoveringQuery):

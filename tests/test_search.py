@@ -1296,3 +1296,64 @@ def test_complex_phrase_parser(ray_session):
     td_ph = merged.search(Q.PhraseQuery(terms=("key", "hash")), k=10)
     assert list(map(int, td_mp.doc_ids)) == list(map(int, td_ph.doc_ids))
     assert [float(s) for s in td_mp.scores] == [float(s) for s in td_ph.scores]
+
+
+def test_geo_box_query_and_distance_sort(tmp_path):
+    """GeoBoxQuery (LatLonPoint.newBoxQuery role) masks by lat/lon box —
+    including the antimeridian-crossing two-range rewrite — and
+    distance_sort_topk (LatLonDocValuesField.newDistanceSort role) returns
+    ascending haversine order with docID tie-break."""
+    import math
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.geo import distance_sort_topk, haversine_m
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+    rng = np.random.default_rng(11)
+    n = 400
+    lats = rng.uniform(-60, 60, n)
+    lons = rng.uniform(-180, 180, n)
+    t = pa_.table(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "warc_ts": pa_.array(range(n), pa_.timestamp("us")),
+            "text": ["geo doc"] * n,
+            "lang": ["en"] * n,
+            "lat": pa_.array(lats),
+            "lon": pa_.array(lons),
+        }
+    )
+    path = str(tmp_path / "p.parquet")
+    pq_.write_table(t, path)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx,
+                      BuildConfig(target_docs_per_segment=150,
+                                  store_cols=("lat", "lon")))
+    s = IndexSearcher(idx)
+
+    box = Q.GeoBoxQuery("lat", "lon", -10.0, 30.0, 20.0, 90.0)
+    td = s.search(Q.BooleanQuery.build([(Q.FILTER, box)]), k=n,
+                  total_hits_threshold=1 << 30)
+    want = {i for i in range(n)
+            if -10.0 <= lats[i] <= 30.0 and 20.0 <= lons[i] <= 90.0}
+    assert set(int(d) for d in td.doc_ids) == want and 0 < len(want) < n
+
+    # antimeridian crossing: min_lon > max_lon matches the wrapped OR
+    wrap = Q.GeoBoxQuery("lat", "lon", -60.0, 60.0, 150.0, -150.0)
+    td2 = s.search(Q.BooleanQuery.build([(Q.FILTER, wrap)]), k=n,
+                   total_hits_threshold=1 << 30)
+    want2 = {i for i in range(n) if lons[i] >= 150.0 or lons[i] <= -150.0}
+    assert set(int(d) for d in td2.doc_ids) == want2 and len(want2) > 0
+
+    # distance sort: matches brute-force haversine ordering over all docs
+    center = (10.0, 40.0)
+    top = distance_sort_topk(s, "lat", "lon", *center, 20)
+    dist = haversine_m(center[0], center[1], lats, lons)
+    want_order = sorted(range(n), key=lambda i: (dist[i], i))[:20]
+    assert [d for _, d in top] == want_order
+    for got_d, i in zip((d for d, _ in top), want_order):
+        assert math.isclose(got_d, dist[i], rel_tol=0, abs_tol=1e-9)
