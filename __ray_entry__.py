@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_topk": flagship.q_interval_topk,  # queries/intervals module
         "geo_match": flagship.q_geo_match,  # LatLonPoint distance/box predicates
         "geo_nearest": flagship.q_geo_nearest,  # LatLonDocValuesField distance sort
+        "high_freq_terms": flagship.q_high_freq_terms,  # misc/HighFreqTerms
+        "dv_stats": flagship.q_dv_stats,  # misc/DocValuesStats
         "span_topk": flagship.q_span_topk,  # search/spans module
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
         "join_topk": flagship.q_join_topk,  # JoinUtil scored query-time join
@@ -241,6 +243,8 @@ def oracle_sql() -> dict[str, str]:
             flagship.GEO_CENTER, flagship.GEO_RADIUS_M, flagship.GEO_BOX
         ),
         "geo_nearest": O.geo_nearest_sql(flagship.GEO_CENTER, flagship.GEO_K),
+        "high_freq_terms": O.high_freq_terms_sql(flagship.HIGH_FREQ_N),
+        "dv_stats": O.dv_stats_sql(),
         "payload_topk": O.payload_topk_sql(flagship.PAYLOAD_TOPK_SPECS),
         "blockjoin_topk": O.blockjoin_topk_sql(
             flagship.BLOCKJOIN_TOPK_SPECS, flagship.BLOCKJOIN_CHUNK_W,

@@ -2836,3 +2836,57 @@ def q_geo_nearest(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# misc-module gates: HighFreqTerms and DocValuesStats
+HIGH_FREQ_N = 10
+DV_STATS_COL = "score_hint"
+
+
+def q_high_freq_terms(sf_dir: str) -> pa.Table:
+    """HighFreqTerms gate (misc/HighFreqTerms.java:47): the top-N terms of
+    the merged dictionary by docFreq and by totalTermFreq (one vectorized
+    pass over the shard term tables): (order_by, rank, term, doc_freq,
+    total_term_freq)."""
+    from ..search.misc import high_freq_terms
+
+    merged, _ = get_searchers(sf_dir)
+    orders, ranks, terms, dfs, ttfs = [], [], [], [], []
+    for order in ("df", "ttf"):
+        for r, (t, df, ttf) in enumerate(
+            high_freq_terms(merged, HIGH_FREQ_N, order), start=1
+        ):
+            orders.append(order)
+            ranks.append(r)
+            terms.append(t)
+            dfs.append(df)
+            ttfs.append(ttf)
+    return pa.table(
+        {
+            "order_by": pa.array(orders, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "doc_freq": pa.array(dfs, pa.int64()),
+            "total_term_freq": pa.array(ttfs, pa.int64()),
+        }
+    )
+
+
+def q_dv_stats(sf_dir: str) -> pa.Table:
+    """DocValuesStats gate (misc/DocValuesStats.java:28) over the nullable
+    score_hint doc-values column: (stat, val_r) for count / missing / min /
+    max / mean / variance / stdev (population moments)."""
+    from ..search.misc import doc_values_stats
+
+    merged, _ = get_searchers(sf_dir)
+    stats = doc_values_stats(merged, DV_STATS_COL)
+    names = ["count", "missing", "min", "max", "mean", "variance", "stdev"]
+    return pa.table(
+        {
+            "stat": pa.array(names, pa.string()),
+            "val_r": pa.array(
+                [round_half_away(stats[n], 4) for n in names], pa.float64()
+            ),
+        }
+    )

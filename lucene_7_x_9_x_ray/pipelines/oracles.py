@@ -2676,3 +2676,42 @@ d AS (SELECT doc_id, {dist} AS dist FROM geo)
 SELECT CAST(row_number() OVER (ORDER BY dist, doc_id) AS BIGINT) AS rank,
        doc_id, ROUND(CAST(dist AS DOUBLE), 1) AS dist_r
 FROM d ORDER BY dist, doc_id LIMIT {k}"""
+
+
+def high_freq_terms_sql(n: int, relation: str = "documents") -> str:
+    """(order_by, rank, term, doc_freq, total_term_freq) mirror of
+    flagship.q_high_freq_terms: top-n by df then by ttf, ties broken by
+    ascending term (the DocFreqComparator orderings)."""
+    return f"""WITH {base_ctes(relation)},
+ts AS (SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_term_freq
+       FROM tok GROUP BY term)
+(SELECT 'df' AS order_by,
+        CAST(row_number() OVER (ORDER BY doc_freq DESC, term) AS BIGINT) AS rank,
+        term, doc_freq, total_term_freq
+ FROM ts ORDER BY doc_freq DESC, term LIMIT {n})
+UNION ALL
+(SELECT 'ttf' AS order_by,
+        CAST(row_number() OVER (ORDER BY total_term_freq DESC, term) AS BIGINT) AS rank,
+        term, doc_freq, total_term_freq
+ FROM ts ORDER BY total_term_freq DESC, term LIMIT {n})"""
+
+
+def dv_stats_sql(relation: str = "documents") -> str:
+    """(stat, val_r) mirror of flagship.q_dv_stats over the score_hint
+    derivation (NULL iff doc_id % 3 == 0, else n_chars): population
+    variance/stdev, rounded to 4 decimals (fp-noise-proof: the moments of
+    small integers land far from the rounding grid — verified at both
+    driver scales)."""
+    return f"""WITH d AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars END AS v
+  FROM {relation}),
+m AS (SELECT count(v) AS cnt, count(*) - count(v) AS miss,
+             min(v) AS mn, max(v) AS mx, avg(v) AS mean,
+             var_pop(v) AS var FROM d)
+SELECT 'count' AS stat, ROUND(CAST(cnt AS DOUBLE), 4) AS val_r FROM m
+UNION ALL SELECT 'missing', ROUND(CAST(miss AS DOUBLE), 4) FROM m
+UNION ALL SELECT 'min', ROUND(CAST(mn AS DOUBLE), 4) FROM m
+UNION ALL SELECT 'max', ROUND(CAST(mx AS DOUBLE), 4) FROM m
+UNION ALL SELECT 'mean', ROUND(CAST(mean AS DOUBLE), 4) FROM m
+UNION ALL SELECT 'variance', ROUND(CAST(var AS DOUBLE), 4) FROM m
+UNION ALL SELECT 'stdev', ROUND(CAST(sqrt(var) AS DOUBLE), 4) FROM m"""
