@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_topk": flagship.q_interval_topk,  # queries/intervals module
         "geo_match": flagship.q_geo_match,  # LatLonPoint distance/box predicates
         "geo_nearest": flagship.q_geo_nearest,  # LatLonDocValuesField distance sort
+        "synonym_topk": flagship.q_synonym_topk,  # QueryBuilder synonym expansion
         "high_freq_terms": flagship.q_high_freq_terms,  # misc/HighFreqTerms
         "dv_stats": flagship.q_dv_stats,  # misc/DocValuesStats
         "span_topk": flagship.q_span_topk,  # search/spans module
@@ -243,6 +244,12 @@ def oracle_sql() -> dict[str, str]:
             flagship.GEO_CENTER, flagship.GEO_RADIUS_M, flagship.GEO_BOX
         ),
         "geo_nearest": O.geo_nearest_sql(flagship.GEO_CENTER, flagship.GEO_K),
+        "synonym_topk": O.synonym_topk_sql(
+            [
+                (qid, flagship.synonym_positions(text, syn), kind, k)
+                for qid, text, syn, kind, k in flagship.SYNONYM_TOPK_SPECS
+            ]
+        ),
         "high_freq_terms": O.high_freq_terms_sql(flagship.HIGH_FREQ_N),
         "dv_stats": O.dv_stats_sql(),
         "payload_topk": O.payload_topk_sql(flagship.PAYLOAD_TOPK_SPECS),

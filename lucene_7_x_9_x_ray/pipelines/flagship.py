@@ -2890,3 +2890,60 @@ def q_dv_stats(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# QueryBuilder synonym-expansion gate: (qid, query text, synonym map, kind, k)
+# — kind "bool" produces TermQuery/SynonymQuery clauses
+# (QueryBuilder.analyzeBoolean), kind "phrase" produces
+# PhraseQuery/MultiPhraseQuery (analyzeMultiPhrase). "digest" is absent
+# from the corpus: the union must tolerate zero-posting synonyms.
+SYNONYM_TOPK_SPECS: list[tuple[str, str, dict[str, tuple[str, ...]], str, int]] = [
+    ("synb_table_row", "the table", {"table": ("row",)}, "bool", 10),
+    ("synb_multi", "key hash", {"key": ("value", "line"), "hash": ("digest",)}, "bool", 10),
+    ("synp_key_hashvalue", "key hash", {"hash": ("value",)}, "phrase", 10),
+    ("synp_plain", "key hash", {}, "phrase", 10),
+]
+
+
+def synonym_positions(
+    text: str, synonyms: dict[str, tuple[str, ...]]
+) -> list[tuple[str, ...]]:
+    """Analyzed (term, *synonyms) position stacks for one spec — shared by
+    the gate (via querybuilder) and the SQL oracle generator so both sides
+    expand identically."""
+    from ..functions.analysis import get_analyzer
+    from ..search.querybuilder import _positions
+
+    return _positions(get_analyzer("standard"), text, synonyms)
+
+
+def q_synonym_topk(sf_dir: str) -> pa.Table:
+    """Query-time synonym expansion through QueryBuilder: each spec's text
+    is analyzed, single-word synonym rules stack terms onto positions, and
+    the builder emits SynonymQuery clauses (bool kind) or a
+    MultiPhraseQuery upgrade (phrase kind): (query_id, rank, doc_id,
+    score_r)."""
+    from ..search.querybuilder import create_boolean_query, create_phrase_query
+
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text, syn, kind, k in SYNONYM_TOPK_SPECS:
+        if kind == "bool":
+            query = create_boolean_query(merged.analyzer, text, syn)
+        else:
+            query = create_phrase_query(merged.analyzer, text, syn)
+        td = merged.search(query, k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )

@@ -2715,3 +2715,96 @@ UNION ALL SELECT 'max', ROUND(CAST(mx AS DOUBLE), 4) FROM m
 UNION ALL SELECT 'mean', ROUND(CAST(mean AS DOUBLE), 4) FROM m
 UNION ALL SELECT 'variance', ROUND(CAST(var AS DOUBLE), 4) FROM m
 UNION ALL SELECT 'stdev', ROUND(CAST(sqrt(var) AS DOUBLE), 4) FROM m"""
+
+
+def synonym_topk_sql(
+    specs: list[tuple[str, list[tuple[str, ...]], str, int]],
+    relation: str = "documents",
+) -> str:
+    """QueryBuilder synonym-expansion oracle: (query_id, rank, doc_id,
+    score_r). specs: (qid, position stacks, kind, k) with kind "bool" or
+    "phrase" (stacks from flagship.synonym_positions).
+
+    bool: single-term positions reuse the term leaf CTEs; stacked
+    positions score as one SynonymQuery pseudo-term — df = greatest of the
+    members' dfs, freq = summed member freqs (SynonymQuery.java
+    TermStatistics aggregation, same kernel as scoring_variants_sql's syn
+    branch) — then a SHOULD-sum in DOUBLE with one float32 cast.
+
+    phrase: the MultiPhraseQuery closed form (multiphrase_topk_sql): an
+    alignment position matches when each slot's term set contains the
+    aligned token; weight = f32 of the DOUBLE sum of all flattened member
+    idfs (plain phrases are the all-single-slot special case).
+    """
+    single_terms = sorted(
+        {
+            t
+            for _, stacks, kind, _ in specs
+            for stack in stacks
+            for t in ([stack[0]] if (kind == "bool" and len(stack) == 1) else stack)
+        }
+    )
+    ctes = [base_ctes(relation)]
+    ctes += [term_leaf_ctes(t) for t in single_terms]
+    selects = []
+    for qid, stacks, kind, k in specs:
+        if kind == "bool":
+            leaves = []
+            for i, stack in enumerate(stacks):
+                if len(stack) == 1:
+                    leaves.append(f"SELECT doc_id, s FROM s_{_ident(stack[0])}")
+                    continue
+                lits = ",".join("'" + t.replace("'", "''") + "'" for t in stack)
+                df_parts = ",".join(
+                    f"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = "
+                    f"'{t.replace(chr(39), chr(39) * 2)}')"
+                    for t in stack
+                )
+                ctes.append(f"""
+wsyn_{qid}_{i} AS (SELECT CAST(ln(1 + ((SELECT n_docs FROM cs) - df + 0.5) / (df + 0.5)) AS FLOAT) AS w
+                   FROM (SELECT greatest({df_parts}) AS df)),
+gsyn_{qid}_{i} AS (SELECT tf.doc_id,
+                          (SELECT w FROM wsyn_{qid}_{i})
+                          - (SELECT w FROM wsyn_{qid}_{i})
+                            / ({ONE_F} + CAST(tf.freq AS FLOAT)
+                               * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                                  + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS s
+                   FROM (SELECT doc_id, count(*) AS freq FROM tok
+                         WHERE term IN ({lits}) GROUP BY doc_id) tf
+                   JOIN normlen nl USING (doc_id))""")
+                leaves.append(f"SELECT doc_id, s FROM gsyn_{qid}_{i}")
+            union = "\n      UNION ALL ".join(leaves)
+            ctes.append(f"""
+scored_{qid} AS (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+                 FROM ({union}) GROUP BY doc_id)""")
+        else:  # phrase: the multiphrase closed form over the stacks
+            conds = " AND ".join(
+                "arr[i+{}] IN ({})".format(
+                    j, ",".join("'" + t.replace("'", "''") + "'" for t in stack)
+                )
+                for j, stack in enumerate(stacks)
+            )
+            flat = [t for stack in stacks for t in stack]
+            idf_sum = " + ".join(
+                f"CAST((SELECT w FROM w_{_ident(t)}) AS DOUBLE)" for t in flat
+            )
+            ctes.append(f"""
+mpf_{qid} AS (SELECT doc_id, count(*) AS freq
+             FROM (SELECT doc_id, arr,
+                          unnest(generate_series(1, greatest(len(arr) - {len(stacks) - 1}, 0))) AS i
+                   FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}))
+             WHERE {conds} GROUP BY doc_id),
+scored_{qid} AS (SELECT pf.doc_id,
+                    CAST({idf_sum} AS FLOAT)
+                    - CAST({idf_sum} AS FLOAT)
+                      / ({ONE_F} + CAST(pf.freq AS FLOAT)
+                         * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                            + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS score
+             FROM mpf_{qid} pf JOIN normlen nl USING (doc_id))""")
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM scored_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
