@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_freq_terms": flagship.q_high_freq_terms,  # misc/HighFreqTerms
         "dv_stats": flagship.q_dv_stats,  # misc/DocValuesStats
         "span_topk": flagship.q_span_topk,  # search/spans module
+        "surround_topk": flagship.q_surround_topk,  # surround span-syntax parser
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
         "join_topk": flagship.q_join_topk,  # JoinUtil scored query-time join
         "revenue_by_nation": relational.q_revenue_by_nation,  # 2-hop hash join chain
@@ -262,6 +263,12 @@ def oracle_sql() -> dict[str, str]:
             flagship.BLOCKJOIN_PARENT_TEXT,
         ),
         "span_topk": O.span_topk_sql(flagship.SPAN_TOPK_SPECS),
+        "surround_topk": O.span_topk_sql(
+            [
+                (qid, kind, clauses, param, flagship.SURROUND_K)
+                for qid, _text, (kind, clauses, param) in flagship.SURROUND_TOPK_SPECS
+            ]
+        ),
         "bm25_topk_docsonly": O.bm25_docsonly_topk_sql(flagship.BM25_QUERY_SPECS),
         "suggest_completion": O.completion_sql(flagship.COMPLETION_SPECS),
         "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),

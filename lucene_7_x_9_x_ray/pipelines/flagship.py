@@ -2947,3 +2947,46 @@ def q_synonym_topk(sf_dir: str) -> pa.Table:
             "score_r": pa.array(scores, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Surround-parser gate: (qid, surround query string, equivalent span spec
+# for the shared span oracle (kind, clauses, slop-param)) — distances are
+# 1-based in the syntax and translate to slop = distance - 1
+# (surround/query/DistanceQuery.java getSpanNearQuery).
+SURROUND_TOPK_SPECS: list[tuple[str, str, tuple]] = [
+    ("su_w", "3w(key, hash)", ("ord", (("key",), ("hash",)), 2)),
+    ("su_n", "3N(window, batch)", ("unord", (("window",), ("batch",)), 2)),
+    ("su_or_w", "5W(OR(window, stream), batch)",
+     ("ord", (("window", "stream"), ("batch",)), 4)),
+    ("su_infix", "data 9w join", ("ord", (("data",), ("join",)), 8)),
+    ("su_nest", "7W(5W(key, hash), value)",
+     ("ord_nest", (("key",), ("hash",), ("value",)), (4, 6))),
+]
+SURROUND_K = 10
+
+
+def q_surround_topk(sf_dir: str) -> pa.Table:
+    """Surround query parser gate: each spec's query STRING parses to a
+    span tree (prefix/infix W and N, OR-in-distance, nested distance) and
+    scores through the span machinery: (query_id, rank, doc_id,
+    score_r)."""
+    from ..search.surround import parse_surround
+
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text, _spec in SURROUND_TOPK_SPECS:
+        td = merged.search(parse_surround(text), k=SURROUND_K)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )
