@@ -245,6 +245,86 @@ class ClassicSimilarity:
 
 
 @dataclass(frozen=True)
+class SweetSpotTermWeight:
+    """SweetSpotSimilarity per-term state (s84 misc/src/java/org/apache/
+    lucene/misc/SweetSpotSimilarity.java): classic TFIDF queryWeight with
+    the baselineTf tf curve (java:188-196: freq <= tf_min -> tf_base, else
+    (float)sqrt(freq + tf_base^2 - tf_min); 0 freq -> 0) and the plateau
+    lengthNorm baked into the norm table. The java inner float arithmetic
+    (freq + base^2 - min) is exact at these magnitudes, so the double-path
+    computation here is bit-identical."""
+
+    query_weight: np.float32
+    norm_table: np.ndarray
+    tf_base: np.float32
+    tf_min: np.float32
+
+    def score(self, freqs, norm_bytes) -> np.ndarray:
+        f = np.asarray(freqs).astype(np.float64, copy=False)
+        base2 = np.float64(self.tf_base) * np.float64(self.tf_base)
+        tf = np.where(
+            f <= np.float64(self.tf_min),
+            self.tf_base,
+            np.sqrt(f + base2 - np.float64(self.tf_min)).astype(np.float32),
+        ).astype(np.float32)
+        tf = np.where(f == 0.0, np.float32(0.0), tf)
+        raw = tf * self.query_weight
+        return raw * self.norm_table[np.asarray(norm_bytes, dtype=np.uint8)]
+
+    def score_scalar(self, freq: float, norm_byte: int) -> float:
+        return float(self.score(np.array([freq]), np.array([norm_byte]))[0])
+
+    def max_score(self, imp_freqs, imp_norms) -> float:
+        if len(imp_freqs) == 0:
+            return 0.0
+        return float(self.score(imp_freqs, imp_norms).max())
+
+
+class SweetSpotSimilarity(ClassicSimilarity):
+    """SweetSpotSimilarity (s84 misc/.../SweetSpotSimilarity.java:55):
+    ClassicSimilarity with a tunable tf baseline and a plateau lengthNorm
+    — lengthNorm(len) = (float)(1f / sqrt(steepness * (|len - min| +
+    |len - max| - (max - min)) + 1f)) (java:139-147), flat 1.0 inside
+    [min, max]. The norm table follows TFIDFSimilarity.scorer's
+    construction (lengthNorm over byte4-decoded lengths, table[0] =
+    1f / table[255])."""
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1,
+                 steepness: float = 0.5, tf_base: float = 0.0,
+                 tf_min: float = 0.0):
+        if ln_min > ln_max:
+            raise ValueError(f"min={ln_min} > max={ln_max}")
+        self.ln_min, self.ln_max = int(ln_min), int(ln_max)
+        self.steepness = np.float32(steepness)
+        self.tf_base, self.tf_min = np.float32(tf_base), np.float32(tf_min)
+        lengths = BYTE4_DECODE_TABLE.astype(np.int64)
+        abs_sum = (
+            np.abs(lengths - self.ln_min)
+            + np.abs(lengths - self.ln_max)
+            - (self.ln_max - self.ln_min)
+        ).astype(np.float32)
+        inner = self.steepness * abs_sum + np.float32(1.0)
+        nt = (1.0 / np.sqrt(inner.astype(np.float64))).astype(np.float32)
+        nt[0] = np.float32(1.0) / nt[255]
+        self._norm_table = nt
+
+    def term_weight(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        ttf: int | None = None,
+    ) -> SweetSpotTermWeight:
+        return SweetSpotTermWeight(
+            query_weight=np.float32(np.float32(boost) * self.idf(doc_freq, doc_count)),
+            norm_table=self._norm_table,
+            tf_base=self.tf_base,
+            tf_min=self.tf_min,
+        )
+
+
+@dataclass(frozen=True)
 class LMDirichletTermWeight:
     """LMDirichlet per-(term, collection) state (s84
     LMDirichletSimilarity.java:83-87 + LMSimilarity.java:172-174,
@@ -741,6 +821,8 @@ def get_similarity(spec: str = "bm25"):
       "dfi(saturated)" etc.       -> DFI with that independence measure
       "axiomaticf2exp" etc.       -> Axiomatic F{1,2,3}{EXP,LOG} defaults
       "axiomaticf3log(s=…, queryLen=…)" -> parameterized Axiomatic
+      "sweetspot(min=…, max=…, steepness=…, tf_base=…, tf_min=…)"
+                                  -> SweetSpotSimilarity (misc module)
 
     Searchers accept the returned object via their ``bm25`` argument."""
     import re
@@ -759,6 +841,20 @@ def get_similarity(spec: str = "bm25"):
             else:
                 kwargs[key] = float(val)
         return AxiomaticSimilarity(max_.group(1), **kwargs)
+    msw = re.fullmatch(r"sweetspot(?:\(([^)]*)\))?", spec)
+    if msw is not None:
+        kwargs = {}
+        names = {"min": "ln_min", "max": "ln_max", "steepness": "steepness",
+                 "tf_base": "tf_base", "tf_min": "tf_min"}
+        for part in filter(None, (p.strip() for p in (msw.group(1) or "").split(","))):
+            key, _, val = part.partition("=")
+            key = key.strip()
+            if key not in names:
+                raise ValueError(f"unknown parameter {key!r} in {spec!r}")
+            kwargs[names[key]] = (
+                int(val) if key in ("min", "max") else float(val)
+            )
+        return SweetSpotSimilarity(**kwargs)
     if spec == "bm25":
         return BM25()
     if spec == "bm25legacy":

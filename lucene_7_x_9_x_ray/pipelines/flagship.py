@@ -1054,6 +1054,9 @@ SIMILARITY_TOPK_SPECS: list[tuple[str, str]] = [
     ("axf1", "axiomaticf1exp"),    # Axiomatic F1EXP (AxiomaticF1EXP.java)
     ("axf2", "axiomaticf2exp"),    # Axiomatic F2EXP (AxiomaticF2EXP.java)
     ("axf3", "axiomaticf3log(queryLen=2)"),  # Axiomatic F3LOG, real query length
+    # misc/SweetSpotSimilarity: plateau lengthNorm over the corpus's
+    # 10-99 dl range + baselineTf — params mirrored in the SQL kernel
+    ("sweet", "sweetspot(min=30,max=60,steepness=0.5,tf_base=1.5,tf_min=2)"),
 ]
 SIMILARITY_TOPK_TERMS = ("key", "hash")
 SIMILARITY_TOPK_K = 10

@@ -719,6 +719,11 @@ def similarity_topk_sql(ta: str, tb: str, k: int, relation: str = "documents") -
     - 'bool': BooleanSimilarity (BooleanSimilarity.java) — every matching
       leaf scores exactly the query boost (1.0); the disjunction sum
       counts matching clauses.
+    - 'sweet': misc SweetSpotSimilarity(min=30, max=60, steepness=0.5,
+      tf_base=1.5, tf_min=2) — classic idf, baselineTf (freq <= 2 ->
+      1.5f, else f32(sqrt(freq + 1.5^2 - 2))), plateau lengthNorm
+      f32(1 / sqrt(0.5·(|l-30| + |l-60| - 30) + 1)) — all inner float
+      arithmetic exact at these magnitudes, so the double path matches.
     - 'axf1'/'axf2'/'axf3': Axiomatic F1EXP / F2EXP / F3LOG(queryLen=2)
       (Axiomatic.java:103-112 + the subclass component definitions) —
       avgfl = sttf/N DOUBLE, s=0.25 exact-in-float, k widened from the
@@ -834,6 +839,15 @@ lgs_{t} AS (SELECT tf.doc_id,
                     + {K1_F} * (({ONE_F} - {B_F})
                        + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))) AS s
             FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
+            JOIN normlen nl USING (doc_id)),
+sws_{t} AS (SELECT tf.doc_id,
+                 (CASE WHEN tf.freq <= 2 THEN CAST(1.5 AS FLOAT)
+                       ELSE CAST(sqrt(CAST(tf.freq AS DOUBLE) + 2.25 - 2.0) AS FLOAT) END
+                  * (SELECT w FROM cw_{t}))
+                 * CAST(1.0 / sqrt(0.5 * (abs(CAST(nl.nlen AS DOUBLE) - 30.0)
+                                          + abs(CAST(nl.nlen AS DOUBLE) - 60.0)
+                                          - 30.0) + 1.0) AS FLOAT) AS s
+            FROM (SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{lit}' GROUP BY doc_id) tf
             JOIN normlen nl USING (doc_id))""")
     selects = []
     for qid, pref in (
@@ -841,6 +855,7 @@ lgs_{t} AS (SELECT tf.doc_id,
         ("dfr", "dfr"), ("ib", "ibs"), ("dfi", "dfis"),
         ("lmjm", "lmjm"), ("bool", "bls"),
         ("axf1", "axf1"), ("axf2", "axf2"), ("axf3", "axf3"),
+        ("sweet", "sws"),
     ):
         scored = f"""(SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
             CAST(COALESCE(CAST(x.s AS DOUBLE), 0)

@@ -91,3 +91,35 @@ def test_doc_values_stats_missing_and_deletes(tmp_path):
     assert st2["count"] == len(present2)
     assert st2["missing"] == len(live) - len(present2)
     assert abs(st2["mean"] - present2.mean()) < 1e-12
+
+
+def test_sweetspot_similarity_plateau_and_baseline_tf():
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java): lengthNorm is
+    flat 1.0 inside [min,max] and decays outside; baselineTf floors small
+    freqs at tf_base; registry spec round-trips parameters."""
+    from lucene_7_x_9_x_ray.functions.bm25 import get_similarity
+    from lucene_7_x_9_x_ray.functions.smallfloat import BYTE4_DECODE_TABLE
+
+    sim = get_similarity("sweetspot(min=30,max=60,steepness=0.5,tf_base=1.5,tf_min=2)")
+    nt = sim._norm_table
+    # norm byte for a length inside the plateau scores exactly 1.0
+    inside = np.flatnonzero((BYTE4_DECODE_TABLE >= 30) & (BYTE4_DECODE_TABLE <= 60))
+    assert np.all(nt[inside] == np.float32(1.0))
+    # outside the plateau the norm strictly decays with distance
+    l20 = int(np.flatnonzero(BYTE4_DECODE_TABLE == 20)[0])
+    l10 = int(np.flatnonzero(BYTE4_DECODE_TABLE == 10)[0])
+    assert nt[l10] < nt[l20] < 1.0
+    # lengthNorm closed form at len=20: 1/sqrt(0.5*((10+40)-30)+1)
+    assert nt[l20] == np.float32(1.0 / np.sqrt(0.5 * 20 + 1.0))
+
+    w = sim.term_weight(doc_freq=10, doc_count=100, sum_total_term_freq=1000)
+    b = int(np.flatnonzero(BYTE4_DECODE_TABLE == 40)[0])  # plateau norm = 1
+    # freq <= tf_min -> tf_base * idf
+    assert w.score_scalar(2, b) == float(np.float32(1.5) * w.query_weight)
+    # freq > tf_min -> sqrt(freq + base^2 - min) * idf
+    import math
+    assert w.score_scalar(9, b) == float(
+        np.float32(np.float32(math.sqrt(9 + 2.25 - 2)) * w.query_weight)
+    )
+    # zero freq scores zero
+    assert w.score_scalar(0, b) == 0.0
