@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_lsh_pairs": dedup.q_embed_dup_lsh_pairs,  # rows-only (LSH recall)
         # --- similarity search ---
         "ann_brute_topk": ann.q_ann_brute_topk,
+        "ann_filtered_topk": ann.q_ann_filtered_topk,  # KnnFloatVectorQuery(filter)
         "ann_ivf_topk": ann.q_ann_ivf_topk,
         "ann_hnsw_topk": ann.q_ann_hnsw_topk,  # rows-only (graph recall)
         # --- relational companions ---
@@ -325,6 +326,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dedup.oracle_simhash_pairs_sql(),
         "embed_dup_pairs": dedup.oracle_embed_dup_sql(),
         "ann_brute_topk": ann.oracle_ann_sql(ann.BRUTE_QUERY_IDS),
+        "ann_filtered_topk": ann.oracle_ann_filtered_sql(
+            ann.BRUTE_QUERY_IDS, ann.ANN_FILTER_LABEL
+        ),
         "ann_ivf_topk": ann.oracle_ann_sql(ann.IVF_QUERY_IDS),
         "semi_join": relational.oracle_semi_join_sql(),
         "lineitem_pricing": relational.oracle_lineitem_pricing_sql(),

@@ -69,7 +69,15 @@ def _topk_table(query_ids, cand_ids_per_q, cand_sims_per_q) -> pa.Table:
     )
 
 
-def _brute_force(sf_dir: str, query_ids: list[int]) -> pa.Table:
+def _brute_force(
+    sf_dir: str, query_ids: list[int], label: int | None = None
+) -> pa.Table:
+    """Exact cosine top-k; ``label`` restricts CANDIDATES to that label
+    value — the KnnFloatVectorQuery(filter) role (s9x core
+    KnnFloatVectorQuery exact-search fallback: when the filtered set is
+    below the visit limit, Lucene scores it exhaustively, which is
+    precisely this path). The predicate is pushed into the parquet scan
+    (row-group pruning), never evaluated per batch."""
     import ray
     import ray.data as rd
 
@@ -83,6 +91,14 @@ def _brute_force(sf_dir: str, query_ids: list[int]) -> pa.Table:
             self.q = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:  # an all-filtered row group
+                return pa.table(
+                    {
+                        "qi": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
             ids = batch["vec_id"].to_numpy()
             v = _normalize(
                 np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
@@ -106,8 +122,13 @@ def _brute_force(sf_dir: str, query_ids: list[int]) -> pa.Table:
                 }
             )
 
+    row_filter = None
+    if label is not None:
+        import pyarrow.dataset as pads
+
+        row_filter = pads.field("label") == label
     ds = sized_read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-                    rows_per_block=HEAVY_ROWS_PER_BLOCK)
+                    rows_per_block=HEAVY_ROWS_PER_BLOCK, row_filter=row_filter)
     parts = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
 
     tbls = [t for t in ray.get(parts.materialize().to_arrow_refs()) if t.num_rows]
@@ -518,6 +539,39 @@ def oracle_ann_sql(query_ids: list[int], relation: str = "embeddings") -> str:
     ids = ",".join(str(q) for q in query_ids)
     return f"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {relation}),
 q AS (SELECT vec_id AS query_id, e AS qe FROM n WHERE vec_id IN ({ids})),
+sims AS (SELECT q.query_id, n.vec_id,
+                list_dot_product(q.qe, n.e)
+                / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(n.e, n.e))) AS sim
+         FROM q CROSS JOIN n),
+ranked AS (SELECT query_id, vec_id, sim,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+           FROM sims)
+SELECT query_id, rank, vec_id, ROUND(sim, 6) AS cos_r
+FROM ranked WHERE rank <= {ANN_K}"""
+
+
+ANN_FILTER_LABEL = 1
+
+
+def q_ann_filtered_topk(sf_dir: str) -> pa.Table:
+    """Filtered kNN (KnnFloatVectorQuery with a filter query): exact
+    cosine top-k over only the candidates whose label matches — the
+    predicate prunes at the parquet scan."""
+    return _brute_force(sf_dir, BRUTE_QUERY_IDS, label=ANN_FILTER_LABEL)
+
+
+def oracle_ann_filtered_sql(
+    query_ids: list[int], label: int, relation: str = "embeddings"
+) -> str:
+    """Filtered twin of oracle_ann_sql: candidates restricted by label,
+    query vectors unrestricted (the Lucene filter applies to MATCHES, not
+    to the query)."""
+    ids = ",".join(str(q) for q in query_ids)
+    return f"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM {relation} WHERE label = {label}),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM {relation} WHERE vec_id IN ({ids})),
 sims AS (SELECT q.query_id, n.vec_id,
                 list_dot_product(q.qe, n.e)
                 / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(n.e, n.e))) AS sim

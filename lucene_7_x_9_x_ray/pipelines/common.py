@@ -43,11 +43,16 @@ def _cluster_cpus() -> int:
 
 
 def sized_read(path: str, columns: list[str] | None = None,
-               rows_per_block: int = LIGHT_ROWS_PER_BLOCK):
-    """``read_parquet`` with ``override_num_blocks`` matched to table size."""
+               rows_per_block: int = LIGHT_ROWS_PER_BLOCK,
+               row_filter=None):
+    """``read_parquet`` with ``override_num_blocks`` matched to table size.
+    ``row_filter`` (a pyarrow dataset expression) pushes the predicate into
+    the parquet scan — row-group zone maps prune before rows ever reach a
+    worker."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     n = pq.read_metadata(path).num_rows
     blocks = max(1, min(math.ceil(n / rows_per_block), 16 * _cluster_cpus()))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+    kw = {} if row_filter is None else {"filter": row_filter}
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks, **kw)
