@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stem_es_tokens": textops.q_stem_es_tokens,  # Savoy Spanish light stemmer
         # --- dedup suite ---
         "exact_dedup": dedup.q_exact_dedup,
+        "line_dedup": dedup.q_line_dedup,  # C4-style sub-document line dedup
         "jaccard_pairs": dedup.q_jaccard_pairs,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,  # rows-only (LSH recall)
         "simhash_pairs": dedup.q_simhash_pairs,
@@ -322,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": textops.oracle_fingerprint_sql(),
         "highlight_corpus": textops.oracle_highlight_sql(),
         "exact_dedup": dedup.oracle_exact_dedup_sql(),
+        "line_dedup": dedup.oracle_line_dedup_sql(),
         "jaccard_pairs": dedup.oracle_jaccard_pairs_sql(),
         "simhash_pairs": dedup.oracle_simhash_pairs_sql(),
         "embed_dup_pairs": dedup.oracle_embed_dup_sql(),

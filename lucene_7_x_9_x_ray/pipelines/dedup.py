@@ -1108,3 +1108,123 @@ FROM n x JOIN n y ON x.vec_id < y.vec_id
 WHERE list_dot_product(x.e, y.e)
       / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
       >= {EMBED_COS_THRESHOLD}"""
+
+
+# --- line-level exact dedup (C4 / RefinedWeb sub-document dedup) ------------
+
+LINE_DEDUP_W = 10       # tokens per "line" window
+LINE_DEDUP_MAXL = 1024  # lines-per-doc bound for the (doc, line) -> key pack
+
+
+def _line_rows(batch: pa.Table, w: int = LINE_DEDUP_W) -> pa.Table:
+    """Explode docs into consecutive non-overlapping w-token lines:
+    (line_md5, key) with key = doc_id * LINE_DEDUP_MAXL + line_idx (the
+    corpus-order first-occurrence key). Line construction is Arrow-
+    kernelized (split_pattern + list_slice + binary_join, one pass per
+    window index — bounded by the longest doc, each pass vectorized over
+    the whole batch). Line identity is md5 of the joined text for SQL
+    parity; the 100 TB path would swap in the uint64 kernel
+    (hashing.md5_lower64_array) with identical plumbing."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_hex
+
+    doc_ids = batch["doc_id"].to_numpy()
+    arr = pc.split_pattern(batch["text"], " ")
+    lens = pc.list_value_length(arr).to_numpy()
+    max_lines = int(np.ceil(lens.max() / w)) if len(lens) else 0
+    keys, hashes = [], []
+    for i in range(max_lines):
+        has = lens > i * w
+        if not has.any():
+            break
+        joined = pc.binary_join(pc.list_slice(arr, i * w, (i + 1) * w), " ")
+        texts = joined.to_numpy(zero_copy_only=False)[has]
+        hashes.extend(md5_hex(t) for t in texts)
+        keys.append(doc_ids[has] * LINE_DEDUP_MAXL + i)
+    if not keys:
+        return pa.table(
+            {"line_md5": pa.array([], pa.string()), "key": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "line_md5": pa.array(hashes, pa.string()),
+            "key": pa.array(np.concatenate(keys), pa.int64()),
+        }
+    )
+
+
+def q_line_dedup(sf_dir: str) -> pa.Table:
+    """Sub-document exact dedup (the C4/RefinedWeb line-dedup shape over
+    the synthetic token stream): each doc splits into consecutive
+    LINE_DEDUP_W-token lines; a line is KEPT only at its first corpus
+    occurrence (min (doc_id, line_idx) key). Returns per-doc
+    (doc_id, n_lines, n_kept).
+
+    Scale shape: lines explode inside map_batches (never the whole
+    corpus at the driver); first-occurrence = one groupby(line_md5) min;
+    the kept-per-doc count needs NO join back — the min key encodes its
+    owner doc, so kept counts are a second small groupby over the
+    first-occurrence stream; totals + kept combine via one union +
+    sum-aggregate. Every shuffle key is the line hash or the doc id."""
+    from ray.data.aggregate import Sum
+
+    lines = sized_read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_line_rows, batch_format="pyarrow")
+
+    def tot_rows(batch: pa.Table) -> pa.Table:
+        d = batch["key"].to_numpy() // LINE_DEDUP_MAXL
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "n_lines": pa.array(np.ones(len(d), np.int64)),
+                "n_kept": pa.array(np.zeros(len(d), np.int64)),
+            }
+        )
+
+    def kept_rows(batch: pa.Table) -> pa.Table:
+        d = batch["first_key"].to_numpy() // LINE_DEDUP_MAXL
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "n_lines": pa.array(np.zeros(len(d), np.int64)),
+                "n_kept": pa.array(np.ones(len(d), np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    firsts = (
+        lines.groupby("line_md5")
+        .aggregate(Min("key", alias_name="first_key"))
+        .map_batches(kept_rows, batch_format="pyarrow")
+    )
+    totals = lines.map_batches(tot_rows, batch_format="pyarrow")
+    per_doc = (
+        totals.union(firsts)
+        .groupby("doc_id")
+        .aggregate(Sum("n_lines", alias_name="n_lines"),
+                   Sum("n_kept", alias_name="n_kept"))
+    )
+    t = _to_table(per_doc)
+    return t.select(["doc_id", "n_lines", "n_kept"]).cast(
+        pa.schema([("doc_id", pa.int64()), ("n_lines", pa.int64()),
+                   ("n_kept", pa.int64())])
+    )
+
+
+def oracle_line_dedup_sql(relation: str = "documents") -> str:
+    w, maxl = LINE_DEDUP_W, LINE_DEDUP_MAXL
+    return f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}),
+lines AS (SELECT doc_id, i,
+                 md5(array_to_string(arr[(i-1)*{w}+1 : i*{w}], ' ')) AS h,
+                 doc_id * {maxl} + i - 1 AS key
+          FROM (SELECT doc_id, arr,
+                       unnest(generate_series(1, CAST(ceil(len(arr) / {w}.0) AS BIGINT))) AS i
+                FROM toks)),
+firsts AS (SELECT h, min(key) AS fk FROM lines GROUP BY h),
+kept AS (SELECT fk // {maxl} AS doc_id, count(*) AS n FROM firsts GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines, COALESCE(k.n, 0) AS n_kept
+FROM tot t LEFT JOIN kept k USING (doc_id)"""

@@ -1433,3 +1433,33 @@ def test_facet_assoc_matches_oracle(ray_session):
     want = want.sort_values("path").reset_index(drop=True)
     assert mine["path"].tolist() == want["path"].tolist()
     assert mine["total"].tolist() == want["total"].tolist()
+
+
+def test_line_dedup_first_occurrence_semantics(tmp_path, ray_session):
+    """Line dedup keeps each w-token line only at its first (doc, idx)
+    occurrence; totals count all windows including the short tail."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_7_x_9_x_ray.pipelines import dedup
+
+    w = dedup.LINE_DEDUP_W
+    a = " ".join(f"t{i}" for i in range(w))          # line A
+    b = " ".join(f"u{i}" for i in range(w))          # line B
+    c = "tail one two"                                # short tail line
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            # doc0 = A B ; doc1 = B A (both dup) ; doc2 = A + short tail
+            "text": [f"{a} {b}", f"{b} {a}", f"{a} {c}"],
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(docs, f"{sf}/documents.parquet")
+    got = {
+        int(r["doc_id"]): (int(r["n_lines"]), int(r["n_kept"]))
+        for r in dedup.q_line_dedup(sf).to_pylist()
+    }
+    # doc0 owns first A and first B; doc1 keeps nothing; doc2 keeps only
+    # its short tail
+    assert got == {0: (2, 2), 1: (2, 0), 2: (2, 1)}
