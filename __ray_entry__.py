@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dv_stats": flagship.q_dv_stats,  # misc/DocValuesStats
         "span_topk": flagship.q_span_topk,  # search/spans module
         "surround_topk": flagship.q_surround_topk,  # surround span-syntax parser
+        "termautomaton_topk": flagship.q_termautomaton_topk,  # sandbox TermAutomatonQuery
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
         "join_topk": flagship.q_join_topk,  # JoinUtil scored query-time join
         "revenue_by_nation": relational.q_revenue_by_nation,  # 2-hop hash join chain
@@ -265,6 +266,9 @@ def oracle_sql() -> dict[str, str]:
             flagship.BLOCKJOIN_PARENT_TEXT,
         ),
         "span_topk": O.span_topk_sql(flagship.SPAN_TOPK_SPECS),
+        "termautomaton_topk": O.termautomaton_topk_sql(
+            flagship.TERMAUTOMATON_SPECS, flagship.TERMAUTOMATON_K
+        ),
         "surround_topk": O.span_topk_sql(
             [
                 (qid, kind, clauses, param, flagship.SURROUND_K)

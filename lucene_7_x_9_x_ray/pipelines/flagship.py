@@ -2993,3 +2993,69 @@ def q_surround_topk(sf_dir: str) -> pa.Table:
             "score_r": pa.array(scores, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# TermAutomatonQuery gate: two automatons —
+#  ta_branch: shared-prefix branching paths  key->(hash|value), and the
+#             3-token path window->batch->spark;
+#  ta_prefix: prefix-accept chain batch(acc)->batch(acc), exercising the
+#             accept-EVENT counting (each "batch" token and each
+#             consecutive pair both count, overlapping included).
+# Each spec carries the accepted paths + termID order for the oracle.
+TERMAUTOMATON_SPECS: list[tuple[str, list[list[str]], list[str]]] = [
+    ("ta_branch",
+     [["key", "hash"], ["key", "value"], ["window", "batch", "spark"]],
+     ["key", "hash", "value", "window", "batch", "spark"]),
+    ("ta_prefix", [["batch"], ["batch", "batch"]], ["batch"]),
+]
+TERMAUTOMATON_K = 10
+
+
+def _build_termautomaton(qid: str):
+    from ..search.termautomaton import TermAutomatonBuilder
+
+    b = TermAutomatonBuilder()
+    if qid == "ta_branch":
+        s0, s1, s2 = b.create_state(), b.create_state(), b.create_state()
+        s3, s4, s5 = b.create_state(), b.create_state(), b.create_state()
+        b.add_transition(s0, s1, "key")
+        b.add_transition(s1, s2, "hash")
+        b.add_transition(s1, s2, "value")
+        b.add_transition(s0, s3, "window")
+        b.add_transition(s3, s4, "batch")
+        b.add_transition(s4, s5, "spark")
+        b.set_accept(s2)
+        b.set_accept(s5)
+    elif qid == "ta_prefix":
+        s0, s1, s2 = b.create_state(), b.create_state(), b.create_state()
+        b.add_transition(s0, s1, "batch")
+        b.add_transition(s1, s2, "batch")
+        b.set_accept(s1)
+        b.set_accept(s2)
+    else:
+        raise ValueError(qid)
+    return b.finish()
+
+
+def q_termautomaton_topk(sf_dir: str) -> pa.Table:
+    """Sandbox TermAutomatonQuery gate: automaton freq = accept events
+    over consecutive token positions, idf = per-term sum in termID order:
+    (query_id, rank, doc_id, score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, _paths, _terms in TERMAUTOMATON_SPECS:
+        td = merged.search(_build_termautomaton(qid), k=TERMAUTOMATON_K)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )

@@ -2823,3 +2823,59 @@ scored_{qid} AS (SELECT pf.doc_id,
  FROM scored_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
         )
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def termautomaton_topk_sql(
+    specs: list[tuple[str, list[list[str]], list[str]]],
+    k: int,
+    relation: str = "documents",
+) -> str:
+    """TermAutomatonQuery oracle: (query_id, rank, doc_id, score_r).
+
+    specs: (qid, accepted paths, terms in termID order). freq = the sum
+    over accepted paths of their (overlapping) occurrence counts — each
+    occurrence steps some run into an accept state exactly once
+    (TermAutomatonScorer accept-event counting; in-flight multiplicities
+    are exactly the distinct run starts). Weight = float32 of the DOUBLE
+    sum of per-term f32 idfs in termID order, df == 0 terms excluded
+    (TermAutomatonQuery.java:384), scored with the shared BM25 closed
+    form. The df > 0 exclusion is enforced by construction here: gate
+    specs only use corpus terms."""
+    all_terms = sorted({t for _, _, terms in specs for t in terms})
+    ctes = [base_ctes(relation)]
+    ctes += [term_leaf_ctes(t) for t in all_terms]
+    selects = []
+    for qid, paths, terms in specs:
+        path_cnts = []
+        for pi, path in enumerate(paths):
+            conds = " AND ".join(
+                f"arr[i+{j}] = '{t.replace(chr(39), chr(39) * 2)}'"
+                for j, t in enumerate(path)
+            )
+            ctes.append(f"""
+tap_{qid}_{pi} AS (SELECT doc_id, count(*) AS cnt
+             FROM (SELECT doc_id, arr,
+                          unnest(generate_series(1, greatest(len(arr) - {len(path) - 1}, 0))) AS i
+                   FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}))
+             WHERE {conds} GROUP BY doc_id)""")
+            path_cnts.append(f"SELECT doc_id, cnt FROM tap_{qid}_{pi}")
+        union = "\n      UNION ALL ".join(path_cnts)
+        idf_sum = " + ".join(
+            f"CAST((SELECT w FROM w_{_ident(t)}) AS DOUBLE)" for t in terms
+        )
+        ctes.append(f"""
+taf_{qid} AS (SELECT doc_id, SUM(cnt) AS freq FROM ({union}) GROUP BY doc_id),
+tas_{qid} AS (SELECT f.doc_id,
+                    CAST({idf_sum} AS FLOAT)
+                    - CAST({idf_sum} AS FLOAT)
+                      / ({ONE_F} + CAST(f.freq AS FLOAT)
+                         * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                            + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS score
+             FROM taf_{qid} f JOIN normlen nl USING (doc_id))""")
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM tas_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -950,6 +950,8 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
     elif isinstance(query, (DisjunctionMaxQuery, CoveringQuery)):
         for q in query.queries:
             out |= collect_field_terms(q)
+    elif type(query).__name__ == "TermAutomatonQuery":
+        out.update((query.field, t) for t in query.terms)
     return out
 
 

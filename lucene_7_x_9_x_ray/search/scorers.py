@@ -527,6 +527,11 @@ def eval_query(
 
         return eval_span(reader, query, stats, bm25)
 
+    if type(query).__name__ == "TermAutomatonQuery":
+        from .termautomaton import eval_term_automaton
+
+        return eval_term_automaton(reader, query, stats, bm25)
+
     if isinstance(query, Q.BooleanQuery):
         return _eval_boolean(reader, query, stats, bm25)
 
