@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_topk": flagship.q_span_topk,  # search/spans module
         "surround_topk": flagship.q_surround_topk,  # surround span-syntax parser
         "termautomaton_topk": flagship.q_termautomaton_topk,  # sandbox TermAutomatonQuery
+        "expr_sort_topn": flagship.q_expr_sort_topn,  # Expression.getSortField
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
         "join_topk": flagship.q_join_topk,  # JoinUtil scored query-time join
         "revenue_by_nation": relational.q_revenue_by_nation,  # 2-hop hash join chain
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
             flagship.BLOCKJOIN_PARENT_TEXT,
         ),
         "span_topk": O.span_topk_sql(flagship.SPAN_TOPK_SPECS),
+        "expr_sort_topn": O.expr_sort_topn_sql(flagship.EXPR_SORT_K),
         "termautomaton_topk": O.termautomaton_topk_sql(
             flagship.TERMAUTOMATON_SPECS, flagship.TERMAUTOMATON_K
         ),

@@ -3059,3 +3059,30 @@ def q_termautomaton_topk(sf_dir: str) -> pa.Table:
             "score_r": pa.array(scores, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Expression-sort gate: top-k by a compiled doc-values expression
+# (Expression.getSortField / ExpressionValueSource) — missing score_hint
+# values bind as 0, `length` is the analyzer token count stored per doc.
+EXPR_SORT_SOURCE = "score_hint + length * 2.0"
+EXPR_SORT_K = 12
+
+
+def q_expr_sort_topn(sf_dir: str) -> pa.Table:
+    """(rank, doc_id, val_r): top-EXPR_SORT_K docs by EXPR_SORT_SOURCE
+    descending, docID tie-break — per-segment vectorized evaluate +
+    argpartition partials, heap merge."""
+    from ..search.sortedfield import expression_sort_topn
+
+    merged, _ = get_searchers(sf_dir)
+    top = expression_sort_topn(merged, EXPR_SORT_SOURCE, EXPR_SORT_K)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+            "doc_id": pa.array([d for _, d in top], pa.int64()),
+            "val_r": pa.array(
+                [round_half_away(v, 4) for v, _ in top], pa.float64()
+            ),
+        }
+    )

@@ -2879,3 +2879,20 @@ tas_{qid} AS (SELECT f.doc_id,
  FROM tas_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
         )
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def expr_sort_topn_sql(k: int, relation: str = "documents") -> str:
+    """(rank, doc_id, val_r) mirror of flagship.q_expr_sort_topn:
+    score_hint (NULL iff doc_id % 3 == 0, else n_chars; missing binds 0)
+    + token count * 2, descending, docID tie-break. Integer-valued doubles
+    — no fp sensitivity."""
+    return f"""WITH dl AS (SELECT doc_id, count(*) AS dl
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {relation})
+          GROUP BY doc_id),
+v AS (SELECT d.doc_id,
+             COALESCE(CASE WHEN d.doc_id % 3 = 0 THEN NULL ELSE d.n_chars END, 0)
+             + dl.dl * 2.0 AS v
+      FROM {relation} d JOIN dl USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY v DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(CAST(v AS DOUBLE), 4) AS val_r
+FROM v ORDER BY v DESC, doc_id LIMIT {k}"""

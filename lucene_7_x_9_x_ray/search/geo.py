@@ -63,7 +63,9 @@ def distance_sort_topk(
             live = searcher._live(gdocs)
             dist, gdocs = dist[live], gdocs[live]
         if len(dist) > k:
-            idx = np.argpartition(dist, k)[:k]
+            # (distance, docID) lexsort keeps tie members deterministically
+            # (equal distances straddling the k cut keep the lowest docIDs)
+            idx = np.lexsort((gdocs, dist))[:k]
             dist, gdocs = dist[idx], gdocs[idx]
         partials.extend(zip(dist.tolist(), (int(g) for g in gdocs)))
     return heapq.nsmallest(k, partials)

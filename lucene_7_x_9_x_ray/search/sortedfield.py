@@ -69,3 +69,48 @@ class _neg:
 
     def __eq__(self, other):
         return self.v == other.v
+
+
+def expression_sort_topn(
+    searcher, source: str, k: int, descending: bool = True
+) -> list[tuple[float, int]]:
+    """Top-k LIVE docs by a compiled expression over doc-values columns —
+    the expressions-module sort binding (s84 expressions/src/java/org/
+    apache/lucene/expressions/ExpressionValueSource.java via
+    Expression.getSortField): compile once, per segment bind each variable
+    column (missing numeric doc values evaluate as 0, the
+    ExpressionValueSource missing-sub-value contract), evaluate
+    vectorized, keep an argpartition top-k partial, heap-merge across
+    segments with ascending-docID tie-break. Returns [(value, docID)]."""
+    from ..functions.expressions import compile_expression
+
+    expr = compile_expression(source)
+    if "_score" in expr.variables:
+        raise ValueError("_score is not bindable in an index sort")
+    partials: list[tuple[float, float, int]] = []  # (sort key, value, doc)
+    tombs = searcher.tombstones
+    for r in searcher.readers:
+        bind = {}
+        n = r.doc_count
+        for var in expr.variables:
+            col = np.asarray(r.doc_values(var), dtype=np.float64)
+            bind[var] = np.nan_to_num(col, nan=0.0)
+        vals = expr.evaluate(bind)
+        if np.isscalar(vals) or getattr(vals, "ndim", 1) == 0:
+            vals = np.full(n, float(vals), dtype=np.float64)
+        gdocs = np.arange(n, dtype=np.int64) + r.doc_base
+        if len(tombs):
+            live = searcher._live(gdocs)
+            vals, gdocs = vals[live], gdocs[live]
+        key = -vals if descending else vals
+        if len(key) > k:
+            # deterministic partial: ties must keep the LOWEST docIDs, so
+            # the cut is by (key, docID) — argpartition alone would drop
+            # an arbitrary member of a tie straddling the k boundary
+            idx = np.lexsort((gdocs, key))[:k]
+            key, vals, gdocs = key[idx], vals[idx], gdocs[idx]
+        partials.extend(
+            zip(key.tolist(), vals.tolist(), (int(g) for g in gdocs))
+        )
+    top = heapq.nsmallest(k, partials, key=lambda t: (t[0], t[2]))
+    return [(v, d) for _key, v, d in top]

@@ -123,3 +123,21 @@ def test_sweetspot_similarity_plateau_and_baseline_tf():
     )
     # zero freq scores zero
     assert w.score_scalar(0, b) == 0.0
+
+
+def test_expression_sort_topn_ties_and_missing(tmp_path):
+    """ExpressionSortField analogue: missing doc values bind 0; equal
+    expression values tie-break by ascending docID even across the
+    per-segment partial cut."""
+    from lucene_7_x_9_x_ray.search.sortedfield import expression_sort_topn
+
+    n = 40
+    # hint: same value for many docs -> heavy ties; every 5th missing
+    hints = [None if i % 5 == 0 else float((i % 3) * 10) for i in range(n)]
+    idx = _build(tmp_path, ["x y z"] * n, hints=hints, segment_size=7)
+    s = IndexSearcher(idx)
+    got = expression_sort_topn(s, "hint + 1.0", 10, descending=True)
+    vals = [(0.0 if h is None else h) + 1.0 for h in hints]
+    want = sorted(range(n), key=lambda i: (-vals[i], i))[:10]
+    assert [d for _, d in got] == want
+    assert [v for v, _ in got] == [vals[i] for i in want]
