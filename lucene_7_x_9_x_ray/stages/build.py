@@ -450,3 +450,88 @@ def build_index_local(
     )
     manifest.save()
     return manifest
+
+
+def add_indexes(dst_dir: str, src_dirs: list[str]) -> IndexManifest:
+    """IndexWriter.addIndexes(Directory...) analogue (s84 core
+    index/IndexWriter.java:2917): graft every segment of the source
+    indexes into the destination's docID space WITHOUT re-indexing —
+    segment files are docID-local (postings/norms/docmap/terms all use
+    segment-local ids; only stats.json carries doc_base), so a copy +
+    doc_base rebase is the whole move, exactly the reference's
+    file-copy-plus-SegmentInfo-rename fast path. Source tombstones are
+    rebased into the destination's live-docs generation. Configs must be
+    compatible (same analyzer/field/sort/index-options/payload/field set
+    — the reference likewise refuses incompatible FieldInfos); mixed
+    postings FORMATS are fine, regions self-describe via fmt_id.
+
+    Atomicity matches append_index: segment dirs copy first, the manifest
+    rename publishes; a crash mid-copy leaves the old generation serving
+    and orphan dirs that a retry overwrites."""
+    import shutil
+
+    from ..state.livedocs import delete_docs, load_tombstones
+    from ..state.manifest import STATS_NAME, SegmentStats, atomic_write_json, load_json
+
+    manifest = IndexManifest.load(dst_dir)
+    want_fields = {
+        k for s in manifest.segments for k in (s.get("field_stats") or {})
+    }
+    seg_i = 1 + max(
+        (int(s["seg_name"].rsplit("_", 1)[1]) for s in manifest.segments), default=-1
+    )
+    new_rows: list[dict] = []
+    new_tombs: list[int] = []
+    doc_base = manifest.doc_count
+    for src_dir in src_dirs:
+        src = IndexManifest.load(src_dir)
+        for attr in ("analyzer", "field", "payload_delimiter"):
+            if getattr(src, attr) != getattr(manifest, attr):
+                raise ValueError(
+                    f"addIndexes config mismatch: {attr} is "
+                    f"{getattr(manifest, attr)!r} here, {getattr(src, attr)!r} "
+                    f"in {src_dir}"
+                )
+        if (src.sort_by or "") != (manifest.sort_by or ""):
+            raise ValueError("addIndexes config mismatch: index sort differs")
+        if resolve_index_options(src) != resolve_index_options(manifest):
+            raise ValueError("addIndexes config mismatch: index_options differ")
+        src_tombs = load_tombstones(src_dir, manifest=src)
+        for s in src.segments:
+            have = set((s.get("field_stats") or {}).keys())
+            if have != want_fields:
+                raise ValueError(
+                    f"addIndexes config mismatch: segment {s['seg_name']} has "
+                    f"fields {sorted(have)}, destination has {sorted(want_fields)}"
+                )
+            new_name = f"seg_{seg_i:06d}"
+            seg_i += 1
+            src_seg = os.path.join(src_dir, "segments", s["seg_name"])
+            dst_seg = os.path.join(dst_dir, "segments", new_name)
+            if os.path.exists(dst_seg):  # orphan from a crashed attempt
+                shutil.rmtree(dst_seg)
+            shutil.copytree(src_seg, dst_seg, copy_function=os.link)
+            stats = SegmentStats.from_dict(load_json(os.path.join(dst_seg, STATS_NAME)))
+            old_base = stats.doc_base
+            stats.seg_name = new_name
+            stats.doc_base = doc_base
+            atomic_write_json(os.path.join(dst_seg, STATS_NAME), stats.to_dict())
+            # rebase this segment's deletes into the destination space
+            lo, hi = old_base, old_base + stats.doc_count
+            seg_t = src_tombs[(src_tombs >= lo) & (src_tombs < hi)]
+            new_tombs.extend(int(t - old_base + doc_base) for t in seg_t)
+            doc_base += stats.doc_count
+            new_rows.append(stats.to_dict())
+    # tombstones land BEFORE the manifest publish: ids beyond the old
+    # doc_count are inert until the new generation appears, so a crash
+    # in between leaves the old commit fully intact (never a new commit
+    # missing its deletes)
+    if new_tombs:
+        delete_docs(dst_dir, new_tombs)
+    manifest.segments = manifest.segments + new_rows
+    manifest.doc_count = doc_base
+    manifest.sum_total_term_freq += sum(r["sum_total_term_freq"] for r in new_rows)
+    manifest.field_stats = _aggregate_field_stats(manifest.segments)
+    manifest.version += 1
+    manifest.save()
+    return manifest
