@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "termautomaton_topk": flagship.q_termautomaton_topk,  # sandbox TermAutomatonQuery
         "expr_sort_topn": flagship.q_expr_sort_topn,  # Expression.getSortField
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
+        "payload_check": flagship.q_payload_check,  # SpanPayloadCheckQuery
         "join_topk": flagship.q_join_topk,  # JoinUtil scored query-time join
         "revenue_by_nation": relational.q_revenue_by_nation,  # 2-hop hash join chain
         "brand_returned_revenue": relational.q_brand_returned_revenue,  # part join
@@ -258,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "high_freq_terms": O.high_freq_terms_sql(flagship.HIGH_FREQ_N),
         "dv_stats": O.dv_stats_sql(),
         "payload_topk": O.payload_topk_sql(flagship.PAYLOAD_TOPK_SPECS),
+        "payload_check": O.payload_check_sql(flagship.PAYLOAD_CHECK_SPECS),
         "blockjoin_topk": O.blockjoin_topk_sql(
             flagship.BLOCKJOIN_TOPK_SPECS, flagship.BLOCKJOIN_CHUNK_W,
             flagship.BLOCKJOIN_PARENT_TEXT,

@@ -3086,3 +3086,38 @@ def q_expr_sort_topn(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# SpanPayloadCheckQuery gate over the payload variant index: positions
+# whose payload equals the spec value survive; freq = surviving count.
+# Values are exact multiples of 0.25 (the fixture's payload lattice).
+PAYLOAD_CHECK_SPECS: list[tuple[str, str, float, int]] = [
+    ("pc_join_050", "join", 0.5, 10),
+    ("pc_merge_125", "merge", 1.25, 10),
+    ("pc_scan_000", "scan", 0.0, 10),
+    ("pc_table_175", "table", 1.75, 10),
+]
+
+
+def q_payload_check(sf_dir: str) -> pa.Table:
+    """SpanPayloadCheckQuery gate: (query_id, rank, doc_id, score_r) —
+    BM25 at the payload-filtered position count, full term statistics."""
+    index_dir = build_payload_index(sf_dir)
+    searcher = open_searcher(index_dir, prefer_merged=True)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, term, value, k in PAYLOAD_CHECK_SPECS:
+        td = searcher.search(Q.SpanPayloadCheckQuery(term, payload=value), k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )

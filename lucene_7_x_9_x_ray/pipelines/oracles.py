@@ -2896,3 +2896,47 @@ v AS (SELECT d.doc_id,
 SELECT CAST(row_number() OVER (ORDER BY v DESC, doc_id) AS BIGINT) AS rank,
        doc_id, ROUND(CAST(v AS DOUBLE), 4) AS val_r
 FROM v ORDER BY v DESC, doc_id LIMIT {k}"""
+
+
+def payload_check_sql(
+    specs: list[tuple[str, str, float, int]], relation: str = "documents"
+) -> str:
+    """SpanPayloadCheckQuery oracle over the payload fixture:
+    (query_id, rank, doc_id, score_r). A position of ``term`` matches when
+    it CARRIES a payload (pos % 3 != 2) equal to the spec value
+    (((3*len + pos) % 8) * 0.25 — exact multiples of 0.25, so the DOUBLE
+    compare is float32-faithful); freq = matching positions; score = the
+    BM25 term closed form at that freq with the term's FULL df/avgdl
+    statistics (term_leaf_ctes' w)."""
+    terms = sorted({t for _, t, _, _ in specs})
+    ctes = [base_ctes(relation)]
+    ctes.append(f"""
+pctok AS (
+  SELECT doc_id, i - 1 AS pos, arr[i] AS term
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation})))""")
+    ctes += [term_leaf_ctes(t) for t in terms]
+    selects = []
+    for qid, t, value, k in specs:
+        ti = _ident(t)
+        lit = t.replace("'", "''")
+        ctes.append(f"""
+pcf_{qid} AS (SELECT doc_id, count(*) AS freq
+              FROM pctok
+              WHERE term = '{lit}' AND pos % 3 <> 2
+                AND ((3 * length(term) + pos) % 8) * 0.25 = {value!r}
+              GROUP BY doc_id),
+pcs_{qid} AS (SELECT f.doc_id,
+                 (SELECT w FROM w_{ti})
+                 - (SELECT w FROM w_{ti})
+                   / ({ONE_F} + CAST(f.freq AS FLOAT)
+                      * ({ONE_F} / ({K1_F} * (({ONE_F} - {B_F})
+                         + ({B_F} * CAST(nl.nlen AS FLOAT)) / (SELECT avgdl FROM cs))))) AS score
+              FROM pcf_{qid} f JOIN normlen nl USING (doc_id))""")
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM pcs_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

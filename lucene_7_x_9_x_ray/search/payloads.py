@@ -93,3 +93,42 @@ def eval_payload_query(reader, query, stats, bm25):
     # (PayloadSpanScorer.scoreCurrentDoc returns getPayloadScore() alone,
     # which never consults the weight's boost)
     return docs, scores
+
+
+def eval_span_payload_check(reader, query, stats, bm25):
+    """SpanPayloadCheckQuery over one segment: positions whose float32
+    payload equals ``query.payload`` exactly (byte-equality analogue;
+    NaN/no-payload positions never match) survive; freq = surviving count
+    per doc (TermSpans width 0); score = the term's BM25 weight at that
+    freq — full term statistics, filtering never changes the idf
+    (SpanPayloadCheckQuery.java:53 + SpanScorer sloppy freq)."""
+    from .scorers import _empty, _view
+
+    fr = _view(reader, query.field)
+    if not getattr(fr, "has_payloads", False):
+        raise ValueError(
+            "SpanPayloadCheckQuery requires an index built with payload_delimiter"
+        )
+    tppp = fr.term_positions_payloads(query.term)
+    if tppp is None:
+        return _empty()
+    docs, freqs, _pos, pays = tppp
+    if len(docs) == 0:
+        return _empty()
+    starts = np.zeros(len(freqs), dtype=np.int64)
+    np.cumsum(freqs[:-1], out=starts[1:])
+    hit = (pays == np.float32(query.payload)).astype(np.int64)
+    matched = np.add.reduceat(hit, starts)
+    keep = matched > 0
+    docs, matched = docs[keep], matched[keep]
+    if len(docs) == 0:
+        return _empty()
+    tw = bm25.term_weight(
+        stats.df(query.term, query.field),
+        stats.n_docs(query.field),
+        stats.sttf(query.field),
+        query.boost,
+        ttf=stats.ttf(query.term, query.field),
+    )
+    scores = tw.score(matched, fr.norms[docs]).astype(np.float32, copy=False)
+    return docs, scores

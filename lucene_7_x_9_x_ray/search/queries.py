@@ -497,6 +497,23 @@ class PayloadScoreQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanPayloadCheckQuery(Query):
+    """queries/payloads SpanPayloadCheckQuery over a single-term span
+    (s84 queries/payloads/SpanPayloadCheckQuery.java:53): a span position
+    matches only when its payload EQUALS ``payload`` (byte equality in the
+    reference; float32 equality here — the .pay stream stores the decoded
+    float). Positions without a payload never match (a null payload fails
+    the equality check). Scoring is the surviving spans' SpanScorer
+    sloppy freq (width 0 -> freq = match count) against the term's full
+    statistics — filtering spans does not change the weight's idf."""
+
+    term: str
+    payload: float
+    boost: float = 1.0
+    field: str = ""
+
+
+@dataclass(frozen=True)
 class ToParentBlockJoinQuery(Query):
     """join module ToParentBlockJoinQuery (s84 join/.../
     ToParentBlockJoinQuery.java:63): documents index as contiguous blocks
@@ -919,7 +936,7 @@ def collect_field_terms(query: Query) -> set[tuple[str, str]]:
     out: set[tuple[str, str]] = set()
     if isinstance(query, TermQuery):
         out.add((query.field, query.term))
-    elif isinstance(query, PayloadScoreQuery):
+    elif isinstance(query, (PayloadScoreQuery, SpanPayloadCheckQuery)):
         out.add((query.field, query.term))
     elif isinstance(query, (PhraseQuery, SynonymQuery, CommonTermsQuery)):
         out.update((query.field, t) for t in query.terms)

@@ -512,6 +512,11 @@ def eval_query(
 
         return eval_payload_query(reader, query, stats, bm25)
 
+    if isinstance(query, Q.SpanPayloadCheckQuery):
+        from .payloads import eval_span_payload_check
+
+        return eval_span_payload_check(reader, query, stats, bm25)
+
     if isinstance(query, Q.ToParentBlockJoinQuery):
         from .blockjoin import eval_blockjoin
 
