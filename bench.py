@@ -188,6 +188,7 @@ def run_bench(sf_dir: str, num_cpus: int, repeat: int) -> dict:
             ("op_quality_filter", textops.q_quality_filter),
             ("op_pack_sequences", curation.q_pack_sequences),
             ("op_exact_dedup", dedup.q_exact_dedup),
+            ("op_line_dedup", dedup.q_line_dedup),
             ("op_minhash_lsh", dedup.q_minhash_lsh_pairs),
             ("op_ann_brute_topk", ann.q_ann_brute_topk),
             ("op_lineitem_pricing", relational.q_lineitem_pricing),

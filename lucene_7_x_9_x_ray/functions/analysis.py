@@ -331,6 +331,37 @@ def _vocab_map(tokens: np.ndarray, fn) -> np.ndarray:
     return mapped[inv]
 
 
+_SOUNDEX_CODE = {}
+for _grp, _d in (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                 ("L", "4"), ("MN", "5"), ("R", "6")):
+    for _c in _grp:
+        _SOUNDEX_CODE[_c] = _d
+
+
+def _soundex_token(s: str) -> str:
+    """American Soundex, commons-codec semantics (the encoder Lucene's
+    PhoneticFilterFactory defaults to): first letter + 3 digits; vowels
+    (AEIOUY) separate duplicate codes, H/W do not; pad with zeros.
+    Tokens with no ASCII letter pass through unchanged."""
+    letters = [c for c in s.upper() if "A" <= c <= "Z"]
+    if not letters:
+        return s
+    out = [letters[0]]
+    last = _SOUNDEX_CODE.get(letters[0], "")
+    for c in letters[1:]:
+        d = _SOUNDEX_CODE.get(c)
+        if d is None:
+            if c not in "HW":
+                last = ""  # vowel: resets the duplicate-code window
+            continue
+        if d != last:
+            out.append(d)
+            if len(out) == 4:
+                break
+        last = d
+    return "".join(out) + "0" * (4 - len(out))
+
+
 def _utf8_lower(tokens: np.ndarray) -> np.ndarray:
     if len(tokens) == 0:
         return tokens
@@ -507,6 +538,12 @@ class CustomAnalyzer(Analyzer):
       "elision"        ElisionFilter (French article+apostrophe strip)
       "french_light_stem" / "german_light_stem" / "spanish_light_stem"
                        Savoy light stemmers (functions/lightstem.py)
+      "soundex"        PhoneticFilter(Soundex, inject=false) — token
+                       replaced by its American Soundex code
+      "keyword_marker" KeywordMarkerFilter guarding a 1:1 stemmer
+                       (kwargs: keywords=iterable, filter=spec)
+      "stemmer_override" StemmerOverrideFilter (kwargs: rules=dict,
+                       filter=spec) — rule hits bypass the stemmer
     """
 
     name = "custom"
@@ -572,6 +609,44 @@ class CustomAnalyzer(Analyzer):
         if name == "edge_ngram":
             return _ngram_filter(int(kw.get("min_gram", 1)),
                                  int(kw.get("max_gram", 1)), edge=True)
+        if name == "soundex":
+            # analysis/phonetic PhoneticFilter(Soundex, inject=false): the
+            # token is REPLACED by its code (injection would stack
+            # positions; this chain is order-implied)
+            return lambda t, d: (_vocab_map(t, _soundex_token), d)
+        if name in ("keyword_marker", "stemmer_override"):
+            # KeywordMarkerFilter / StemmerOverrideFilter guarding a
+            # 1:1 downstream stemmer (the keyword attribute the reference
+            # threads through the chain, expressed as a guarded compose):
+            # protected/overridden tokens bypass the wrapped filter.
+            inner = CustomAnalyzer._make_filter(kw.get("filter", "porter"))
+            if name == "keyword_marker":
+                protected = np.array(sorted(set(kw.get("keywords", ()))),
+                                     dtype=object)
+
+                def guard(t, d, _inner=inner, _prot=protected):
+                    it, _ = _inner(t, d)
+                    if len(it) != len(t):
+                        raise ValueError(
+                            "keyword_marker requires a 1:1 inner filter"
+                        )
+                    keep = np.isin(t, _prot)
+                    return np.where(keep, t, it), d
+
+                return guard
+            rules = dict(kw.get("rules") or {})
+
+            def override(t, d, _inner=inner, _rules=rules):
+                it, _ = _inner(t, d)
+                if len(it) != len(t):
+                    raise ValueError(
+                        "stemmer_override requires a 1:1 inner filter"
+                    )
+                mapped = _vocab_map(t, lambda s: _rules.get(s, ""))
+                hit = mapped != ""
+                return np.where(hit, mapped, it), d
+
+            return override
         raise ValueError(f"unknown token filter {name!r}")
 
     def tokenize_batch(self, texts: Sequence[str]):

@@ -478,3 +478,45 @@ def test_language_analyzers_and_elision():
     assert es_stop.tokens("casas y peces") == ["cas", "pez"]
     again = get_analyzer(es_stop.spec_name)
     assert again.tokens("casas y peces") == ["cas", "pez"]
+
+
+def test_soundex_filter_and_vectors():
+    """PhoneticFilter(Soundex) conformance: commons-codec American Soundex
+    vectors; non-letter tokens pass through; chains compose."""
+    from lucene_7_x_9_x_ray.functions.analysis import CustomAnalyzer, _soundex_token
+
+    vectors = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Smith": "S530", "Smythe": "S530",
+    }
+    for word, code in vectors.items():
+        assert _soundex_token(word) == code, word
+    assert _soundex_token("1234") == "1234"  # no letters: pass-through
+
+    a = CustomAnalyzer("standard", ["lowercase", "soundex"])
+    assert a.tokens("Smith vs Smythe") == ["S530", "V200", "S530"]
+    # spec_name round-trips through the registry
+    from lucene_7_x_9_x_ray.functions.analysis import get_analyzer
+
+    assert get_analyzer(a.spec_name).tokens("Robert") == ["R163"]
+
+
+def test_keyword_marker_and_stemmer_override():
+    """KeywordMarkerFilter protects terms from the wrapped stemmer;
+    StemmerOverrideFilter replaces rule hits and stems the rest."""
+    from lucene_7_x_9_x_ray.functions.analysis import CustomAnalyzer, get_analyzer
+
+    km = CustomAnalyzer(
+        "standard",
+        ["lowercase", ("keyword_marker", {"keywords": ["running"], "filter": "porter"})],
+    )
+    assert km.tokens("running runner jumps") == ["running", "runner", "jump"]
+
+    so = CustomAnalyzer(
+        "standard",
+        ["lowercase", ("stemmer_override", {"rules": {"mice": "mouse"}, "filter": "porter"})],
+    )
+    assert so.tokens("mice houses running") == ["mouse", "hous", "run"]
+    # manifest round-trip (build-config spec string)
+    assert get_analyzer(so.spec_name).tokens("mice") == ["mouse"]
