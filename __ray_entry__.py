@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surround_topk": flagship.q_surround_topk,  # surround span-syntax parser
         "termautomaton_topk": flagship.q_termautomaton_topk,  # sandbox TermAutomatonQuery
         "expr_sort_topn": flagship.q_expr_sort_topn,  # Expression.getSortField
+        "multifield_topk": flagship.q_multifield_topk,  # MultiFieldQueryParser
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
         "payload_check": flagship.q_payload_check,  # SpanPayloadCheckQuery
         "join_topk": flagship.q_join_topk,  # JoinUtil scored query-time join
@@ -270,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_topk": O.span_topk_sql(flagship.SPAN_TOPK_SPECS),
         "expr_sort_topn": O.expr_sort_topn_sql(flagship.EXPR_SORT_K),
+        "multifield_topk": O.multifield_topk_sql(flagship.MULTIFIELD_TOPK_SPECS),
         "termautomaton_topk": O.termautomaton_topk_sql(
             flagship.TERMAUTOMATON_SPECS, flagship.TERMAUTOMATON_K
         ),

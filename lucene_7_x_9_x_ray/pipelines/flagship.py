@@ -3121,3 +3121,41 @@ def q_payload_check(sf_dir: str) -> pa.Table:
             "score_r": pa.array(scores, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# MultiFieldQueryParser gate: (qid, query text, [(field, boost)], k) —
+# each token expands to a SHOULD disjunction over the fields; token
+# groups combine SHOULD (parser default OR).
+MULTIFIELD_TOPK_SPECS: list[tuple[str, str, list[tuple[str, float]], int]] = [
+    ("mf_key_hash", "key hash", [("title", 1.0), ("", 1.0)], 10),
+    ("mf_title2_table", "table", [("title", 2.0), ("", 1.0)], 10),
+    ("mf_three", "window batch spark", [("title", 1.5), ("", 1.0)], 10),
+]
+
+
+def q_multifield_topk(sf_dir: str) -> pa.Table:
+    """MultiFieldQueryParser gate: (query_id, rank, doc_id, score_r) —
+    nested boolean scoring (inner per-token field disjunction casts
+    float32, outer SHOULD re-accumulates), title routed to its per-field
+    statistics."""
+    from ..search.queries import parse_multifield
+
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text, fields, k in MULTIFIELD_TOPK_SPECS:
+        query = parse_multifield(text, fields, merged.analyzer)
+        td = merged.search(query, k=k)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )

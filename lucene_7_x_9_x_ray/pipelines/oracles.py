@@ -2940,3 +2940,56 @@ pcs_{qid} AS (SELECT f.doc_id,
  FROM pcs_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
         )
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def multifield_topk_sql(
+    specs: list[tuple[str, str, list[tuple[str, float]], int]],
+    relation: str = "documents",
+) -> str:
+    """MultiFieldQueryParser oracle: (query_id, rank, doc_id, score_r).
+
+    specs = (qid, query text, [(field, boost)], k); text splits on
+    whitespace (the gate analyzes with the standard analyzer over
+    already-clean tokens). Scoring mirrors the NESTED boolean tree: each
+    token's per-field disjunction DOUBLE-sums its float32 leaves and casts
+    to float32 ONCE, then the outer SHOULD-sum re-accumulates those
+    float32 group scores in DOUBLE with one final cast — two cast levels,
+    exactly the engine's BooleanQuery-of-BooleanQuery discipline. A
+    single-token query collapses to its inner group (the single-clause
+    rewrite), which the two-level cast reproduces bit-identically (the
+    outer cast of one widened float32 is the identity)."""
+    fields = sorted({f for _, _, fl, _ in specs for f, _ in fl})
+    leaves = sorted(
+        {
+            (f, t, b)
+            for _, text, fl, _ in specs
+            for t in text.split()
+            for f, b in fl
+        }
+    )
+    ctes = ["lt AS (SELECT unnest(" + LENGTH_TABLE_SQL + ") AS v)"]
+    ctes += [field_stream_ctes(f, relation) for f in fields]
+    ctes += [field_leaf_cte(f, t, b) for f, t, b in leaves]
+    selects = []
+    for qid, text, fl, k in specs:
+        groups = []
+        for i, t in enumerate(text.split()):
+            names = [f"s_{_fp(f)}_{_ident(t)}_{_boost_tag(b)}" for f, b in fl]
+            union = "\n          UNION ALL ".join(
+                f"SELECT doc_id, s FROM {nm}" for nm in names
+            )
+            ctes.append(f"""
+mfg_{qid}_{i} AS (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS s
+                  FROM ({union}) GROUP BY doc_id)""")
+            groups.append(f"SELECT doc_id, s FROM mfg_{qid}_{i}")
+        outer = "\n      UNION ALL ".join(groups)
+        ctes.append(f"""
+mfs_{qid} AS (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+              FROM ({outer}) GROUP BY doc_id)""")
+        selects.append(
+            f"""(SELECT '{qid}' AS query_id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        doc_id, ROUND(CAST(score AS DOUBLE), 4) AS score_r
+ FROM mfs_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

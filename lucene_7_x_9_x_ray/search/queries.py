@@ -985,6 +985,35 @@ def parse_query(text: str, analyzer, operator: str = SHOULD, min_should_match: i
     )
 
 
+def parse_multifield(
+    text: str,
+    fields: list[tuple[str, float]],
+    analyzer,
+    operator: str = SHOULD,
+) -> Query:
+    """MultiFieldQueryParser.parse(query, fields, analyzer) analogue (s84
+    queryparser/classic/MultiFieldQueryParser.java:58,268): each analyzed
+    token expands to a SHOULD disjunction of per-field TermQueries (with
+    per-field boosts — the Map<String,Float> boosts ctor), and the token
+    groups combine under ``operator`` (the parser's default OR / AND). A
+    single field or a single token collapses like the reference's
+    single-clause BooleanQuery rewrite."""
+    tokens = analyzer.tokens(text)
+    if not tokens:
+        return MatchNoDocsQuery()
+    groups: list[Query] = []
+    for tok in tokens:
+        leaves = [TermQuery(tok, boost=b, field=f) for f, b in fields]
+        groups.append(
+            leaves[0] if len(leaves) == 1
+            else BooleanQuery.build([(SHOULD, lq) for lq in leaves])
+        )
+    if len(groups) == 1:
+        return groups[0]
+    occur = MUST if operator == MUST else SHOULD
+    return BooleanQuery.build([(occur, g) for g in groups])
+
+
 # --- classic query-parser surface (QueryParserBase.java:117 analogue) -------
 
 _CLASSIC_TOKEN_RE = _re.compile(
