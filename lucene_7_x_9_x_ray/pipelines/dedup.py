@@ -1116,40 +1116,77 @@ LINE_DEDUP_W = 10       # tokens per "line" window
 LINE_DEDUP_MAXL = 1024  # lines-per-doc bound for the (doc, line) -> key pack
 
 
+_LINE_HASH_A = np.uint64(1099511628211)  # FNV-1a prime, position multiplier
+_LINE_POW = np.empty(LINE_DEDUP_W, dtype=np.uint64)
+_LINE_POW[0] = 1
+for _k in range(1, LINE_DEDUP_W):
+    _LINE_POW[_k] = _LINE_POW[_k - 1] * _LINE_HASH_A  # uint64 wraparound
+_LINE_LEN_C = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _line_rows(batch: pa.Table, w: int = LINE_DEDUP_W) -> pa.Table:
     """Explode docs into consecutive non-overlapping w-token lines:
-    (line_md5, key) with key = doc_id * LINE_DEDUP_MAXL + line_idx (the
-    corpus-order first-occurrence key). Line construction is Arrow-
-    kernelized (split_pattern + list_slice + binary_join, one pass per
-    window index — bounded by the longest doc, each pass vectorized over
-    the whole batch). Line identity is md5 of the joined text for SQL
-    parity; the 100 TB path would swap in the uint64 kernel
-    (hashing.md5_lower64_array) with identical plumbing."""
+    (line_h, key, n_lines) with line_h a position-weighted uint64
+    fingerprint of the window's tokens, key = doc_id * LINE_DEDUP_MAXL +
+    line_idx (the corpus-order first-occurrence key), and n_lines the
+    owner doc's total window count (repeated per row — a doc's lines never
+    split across batches, so totals are batch-local).
+
+    Fully vectorized: tokens hash at VOCAB level (one md5_lower64 per
+    distinct token, mapped back by np.unique inverse), each token
+    contributes hash * A^(position-in-line), and one np.add.reduceat over
+    the line-start offsets folds a whole batch's windows at once; the
+    window length is mixed in so short tails never collide with prefixes.
+    The 64-bit fingerprint IS the line identity downstream (same contract
+    as shingle_batch — identical modulo 64-bit collisions)."""
     import pyarrow.compute as pc
 
-    from ..functions.hashing import md5_hex
+    from ..functions.hashing import md5_lower64_array
 
     doc_ids = batch["doc_id"].to_numpy()
-    arr = pc.split_pattern(batch["text"], " ")
-    lens = pc.list_value_length(arr).to_numpy()
-    max_lines = int(np.ceil(lens.max() / w)) if len(lens) else 0
-    keys, hashes = [], []
-    for i in range(max_lines):
-        has = lens > i * w
-        if not has.any():
-            break
-        joined = pc.binary_join(pc.list_slice(arr, i * w, (i + 1) * w), " ")
-        texts = joined.to_numpy(zero_copy_only=False)[has]
-        hashes.extend(md5_hex(t) for t in texts)
-        keys.append(doc_ids[has] * LINE_DEDUP_MAXL + i)
-    if not keys:
+    toks = pc.split_pattern(batch["text"], " ")
+    flat = np.asarray(
+        pc.list_flatten(toks).to_numpy(zero_copy_only=False), dtype=object
+    )
+    counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    if len(flat) == 0:
         return pa.table(
-            {"line_md5": pa.array([], pa.string()), "key": pa.array([], pa.int64())}
+            {"line_h": pa.array([], pa.int64()), "key": pa.array([], pa.int64()),
+             "n_lines": pa.array([], pa.int64())}
         )
+    vocab, inv = np.unique(flat, return_inverse=True)
+    th = md5_lower64_array(vocab)[inv]  # uint64 hash per token
+    if w == LINE_DEDUP_W:
+        pow_tab = _LINE_POW
+    else:  # non-default window: build the position multipliers on the fly
+        pow_tab = np.empty(w, dtype=np.uint64)
+        pow_tab[0] = 1
+        for k in range(1, w):
+            pow_tab[k] = pow_tab[k - 1] * _LINE_HASH_A
+
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    parents = np.repeat(np.arange(len(counts)), counts)
+    pos_in_doc = np.arange(len(flat), dtype=np.int64) - starts[parents]
+    pos_in_line = pos_in_doc % w
+    contrib = th * pow_tab[pos_in_line]
+    line_start = pos_in_line == 0
+    offs = np.flatnonzero(line_start)
+    with np.errstate(over="ignore"):
+        line_h = np.add.reduceat(contrib, offs)
+    line_len = np.diff(np.r_[offs, len(flat)]).astype(np.uint64)
+    line_h = line_h ^ (line_len * _LINE_LEN_C)
+    # int63: Ray's aggregate key path round-trips keys through Python ints
+    # and a C long — uint64 values >= 2^63 overflow it
+    line_h = (line_h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    line_doc = parents[offs]
+    key = doc_ids[line_doc] * LINE_DEDUP_MAXL + (pos_in_doc[offs] // w)
+    n_lines_doc = -(-counts // w)
     return pa.table(
         {
-            "line_md5": pa.array(hashes, pa.string()),
-            "key": pa.array(np.concatenate(keys), pa.int64()),
+            "line_h": pa.array(line_h, pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "n_lines": pa.array(n_lines_doc[line_doc], pa.int64()),
         }
     )
 
@@ -1161,25 +1198,31 @@ def q_line_dedup(sf_dir: str) -> pa.Table:
     occurrence (min (doc_id, line_idx) key). Returns per-doc
     (doc_id, n_lines, n_kept).
 
-    Scale shape: lines explode inside map_batches (never the whole
-    corpus at the driver); first-occurrence = one groupby(line_md5) min;
-    the kept-per-doc count needs NO join back — the min key encodes its
-    owner doc, so kept counts are a second small groupby over the
-    first-occurrence stream; totals + kept combine via one union +
-    sum-aggregate. Every shuffle key is the line hash or the doc id."""
-    from ray.data.aggregate import Sum
+    Scale shape: lines explode inside map_batches (never the whole corpus
+    at the driver); per-doc totals are batch-local (a doc's lines share a
+    batch), so the only shuffles are ONE groupby(line) min for first
+    occurrences and ONE groupby(doc_id) sum to combine — the min key
+    encodes its owner doc, so kept counts need no join back."""
+    from ray.data.aggregate import Min, Sum
 
+    # two consumers (totals + first-occurrence groupby) re-run the cheap
+    # vectorized explode rather than materializing the corpus-sized line
+    # relation mid-pipeline (measured: the barrier costs more than the
+    # recompute at every tested scale)
     lines = sized_read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(_line_rows, batch_format="pyarrow")
 
     def tot_rows(batch: pa.Table) -> pa.Table:
-        d = batch["key"].to_numpy() // LINE_DEDUP_MAXL
+        # one row per DOC from this batch's lines: line_idx 0 carries the
+        # doc's total (every doc with any line has a line 0)
+        k = batch["key"].to_numpy()
+        first = k % LINE_DEDUP_MAXL == 0
         return pa.table(
             {
-                "doc_id": pa.array(d, pa.int64()),
-                "n_lines": pa.array(np.ones(len(d), np.int64)),
-                "n_kept": pa.array(np.zeros(len(d), np.int64)),
+                "doc_id": pa.array(k[first] // LINE_DEDUP_MAXL, pa.int64()),
+                "n_lines": batch["n_lines"].filter(pa.array(first)),
+                "n_kept": pa.array(np.zeros(int(first.sum()), np.int64)),
             }
         )
 
@@ -1193,10 +1236,8 @@ def q_line_dedup(sf_dir: str) -> pa.Table:
             }
         )
 
-    from ray.data.aggregate import Min
-
     firsts = (
-        lines.groupby("line_md5")
+        lines.groupby("line_h")
         .aggregate(Min("key", alias_name="first_key"))
         .map_batches(kept_rows, batch_format="pyarrow")
     )
@@ -1218,7 +1259,7 @@ def oracle_line_dedup_sql(relation: str = "documents") -> str:
     w, maxl = LINE_DEDUP_W, LINE_DEDUP_MAXL
     return f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {relation}),
 lines AS (SELECT doc_id, i,
-                 md5(array_to_string(arr[(i-1)*{w}+1 : i*{w}], ' ')) AS h,
+                 array_to_string(arr[(i-1)*{w}+1 : i*{w}], ' ') AS h,
                  doc_id * {maxl} + i - 1 AS key
           FROM (SELECT doc_id, arr,
                        unnest(generate_series(1, CAST(ceil(len(arr) / {w}.0) AS BIGINT))) AS i
