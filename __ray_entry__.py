@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_drilldown": flagship.q_facet_drilldown,  # DrillDownQuery subtree filter
         "facet_drillsideways": flagship.q_facet_drillsideways,  # DrillSideways
         "facet_tags": flagship.q_facet_tags,  # SORTED_SET multi-valued facets
+        "facet_value_counts": flagship.q_facet_value_counts,  # LongValueFacetCounts
         "facet_assoc": flagship.q_facet_assoc,  # int-association sum facets
         "bm25_tags_filtered": flagship.q_bm25_tags_filtered,  # SORTED_SET FILTER
         "grouped_topk": flagship.q_grouped_topk,
@@ -308,6 +309,9 @@ def oracle_sql() -> dict[str, str]:
             flagship.FACET_TERM, flagship.DRILLDOWN_PATH
         ),
         "facet_tags": O.facet_tags_sql(flagship.FACET_TERM),
+        "facet_value_counts": O.facet_value_counts_sql(
+            flagship.FACET_TERM, flagship.FACET_VALUE_K
+        ),
         "bm25_tags_filtered": O.filtered_topk_sql(
             list(flagship.TAGS_FILTER_TERMS),
             O.tags_where_sql(flagship.TAGS_FILTER_VALUE),

@@ -3159,3 +3159,31 @@ def q_multifield_topk(sf_dir: str) -> pa.Table:
             "score_r": pa.array(scores, pa.float64()),
         }
     )
+
+
+FACET_VALUE_K = 10
+
+
+def q_facet_value_counts(sf_dir: str) -> pa.Table:
+    """Per-VALUE numeric facet (LongValueFacetCounts.getAllChildren /
+    getTopChildren role, s84 facet/.../LongValueFacetCounts.java:51):
+    exact counts of each distinct doc-length value among docs matching
+    FACET_TERM, top-K by (count desc, value asc): (val, n). The count is
+    a Ray groupby over segment-local matched rows; only the K-row result
+    reaches the driver."""
+    from ray.data.aggregate import Count
+
+    rows = (
+        _matched_rows_dataset(sf_dir, [FACET_TERM], with_length=True)
+        .groupby("dl")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: (-int(r["n"]), int(r["dl"])))
+    top = rows[:FACET_VALUE_K]
+    return pa.table(
+        {
+            "val": pa.array([int(r["dl"]) for r in top], pa.int64()),
+            "n": pa.array([int(r["n"]) for r in top], pa.int64()),
+        }
+    )

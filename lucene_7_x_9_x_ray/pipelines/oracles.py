@@ -2993,3 +2993,17 @@ mfs_{qid} AS (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
  FROM mfs_{qid} ORDER BY score DESC, doc_id LIMIT {k})"""
         )
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def facet_value_counts_sql(
+    term: str, k: int, relation: str = "documents"
+) -> str:
+    """(val, n) mirror of flagship.q_facet_value_counts: doc-length value
+    counts among docs containing the facet term, top-k by (count desc,
+    value asc)."""
+    lit = term.replace("'", "''")
+    return f"""WITH {base_ctes(relation)},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{lit}')
+SELECT dl.dl AS val, count(*) AS n
+FROM m JOIN dl USING (doc_id)
+GROUP BY dl.dl ORDER BY n DESC, val LIMIT {k}"""
