@@ -428,6 +428,55 @@ def _per_doc_spans(doc_idx: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts.tolist(), ends.tolist()))
 
 
+_HAN_SINGLE = re.compile(rf"[{_HAN}]\Z")
+
+
+def _cjk_bigram_filter(output_unigrams: bool = False):
+    """CJKBigramFilter (s84 analysis/common/.../cjk/CJKBigramFilter.java:55):
+    runs of single-ideograph tokens (the StandardTokenizer emits Han one
+    char per token) re-emit as overlapping character BIGRAMS; a lone
+    ideograph stays a unigram; non-CJK tokens pass through in place.
+    ``output_unigrams`` additionally keeps each ideograph (the
+    high-recall indexing mode). Vectorized: one regex per VOCAB entry
+    marks ideographs, run boundaries come from doc/adjacency masks, and
+    bigram strings build with two object-array concats."""
+
+    def f(tokens, doc_idx):
+        n = len(tokens)
+        if n == 0:
+            return tokens, doc_idx
+        is_han = _vocab_map(tokens, lambda t: bool(_HAN_SINGLE.match(t)))
+        is_han = np.asarray(is_han, dtype=bool)
+        if not is_han.any():
+            return tokens, doc_idx
+        # adjacency: consecutive array slots, same doc, both ideographs
+        pair_ok = np.zeros(n, dtype=bool)  # pair (i, i+1) valid at i
+        pair_ok[:-1] = is_han[:-1] & is_han[1:] & (doc_idx[:-1] == doc_idx[1:])
+        # emit order: for each slot i -> optional unigram (pass-through or
+        # output_unigrams), then the bigram starting at i. A lone
+        # ideograph (no valid pair either side) always keeps its unigram.
+        prev_pair = np.zeros(n, dtype=bool)
+        prev_pair[1:] = pair_ok[:-1]
+        lone = is_han & ~pair_ok & ~prev_pair
+        keep_uni = ~is_han | lone | (is_han & output_unigrams)
+        out_t: list = []
+        out_d: list = []
+        bigrams = np.empty(n, dtype=object)
+        idx = np.flatnonzero(pair_ok)
+        if len(idx):
+            bigrams[idx] = tokens[idx] + tokens[idx + 1]
+        for i in range(n):
+            if keep_uni[i]:
+                out_t.append(tokens[i])
+                out_d.append(int(doc_idx[i]))
+            if pair_ok[i]:
+                out_t.append(bigrams[i])
+                out_d.append(int(doc_idx[i]))
+        return np.array(out_t, dtype=object), np.array(out_d, dtype=np.int64)
+
+    return f
+
+
 def _shingle_filter(min_size: int = 2, max_size: int = 2,
                     output_unigrams: bool = True, sep: str = " "):
     """ShingleFilter (s84 analysis/shingle/ShingleFilter.java:63): at each
@@ -540,6 +589,8 @@ class CustomAnalyzer(Analyzer):
                        Savoy light stemmers (functions/lightstem.py)
       "soundex"        PhoneticFilter(Soundex, inject=false) — token
                        replaced by its American Soundex code
+      "cjk_bigram"     CJKBigramFilter (kwargs: output_unigrams) —
+                       ideograph runs re-emit as overlapping bigrams
       "keyword_marker" KeywordMarkerFilter guarding a 1:1 stemmer
                        (kwargs: keywords=iterable, filter=spec)
       "stemmer_override" StemmerOverrideFilter (kwargs: rules=dict,
@@ -603,6 +654,8 @@ class CustomAnalyzer(Analyzer):
             return lambda t, d: (_possessive_strip(t), d)
         if name == "shingle":
             return _shingle_filter(**kw)
+        if name == "cjk_bigram":
+            return _cjk_bigram_filter(bool(kw.get("output_unigrams", False)))
         if name == "ngram":
             return _ngram_filter(int(kw.get("min_gram", 1)),
                                  int(kw.get("max_gram", 2)), edge=False)

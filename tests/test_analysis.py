@@ -520,3 +520,24 @@ def test_keyword_marker_and_stemmer_override():
     assert so.tokens("mice houses running") == ["mouse", "hous", "run"]
     # manifest round-trip (build-config spec string)
     assert get_analyzer(so.spec_name).tokens("mice") == ["mouse"]
+
+
+def test_cjk_bigram_filter():
+    """CJKBigramFilter: ideograph runs -> overlapping bigrams; lone
+    ideographs stay unigrams; non-CJK passes through; runs never cross
+    documents; output_unigrams keeps the singles too."""
+    from lucene_7_x_9_x_ray.functions.analysis import CustomAnalyzer, get_analyzer
+
+    a = CustomAnalyzer("standard", ["lowercase", "cjk_bigram"])
+    assert a.tokens("我爱北京 hello 天") == ["我爱", "爱北", "北京", "hello", "天"]
+    assert a.tokens("天") == ["天"]
+    assert a.tokens("plain text") == ["plain", "text"]
+
+    b = CustomAnalyzer("standard", ["lowercase", ("cjk_bigram", {"output_unigrams": True})])
+    assert b.tokens("我爱 test") == ["我", "我爱", "爱", "test"]
+
+    # batch form: runs never cross document boundaries
+    toks, didx = a.tokenize_batch(["我爱", "北京"])
+    assert list(toks) == ["我爱", "北京"] and list(didx) == [0, 1]
+    # manifest round-trip
+    assert get_analyzer(a.spec_name).tokens("我爱北京") == ["我爱", "爱北", "北京"]
