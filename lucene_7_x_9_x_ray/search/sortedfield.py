@@ -16,15 +16,51 @@ import numpy as np
 from ..search.searcher import IndexSearcher
 
 
+def _first_idx_ge(col, hi: int, v) -> int:
+    """First index i in the value-ascending column with col[i] >= v —
+    O(log n) POINT reads (col[i].as_py()), never a full column load."""
+    lo = 0
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if col[mid].as_py() < v:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+def _first_idx_gt(col, hi: int, v) -> int:
+    lo = 0
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if col[mid].as_py() <= v:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
 def sorted_field_topn(
-    index_dir: str, field: str, k: int, descending: bool = False
+    index_dir: str, field: str, k: int, descending: bool = False,
+    after: tuple[object, int] | None = None,
 ) -> list[tuple[object, int]]:
     """[(field value, global docID)] of the top-k LIVE rows by the
-    index-sort field. Reads k (+ deleted-count headroom) docmap rows per
-    segment, not the corpus. Raises if the index was not built with
+    index-sort field. Reads O(k + deletes + boundary-tie run) docmap rows
+    per segment, not the corpus. Raises if the index was not built with
     ``sort_by=field`` — early termination is only valid over segments that
     are actually ascending in that column (the manifest records the build's
-    sort column, like Lucene's per-segment indexSort in SegmentInfo)."""
+    sort column, like Lucene's per-segment indexSort in SegmentInfo).
+
+    Ties break by ASCENDING global docID (the implicit Lucene secondary
+    sort). The stable index sort keeps equal values in docID order, so an
+    ascending head already holds a tie run's lowest docIDs; a DESCENDING
+    tail holds its highest — the window widens to the tie run's first row
+    (binary point reads) so the right tie members survive the cut.
+
+    ``after=(value, docID)`` pages: only rows strictly after that sort key
+    qualify (TopFieldCollector searchAfter FieldDoc semantics); the
+    window additionally covers the skipped prefix, located by the same
+    O(log n) point-read bisection."""
     searcher = IndexSearcher(index_dir)
     recorded = getattr(searcher.manifest, "sort_by", "")
     if recorded != field:
@@ -42,14 +78,37 @@ def sorted_field_topn(
         # by this segment's tombstone count: the top-k live rows are always
         # within the first k + deleted rows of a sorted segment
         n_deleted = int(np.searchsorted(tombs, hi) - np.searchsorted(tombs, lo))
-        take = min(k + n_deleted, n)
-        start = n - take if descending else 0
-        vals = r.docmap()[field].slice(start, take).to_pylist()
+        col = r.docmap()[field]
+        n_skip = 0
+        if after is not None:
+            # rows at-or-before the page: strictly-better values PLUS the
+            # whole anchor-value tie run (the anchor may sit anywhere in it)
+            if descending:
+                n_skip = n - _first_idx_ge(col, n, after[0])
+            else:
+                n_skip = _first_idx_gt(col, n, after[0])
+        take = min(k + n_deleted + n_skip, n)
+        if descending:
+            start = n - take
+            if start > 0:
+                # widen to the boundary value's FIRST row: the tail holds a
+                # tie run's highest docIDs, but ties keep the lowest
+                start = _first_idx_ge(col, start, col[start].as_py())
+            take = n - start
+        else:
+            start = 0
+        vals = col.slice(start, take).to_pylist()
         gdocs = np.arange(start, start + take, dtype=np.int64) + r.doc_base
         live = searcher._live(gdocs)
         for v, gd, ok in zip(vals, gdocs, live):
-            if ok:
-                candidates.append((v, int(gd)))
+            if not ok:
+                continue
+            if after is not None:
+                key_after = (_neg(after[0]), after[1]) if descending else (after[0], after[1])
+                key_row = (_neg(v), int(gd)) if descending else (v, int(gd))
+                if not (key_after < key_row):
+                    continue  # at or before the anchor
+            candidates.append((v, int(gd)))
     # cross-segment reduce; ties broken by ascending global docID
     if descending:
         return heapq.nsmallest(k, candidates, key=lambda t: (_neg(t[0]), t[1]))

@@ -1463,3 +1463,62 @@ def test_line_dedup_first_occurrence_semantics(tmp_path, ray_session):
     # doc0 owns first A and first B; doc1 keeps nothing; doc2 keeps only
     # its short tail
     assert got == {0: (2, 2), 1: (2, 0), 2: (2, 1)}
+
+
+def test_sorted_field_topn_search_after_pages(tmp_path, ray_session):
+    """searchAfter paging over the index-sorted field: consecutive pages
+    tile the full ordering (incl. heavy value ties crossing the anchor),
+    ascending and descending."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_7_x_9_x_ray.search.sortedfield import sorted_field_topn
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+    n = 40
+    vals = [i % 5 for i in range(n)]  # heavy ties
+    rows = sorted(range(n), key=lambda i: (vals[i], i))
+    t = pa.table(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "warc_ts": pa.array(range(n), pa.timestamp("us")),
+            "text": ["doc text"] * n,
+            "lang": ["en"] * n,
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    path = str(tmp_path / "p.parquet")
+    pq.write_table(t, path)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx,
+                      BuildConfig(target_docs_per_segment=9, sort_by="v",
+                                  store_cols=("v",)))
+
+    # ascending: page through the whole order 7 at a time
+    got = []
+    after = None
+    while True:
+        page = sorted_field_topn(idx, "v", 7, after=after)
+        if not page:
+            break
+        got.extend(d for _, d in page)
+        after = page[-1]
+    want = [i for i in rows]
+    # docIDs are assigned by the SORTED build order, so expected global
+    # order is just 0..n-1 grouped by value
+    assert got == sorted(range(n), key=lambda d: (sorted_field_topn(idx, "v", n)[d][0], d)) or len(got) == n
+    assert len(got) == n and len(set(got)) == n
+    full = [d for _, d in sorted_field_topn(idx, "v", n)]
+    assert got == full
+
+    # descending pages tile the reverse ordering too
+    got_d = []
+    after = None
+    while True:
+        page = sorted_field_topn(idx, "v", 6, descending=True, after=after)
+        if not page:
+            break
+        got_d.extend(d for _, d in page)
+        after = page[-1]
+    full_d = [d for _, d in sorted_field_topn(idx, "v", n, descending=True)]
+    assert got_d == full_d and len(got_d) == n
