@@ -249,7 +249,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "interval_topk": O.interval_topk_sql(flagship.INTERVAL_TOPK_SPECS),
         "geo_match": O.geo_match_sql(
-            flagship.GEO_CENTER, flagship.GEO_RADIUS_M, flagship.GEO_BOX
+            flagship.GEO_CENTER, flagship.GEO_RADIUS_M, flagship.GEO_BOX,
+            flagship.GEO_POLYGON,
         ),
         "geo_nearest": O.geo_nearest_sql(flagship.GEO_CENTER, flagship.GEO_K),
         "synonym_topk": O.synonym_topk_sql(

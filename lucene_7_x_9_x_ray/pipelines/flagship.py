@@ -2738,6 +2738,8 @@ def q_interval_topk(sf_dir: str) -> pa.Table:
 GEO_CENTER = (12.0, 34.0)
 GEO_RADIUS_M = 2_000_000.0
 GEO_BOX = (-20.0, 25.0, 10.0, 80.0)  # min_lat, max_lat, min_lon, max_lon
+# simple (convex) polygon over the lattice region: (lat, lon) vertices
+GEO_POLYGON = ((0.0, -30.0), (40.0, 0.0), (30.0, 60.0), (-10.0, 70.0), (-30.0, 10.0))
 GEO_K = 15
 
 
@@ -2791,8 +2793,9 @@ def _geo_searcher(sf_dir: str) -> IndexSearcher:
 def q_geo_match(sf_dir: str) -> pa.Table:
     """Geo predicate gate: kind='radius' rows match GeoDistanceQuery
     (haversine <= GEO_RADIUS_M around GEO_CENTER); kind='box' rows match
-    GeoBoxQuery over GEO_BOX. Both run as FILTER clauses (constant score)
-    through the searcher: (kind, doc_id)."""
+    GeoBoxQuery over GEO_BOX; kind='polygon' rows match GeoPolygonQuery
+    over GEO_POLYGON (even-odd crossing test). All run as FILTER clauses
+    (constant score) through the searcher: (kind, doc_id)."""
     s = _geo_searcher(sf_dir)
     kinds: list[str] = []
     docs: list[int] = []
@@ -2811,6 +2814,14 @@ def q_geo_match(sf_dir: str) -> pa.Table:
     )
     for d in sorted(int(x) for x in td.doc_ids):
         kinds.append("box")
+        docs.append(d)
+    poly = Q.GeoPolygonQuery("lat", "lon", GEO_POLYGON)
+    td = s.search(
+        Q.BooleanQuery.build([(Q.FILTER, poly)]),
+        k=s.doc_count, total_hits_threshold=1 << 62,
+    )
+    for d in sorted(int(x) for x in td.doc_ids):
+        kinds.append("polygon")
         docs.append(d)
     return pa.table(
         {

@@ -2663,20 +2663,41 @@ def geo_match_sql(
     center: tuple[float, float],
     radius_m: float,
     box: tuple[float, float, float, float],
+    polygon: tuple[tuple[float, float], ...] = (),
     relation: str = "documents",
 ) -> str:
     """(kind, doc_id) mirror of flagship.q_geo_match: kind='radius' =
-    haversine <= radius_m; kind='box' = lat/lon inside the box (lattice
-    values are bit-identical on both sides, so boundary equality is
-    exact)."""
+    haversine <= radius_m; kind='box' = lat/lon inside the box;
+    kind='polygon' = even-odd crossing parity over the polygon's edges —
+    the SAME double formula as search.geo.point_in_polygon ((b_lon -
+    a_lon) * (lat - a_lat) / (b_lat - a_lat) + a_lon), so edge-boundary
+    behavior is bit-identical. Lattice values are bit-identical on both
+    sides, so box boundary equality is exact."""
     min_lat, max_lat, min_lon, max_lon = box
     dist = geo_dist_expr(*center)
-    return f"""WITH {geo_ctes(relation)}
+    sql = f"""WITH {geo_ctes(relation)}
 (SELECT 'radius' AS kind, doc_id FROM geo WHERE {dist} <= {radius_m!r} ORDER BY doc_id)
 UNION ALL
 (SELECT 'box' AS kind, doc_id FROM geo
  WHERE lat >= {min_lat!r} AND lat <= {max_lat!r}
    AND lon >= {min_lon!r} AND lon <= {max_lon!r} ORDER BY doc_id)"""
+    if polygon:
+        m = len(polygon)
+        crossings = []
+        for i in range(m):
+            a_lat, a_lon = polygon[i]
+            b_lat, b_lon = polygon[(i + 1) % m]
+            crossings.append(
+                f"CASE WHEN (({a_lat!r} > lat) <> ({b_lat!r} > lat)) AND "
+                f"lon < ({b_lon!r} - {a_lon!r}) * (lat - {a_lat!r}) "
+                f"/ ({b_lat!r} - {a_lat!r}) + {a_lon!r} THEN 1 ELSE 0 END"
+            )
+        parity = " + ".join(crossings)
+        sql += f"""
+UNION ALL
+(SELECT 'polygon' AS kind, doc_id FROM geo
+ WHERE ({parity}) % 2 = 1 ORDER BY doc_id)"""
+    return sql
 
 
 def geo_nearest_sql(

@@ -69,3 +69,26 @@ def distance_sort_topk(
             dist, gdocs = dist[idx], gdocs[idx]
         partials.extend(zip(dist.tolist(), (int(g) for g in gdocs)))
     return heapq.nsmallest(k, partials)
+
+
+def point_in_polygon(
+    lat: np.ndarray, lon: np.ndarray, poly: list[tuple[float, float]]
+) -> np.ndarray:
+    """Vectorized even-odd crossing test (the Polygon.contains ray-cast of
+    s84 core geo/Polygon.java / EdgeTree traversal, computed directly):
+    True where (lat[i], lon[i]) lies inside the simple polygon given as
+    [(lat, lon), ...] vertices (closed implicitly). Points exactly on an
+    edge follow the half-open crossing rule (deterministic, same on both
+    engine and oracle sides)."""
+    la = np.asarray(lat, dtype=np.float64)
+    lo = np.asarray(lon, dtype=np.float64)
+    inside = np.zeros(len(la), dtype=bool)
+    m = len(poly)
+    for i in range(m):
+        a_lat, a_lon = poly[i]
+        b_lat, b_lon = poly[(i + 1) % m]
+        crosses = (a_lat > la) != (b_lat > la)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            x = (b_lon - a_lon) * (la - a_lat) / (b_lat - a_lat) + a_lon
+        inside ^= crosses & (lo < x)
+    return inside

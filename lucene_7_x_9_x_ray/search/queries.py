@@ -221,6 +221,20 @@ class GeoBoxQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoPolygonQuery(Query):
+    """Constant-score (0) point-in-polygon predicate over stored lat/lon
+    doc-values columns — the LatLonPoint.newPolygonQuery role (s84 core
+    document/LatLonPoint.java:236 + geo/Polygon.java): docs whose point
+    lies inside the simple polygon match (even-odd crossing rule,
+    vectorized per segment with a bounding-box prefilter). Vertices are
+    (lat, lon) pairs; the ring closes implicitly."""
+
+    lat_col: str
+    lon_col: str
+    vertices: tuple[tuple[float, float], ...]
+
+
+@dataclass(frozen=True)
 class CoveringQuery(Query):
     """sandbox CoveringQuery (s84 sandbox/src/java/org/apache/lucene/
     search/CoveringQuery.java:42 + CoveringScorer.java:96-162): SHOULD

@@ -325,6 +325,24 @@ def eval_query(
         docs = cand[dist <= query.radius_m].astype(np.int64)
         return docs, np.zeros(len(docs), dtype=np.float32)
 
+    if isinstance(query, Q.GeoPolygonQuery):
+        from .geo import point_in_polygon
+
+        lat = np.asarray(reader.doc_values(query.lat_col), dtype=np.float64)
+        lon = np.asarray(reader.doc_values(query.lon_col), dtype=np.float64)
+        vs = query.vertices
+        # bounding-box prefilter: only candidate rows run the crossing test
+        min_la, max_la = min(v[0] for v in vs), max(v[0] for v in vs)
+        min_lo, max_lo = min(v[1] for v in vs), max(v[1] for v in vs)
+        cand = np.flatnonzero(
+            (lat >= min_la) & (lat <= max_la) & (lon >= min_lo) & (lon <= max_lo)
+        )
+        if len(cand) == 0:
+            return _empty()
+        inside = point_in_polygon(lat[cand], lon[cand], list(vs))
+        docs = cand[inside].astype(np.int64)
+        return docs, np.zeros(len(docs), dtype=np.float32)
+
     if isinstance(query, Q.GeoBoxQuery):
         lat = np.asarray(reader.doc_values(query.lat_col), dtype=np.float64)
         lon = np.asarray(reader.doc_values(query.lon_col), dtype=np.float64)

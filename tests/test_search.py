@@ -1357,3 +1357,50 @@ def test_geo_box_query_and_distance_sort(tmp_path):
     assert [d for _, d in top] == want_order
     for got_d, i in zip((d for d, _ in top), want_order):
         assert math.isclose(got_d, dist[i], rel_tol=0, abs_tol=1e-9)
+
+
+def test_geo_polygon_query(tmp_path):
+    """GeoPolygonQuery (LatLonPoint.newPolygonQuery role): even-odd
+    crossing containment over stored lat/lon, including a concave ring."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from lucene_7_x_9_x_ray.search import queries as Q
+    from lucene_7_x_9_x_ray.search.geo import point_in_polygon
+    from lucene_7_x_9_x_ray.search.searcher import IndexSearcher
+    from lucene_7_x_9_x_ray.stages.build import BuildConfig, build_index_local
+
+    rng = np.random.default_rng(7)
+    n = 300
+    lats = rng.uniform(-50, 50, n)
+    lons = rng.uniform(-50, 50, n)
+    t = pa_.table(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "warc_ts": pa_.array(range(n), pa_.timestamp("us")),
+            "text": ["geo doc"] * n,
+            "lang": ["en"] * n,
+            "lat": pa_.array(lats),
+            "lon": pa_.array(lons),
+        }
+    )
+    path = str(tmp_path / "p.parquet")
+    pq_.write_table(t, path)
+    idx = str(tmp_path / "i")
+    build_index_local([path], idx,
+                      BuildConfig(target_docs_per_segment=120,
+                                  store_cols=("lat", "lon")))
+    s = IndexSearcher(idx)
+
+    # concave "arrowhead": the notch at (0, 0) excludes points near origin
+    ring = ((40.0, -40.0), (40.0, 40.0), (-40.0, 40.0), (0.0, 0.0), (-40.0, -40.0))
+    q = Q.GeoPolygonQuery("lat", "lon", ring)
+    td = s.search(Q.BooleanQuery.build([(Q.FILTER, q)]), k=n,
+                  total_hits_threshold=1 << 30)
+    got = set(int(d) for d in td.doc_ids)
+    want = set(np.flatnonzero(point_in_polygon(lats, lons, list(ring))))
+    assert got == want and 0 < len(want) < n
+    # the notch works: a point just above the origin inside the hull but
+    # in the notch is excluded
+    assert not point_in_polygon(np.array([-5.0]), np.array([0.0]), list(ring))[0]
+    assert point_in_polygon(np.array([20.0]), np.array([0.0]), list(ring))[0]
