@@ -3198,3 +3198,30 @@ def q_facet_value_counts(sf_dir: str) -> pa.Table:
             "n": pa.array([int(r["n"]) for r in top], pa.int64()),
         }
     )
+
+
+# PointInSetQuery gate: docs whose LENGTH doc value is in a fixed set,
+# composed with a scoring term — (rank, doc_id, score_r)
+NUMSET_VALUES = (20, 35, 50, 65, 80)
+NUMSET_TERM = "table"
+NUMSET_K = 12
+
+
+def q_numeric_set_topk(sf_dir: str) -> pa.Table:
+    """NumericSetQuery (PointInSetQuery role) as a FILTER beside a BM25
+    SHOULD term: (rank, doc_id, score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    query = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery(NUMSET_TERM)),
+         (Q.FILTER, Q.NumericSetQuery("length", tuple(float(v) for v in NUMSET_VALUES)))]
+    )
+    td = merged.search(query, k=NUMSET_K)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(td.doc_ids) + 1), pa.int64()),
+            "doc_id": pa.array([int(d) for d in td.doc_ids], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in td.scores], pa.float64()
+            ),
+        }
+    )

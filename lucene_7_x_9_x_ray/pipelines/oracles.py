@@ -3028,3 +3028,19 @@ m AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{lit}')
 SELECT dl.dl AS val, count(*) AS n
 FROM m JOIN dl USING (doc_id)
 GROUP BY dl.dl ORDER BY n DESC, val LIMIT {k}"""
+
+
+def numeric_set_topk_sql(
+    term: str, values: tuple, k: int, relation: str = "documents"
+) -> str:
+    """(rank, doc_id, score_r) mirror of flagship.q_numeric_set_topk: BM25
+    term score among docs whose token count is in the value set."""
+    lits = ",".join(str(int(v)) for v in values)
+    ctes = [base_ctes(relation), term_leaf_ctes(term)]
+    t = _ident(term)
+    return f"""WITH {",".join(ctes)}
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(CAST(s AS DOUBLE), 4) AS score_r
+FROM s_{t} JOIN dl USING (doc_id)
+WHERE dl.dl IN ({lits})
+ORDER BY s DESC, doc_id LIMIT {k}"""

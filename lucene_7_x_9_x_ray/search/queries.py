@@ -125,6 +125,19 @@ class NumericRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class NumericSetQuery(Query):
+    """Constant-score (0) set-membership predicate over a stored NUMERIC
+    per-doc column — the PointInSetQuery role (s84 core
+    search/PointInSetQuery.java:54; LuceneDemo TestPointInSetQuery
+    surface) on the doc-values plan: docs whose column value is IN the
+    given set match. Evaluated per segment as one vectorized np.isin mask
+    (nulls never match); FilterCache-able like the range twin."""
+
+    col: str
+    values: tuple[float, ...]
+
+
+@dataclass(frozen=True)
 class StringDocValuesQuery(Query):
     """Constant-score (0) equality predicate over a stored STRING per-doc
     column — the SORTED-doc-values side of IndexOrDocValuesQuery

@@ -325,6 +325,13 @@ def eval_query(
         docs = cand[dist <= query.radius_m].astype(np.int64)
         return docs, np.zeros(len(docs), dtype=np.float32)
 
+    if isinstance(query, Q.NumericSetQuery):
+        vals = np.asarray(reader.doc_values(query.col), dtype=np.float64)
+        mask = np.isin(vals, np.asarray(query.values, dtype=np.float64))
+        mask &= ~np.isnan(vals)  # missing values never match
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.zeros(len(docs), dtype=np.float32)
+
     if isinstance(query, Q.GeoPolygonQuery):
         from .geo import point_in_polygon
 
