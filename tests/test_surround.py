@@ -76,3 +76,26 @@ def test_syntax_errors():
     for bad in ("3W(a", "a OR", "(a", "a )", "NOT(a)", "W(a)"):
         with pytest.raises(SurroundSyntaxError):
             parse_surround(bad)
+
+
+def test_surround_fuzz_never_crashes_unexpectedly():
+    """Random operator soup either parses to a Query or raises
+    SurroundSyntaxError — never any other exception (parser robustness)."""
+    import random
+
+    from lucene_7_x_9_x_ray.search.queries import Query
+
+    rng = random.Random(42)
+    atoms = ["a", "bb", "W", "N", "3W", "2n", "OR", "AND", "NOT",
+             "(", ")", ",", "ke*", "t?m"]
+    td = np.asarray(sorted(["key", "keys", "term", "tim"]), dtype=object)
+    parsed = 0
+    for _ in range(500):
+        text = " ".join(rng.choice(atoms) for _ in range(rng.randint(1, 8)))
+        try:
+            q = parse_surround(text, td)
+            assert isinstance(q, Query)
+            parsed += 1
+        except SurroundSyntaxError:
+            pass
+    assert parsed > 0  # some random strings are valid queries
