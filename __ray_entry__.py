@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_topn_docs": relational.q_sort_topn_docs,
         # --- multimodal plumbing ---
         "multimodal_meta": multimodal.q_multimodal_meta,
+        "multimodal_resize": multimodal.q_multimodal_resize,  # letterbox geometry
+        "multimodal_frames": multimodal.q_multimodal_frames,  # frame-sample fan-out
     }
 
 
@@ -358,4 +360,6 @@ def oracle_sql() -> dict[str, str]:
         "event_window_agg": relational.oracle_event_window_agg_sql(),
         "sort_topn_docs": relational.oracle_sort_topn_sql(),
         "multimodal_meta": multimodal.oracle_multimodal_sql(),
+        "multimodal_resize": multimodal.oracle_multimodal_resize_sql(),
+        "multimodal_frames": multimodal.oracle_multimodal_frames_sql(),
     }

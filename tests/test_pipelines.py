@@ -1522,3 +1522,44 @@ def test_sorted_field_topn_search_after_pages(tmp_path, ray_session):
         after = page[-1]
     full_d = [d for _, d in sorted_field_topn(idx, "v", n, descending=True)]
     assert got_d == full_d and len(got_d) == n
+
+
+def test_multimodal_resize_and_frame_sample_shapes(tmp_path, ray_session):
+    """Resize planning preserves aspect (fit-in-box, floor >= 1) and the
+    frame sampler fans one payload out to ceil(n_frames/step) rows with
+    the right indices."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_7_x_9_x_ray.pipelines.multimodal import (
+        FRAME_BYTES_PER_FRAME,
+        FRAME_SAMPLE_TARGET,
+        FrameSampleStage,
+        MediaResizeStage,
+    )
+
+    body = "tok " * 200
+    html = f"<html><head><title>t one</title></head><body>{body}</body></html>"
+    batch = pa.table(
+        {
+            "url": ["https://docs.example/d/7", "https://x/d/9"],
+            "html": [html.encode(), b"<html><head><title>s</title></head><body>x</body></html>"],
+        }
+    )
+    rs = MediaResizeStage()(batch)
+    for r in rs.to_pylist():
+        scale = min(256.0 / r["in_w"], 256.0 / r["in_h"])
+        assert r["out_w"] == max(1, int(np.floor(r["in_w"] * scale)))
+        assert r["out_h"] == max(1, int(np.floor(r["in_h"] * scale)))
+        assert max(r["out_w"], r["out_h"]) <= 256
+
+    fs = FrameSampleStage()(batch)
+    rows = fs.to_pylist()
+    n_frames = 1 + len(html.encode()) // FRAME_BYTES_PER_FRAME
+    step = max(1, n_frames // FRAME_SAMPLE_TARGET)
+    doc7 = [r for r in rows if r["doc_id"] == 7]
+    assert [r["frame_idx"] for r in doc7] == list(range(0, n_frames, step))
+    assert all(r["frame_sig"] == (7 * 1_000_003 + r["frame_idx"]) % 2_147_483_647
+               for r in doc7)
+    # the tiny payload yields exactly one frame
+    assert [r["frame_idx"] for r in rows if r["doc_id"] == 9] == [0]
