@@ -1119,8 +1119,9 @@ LINE_DEDUP_MAXL = 1024  # lines-per-doc bound for the (doc, line) -> key pack
 _LINE_HASH_A = np.uint64(1099511628211)  # FNV-1a prime, position multiplier
 _LINE_POW = np.empty(LINE_DEDUP_W, dtype=np.uint64)
 _LINE_POW[0] = 1
-for _k in range(1, LINE_DEDUP_W):
-    _LINE_POW[_k] = _LINE_POW[_k - 1] * _LINE_HASH_A  # uint64 wraparound
+with np.errstate(over="ignore"):  # uint64 wraparound is the point
+    for _k in range(1, LINE_DEDUP_W):
+        _LINE_POW[_k] = _LINE_POW[_k - 1] * _LINE_HASH_A
 _LINE_LEN_C = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -1161,8 +1162,9 @@ def _line_rows(batch: pa.Table, w: int = LINE_DEDUP_W) -> pa.Table:
     else:  # non-default window: build the position multipliers on the fly
         pow_tab = np.empty(w, dtype=np.uint64)
         pow_tab[0] = 1
-        for k in range(1, w):
-            pow_tab[k] = pow_tab[k - 1] * _LINE_HASH_A
+        with np.errstate(over="ignore"):
+            for k in range(1, w):
+                pow_tab[k] = pow_tab[k - 1] * _LINE_HASH_A
 
     starts = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])

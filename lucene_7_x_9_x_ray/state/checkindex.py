@@ -195,3 +195,56 @@ def check_index(index_dir: str, sample_every: int = 1) -> dict:
 if __name__ == "__main__":
     out = check_index(sys.argv[1])
     print("checkindex OK:", out)
+
+
+def check_segment(index_dir: str, seg: dict, sample_every: int = 1) -> None:
+    """Validate ONE segment's structural invariants (the per-segment body
+    of check_index); raises CheckIndexError on the first violation."""
+    seg_dir = os.path.join(index_dir, "segments", seg["seg_name"])
+    try:
+        r = SegmentReader(seg_dir)
+    except Exception as e:  # unreadable artifacts = a failed segment
+        raise CheckIndexError(f"{seg['seg_name']}: unreadable ({e})") from e
+    _check(r.doc_count == seg["doc_count"], f"{seg['seg_name']}: doc_count mismatch")
+    _check(len(r.norms) == r.doc_count, f"{seg['seg_name']}: norms length")
+    _check(r.docmap().num_rows == r.doc_count, f"{seg['seg_name']}: docmap rows")
+    _check_reader_terms(r, seg["seg_name"], r.doc_count, sample_every)
+    for fname, fs in (r.stats.field_stats or {}).items():
+        fv = r.field_view(fname)
+        _check(len(fv.norms) == r.doc_count, f"{seg['seg_name']}/f_{fname}: norms length")
+        _check_reader_terms(fv, f"{seg['seg_name']}/f_{fname}", r.doc_count, sample_every)
+
+
+def exorcise(index_dir: str, sample_every: int = 1) -> list[str]:
+    """CheckIndex -exorcise analogue (s84 core index/CheckIndex.java:2980
+    exorciseIndex): validate every segment and DROP the corrupt ones from
+    the commit — their documents are lost (exactly the reference's
+    warning), the survivors keep their docID ranges (gaps are legal: each
+    reader owns its own [doc_base, doc_base+count) span), and the global
+    statistics re-aggregate over the remaining segments. Publishes a new
+    manifest generation; the stale merged tier is ignored by readers via
+    the segments fingerprint. Returns the dropped segment names."""
+    from ..stages.build import _aggregate_field_stats
+
+    manifest = IndexManifest.load(index_dir)
+    keep: list[dict] = []
+    dropped: list[str] = []
+    for seg in manifest.segments:
+        try:
+            check_segment(index_dir, seg, sample_every)
+        except Exception:  # any validation crash = a corrupt segment
+            dropped.append(seg["seg_name"])
+            continue
+        keep.append(seg)
+    if not dropped:
+        return []
+    if not keep:
+        raise CheckIndexError("every segment failed validation — refusing "
+                              "to publish an empty commit")
+    manifest.segments = keep
+    manifest.doc_count = sum(s["doc_count"] for s in keep)
+    manifest.sum_total_term_freq = sum(s["sum_total_term_freq"] for s in keep)
+    manifest.field_stats = _aggregate_field_stats(keep)
+    manifest.version += 1
+    manifest.save()
+    return dropped

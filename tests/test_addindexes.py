@@ -69,3 +69,48 @@ def test_add_indexes_refuses_config_mismatch(tmp_path):
     w = _build(tmp_path, "w", ["Alpha"], cfg=BuildConfig(analyzer="whitespace"))
     with pytest.raises(ValueError, match="analyzer"):
         add_indexes(a, [w])
+
+
+def test_exorcise_drops_corrupt_segment(tmp_path):
+    """CheckIndex -exorcise: a segment with truncated postings drops from
+    the commit; survivors keep their docID ranges and stay searchable."""
+    import glob
+    import os
+
+    from lucene_7_x_9_x_ray.state.checkindex import check_index, exorcise
+
+    texts = ["alpha one", "alpha two", "beta", "alpha three",
+             "gamma four", "alpha five"]
+    t = pa.table(
+        {
+            "url": [f"x-{i}" for i in range(len(texts))],
+            "warc_ts": pa.array(range(len(texts)), pa.timestamp("us")),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+        }
+    )
+    path = str(tmp_path / "x.parquet")
+    pq.write_table(t, path, row_group_size=2)  # 3 row groups -> 3 segments
+    idx = str(tmp_path / "idx_x")
+    build_index_local([path], idx, BuildConfig(target_docs_per_segment=2))
+    before = _matches(idx, "alpha")
+    seg_dirs = sorted(glob.glob(os.path.join(idx, "segments", "seg_*")))
+    assert len(seg_dirs) >= 2
+    # truncate the middle segment's postings payload
+    victim = seg_dirs[1]
+    post = glob.glob(os.path.join(victim, "postings*"))[0]
+    with open(post, "r+b") as f:
+        f.truncate(3)
+
+    dropped = exorcise(idx)
+    assert dropped == [os.path.basename(victim)]
+    check_index(idx)  # the published commit validates clean
+    after = _matches(idx, "alpha")
+    # survivors: every pre-corruption match outside the victim's range
+    import json
+
+    stats = json.load(open(os.path.join(victim, "stats.json")))
+    lo, hi = stats["doc_base"], stats["doc_base"] + stats["doc_count"]
+    assert after == [d for d in before if not (lo <= d < hi)]
+    # nothing to exorcise the second time
+    assert exorcise(idx) == []
