@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_sort_topn": flagship.q_expr_sort_topn,  # Expression.getSortField
         "multifield_topk": flagship.q_multifield_topk,  # MultiFieldQueryParser
         "numeric_set_topk": flagship.q_numeric_set_topk,  # PointInSetQuery role
+        "xml_topk": flagship.q_xml_topk,  # queryparser/xml CoreParser
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
         "payload_check": flagship.q_payload_check,  # SpanPayloadCheckQuery
         "join_topk": flagship.q_join_topk,  # JoinUtil scored query-time join
@@ -277,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "span_topk": O.span_topk_sql(flagship.SPAN_TOPK_SPECS),
         "expr_sort_topn": O.expr_sort_topn_sql(flagship.EXPR_SORT_K),
         "multifield_topk": O.multifield_topk_sql(flagship.MULTIFIELD_TOPK_SPECS),
+        "xml_topk": O.xml_topk_sql(flagship.XML_K),
         "numeric_set_topk": O.numeric_set_topk_sql(
             flagship.NUMSET_TERM, flagship.NUMSET_VALUES, flagship.NUMSET_K
         ),

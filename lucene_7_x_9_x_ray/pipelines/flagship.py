@@ -3225,3 +3225,49 @@ def q_numeric_set_topk(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# XML query parser gate: (qid, xml string) — each document maps onto the
+# query-tree; scored results reuse the matching closed-form oracles.
+XML_TOPK_SPECS: list[tuple[str, str]] = [
+    ("xml_bool",
+     '<BooleanQuery><Clause occurs="should"><TermQuery>key</TermQuery></Clause>'
+     '<Clause occurs="should"><TermQuery>hash</TermQuery></Clause></BooleanQuery>'),
+    ("xml_dismax",
+     '<DisjunctionMaxQuery tieBreaker="0.3"><TermQuery>key</TermQuery>'
+     '<TermQuery>hash</TermQuery></DisjunctionMaxQuery>'),
+    ("xml_user", "<UserQuery>window batch spark</UserQuery>"),
+    ("xml_span",
+     '<SpanNear slop="3" inOrder="true"><SpanTerm>key</SpanTerm>'
+     '<SpanTerm>hash</SpanTerm></SpanNear>'),
+    ("xml_filtered",
+     '<BooleanQuery><Clause occurs="should"><TermQuery>table</TermQuery></Clause>'
+     '<Clause occurs="filter"><PointRangeQuery fieldName="length" lowerTerm="30" '
+     'upperTerm="60"/></Clause></BooleanQuery>'),
+]
+XML_K = 10
+
+
+def q_xml_topk(sf_dir: str) -> pa.Table:
+    """XML CoreParser gate: each spec's XML document parses to a query
+    tree and scores: (query_id, rank, doc_id, score_r)."""
+    from ..search.xmlparser import parse_xml_query
+
+    merged, _ = get_searchers(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, xml in XML_TOPK_SPECS:
+        td = merged.search(parse_xml_query(xml, merged.analyzer), k=XML_K)
+        for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(int(d))
+            scores.append(round_half_away(float(s), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )

@@ -3044,3 +3044,27 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
 FROM s_{t} JOIN dl USING (doc_id)
 WHERE dl.dl IN ({lits})
 ORDER BY s DESC, doc_id LIMIT {k}"""
+
+
+def xml_topk_sql(k: int, relation: str = "documents") -> str:
+    """(query_id, rank, doc_id, score_r) mirror of flagship.q_xml_topk —
+    the XML parser maps onto existing query semantics, so the oracle is a
+    UNION of the matching closed forms (DuckDB allows parenthesized WITH
+    subqueries in set operations): boolean sum, dismax, classic-parsed
+    disjunction, ordered span, and a term + dl-range FILTER."""
+    parts = [
+        bm25_topk_sql([("xml_bool", ["key", "hash"], k, 0),
+                       ("xml_user", ["window", "batch", "spark"], k, 0)],
+                      relation),
+        field_topk_sql([("xml_dismax", "dismax",
+                         [("", "key", 1.0), ("", "hash", 1.0)], k)], relation),
+        span_topk_sql([("xml_span", "ord", (("key",), ("hash",)), 3, k)], relation),
+        f"""WITH {base_ctes(relation)},{term_leaf_ctes("table")}
+SELECT 'xml_filtered' AS query_id,
+       CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(CAST(s AS DOUBLE), 4) AS score_r
+FROM s_{_ident("table")} JOIN dl USING (doc_id)
+WHERE dl.dl BETWEEN 30 AND 60
+ORDER BY s DESC, doc_id LIMIT {k}""",
+    ]
+    return "\nUNION ALL\n".join(f"({p})" for p in parts)
