@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_corpus": textops.q_highlight_corpus,  # UnifiedHighlighter
         "decontaminate": curation.q_decontaminate,  # benchmark n-gram decontamination
         "stratified_sample": curation.q_stratified_sample,  # hash-threshold sampling
+        "mixture_sample": curation.q_mixture_sample,  # token-budget source mixing
         "chunk_windows": curation.q_chunk_windows,  # fixed-window doc chunking
         "pack_sequences": curation.q_pack_sequences,  # concat-and-chunk packing
         "source_caps": curation.q_source_caps,  # per-host document caps
@@ -338,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textops.oracle_lang_id_sql(),
         "decontaminate": curation.oracle_decontaminate_sql(),
         "stratified_sample": curation.oracle_stratified_sample_sql(),
+        "mixture_sample": curation.oracle_mixture_sample_sql(),
         "chunk_windows": curation.oracle_chunk_windows_sql(),
         "pack_sequences": curation.oracle_pack_sequences_sql(),
         "source_caps": curation.oracle_source_caps_sql(),

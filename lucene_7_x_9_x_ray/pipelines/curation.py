@@ -513,3 +513,123 @@ SELECT doc_id, chunk_id,
        least(n - chunk_id * {w}, {w}) AS n_tokens,
        md5(array_to_string(arr[chunk_id * {w} + 1 : chunk_id * {w} + {w}], ' ')) AS chunk_md5
 FROM k"""
+
+
+# --- mixture sampling (token-budget source weighting) -----------------------
+
+# target token-share weights: head sources (src0-src4) get 3x the mass of
+# the tail — the "rebalance the crawl toward curated sources" knob of an
+# LLM data mixture. Raw weights; shares normalize over the live sources.
+MIX_HEAD_SOURCES = frozenset({"src0", "src1", "src2", "src3", "src4"})
+MIX_HEAD_W = 3.0
+MIX_TAIL_W = 1.0
+
+
+def _mix_weight(source: str) -> float:
+    return MIX_HEAD_W if source in MIX_HEAD_SOURCES else MIX_TAIL_W
+
+
+def q_mixture_sample(sf_dir: str) -> pa.Table:
+    """Token-budget mixture sampling: choose per-source acceptance rates
+    so the SAMPLED token mass follows the target weights, then keep docs
+    by deterministic hash threshold: (doc_id, source).
+
+    Two-pass shape (the 100-TB mixture pass): pass 1 aggregates per-source
+    token totals with a per-block combiner (only (source, partial-sum)
+    rows shuffle — O(sources) per block); the driver solves the water
+    level B = min_s(tokens_s * W_total / w_s) so the binding source keeps
+    rate 1.0 and every target share is met exactly in expectation; pass 2
+    filters by md5 hash threshold (re-runs, resumes and cluster size never
+    change the sample). Threshold arithmetic is plain IEEE doubles,
+    reproduced verbatim in the SQL oracle."""
+    import math
+
+    import ray
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(batch["text"], pattern=" ")
+        ).to_numpy().astype(np.int64)
+        src = np.asarray(batch["source"].to_numpy(zero_copy_only=False), dtype=object)
+        order = np.argsort(src, kind="stable")
+        s, t = src[order], toks[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        return pa.table(
+            {
+                "source": pa.array(s[starts], pa.string()),
+                "tok": pa.array(np.add.reduceat(t, starts), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        sized_read(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("tok", alias_name="tok"))
+        .take_all()  # n_sources rows — tiny by construction
+    )
+    w_total = sum(_mix_weight(r["source"]) for r in totals)
+    budget = min(
+        float(r["tok"]) * w_total / _mix_weight(r["source"]) for r in totals
+    )
+    thr = {
+        r["source"]: int(
+            math.floor(
+                budget * _mix_weight(r["source"])
+                / (w_total * float(r["tok"])) * SAMPLE_MOD
+            )
+        )
+        for r in totals
+    }
+    thr_ref = ray.put(thr)
+
+    class MixFilter:
+        def __init__(self):
+            self.thr = ray.get(thr_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_ids = batch["doc_id"].to_numpy()
+            src = np.asarray(
+                batch["source"].to_numpy(zero_copy_only=False), dtype=object
+            )
+            buckets = md5_lower64_array(
+                np.asarray([str(int(d)) for d in doc_ids], dtype=object)
+            ) % np.uint64(SAMPLE_MOD)
+            rates = np.array(
+                [self.thr.get(s_, 0) for s_ in src], dtype=np.uint64
+            )
+            keep = buckets < rates
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                    "source": pa.array(src[keep], pa.string()),
+                }
+            )
+
+    out = sized_read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(MixFilter, batch_format="pyarrow", concurrency=2)
+    return pa.concat_tables(ray.get(out.materialize().to_arrow_refs()))
+
+
+def oracle_mixture_sample_sql(relation: str = "documents") -> str:
+    """(doc_id, source) mirror of q_mixture_sample: the same water-level
+    arithmetic in SQL doubles, the same md5 bucket."""
+    heads = ",".join(f"'{s}'" for s in sorted(MIX_HEAD_SOURCES))
+    w = f"CASE WHEN source IN ({heads}) THEN {MIX_HEAD_W} ELSE {MIX_TAIL_W} END"
+    return f"""WITH tok AS (
+  SELECT source, SUM(len(string_split(text, ' '))) AS tok
+  FROM {relation} GROUP BY source),
+wt AS (SELECT source, tok, {w} AS w FROM tok),
+tw AS (SELECT SUM(w) AS w_total FROM wt),
+b AS (SELECT MIN(CAST(tok AS DOUBLE) * (SELECT w_total FROM tw) / w) AS budget FROM wt),
+thr AS (SELECT source,
+               CAST(floor((SELECT budget FROM b) * w
+                          / ((SELECT w_total FROM tw) * CAST(tok AS DOUBLE))
+                          * {SAMPLE_MOD}) AS BIGINT) AS thr
+        FROM wt)
+SELECT d.doc_id, d.source
+FROM {relation} d JOIN thr USING (source)
+WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % {SAMPLE_MOD} < thr.thr"""

@@ -209,3 +209,44 @@ def test_corpus_to_sequences_composition(ray_session):
     assert rows[0]["tok_start"] == 0
     for a, b in zip(rows, rows[1:]):
         assert b["tok_start"] == a["tok_start"] + a["n_tokens"]
+
+
+def test_mixture_sample_hits_target_shares(tmp_path, ray_session):
+    """The water-level rates keep the binding source whole (rate 1.0) and
+    bring every source's EXPECTED sampled token mass to its target share;
+    the keep set is deterministic across re-runs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_7_x_9_x_ray.pipelines import curation
+
+    rng = np.random.default_rng(13)
+    rows = []
+    # src0 (head, weight 3) has FEW tokens -> binding; src9 (tail) has many
+    for i in range(40):
+        rows.append((i, "src0", " ".join(["a"] * int(rng.integers(5, 10)))))
+    for i in range(40, 400):
+        rows.append((i, "src9", " ".join(["b"] * int(rng.integers(20, 40)))))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": [r[1] for r in rows],
+            "text": [r[2] for r in rows],
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/documents.parquet")
+    kept = curation.q_mixture_sample(sf)
+    kept2 = curation.q_mixture_sample(sf)
+    a = sorted(kept.to_pylist(), key=lambda r: r["doc_id"])
+    assert a == sorted(kept2.to_pylist(), key=lambda r: r["doc_id"])  # deterministic
+    by_src = {s: [r["doc_id"] for r in a if r["source"] == s] for s in ("src0", "src9")}
+    # binding head source keeps EVERYTHING (rate 1.0)
+    assert len(by_src["src0"]) == 40
+    # tail source downsamples: expected rate = (tok0*wt/3) * 1/(wt*tok9/1)
+    tok0 = sum(len(r[2].split()) for r in rows if r[1] == "src0")
+    tok9 = sum(len(r[2].split()) for r in rows if r[1] == "src9")
+    expected_rate = (tok0 / 3.0) / tok9
+    got_rate = len(by_src["src9"]) / 360
+    assert abs(got_rate - expected_rate) < 0.1  # hash-threshold concentration
