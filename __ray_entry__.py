@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tochild_topk": flagship.q_tochild_topk,  # inverse block join
         "bm25_topk_docsonly": flagship.q_bm25_topk_docsonly,  # IndexOptions.DOCS
         "suggest_completion": flagship.q_suggest_completion,  # suggest module
+        "suggest_context": flagship.q_suggest_context,  # ContextSuggestField
         "spellcheck": flagship.q_spellcheck,  # DirectSpellChecker
         "suggest_infix": flagship.q_suggest_infix,  # AnalyzingInfixSuggester analogue
         "suggest_fuzzy": flagship.q_suggest_fuzzy,  # FuzzySuggester (Levenshtein prefix)
@@ -294,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_docsonly": O.bm25_docsonly_topk_sql(flagship.BM25_QUERY_SPECS),
         "suggest_completion": O.completion_sql(flagship.COMPLETION_SPECS),
+        "suggest_context": O.suggest_context_sql(flagship.CONTEXT_COMPLETION_SPECS),
         "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),
         "stem_es_tokens": textops.oracle_stem_es_sql(),
         "suggest_infix": O.suggest_infix_sql(flagship.INFIX_SPECS, 8),

@@ -3271,3 +3271,36 @@ def q_xml_topk(sf_dir: str) -> pa.Table:
             "score_r": pa.array(scores, pa.float64()),
         }
     )
+
+
+# context-filtered completion: (prefix_id, prefix, context lang, n)
+CONTEXT_COMPLETION_SPECS: list[tuple[str, str, str, int]] = [
+    ("cs_ta_en", "ta", "en", 5),
+    ("cs_s_de", "s", "de", 5),
+    ("cs_w_zh", "w", "zh", 5),
+]
+
+
+def q_suggest_context(sf_dir: str) -> pa.Table:
+    """ContextSuggestField gate: prefix completions weighted by
+    within-context total term frequency: (prefix_id, rank, term,
+    weight)."""
+    from ..search.suggest import ContextCompletionSuggester
+
+    merged, _ = get_searchers(sf_dir)
+    sug = ContextCompletionSuggester(merged, context_col="lang")
+    pids, ranks, terms, weights = [], [], [], []
+    for pid, pfx, ctx, n in CONTEXT_COMPLETION_SPECS:
+        for r, s in enumerate(sug.lookup(pfx, ctx, n), start=1):
+            pids.append(pid)
+            ranks.append(r)
+            terms.append(s.term)
+            weights.append(s.freq)
+    return pa.table(
+        {
+            "prefix_id": pa.array(pids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "weight": pa.array(weights, pa.int64()),
+        }
+    )

@@ -3068,3 +3068,25 @@ WHERE dl.dl BETWEEN 30 AND 60
 ORDER BY s DESC, doc_id LIMIT {k}""",
     ]
     return "\nUNION ALL\n".join(f"({p})" for p in parts)
+
+
+def suggest_context_sql(
+    specs: list[tuple[str, str, str, int]], relation: str = "documents"
+) -> str:
+    """(prefix_id, rank, term, weight) mirror of flagship.q_suggest_context:
+    term weight = total occurrences within the context language's docs;
+    zero-weight terms drop; order by (weight desc, term)."""
+    selects = []
+    for pid, pfx, ctx, n in specs:
+        p = pfx.replace("'", "''")
+        c = ctx.replace("'", "''")
+        selects.append(f"""(WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term
+  FROM {relation} WHERE lang = '{c}'),
+w AS (SELECT term, count(*) AS weight FROM tok
+      WHERE starts_with(term, '{p}') GROUP BY term)
+SELECT '{pid}' AS prefix_id,
+       CAST(row_number() OVER (ORDER BY weight DESC, term) AS BIGINT) AS rank,
+       term, weight
+FROM w ORDER BY weight DESC, term LIMIT {n})""")
+    return "\nUNION ALL\n".join(selects)

@@ -709,3 +709,47 @@ class WordBreakSpellChecker:
                     )
         out.sort(key=lambda s: (-s.freq_sum, s.words[0]))
         return out[:n]
+
+
+class ContextCompletionSuggester:
+    """Context-filtered completions — the ContextSuggestField/ContextQuery
+    role (s84 suggest/src/java/org/apache/lucene/search/suggest/document/
+    ContextSuggestField.java + ContextQuery.java): candidates come from
+    the same prefix range scan as CompletionSuggester, but each term's
+    weight is its total term frequency WITHIN the context's document set
+    (a vectorized mask over the context doc-values column applied to the
+    candidate's postings); terms with no occurrence in the context are
+    filtered out, like suggestions whose contexts don't match."""
+
+    def __init__(self, searcher, context_col: str = "lang"):
+        self.searcher = searcher
+        self.context_col = context_col
+
+    def lookup(self, prefix: str, context: str, n: int) -> list[Suggestion]:
+        if not prefix:
+            return []
+        terms, _dfs, _ttfs = dict_range_stats(
+            self.searcher, prefix, prefix + _PREFIX_CEILING
+        )
+        if len(terms) == 0:
+            return []
+        import numpy as np
+
+        r = self.searcher.readers[0]  # merged tier: one global reader
+        ctx = np.asarray(
+            r.doc_values(self.context_col), dtype=object
+        ) == context
+        weights = np.zeros(len(terms), dtype=np.int64)
+        for i, t in enumerate(terms):
+            tp = r.term_postings(str(t))
+            if tp is None:
+                continue
+            docs, freqs = tp.decode()
+            weights[i] = int(freqs[ctx[docs]].sum())
+        keep = weights > 0
+        terms, weights = terms[keep], weights[keep]
+        order = np.lexsort((terms, -weights))[:n]
+        return [
+            Suggestion(str(terms[i]), float(weights[i]), int(weights[i]))
+            for i in order
+        ]
