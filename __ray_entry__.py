@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multifield_topk": flagship.q_multifield_topk,  # MultiFieldQueryParser
         "numeric_set_topk": flagship.q_numeric_set_topk,  # PointInSetQuery role
         "xml_topk": flagship.q_xml_topk,  # queryparser/xml CoreParser
+        "function_range_topk": flagship.q_function_range_topk,  # FunctionRangeQuery
         "payload_topk": flagship.q_payload_topk,  # queries/payloads module
         "payload_check": flagship.q_payload_check,  # SpanPayloadCheckQuery
         "join_topk": flagship.q_join_topk,  # JoinUtil scored query-time join
@@ -281,6 +282,10 @@ def oracle_sql() -> dict[str, str]:
         "expr_sort_topn": O.expr_sort_topn_sql(flagship.EXPR_SORT_K),
         "multifield_topk": O.multifield_topk_sql(flagship.MULTIFIELD_TOPK_SPECS),
         "xml_topk": O.xml_topk_sql(flagship.XML_K),
+        "function_range_topk": O.function_range_topk_sql(
+            flagship.FNRANGE_TERM, flagship.FNRANGE_LO, flagship.FNRANGE_HI,
+            flagship.FNRANGE_K,
+        ),
         "numeric_set_topk": O.numeric_set_topk_sql(
             flagship.NUMSET_TERM, flagship.NUMSET_VALUES, flagship.NUMSET_K
         ),

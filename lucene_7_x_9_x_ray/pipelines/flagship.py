@@ -3304,3 +3304,32 @@ def q_suggest_context(sf_dir: str) -> pa.Table:
             "weight": pa.array(weights, pa.int64()),
         }
     )
+
+
+# FunctionRangeQuery gate: expression value range as a FILTER beside a
+# scoring term
+FNRANGE_EXPR = "score_hint + length * 2.0"
+FNRANGE_LO, FNRANGE_HI = 150.0, 400.0
+FNRANGE_TERM = "key"
+FNRANGE_K = 10
+
+
+def q_function_range_topk(sf_dir: str) -> pa.Table:
+    """FunctionRangeQuery gate: BM25 term restricted to docs whose
+    computed expression value lies in [lo, hi]: (rank, doc_id,
+    score_r)."""
+    merged, _ = get_searchers(sf_dir)
+    query = Q.BooleanQuery.build(
+        [(Q.SHOULD, Q.TermQuery(FNRANGE_TERM)),
+         (Q.FILTER, Q.FunctionRangeQuery(FNRANGE_EXPR, FNRANGE_LO, FNRANGE_HI))]
+    )
+    td = merged.search(query, k=FNRANGE_K)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(td.doc_ids) + 1), pa.int64()),
+            "doc_id": pa.array([int(d) for d in td.doc_ids], pa.int64()),
+            "score_r": pa.array(
+                [round_half_away(float(s), 4) for s in td.scores], pa.float64()
+            ),
+        }
+    )

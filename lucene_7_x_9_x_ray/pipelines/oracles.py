@@ -3090,3 +3090,22 @@ SELECT '{pid}' AS prefix_id,
        term, weight
 FROM w ORDER BY weight DESC, term LIMIT {n})""")
     return "\nUNION ALL\n".join(selects)
+
+
+def function_range_topk_sql(
+    term: str, lo: float, hi: float, k: int, relation: str = "documents"
+) -> str:
+    """(rank, doc_id, score_r) mirror of flagship.q_function_range_topk:
+    the expression is score_hint (NULL -> 0) + token count * 2, integer-
+    valued doubles — no fp sensitivity at the range bounds."""
+    t = _ident(term)
+    return f"""WITH {base_ctes(relation)},{term_leaf_ctes(term)},
+v AS (SELECT d.doc_id,
+             COALESCE(CASE WHEN d.doc_id % 3 = 0 THEN NULL ELSE d.n_chars END, 0)
+             + dl.dl * 2.0 AS v
+      FROM {relation} d JOIN dl USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ROUND(CAST(s AS DOUBLE), 4) AS score_r
+FROM s_{t} JOIN v USING (doc_id)
+WHERE v.v >= {lo!r} AND v.v <= {hi!r}
+ORDER BY s DESC, doc_id LIMIT {k}"""

@@ -234,6 +234,23 @@ class GeoBoxQuery(Query):
 
 
 @dataclass(frozen=True)
+class FunctionRangeQuery(Query):
+    """Constant-score (0) predicate over a COMPUTED per-doc value — the
+    queries/function FunctionRangeQuery role (s84 queries/src/java/org/
+    apache/lucene/queries/function/FunctionRangeQuery.java:38): docs whose
+    compiled-expression value (over doc-values columns; missing numerics
+    bind 0, the ValueSource missing contract) falls in [lower, upper]
+    match. Evaluated per segment as one vectorized expression + mask;
+    FILTER-cacheable."""
+
+    expression: str
+    lower: float | None = None
+    upper: float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
 class GeoPolygonQuery(Query):
     """Constant-score (0) point-in-polygon predicate over stored lat/lon
     doc-values columns — the LatLonPoint.newPolygonQuery role (s84 core

@@ -325,6 +325,25 @@ def eval_query(
         docs = cand[dist <= query.radius_m].astype(np.int64)
         return docs, np.zeros(len(docs), dtype=np.float32)
 
+    if isinstance(query, Q.FunctionRangeQuery):
+        from ..functions.expressions import compile_expression
+
+        expr = compile_expression(query.expression)
+        bind = {}
+        for var in expr.variables:
+            col = np.asarray(reader.doc_values(var), dtype=np.float64)
+            bind[var] = np.nan_to_num(col, nan=0.0)
+        vals = expr.evaluate(bind)
+        if np.isscalar(vals) or getattr(vals, "ndim", 1) == 0:
+            vals = np.full(reader.doc_count, float(vals), dtype=np.float64)
+        mask = np.ones(len(vals), dtype=bool)
+        if query.lower is not None:
+            mask &= (vals >= query.lower) if query.include_lower else (vals > query.lower)
+        if query.upper is not None:
+            mask &= (vals <= query.upper) if query.include_upper else (vals < query.upper)
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.zeros(len(docs), dtype=np.float32)
+
     if isinstance(query, Q.NumericSetQuery):
         vals = np.asarray(reader.doc_values(query.col), dtype=np.float64)
         mask = np.isin(vals, np.asarray(query.values, dtype=np.float64))
