@@ -742,16 +742,22 @@ class TermTableReader:
         self._n_imp = t["n_imp"].to_numpy()
         self._len_docs = t["len_docs"].to_numpy()
         self._len_freqs = t["len_freqs"].to_numpy()
-        self._post = np.memmap(
-            os.path.join(dir_path, prefix + POSTINGS_FILE), dtype=np.uint8, mode="r"
-        )
+        def _mmap_u8(path: str) -> np.ndarray:
+            # a tiny shard can legitimately own ZERO bytes of a stream
+            # (e.g. every term in its range is position-free after
+            # filtering) — mmap refuses empty files, numpy arrays don't
+            if os.path.getsize(path) == 0:
+                return np.empty(0, dtype=np.uint8)
+            return np.memmap(path, dtype=np.uint8, mode="r")
+
+        self._post = _mmap_u8(os.path.join(dir_path, prefix + POSTINGS_FILE))
         self.has_positions = "pos_off" in t.column_names
         if self.has_positions:
             self._pos_off = t["pos_off"].to_numpy()
             self._pos_width = t["pos_width"].to_numpy()
             self._len_pos = t["len_pos"].to_numpy()
-            self._positions = np.memmap(
-                os.path.join(dir_path, prefix + POSITIONS_FILE), dtype=np.uint8, mode="r"
+            self._positions = _mmap_u8(
+                os.path.join(dir_path, prefix + POSITIONS_FILE)
             )
         self.has_payloads = "pay_off" in t.column_names
         if self.has_payloads:
