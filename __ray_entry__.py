@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_bm25nb": classify.q_classify_bm25nb,  # BM25NBClassifier
         "classify_perceptron": classify.q_classify_perceptron,  # rows-only (online fold)
         "classify_nb_corpus": classify.q_classify_nb_corpus,  # corpus-wide broadcast apply
+        "classify_confusion": classify.q_classify_confusion,  # ConfusionMatrixGenerator
         "percolate": monitor.q_percolate,  # monitor module: registered-query stream
         # --- training-data text ops ---
         "corpus_clean": corpus.q_corpus_clean,  # composed dedup+quality+lang pass
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "classify_knn": O.classify_knn_sql(classify.KNN_INPUT_DOCS, classify.KNN_K),
         "classify_bm25nb": O.classify_bm25nb_sql(classify.NB_INPUT_DOCS),
         "classify_nb_corpus": O.classify_nb_corpus_sql(),
+        "classify_confusion": O.classify_confusion_sql(),
         "percolate": O.percolate_sql(),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "facet_assoc": O.facet_assoc_sql(flagship.FACET_TERM),

@@ -551,3 +551,47 @@ def q_classify_nb_corpus(sf_dir: str) -> pa.Table:
     )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False) \
         .sort_by([("doc_id", "ascending")])
+
+
+def q_classify_confusion(sf_dir: str) -> pa.Table:
+    """ConfusionMatrixGenerator analogue (s84 classification/src/java/org/
+    apache/lucene/classification/utils/ConfusionMatrixGenerator.java:58):
+    NB-classify every corpus doc and cross-tabulate actual vs predicted
+    class: (actual, predicted, n). The matrix is a Ray groupby over the
+    per-batch (actual, predicted) pairs — the classifier stage carries
+    the actual label through, so no join is ever needed; only
+    |classes|^2 rows reach the driver."""
+    import ray
+    from ray.data.aggregate import Count
+
+    model = nb_model(sf_dir, vocab=None)
+    model_ref = ray.put(model)
+
+    class ConfusionStage(NbCorpusClassifier):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pred = super().__call__(
+                batch.select(["doc_id", "text"])
+            )
+            return pa.table(
+                {
+                    "actual": batch["lang"],
+                    "predicted": pred["lang"],
+                }
+            )
+
+    ds = sized_read(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    out = (
+        ds.map_batches(
+            ConfusionStage, fn_constructor_args=(model_ref,),
+            concurrency=(1, 4), batch_size=512, batch_format="pyarrow",
+        )
+        .groupby(["actual", "predicted"])
+        .aggregate(Count(alias_name="n"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["actual", "predicted", "n"]).cast(
+        pa.schema([("actual", pa.string()), ("predicted", pa.string()),
+                   ("n", pa.int64())])
+    ).sort_by([("actual", "ascending"), ("predicted", "ascending")])

@@ -3109,3 +3109,13 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
 FROM s_{t} JOIN v USING (doc_id)
 WHERE v.v >= {lo!r} AND v.v <= {hi!r}
 ORDER BY s DESC, doc_id LIMIT {k}"""
+
+
+def classify_confusion_sql(relation: str = "documents") -> str:
+    """(actual, predicted, n) mirror of classify.q_classify_confusion:
+    cross-tabulate the corpus NB argmax predictions against the actual
+    class labels."""
+    return f"""WITH pred AS ({classify_nb_corpus_sql(relation)})
+SELECT d.lang AS actual, p.lang AS predicted, count(*) AS n
+FROM pred p JOIN {relation} d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
