@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_perceptron": classify.q_classify_perceptron,  # rows-only (online fold)
         "classify_nb_corpus": classify.q_classify_nb_corpus,  # corpus-wide broadcast apply
         "classify_confusion": classify.q_classify_confusion,  # ConfusionMatrixGenerator
+        "dataset_split": classify.q_dataset_split,  # DatasetSplitter train/test/cv
         "percolate": monitor.q_percolate,  # monitor module: registered-query stream
         # --- training-data text ops ---
         "corpus_clean": corpus.q_corpus_clean,  # composed dedup+quality+lang pass
@@ -312,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "classify_bm25nb": O.classify_bm25nb_sql(classify.NB_INPUT_DOCS),
         "classify_nb_corpus": O.classify_nb_corpus_sql(),
         "classify_confusion": O.classify_confusion_sql(),
+        "dataset_split": O.dataset_split_sql(),
         "percolate": O.percolate_sql(),
         "facet_lang": O.facet_lang_sql(flagship.FACET_TERM),
         "facet_assoc": O.facet_assoc_sql(flagship.FACET_TERM),

@@ -595,3 +595,51 @@ def q_classify_confusion(sf_dir: str) -> pa.Table:
         pa.schema([("actual", pa.string()), ("predicted", pa.string()),
                    ("n", pa.int64())])
     ).sort_by([("actual", "ascending"), ("predicted", "ascending")])
+
+
+# DatasetSplitter ratios: 10% test, 10% cross-validation, rest train
+SPLIT_TEST_MOD = 1000
+SPLIT_TEST_LT = 100   # bucket < 100 -> test
+SPLIT_CV_LT = 200     # 100 <= bucket < 200 -> cv
+
+
+def q_dataset_split(sf_dir: str) -> pa.Table:
+    """DatasetSplitter analogue (s84 classification/src/java/org/apache/
+    lucene/classification/utils/DatasetSplitter.java:45): partition the
+    corpus into train/test/cross-validation sets. The reference samples
+    randomly per doc; here the assignment is a deterministic hash bucket
+    (re-runs, resumes and cluster size never move a doc between splits —
+    the property a resumable 100-TB split needs). Returns per-(lang,
+    split) counts: (lang, split, n) — the stratification audit a real
+    splitter run reports."""
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import md5_lower64_array
+
+    def assign(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy()
+        buckets = md5_lower64_array(
+            np.asarray([f"split:{int(d)}" for d in doc_ids], dtype=object)
+        ) % np.uint64(SPLIT_TEST_MOD)
+        split = np.where(
+            buckets < SPLIT_TEST_LT, "test",
+            np.where(buckets < SPLIT_CV_LT, "cv", "train"),
+        )
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    out = (
+        sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["lang", "split"])
+        .aggregate(Count(alias_name="n"))
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.select(["lang", "split", "n"]).cast(
+        pa.schema([("lang", pa.string()), ("split", pa.string()),
+                   ("n", pa.int64())])
+    ).sort_by([("lang", "ascending"), ("split", "ascending")])

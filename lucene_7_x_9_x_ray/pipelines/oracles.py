@@ -3119,3 +3119,16 @@ def classify_confusion_sql(relation: str = "documents") -> str:
 SELECT d.lang AS actual, p.lang AS predicted, count(*) AS n
 FROM pred p JOIN {relation} d USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def dataset_split_sql(relation: str = "documents") -> str:
+    """(lang, split, n) mirror of classify.q_dataset_split: the same md5
+    bucket over 'split:{doc_id}'."""
+    from ..pipelines.classify import SPLIT_CV_LT, SPLIT_TEST_LT, SPLIT_TEST_MOD
+
+    return f"""SELECT lang,
+       CASE WHEN md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) % {SPLIT_TEST_MOD} < {SPLIT_TEST_LT} THEN 'test'
+            WHEN md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) % {SPLIT_TEST_MOD} < {SPLIT_CV_LT} THEN 'cv'
+            ELSE 'train' END AS split,
+       count(*) AS n
+FROM {relation} GROUP BY 1, 2 ORDER BY 1, 2"""
