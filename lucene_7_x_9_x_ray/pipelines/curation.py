@@ -571,15 +571,21 @@ def q_mixture_sample(sf_dir: str) -> pa.Table:
         .take_all()  # n_sources rows — tiny by construction
     )
     w_total = sum(_mix_weight(r["source"]) for r in totals)
+    # a zero-token source can't anchor the water level (its share is
+    # unreachable, not binding) — it just keeps nothing
     budget = min(
-        float(r["tok"]) * w_total / _mix_weight(r["source"]) for r in totals
+        float(r["tok"]) * w_total / _mix_weight(r["source"])
+        for r in totals if r["tok"] > 0
     )
     thr = {
-        r["source"]: int(
-            math.floor(
-                budget * _mix_weight(r["source"])
-                / (w_total * float(r["tok"])) * SAMPLE_MOD
+        r["source"]: (
+            int(
+                math.floor(
+                    budget * _mix_weight(r["source"])
+                    / (w_total * float(r["tok"])) * SAMPLE_MOD
+                )
             )
+            if r["tok"] > 0 else 0
         )
         for r in totals
     }
@@ -624,11 +630,14 @@ def oracle_mixture_sample_sql(relation: str = "documents") -> str:
   FROM {relation} GROUP BY source),
 wt AS (SELECT source, tok, {w} AS w FROM tok),
 tw AS (SELECT SUM(w) AS w_total FROM wt),
-b AS (SELECT MIN(CAST(tok AS DOUBLE) * (SELECT w_total FROM tw) / w) AS budget FROM wt),
+b AS (SELECT MIN(CAST(tok AS DOUBLE) * (SELECT w_total FROM tw) / w) AS budget
+      FROM wt WHERE tok > 0),
 thr AS (SELECT source,
-               CAST(floor((SELECT budget FROM b) * w
-                          / ((SELECT w_total FROM tw) * CAST(tok AS DOUBLE))
-                          * {SAMPLE_MOD}) AS BIGINT) AS thr
+               CASE WHEN tok > 0
+                    THEN CAST(floor((SELECT budget FROM b) * w
+                               / ((SELECT w_total FROM tw) * CAST(tok AS DOUBLE))
+                               * {SAMPLE_MOD}) AS BIGINT)
+                    ELSE 0 END AS thr
         FROM wt)
 SELECT d.doc_id, d.source
 FROM {relation} d JOIN thr USING (source)
