@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_context": flagship.q_suggest_context,  # ContextSuggestField
         "spellcheck": flagship.q_spellcheck,  # DirectSpellChecker
         "suggest_infix": flagship.q_suggest_infix,  # AnalyzingInfixSuggester analogue
+        "suggest_blended": flagship.q_suggest_blended,  # BlendedInfixSuggester
         "suggest_fuzzy": flagship.q_suggest_fuzzy,  # FuzzySuggester (Levenshtein prefix)
         "suggest_freetext": flagship.q_suggest_freetext,  # stupid-backoff ngram model
         "classify_nb": classify.q_classify_nb,  # SimpleNaiveBayesClassifier
@@ -156,6 +157,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": multimodal.q_multimodal_resize,  # letterbox geometry
         "multimodal_frames": multimodal.q_multimodal_frames,  # frame-sample fan-out
     }
+
+
+def _title_tokens() -> int:
+    from lucene_7_x_9_x_ray.sources.pages import TITLE_TOKENS
+
+    return TITLE_TOKENS
 
 
 def oracle_sql() -> dict[str, str]:
@@ -306,6 +313,9 @@ def oracle_sql() -> dict[str, str]:
         "spellcheck": O.spellcheck_sql(flagship.SPELLCHECK_SPECS),
         "stem_es_tokens": textops.oracle_stem_es_sql(),
         "suggest_infix": O.suggest_infix_sql(flagship.INFIX_SPECS, 8),
+        "suggest_blended": O.suggest_blended_sql(
+            flagship.BLENDED_INFIX_SPECS, _title_tokens()
+        ),
         "suggest_fuzzy": O.fuzzy_suggest_sql(flagship.FUZZY_SUGGEST_SPECS),
         "suggest_freetext": O.freetext_suggest_sql(flagship.FREETEXT_SPECS),
         "classify_nb": O.classify_nb_sql(classify.NB_INPUT_DOCS),

@@ -3333,3 +3333,52 @@ def q_function_range_topk(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# BlendedInfixSuggester gate: single-token (prefix) queries, reciprocal
+# position blender — (query_id, prefix, n)
+BLENDED_INFIX_SPECS: list[tuple[str, str, int]] = [
+    ("bi_ta", "ta", 8),
+    ("bi_s", "s", 8),
+    ("bi_ke", "ke", 8),
+]
+
+
+def q_suggest_blended(sf_dir: str) -> pa.Table:
+    """BlendedInfixSuggester gate: infix candidates over the page titles
+    with weight * 1/(first-match-position + 1) reciprocal blending:
+    (query_id, rank, doc_id, score_r)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..search.suggest import BlendedInfixSuggester
+    from ..sources.pages import TITLE_TOKENS
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    titles = pc.binary_join(
+        pc.list_slice(pc.split_pattern(docs["text"].combine_chunks(), " "),
+                      0, TITLE_TOKENS),
+        " ",
+    )
+    sug = BlendedInfixSuggester(blender="position_reciprocal").build(
+        docs["doc_id"].to_numpy(),
+        titles.to_numpy(zero_copy_only=False),
+        docs["n_chars"].to_numpy(),
+    )
+    qids, ranks, dids, scores = [], [], [], []
+    for qid, q, n in BLENDED_INFIX_SPECS:
+        for r, s in enumerate(sug.lookup(q, n), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            dids.append(s.key)
+            scores.append(round_half_away(float(s.weight), 4))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )

@@ -3132,3 +3132,32 @@ def dataset_split_sql(relation: str = "documents") -> str:
             ELSE 'train' END AS split,
        count(*) AS n
 FROM {relation} GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def suggest_blended_sql(
+    specs: list[tuple[str, str, int]], title_tokens: int,
+    relation: str = "documents",
+) -> str:
+    """(query_id, rank, doc_id, score_r) mirror of flagship.
+    q_suggest_blended: candidates = titles (first title_tokens body
+    tokens) containing a token starting with the prefix; score = n_chars
+    / (first matching token position + 1); rank score desc, doc asc."""
+    selects = []
+    for qid, pfx, n in specs:
+        p = pfx.replace("'", "''")
+        selects.append(f"""(WITH ttok AS (
+  SELECT doc_id, n_chars, i - 1 AS pos, arr[i] AS tok
+  FROM (SELECT doc_id, n_chars,
+               list_slice(string_split(text, ' '), 1, {title_tokens}) AS arr
+        FROM {relation}),
+       unnest(generate_series(1, len(arr))) AS u(i)),
+m AS (SELECT doc_id, any_value(n_chars) AS n_chars, min(pos) AS fpos
+      FROM ttok WHERE starts_with(tok, '{p}') GROUP BY doc_id)
+SELECT '{qid}' AS query_id,
+       CAST(row_number() OVER (
+            ORDER BY CAST(n_chars AS DOUBLE) / (fpos + 1.0) DESC, doc_id)
+            AS BIGINT) AS rank,
+       doc_id,
+       ROUND(CAST(n_chars AS DOUBLE) / (fpos + 1.0), 4) AS score_r
+FROM m ORDER BY CAST(n_chars AS DOUBLE) / (fpos + 1.0) DESC, doc_id LIMIT {n})""")
+    return "\nUNION ALL\n".join(selects)

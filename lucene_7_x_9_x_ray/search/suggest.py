@@ -753,3 +753,80 @@ class ContextCompletionSuggester:
             Suggestion(str(terms[i]), float(weights[i]), int(weights[i]))
             for i in order
         ]
+
+
+class BlendedInfixSuggester(InfixSuggester):
+    """BlendedInfixSuggester analogue (s84 suggest/.../analyzing/
+    BlendedInfixSuggester.java:47): infix candidates like the parent, but
+    the weight BLENDS with the first matching token's POSITION in the
+    suggestion — "position_linear" coef = 1 - 0.10*position
+    (java:60 LINEAR_COEF), "position_reciprocal" coef = 1/(position+1)
+    (java:calculateCoefficient) — so matches near the start of the
+    suggestion outrank deep matches of equal raw weight. Ranking is by
+    blended score desc, insertion key asc."""
+
+    LINEAR_COEF = 0.10
+
+    def __init__(self, analyzer=None, blender: str = "position_reciprocal"):
+        super().__init__(analyzer)
+        if blender not in ("position_linear", "position_reciprocal"):
+            raise ValueError(f"unknown blender {blender!r}")
+        self.blender = blender
+
+    def build(self, keys, texts, weights) -> "BlendedInfixSuggester":
+        super().build(keys, texts, weights)
+        # parallel token-position array (same sort order as _tokens):
+        # position of each token within its own suggestion
+        tokens, doc_idx = self.analyzer.tokenize_batch(list(self.texts))
+        starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+        pos = np.arange(len(tokens), dtype=np.int64)
+        pos = pos - np.repeat(pos[starts], np.diff(np.r_[starts, len(tokens)]))
+        order = np.argsort(tokens, kind="stable")
+        self._tok_pos = pos[order]
+        return self
+
+    def _coef(self, position: np.ndarray) -> np.ndarray:
+        p = position.astype(np.float64)
+        if self.blender == "position_linear":
+            return 1.0 - self.LINEAR_COEF * p
+        return 1.0 / (p + 1.0)
+
+    def lookup(self, query: str, n: int) -> list[InfixSuggestion]:
+        if self._n == 0:
+            return []
+        qtoks = self.analyzer.tokens(query)
+        if not qtoks:
+            return []
+        cand = None
+        first_pos: dict[int, int] = {}
+        for i, t in enumerate(qtoks):
+            lo = int(np.searchsorted(self._tokens, t, side="left"))
+            if i == len(qtoks) - 1:
+                hi = int(np.searchsorted(self._tokens, t + _PREFIX_CEILING,
+                                         side="left"))
+            else:
+                hi = int(np.searchsorted(self._tokens, t, side="right"))
+            ids = self._tok_ids[lo:hi]
+            poss = self._tok_pos[lo:hi]
+            # earliest match position per suggestion for THIS token
+            order = np.lexsort((poss, ids))
+            ids_s, poss_s = ids[order], poss[order]
+            keep = np.r_[True, ids_s[1:] != ids_s[:-1]]
+            for sid, p in zip(ids_s[keep], poss_s[keep]):
+                cur = first_pos.get(int(sid))
+                if cur is None or p < cur:
+                    first_pos[int(sid)] = int(p)
+            uids = np.unique(ids)
+            cand = uids if cand is None else np.intersect1d(
+                cand, uids, assume_unique=True
+            )
+            if len(cand) == 0:
+                return []
+        pos_arr = np.array([first_pos[int(c)] for c in cand], dtype=np.int64)
+        blended = self.weights[cand].astype(np.float64) * self._coef(pos_arr)
+        order = np.lexsort((self.keys[cand], -blended))[:n]
+        return [
+            InfixSuggestion(int(self.keys[cand[o]]), str(self.texts[cand[o]]),
+                            float(blended[o]))
+            for o in order
+        ]

@@ -287,3 +287,38 @@ def test_wordbreak_spellchecker(ray_session):
     # max_combine_word_length guard
     wb2 = WordBreakSpellChecker(merged, max_combine_word_length=4)
     assert wb2.suggest_word_combinations(["tab", "le"], 3) == []
+
+
+def test_blended_infix_suggester_position_blending():
+    """BlendedInfixSuggester: equal raw weights rank by first-match
+    position (reciprocal and linear blenders); multi-token queries blend
+    on the earliest matching token; parent ordering restored at pos 0."""
+    from lucene_7_x_9_x_ray.search.suggest import BlendedInfixSuggester
+
+    keys = [0, 1, 2]
+    texts = ["star wars saga", "wars of star", "the old star wars"]
+    weights = [100, 100, 100]
+    sug = BlendedInfixSuggester(blender="position_reciprocal").build(
+        keys, texts, weights
+    )
+    got = sug.lookup("star", 3)
+    # first-match positions: 0, 2, 2 -> doc0 first; ties (1,2) by key
+    assert [s.key for s in got] == [0, 1, 2]
+    assert got[0].weight == 100.0 and abs(got[1].weight - 100 / 3) < 1e-12
+
+    lin = BlendedInfixSuggester(blender="position_linear").build(
+        keys, texts, weights
+    )
+    got_l = lin.lookup("star", 3)
+    assert [s.key for s in got_l] == [0, 1, 2]
+    assert got_l[1].weight == 100 * (1 - 0.10 * 2)
+
+    # multi-token: all-but-last exact, last prefix; blend on earliest match
+    got_m = sug.lookup("star wa", 3)
+    assert [s.key for s in got_m] == [0, 1, 2]  # doc1 matches star@2, wars@0
+    assert got_m[1].weight == 100.0  # earliest match (wars@0) drives the coef
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        BlendedInfixSuggester(blender="nope")
